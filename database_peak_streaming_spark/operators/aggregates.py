@@ -1,0 +1,222 @@
+"""Aggregation operators (SURVEY.md §2B agg rows; reference A2/P3).
+
+The reference's only aggregation is a per-window column-wise ``numpy.mean``
+(``database_peak_streaming.py:38-45``); here that generalizes to the full
+grouped-aggregation surface.  All of it is plain ``groupBy().agg`` —
+Catalyst plans a partial (map-side) aggregate before the shuffle, so the
+shuffle carries one row per (partition, group), not per input row; at
+100 TB that is the difference between shuffling gigabytes and terabytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_peak_streaming_spark.operators.common import DEC, davg, dsum, r6
+from database_peak_streaming_spark.sources.batch import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query: TPC-H-Q1-shaped pricing summary over lineitem.
+
+    scan -> filter (pushed to parquet) -> groupBy(2 low-cardinality keys)
+    -> 8 aggregates -> sort.  The group-key cardinality is 6, so the
+    post-shuffle stage is trivially small at any scale; the heavy lifting
+    is the map-side partial agg, which scales linearly with input splits.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def agg_global_no_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no GROUP BY) aggregate: one-row summary of orders."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+        r6(F.min("o_totalprice"), "min_price"),
+        r6(F.max("o_totalprice"), "max_price"),
+        davg("o_totalprice", "avg_price"),
+    )
+
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group — Spark plans this as expand + two-phase
+    aggregate; for very high cardinality prefer approx (see
+    ``agg_approx_distinct``)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++).  The scale path: one pass, no
+    expand, fixed-size sketch state per group.  No oracle — sketch
+    estimates are engine-specific (driver records rows-only)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+        .orderBy("l_returnflag")
+    )
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/exact percentile/median.
+
+    ``percentile`` (exact, interpolated) matches DuckDB ``quantile_cont``;
+    at 100 TB swap to ``percentile_approx`` (t-digest sketch, bounded
+    memory) — exposed separately so the trade-off is explicit.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            r6(F.stddev_samp("l_extendedprice"), "std_price"),
+            r6(F.var_samp("l_extendedprice"), "var_price"),
+            r6(F.expr("percentile(l_extendedprice, 0.5)"), "median_price"),
+            r6(F.expr("percentile(l_extendedprice, 0.9)"), "p90_price"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotals + grand total."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all grouping-set combos."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(dsum("o_totalprice", "sum_price"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list/collect_set regroup (reference A8: per-port series
+    regroup at ``analyze_data.py:66-82``).  Lists are sorted then joined to
+    a string so the result is order-insensitive and oracle-comparable."""
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+            F.size(F.collect_set("n_name")).cast("long").alias("n_distinct"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "agg_global_no_group": agg_global_no_group,
+    "agg_count_distinct": agg_count_distinct,
+    "agg_approx_distinct": agg_approx_distinct,
+    "agg_stats": agg_stats,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_collect_sorted": agg_collect_sorted,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS {DEC})) AS DOUBLE) AS sum_charge,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 6) AS avg_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "agg_global_no_group": f"""
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS sum_price,
+               ROUND(MIN(o_totalprice), 6) AS min_price,
+               ROUND(MAX(o_totalprice), 6) AS max_price,
+               ROUND(AVG(o_totalprice), 6) AS avg_price
+        FROM orders
+    """,
+    "agg_count_distinct": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS distinct_parts,
+               COUNT(DISTINCT l_suppkey) AS distinct_supps,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    # agg_approx_distinct: intentionally no oracle (sketch estimate).
+    "agg_stats": """
+        SELECT l_linestatus,
+               ROUND(STDDEV_SAMP(l_extendedprice), 6) AS std_price,
+               ROUND(VAR_SAMP(l_extendedprice), 6) AS var_price,
+               ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.5) AS DOUBLE), 6) AS median_price,
+               ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.9) AS DOUBLE), 6) AS p90_price
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    "agg_rollup": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "agg_cube": f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS sum_price,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "agg_collect_sorted": """
+        SELECT n_regionkey,
+               STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+               COUNT(DISTINCT n_name) AS n_distinct
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+}

@@ -1,0 +1,96 @@
+"""Batch sources/sinks: parquet/CSV/JSON readers and the table catalog.
+
+Reference parity:
+* S9 catalog scan (``sqlite_master`` at reference ``analyze_data.py:21-24``)
+  -> ``spark.catalog.listTables()`` over registered temp views.
+* S10 full-table scan (``analyze_data.py:44-47``) -> ``spark.read.parquet``;
+  Catalyst prunes columns and pushes predicates into the scan, which the
+  reference's ``SELECT *`` + Python loop could never do.
+* S11 CSV export (drafted at ``analyze_data.py:8-26``) -> ``write_csv``.
+
+Scale note: Parquet scans split at ``maxPartitionBytes`` so a 100 TB table
+becomes ~800k uniform scan tasks; filters/projections reach the reader
+(check ``PushedFilters`` in ``df.explain``), so queries touching a few
+columns/partitions read a few columns/partitions, not the table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The fixture tables (TESTDATA.md) — TPC-H-ish star schema + events
+#: stream replay + LLM-data tables.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Scan one fixture table as a DataFrame (lazy; no IO until an action)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every fixture table as a temp view (the session catalog).
+
+    Equivalent of the reference's create-if-not-exists bootstrap +
+    ``sqlite_master`` introspection: after this, ``spark.sql`` sees the
+    same table names the DuckDB oracle does and
+    ``spark.catalog.listTables()`` enumerates them.
+    """
+    for name in TABLES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+def list_tables(spark: SparkSession) -> list[str]:
+    """Catalog scan (S9): names of all tables visible to the session."""
+    return sorted(t.name for t in spark.catalog.listTables())
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV read with header (S11 read side). Explicit schema preferred at
+    scale — schema inference is an extra full scan."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV export sink with header row (S11; reference drafted it via
+    ``cur.description`` at ``analyze_data.py:8-26``)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines read; schema optional (inference costs a scan)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, mode: str = "append", partition_by: tuple[str, ...] = ()
+) -> None:
+    """Parquet sink (S7 append / overwrite). ``partition_by`` date columns
+    turn retention deletes into metadata-only partition drops (§4)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
