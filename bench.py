@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Timing = full query execution to driver-side materialization (collect),
+after one untimed warm-up of the session (JVM + codegen warm).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "agg_count_distinct",
+    "agg_stats",
+    "agg_rollup",
+    "filter_predicates",
+    "join_inner_3way",
+    "join_broadcast_dim",
+    "join_range_theta",
+    "join_asof_purchase_click",
+    "win_frames",
+    "win_topk_per_group",
+    "setop_union_all",
+    "json_extract_events",
+    "pivot_wide",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from database_peak_streaming_spark import get_spark
+    from database_peak_streaming_spark.registry import QUERIES
+
+    spark = get_spark("dps-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: JVM, parquet footer cache, codegen.
+    QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""Array / map / JSON operators (SURVEY.md §2B array & map/json rows).
+
+Reference parity: the ragged per-channel peak arrays (P3/P10/P11,
+``hyperion.py:442-453``) map to ArrayType higher-order functions —
+``transform``/``filter``/``aggregate``/``slice``/``sequence`` — all
+JVM-side expressions, no Python in the loop.  The events fixture's
+``props`` JSON column exercises the JSON path.
+
+Scale notes: higher-order array functions run inside whole-stage codegen;
+``explode`` multiplies rows (64x here) — at 100 TB explode only after
+filtering to the slice you need, never before.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from database_peak_streaming_spark.sources.batch import load_table
+
+
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/element/slice/array_max/aggregate/sequence over embeddings.
+
+    The ``aggregate``-based dot-product-style reduction here is the same
+    kernel the similarity operators use (operators/similarity.py).
+    """
+    e = load_table(spark, "embeddings", sf_dir)
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("emb_len"),
+            F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+            F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+            F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+            F.round(
+                F.aggregate(
+                    F.slice("embedding", 1, 8),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double"),
+                ),
+                6,
+            ).alias("head8_sum"),
+            F.aggregate(
+                F.sequence(F.lit(1), F.col("label") + 1),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x.cast("long"),
+            ).alias("label_tri"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def array_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: long-form (vec_id, pos, val) for the first vectors —
+    the wide->long melt of the reference's flat peak arrays (P11)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return (
+        e.filter(F.col("vec_id") < 4)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("val").cast("double"), 6).alias("val"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+def array_transform_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform + filter + zip_with higher-order functions; the
+    linear-calibration shape of the reference (P7: ``counts * inv_scale
+    + offset``, ``hyperion.py:533-540``) as a pure array expression."""
+    e = load_table(spark, "embeddings", sf_dir)
+    scaled = F.transform(
+        F.slice("embedding", 1, 6), lambda x: x.cast("double") * 2.0 + 1.0
+    )
+    positives = F.filter(
+        F.slice("embedding", 1, 16), lambda x: x.cast("double") > 0
+    )
+    return (
+        e.select(
+            "vec_id",
+            F.round(F.aggregate(scaled, F.lit(0.0), lambda a, x: a + x), 6).alias(
+                "cal_sum6"
+            ),
+            F.size(positives).cast("long").alias("n_pos_head16"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice("embedding", 1, 4),
+                        F.slice("embedding", 5, 4),
+                        lambda a, b: a.cast("double") * b.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("dot_head4"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from events.props (get_json_object +
+    from_json into a typed struct/map)."""
+    ev = load_table(spark, "events", sf_dir)
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_path"),
+            F.from_json("props", schema).getField("k").alias("k_typed"),
+            F.map_keys(
+                F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+            )[0].alias("first_key"),
+        )
+        .orderBy("event_id")
+    )
+
+
+QUERIES = {
+    "array_funcs": array_funcs,
+    "array_explode_pos": array_explode_pos,
+    "array_transform_filter": array_transform_filter,
+    "json_extract_events": json_extract_events,
+}
+
+ORACLE_SQL = {
+    "array_funcs": """
+        SELECT vec_id,
+               CAST(LEN(embedding) AS BIGINT) AS emb_len,
+               ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+               ROUND(CAST(LIST_MAX(embedding) AS DOUBLE), 6) AS max_val,
+               ROUND(CAST(LIST_MIN(embedding) AS DOUBLE), 6) AS min_val,
+               ROUND(LIST_SUM(LIST_TRANSFORM(embedding[1:8],
+                     x -> CAST(x AS DOUBLE))), 6) AS head8_sum,
+               CAST(LIST_SUM(GENERATE_SERIES(1, label + 1)) AS BIGINT) AS label_tri
+        FROM embeddings ORDER BY vec_id
+    """,
+    "array_explode_pos": """
+        SELECT vec_id, CAST(pos - 1 AS BIGINT) AS pos,
+               ROUND(CAST(embedding[pos] AS DOUBLE), 6) AS val
+        FROM embeddings, GENERATE_SERIES(1, 64) AS g(pos)
+        WHERE vec_id < 4 AND pos <= LEN(embedding)
+        ORDER BY vec_id, pos
+    """,
+    "array_transform_filter": """
+        SELECT vec_id,
+               ROUND(LIST_SUM(LIST_TRANSFORM(embedding[1:6],
+                     x -> CAST(x AS DOUBLE) * 2.0 + 1.0)), 6) AS cal_sum6,
+               CAST(LEN(LIST_FILTER(embedding[1:16],
+                    x -> CAST(x AS DOUBLE) > 0)) AS BIGINT) AS n_pos_head16,
+               ROUND(CAST(embedding[1] AS DOUBLE) * CAST(embedding[5] AS DOUBLE)
+                   + CAST(embedding[2] AS DOUBLE) * CAST(embedding[6] AS DOUBLE)
+                   + CAST(embedding[3] AS DOUBLE) * CAST(embedding[7] AS DOUBLE)
+                   + CAST(embedding[4] AS DOUBLE) * CAST(embedding[8] AS DOUBLE),
+                     6) AS dot_head4
+        FROM embeddings ORDER BY vec_id
+    """,
+    "json_extract_events": """
+        SELECT event_id,
+               CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k_path,
+               CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k_typed,
+               REGEXP_EXTRACT(props, '"(\\w+)":', 1) AS first_key
+        FROM events ORDER BY event_id
+    """,
+}

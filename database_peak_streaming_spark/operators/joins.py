@@ -1,0 +1,248 @@
+"""Join operators (SURVEY.md §2B join rows).
+
+The reference's only join is the implicit positional id-pairing of its
+tier tables (SURVEY.md §1.2, ``database_peak_streaming.py:60-69``); the
+engine exposes the full join surface.
+
+Scale notes per strategy:
+* dim joins (region/nation/supplier/part): broadcast — the build side is
+  KBs at any fact-table scale, so no shuffle of the 100 TB side.
+  ``spark.sql.autoBroadcastJoinThreshold`` + AQE pick this up
+  automatically; ``F.broadcast`` pins it where we know better.
+* fact-fact joins (orders x lineitem): sort-merge on the join key with
+  AQE skew-split; co-partitioning via bucketing is the repeated-join
+  optimization (see ``sources/batch.write_parquet`` partition hooks).
+* as-of joins: implemented as range join + per-left-row top-1; Spark has
+  no native as-of, so we keep the range tight (same user partition) to
+  bound the join fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from database_peak_streaming_spark.operators.common import dsum
+from database_peak_streaming_spark.sources.batch import load_table
+
+
+def join_inner_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ nation: revenue per nation.
+
+    nation (25 rows) broadcasts; customer⋈orders shuffles on custkey.
+    """
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(dsum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("n_name")
+    )
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER: every customer with order count (0 for orderless)."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-nation customer counts vs supplier counts —
+    nations appearing on either side survive with NULLs on the other."""
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    cc = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust"))
+    sc = s.groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_supp"))
+    return (
+        cc.join(sc, cc.c_nationkey == sc.s_nationkey, "full")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            "n_cust",
+            "n_supp",
+        )
+        .orderBy("nationkey")
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers that have at least one order (EXISTS)."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: customers with no orders (NOT EXISTS) — the engine's
+    general form of the reference's companion-table alignment delete
+    (P5, ``database_peak_streaming.py:68-69``)."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast join: lineitem ⋈ broadcast(part), qty by brand.
+
+    At 100 TB the probe side streams through map tasks with zero shuffle;
+    the plan must show BroadcastHashJoin (asserted in tests via
+    ``plans.explain``).
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n"))
+        .orderBy("p_brand")
+    )
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS JOIN: region x supplier grid (explicitly tiny sides only —
+    a guarded operator at scale)."""
+    r = load_table(spark, "region", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    return (
+        r.crossJoin(s)
+        .select("r_name", "s_name")
+        .orderBy("r_name", "s_name")
+    )
+
+
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join: customers whose balance falls within
+    100 of a supplier's balance.  Spark plans BroadcastNestedLoopJoin with
+    the small side broadcast; for two large sides bucket the range into
+    equi-join bands first (band join) — documented trade-off."""
+    s = load_table(spark, "supplier", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    return (
+        c.join(
+            F.broadcast(s),
+            (c.c_acctbal >= s.s_acctbal - 100) & (c.c_acctbal <= s.s_acctbal + 100),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_cust_in_band"))
+        .orderBy("s_suppkey")
+    )
+
+
+def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the most recent click by the
+    same user at or before the purchase time (SURVEY.md §2B as-of row —
+    the time-series join the reference's domain implies).
+
+    Implementation: range join on (user_id, ts<=) then max() per purchase
+    — semantically the classic as-of.  At scale: partition both sides by
+    user_id (shuffle once), and bound the range with a time horizon so
+    the per-key fan-out stays O(events-in-horizon).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+    )
+    return (
+        purchases.join(
+            clicks,
+            (purchases.user_id == clicks.c_user_id)
+            & (clicks.click_ts <= purchases.ts),
+            "left",
+        )
+        .groupBy("event_id", "user_id", "ts")
+        .agg(F.max("click_ts").alias("last_click_ts"))
+        .orderBy("event_id")
+    )
+
+
+QUERIES = {
+    "join_inner_3way": join_inner_3way,
+    "join_left_outer": join_left_outer,
+    "join_full_outer": join_full_outer,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_broadcast_dim": join_broadcast_dim,
+    "join_cross": join_cross,
+    "join_range_theta": join_range_theta,
+    "join_asof_purchase_click": join_asof_purchase_click,
+}
+
+ORACLE_SQL = {
+    "join_inner_3way": """
+        SELECT n_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "join_left_outer": """
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey
+    """,
+    "join_full_outer": """
+        SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey, n_cust, n_supp
+        FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) cc
+        FULL OUTER JOIN
+             (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) sc
+        ON cc.c_nationkey = sc.s_nationkey
+        ORDER BY nationkey
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    "join_broadcast_dim": """
+        SELECT p_brand,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand
+    """,
+    "join_cross": """
+        SELECT r_name, s_name FROM region CROSS JOIN supplier
+        ORDER BY r_name, s_name
+    """,
+    "join_range_theta": """
+        SELECT s_suppkey, COUNT(*) AS n_cust_in_band
+        FROM customer JOIN supplier
+          ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100
+        GROUP BY s_suppkey ORDER BY s_suppkey
+    """,
+    "join_asof_purchase_click": """
+        SELECT p.event_id, p.user_id, p.ts, MAX(c.click_ts) AS last_click_ts
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id AS c_user_id, ts AS click_ts FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.c_user_id AND c.click_ts <= p.ts
+        GROUP BY p.event_id, p.user_id, p.ts
+        ORDER BY p.event_id
+    """,
+}

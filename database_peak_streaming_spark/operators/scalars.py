@@ -1,0 +1,165 @@
+"""Scalar-function packs: string / date / math / conditional
+(SURVEY.md §2B scalar-* rows; reference P6/P7/P13 arithmetic).
+
+All built-in column expressions — JVM-side, whole-stage-codegen'd, never
+Python.  Cross-engine cast discipline: double->int casts are expressed as
+explicit FLOOR/ROUND (Spark truncates, DuckDB rounds — we never rely on
+implicit cast rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_peak_streaming_spark.sources.batch import load_table
+
+
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat/substr/upper/lower/trim/length/split/regexp over part."""
+    p = load_table(spark, "part", sf_dir)
+    return (
+        p.select(
+            "p_partkey",
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+            F.upper(F.col("p_name")).alias("name_upper"),
+            F.lower(F.col("p_type")).alias("type_lower"),
+            F.substring(F.col("p_name"), 1, 5).alias("name_pfx"),
+            F.length(F.col("p_name")).cast("long").alias("name_len"),
+            F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias(
+                "brand_trim"
+            ),
+            F.regexp_extract(F.col("p_brand"), r"#(\d+)", 1).alias("brand_num"),
+            F.regexp_replace(F.col("p_type"), r"[aeiou]", "_").alias("type_devowel"),
+            F.size(F.split(F.col("p_name"), " ")).cast("long").alias("name_words"),
+            F.col("p_name").like("%a%").alias("has_a"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/date_trunc/interval arith/datediff/epoch (P4/P6)."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 5 DAYS")).alias("plus5d"),
+            F.datediff(
+                F.to_date(F.lit("2000-01-01")), F.to_date("o_orderdate")
+            ).cast("long").alias("days_to_y2k"),
+            F.to_date("o_orderdate").alias("order_date"),
+            F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/pow/sqrt/log/exp/mod (P7/P13 arithmetic)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_orderkey") <= 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice"), 1).alias("price_r1"),
+            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.ceil(F.col("l_quantity")).cast("long").alias("qty_ceil"),
+            F.floor(F.col("l_quantity")).cast("long").alias("qty_floor"),
+            F.round(F.pow(F.col("l_discount") + 1.0, 2), 6).alias("disc_sq"),
+            F.round(F.sqrt(F.col("l_extendedprice")), 6).alias("price_sqrt"),
+            F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+            F.round(F.exp(F.col("l_discount")), 6).alias("disc_exp"),
+            (F.col("l_linenumber") % 3).alias("line_mod3"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / explicit casts."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 300_000, "high")
+            .when(F.col("o_totalprice") > 100_000, "mid")
+            .otherwise("low")
+            .alias("price_band"),
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open"))
+            .alias("status_coalesced"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_str"),
+            F.floor(F.col("o_totalprice")).cast("long").alias("price_floor_int"),
+            (F.col("o_orderstatus") == "F").cast("int").cast("long").alias("is_final"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+QUERIES = {
+    "str_funcs": str_funcs,
+    "date_funcs": date_funcs,
+    "math_funcs": math_funcs,
+    "cond_funcs": cond_funcs,
+}
+
+ORACLE_SQL = {
+    "str_funcs": r"""
+        SELECT p_partkey,
+               p_brand || ':' || p_type AS brand_type,
+               UPPER(p_name) AS name_upper,
+               LOWER(p_type) AS type_lower,
+               SUBSTRING(p_name, 1, 5) AS name_pfx,
+               CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+               TRIM('  ' || p_brand || '  ') AS brand_trim,
+               REGEXP_EXTRACT(p_brand, '#(\d+)', 1) AS brand_num,
+               REGEXP_REPLACE(p_type, '[aeiou]', '_', 'g') AS type_devowel,
+               CAST(LENGTH(p_name) - LENGTH(REPLACE(p_name, ' ', '')) + 1 AS BIGINT)
+                   AS name_words,
+               p_name LIKE '%a%' AS has_a
+        FROM part ORDER BY p_partkey
+    """,
+    "date_funcs": """
+        SELECT o_orderkey,
+               CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+               CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
+               CAST(DAY(o_orderdate) AS BIGINT) AS dom,
+               CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               o_orderdate + INTERVAL 5 DAY AS plus5d,
+               CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+                    AS BIGINT) AS days_to_y2k,
+               CAST(o_orderdate AS DATE) AS order_date,
+               CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s
+        FROM orders ORDER BY o_orderkey
+    """,
+    "math_funcs": """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_extendedprice, 1) AS price_r1,
+               ABS(l_discount - 0.05) AS disc_dev,
+               CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+               ROUND(POW(l_discount + 1.0, 2), 6) AS disc_sq,
+               ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+               ROUND(LN(l_extendedprice), 6) AS price_ln,
+               ROUND(EXP(l_discount), 6) AS disc_exp,
+               l_linenumber % 3 AS line_mod3
+        FROM lineitem WHERE l_orderkey <= 1000
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "cond_funcs": """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 300000 THEN 'high'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'low' END AS price_band,
+               COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_coalesced,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+               CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor_int,
+               CAST(CAST(o_orderstatus = 'F' AS INT) AS BIGINT) AS is_final
+        FROM orders ORDER BY o_orderkey
+    """,
+}

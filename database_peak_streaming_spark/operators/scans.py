@@ -1,0 +1,117 @@
+"""Scan / projection / filter / scalar-subquery operators.
+
+Reference parity: P1 projection (``database_peak_streaming.py:27``,
+``analyze_data.py:49-51``), P4 TTL predicate (``:67``), P5 scalar-subquery
+theta predicate (``:68-69``), S9/S10 catalog + full scan.
+
+Scale notes: projections and predicates here compile to parquet
+``ReadSchema``/``PushedFilters`` — verified by ``plans/explain.py``
+helpers — so the 100 TB scan reads only the referenced columns and
+row groups whose min/max stats pass the predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_peak_streaming_spark.sources.batch import load_table
+
+
+def scan_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column select / rename / reorder / derived literal (P1, P2)."""
+    p = load_table(spark, "part", sf_dir)
+    return (
+        p.select(
+            F.col("p_partkey").alias("part_id"),
+            F.col("p_name").alias("part_name"),
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").alias("size"),
+        )
+        .withColumn("price_tier", (F.col("price") / F.lit(100)).cast("long"))
+        .orderBy("part_id")
+    )
+
+
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison / boolean / IN / BETWEEN / LIKE / IS NULL predicates
+    (P4 generalized).  All of these push down to the parquet scan."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.filter(
+            (F.col("o_orderstatus").isin("F", "P"))
+            & F.col("o_totalprice").between(50_000, 200_000)
+            & F.col("o_orderpriority").like("1%")
+            & F.nullif(F.col("o_orderstatus"), F.lit("X")).isNotNull()
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery predicate (P5: ``id < (SELECT id FROM st_data
+    LIMIT 1)`` at ``database_peak_streaming.py:68-69``), generalized to
+    "rows above the global mean".
+
+    Spark-first: the scalar aggregate becomes a 1-row DataFrame joined in
+    by broadcast — no driver-side ``collect`` round-trip, so the plan
+    stays fully distributed and re-optimizable.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    threshold = li.agg(F.avg("l_extendedprice").alias("avg_price"))
+    return (
+        li.crossJoin(F.broadcast(threshold))
+        .filter(F.col("l_extendedprice") > F.col("avg_price"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+        .orderBy("l_returnflag")
+    )
+
+
+def catalog_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog scan (S9 ≙ ``sqlite_master`` at ``analyze_data.py:21-24``):
+    register all fixture tables, list them from the session catalog."""
+    from database_peak_streaming_spark.sources.batch import TABLES, register_tables
+
+    register_tables(spark, sf_dir)
+    names = sorted(t.name for t in spark.catalog.listTables())
+    return spark.createDataFrame([(n,) for n in names], "table_name string")
+
+
+QUERIES = {
+    "scan_project_rename": scan_project_rename,
+    "filter_predicates": filter_predicates,
+    "filter_scalar_subquery": filter_scalar_subquery,
+    "catalog_list_tables": catalog_list_tables,
+}
+
+ORACLE_SQL = {
+    "scan_project_rename": """
+        SELECT p_partkey AS part_id, p_name AS part_name,
+               p_retailprice AS price, p_size AS size,
+               CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS price_tier
+        FROM part ORDER BY part_id
+    """,
+    "filter_predicates": """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'P')
+          AND o_totalprice BETWEEN 50000 AND 200000
+          AND o_orderpriority LIKE '1%'
+          AND NULLIF(o_orderstatus, 'X') IS NOT NULL
+        ORDER BY o_orderkey
+    """,
+    "filter_scalar_subquery": """
+        SELECT l_returnflag, COUNT(*) AS n_above_avg
+        FROM lineitem
+        WHERE l_extendedprice > (SELECT AVG(l_extendedprice) FROM lineitem)
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "catalog_list_tables": """
+        SELECT table_name FROM (VALUES ('customer'),('documents'),('embeddings'),
+            ('events'),('lineitem'),('nation'),('orders'),('part'),('region'),
+            ('supplier')) AS t(table_name)
+        ORDER BY table_name
+    """,
+}

@@ -1,0 +1,194 @@
+"""Sort / limit / set-operation operators (SURVEY.md §2B).
+
+Reference parity: A6 (``LIMIT 1`` first-row at
+``database_peak_streaming.py:68``) generalizes to explicit-order
+sort+limit — the reference leaned on SQLite insertion order, which a
+distributed engine must replace with declared ordering.
+
+Scale notes: global sort is a range-partitioned shuffle (Spark samples
+key ranges); sort+limit(k) is optimized to per-partition top-k + single
+merge (TakeOrderedAndProject), so `sort_limit` never materializes a full
+global sort.  Set operations hash-shuffle both sides on the full row;
+union-all is shuffle-free concatenation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_peak_streaming_spark.sources.batch import load_table
+
+
+def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort (desc, asc) + LIMIT with unique tiebreak.
+    Plans as TakeOrderedAndProject — O(n) scan with a k-heap per
+    partition, not a global sort."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.orderBy(
+            F.col("o_orderpriority").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .limit(50)
+    )
+
+
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLS FIRST / NULLS LAST control (nulls synthesized via NULLIF —
+    the fixtures carry none)."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+        )
+        .orderBy(
+            F.col("status_or_null").asc_nulls_first(), F.col("o_orderkey").asc()
+        )
+        .limit(100)
+    )
+
+
+def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFSET/LIMIT pagination over a total order."""
+    c = load_table(spark, "customer", sf_dir)
+    return (
+        c.orderBy("c_custkey")
+        .select("c_custkey", "c_name")
+        .offset(20)
+        .limit(10)
+    )
+
+
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two typed projections, then aggregate."""
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    u = c.select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("kind")
+    ).unionAll(
+        s.select(F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("kind"))
+    )
+    return (
+        u.groupBy("nationkey", "kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("nationkey", "kind")
+    )
+
+
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): nation keys present among customers or suppliers."""
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    )
+
+
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nation keys with both customers and suppliers."""
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(s.select(F.col("s_nationkey").alias("nationkey")))
+        .orderBy("nationkey")
+    )
+
+
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nation keys with customers but no suppliers."""
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .subtract(s.select(F.col("s_nationkey").alias("nationkey")))
+        .orderBy("nationkey")
+    )
+
+
+def dedup_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on a key subset, made deterministic: keep the row
+    with the smallest unique key per group (plain ``dropDuplicates``
+    keeps an arbitrary row — unacceptable for reproducible pipelines, so
+    the engine's canonical dedup is rank-then-filter)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey", "o_orderstatus").orderBy("o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderstatus", "o_orderkey")
+        .orderBy("o_custkey", "o_orderstatus")
+    )
+
+
+QUERIES = {
+    "sort_limit_topn": sort_limit_topn,
+    "sort_nulls_ordering": sort_nulls_ordering,
+    "limit_offset_page": limit_offset_page,
+    "setop_union_all": setop_union_all,
+    "setop_union_distinct": setop_union_distinct,
+    "setop_intersect": setop_intersect,
+    "setop_except": setop_except,
+    "dedup_drop_duplicates": dedup_drop_duplicates,
+}
+
+ORACLE_SQL = {
+    "sort_limit_topn": """
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders
+        ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+        LIMIT 50
+    """,
+    "sort_nulls_ordering": """
+        SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_or_null
+        FROM orders
+        ORDER BY status_or_null ASC NULLS FIRST, o_orderkey ASC
+        LIMIT 100
+    """,
+    "limit_offset_page": """
+        SELECT c_custkey, c_name FROM customer
+        ORDER BY c_custkey LIMIT 10 OFFSET 20
+    """,
+    "setop_union_all": """
+        SELECT nationkey, kind, COUNT(*) AS n FROM (
+            SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier
+        ) u GROUP BY nationkey, kind ORDER BY nationkey, kind
+    """,
+    "setop_union_distinct": """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "setop_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "setop_except": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "dedup_drop_duplicates": """
+        SELECT o_custkey, o_orderstatus, o_orderkey FROM (
+            SELECT o_custkey, o_orderstatus, o_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+                                      ORDER BY o_orderkey) AS rn
+            FROM orders) t
+        WHERE rn = 1 ORDER BY o_custkey, o_orderstatus
+    """,
+}

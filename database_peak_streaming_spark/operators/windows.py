@@ -1,0 +1,200 @@
+"""Window-function operators (SURVEY.md §2B window rows).
+
+Reference parity: P12's ``iwl`` ("get data first row",
+``analyze_data.py:35``) is ``first_value`` over a per-sensor window; P10's
+``np.cumsum`` (``hyperion.py:442``) is a running sum frame.
+
+Scale notes: a window spec shuffles once on ``partitionBy`` and sorts
+within partitions; unbounded-partition windows (no partitionBy) are a
+single-task bottleneck and are avoided — every window here partitions on
+a real key.  Running sums use decimal accumulation for order-independent
+exactness (see operators/common.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from database_peak_streaming_spark.operators.common import DEC
+from database_peak_streaming_spark.sources.batch import load_table
+
+
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile over customers by balance
+    within market segment.  row_number and ntile get a unique tiebreak
+    (custkey) — without it they are nondeterministic under ties, which a
+    distributed engine must never silently be."""
+    c = load_table(spark, "customer", sf_dir)
+    w_tie = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_val = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w_tie).alias("rn"),
+            F.rank().over(w_val).alias("rnk"),
+            F.dense_rank().over(w_val).alias("drnk"),
+            F.ntile(4).over(w_tie).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 10)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / first_value / last_value over each user's event
+    stream (the P12 ``iwl`` first-row-baseline pattern)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            F.first("value").over(w_all).alias("first_value_all"),
+            F.last("value").over(w_all).alias("last_value_all"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def win_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based aggregates: running sum (≙ reference cumsum P10) and
+    3-row sliding mean per customer order history."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sliding = w.rowsBetween(-2, Window.currentRow)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .over(running)
+            .cast("double")
+            .alias("running_spend"),
+            F.round(F.avg("o_totalprice").over(sliding), 6).alias("sliding_avg_3"),
+            F.count(F.lit(1)).over(running).alias("order_seq"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per order status by price (window + filter) — the
+    scalable top-k: no global sort, per-group heaps via rank."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_orderstatus", "rn")
+    )
+
+
+def win_strain_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's strain formula (P12, ``analyze_data.py:30-41``)
+    applied to the events fixture as a per-user series:
+
+        iwl          = first value in the series         (analyze_data.py:35)
+        total_strain = 1e6 * ((wl - iwl) / iwl / gf)     (analyze_data.py:37)
+
+    with gf = .807 (``analyze_data.py:31``).  Demonstrates the window +
+    arithmetic shape of the domain derivation on oracle-checkable data;
+    the real sensor kernel lives in functions/sensor.py.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    gf = 0.807
+    iwl = F.first("value").over(w_all)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.lit(1e6) * ((F.col("value") - iwl) / iwl / F.lit(gf)), 4).alias(
+                "total_strain"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+QUERIES = {
+    "win_ranking": win_ranking,
+    "win_analytic": win_analytic,
+    "win_frames": win_frames,
+    "win_topk_per_group": win_topk_per_group,
+    "win_strain_derivation": win_strain_derivation,
+}
+
+ORACLE_SQL = {
+    "win_ranking": """
+        SELECT * FROM (
+            SELECT c_mktsegment, c_custkey, c_acctbal,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rn,
+                   RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+                   DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk,
+                   NTILE(4) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS quartile
+            FROM customer) t
+        WHERE rn <= 10 ORDER BY c_mktsegment, rn
+    """,
+    "win_analytic": """
+        SELECT user_id, event_id, value,
+               LAG(value) OVER w AS prev_value,
+               LEAD(value) OVER w AS next_value,
+               FIRST_VALUE(value) OVER w_all AS first_value_all,
+               LAST_VALUE(value) OVER w_all AS last_value_all
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               w_all AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY user_id, event_id
+    """,
+    "win_frames": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER running AS DOUBLE)
+                   AS running_spend,
+               ROUND(AVG(o_totalprice) OVER sliding, 6) AS sliding_avg_3,
+               COUNT(*) OVER running AS order_seq
+        FROM orders
+        WINDOW running AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               sliding AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey
+    """,
+    "win_topk_per_group": """
+        SELECT * FROM (
+            SELECT o_orderstatus, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders) t
+        WHERE rn <= 3 ORDER BY o_orderstatus, rn
+    """,
+    "win_strain_derivation": """
+        SELECT user_id, event_id,
+               ROUND(1e6 * ((value - iwl) / iwl / 0.807), 4) AS total_strain
+        FROM (SELECT user_id, event_id, value,
+                     FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         AS iwl
+              FROM events) t
+        ORDER BY user_id, event_id
+    """,
+}

@@ -10,10 +10,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from database_peak_streaming_spark.operators import aggregates
+from database_peak_streaming_spark.operators import (
+    aggregates,
+    arrays_json,
+    joins,
+    pivots,
+    scalars,
+    scans,
+    sorts_setops,
+    windows,
+)
 
 _MODULES = [
+    scans,
     aggregates,
+    joins,
+    windows,
+    sorts_setops,
+    scalars,
+    arrays_json,
+    pivots,
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

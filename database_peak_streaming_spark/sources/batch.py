@@ -39,7 +39,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Scan one fixture table as a DataFrame (lazy; no IO until an action)."""
+    """Scan one fixture table as a DataFrame (lazy; no IO until an action).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read nanos as long (legacy conf) and rebuild the
+    microsecond TimestampType column in the plan — a pure column
+    expression, so the conversion is distributed and codegen'd (same
+    truncation DuckDB applies casting ns->us).  The fixtures carry no
+    sub-microsecond precision, so this is exact.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
