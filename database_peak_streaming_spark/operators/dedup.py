@@ -1,0 +1,246 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2B LLM-data
+rows; north-star mandated): exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design (the 100 TB story, per operator):
+
+* exact: hash-groupBy on a 256-bit content hash — one shuffle keyed by
+  the hash, perfectly parallel, no skew (hash keys are uniform).
+* n-gram Jaccard: quadratic in the candidate-block size, so candidates
+  are blocked by (source, lang) first — never all-pairs on the corpus.
+* MinHash-LSH: the sub-quadratic path.  Signatures are k independent
+  min-hashes over shingles (pure column expressions, one scan); banding
+  turns "similar pairs" into an equi-join on (band_id, band_hash) —
+  a shuffle join, no NxN compare.  Candidate pairs then verify with
+  exact Jaccard.  This is the textbook MMDS construction expressed
+  entirely in DataFrame ops.
+* SimHash: 64-bit fingerprint via per-token hash bit-votes; near-dup
+  candidates join on 16-bit chunks (Hamming-distance blocking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_peak_streaming_spark.sources.batch import load_table
+
+MINHASH_PERMS = 16
+LSH_BANDS = 4  # 4 bands x 4 rows -> s-curve threshold ~ (1/4)^(1/4) ~ 0.71
+JACCARD_THRESHOLD = 0.5  # exact n-gram near-dup cutoff
+LSH_VERIFY_THRESHOLD = 0.7  # matches the 4x4 banding s-curve (~0.71)
+
+
+def _distinct_tokens(col: str = "text") -> Column:
+    return F.array_distinct(F.split(F.col(col), " "))
+
+
+def _shingles(n: int = 3) -> Column:
+    """Word n-gram shingles as a column expression: slide an n-window over
+    the token array (P11's ragged re-slice pattern, repurposed)."""
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda j: F.concat_ws(" ", toks[j], toks[j + 1], toks[j + 2]))
+    )
+
+
+def dedup_exact_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content: keep min doc_id per identical text; report
+    group size.  At scale the group key is sha2(text) not text itself —
+    constant-width shuffle keys (see ``dedup_exact_hash``)."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keeper_doc_id", "n_copies")
+        .orderBy("keeper_doc_id")
+    )
+
+
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via sha256 content hash — the shuffle key is 32 bytes
+    regardless of document size, so dedup of a 100 TB corpus shuffles
+    only (hash, doc_id) pairs, never the documents."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keeper_doc_id")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact token-set Jaccard within (source, lang)
+    blocks.  The block join is an equi-join (shuffles once on the block
+    key); the quadratic compare is confined to each block."""
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select("doc_id", "source", "lang", _distinct_tokens().alias("toks"))
+    a = t.alias("a")
+    b = t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature: sig[i] = min over the doc's distinct
+    token set of xxhash64(token, i).  One scan, k hash evaluations per
+    token, all inside codegen.
+
+    The hashed set is the SAME set (distinct tokens) the exact-Jaccard
+    verifier uses, so the LSH s-curve applies to the measure we verify
+    with; swap ``_distinct_tokens()`` for ``_shingles()`` to dedup on
+    word-n-gram similarity instead (then verify in shingle space).
+    """
+    d = load_table(spark, "documents", sf_dir)
+    sh = _distinct_tokens().alias("shingles")
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i)))
+        ).alias(f"sig_{i}")
+        for i in range(MINHASH_PERMS)
+    ]
+    return d.select("doc_id", sh).select("doc_id", *sig_cols)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs, verified by exact Jaccard.
+
+    Pipeline: signatures -> band hashes -> explode(bands) ->
+    groupBy-join on (band, band_hash) -> distinct candidate pairs ->
+    exact-Jaccard verify >= threshold.  Sub-quadratic: cost is driven by
+    bucket occupancy, not corpus size squared.  No SQL oracle (the hash
+    permutations are engine-specific); correctness is asserted in tests
+    against the exact-Jaccard oracle (recall on the fixture).
+    """
+    sigs = minhash_signatures(spark, sf_dir)
+    r = MINHASH_PERMS // LSH_BANDS
+    bands = F.array(
+        *[
+            F.xxhash64(*[F.col(f"sig_{b * r + i}") for i in range(r)], F.lit(b))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = sigs.select("doc_id", F.posexplode(bands).alias("band", "band_hash"))
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select("doc_id", _distinct_tokens().alias("toks"))
+    jac = (
+        F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks"))).cast("double")
+        / F.size(F.array_union(F.col("ta.toks"), F.col("tb.toks")))
+    )
+    return (
+        cand.join(t.alias("ta"), cand.doc_a == F.col("ta.doc_id"))
+        .join(t.alias("tb"), cand.doc_b == F.col("tb.doc_id"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= LSH_VERIFY_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints: each distinct token votes +-1 on every
+    bit of its xxhash64; fingerprint bit b is 1 iff the vote sum is
+    positive.  Emitted with 4x16-bit chunks — joining on any equal chunk
+    blocks candidates at Hamming distance <= 3 per the pigeonhole
+    principle.  No SQL oracle (hash-dependent); structural properties
+    tested in tests/test_llm_ops.py."""
+    d = load_table(spark, "documents", sf_dir)
+    # Bit-parallel vote/assemble as a SQL higher-order expression —
+    # getbit/shiftleft take column operands only in SQL form.
+    votes = F.expr(
+        """
+        aggregate(
+          array_distinct(split(text, ' ')),
+          array_repeat(CAST(0 AS BIGINT), 64),
+          (acc, tok) -> zip_with(
+            acc,
+            transform(sequence(0, 63),
+                      b -> CAST(getbit(xxhash64(tok), b) AS BIGINT) * 2 - 1),
+            (a, v) -> a + v))
+        """
+    )
+    simhash = F.expr(
+        """
+        aggregate(
+          zip_with(votes, sequence(0, 63),
+                   (v, pos) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), pos),
+                                  CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT),
+          (acc, x) -> acc | x)
+        """
+    )
+    out = d.select("doc_id", votes.alias("votes")).select(
+        "doc_id", simhash.alias("simhash")
+    )
+    chunks = [
+        F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"chunk_{c}")
+        for c in range(4)
+    ]
+    return out.select("doc_id", "simhash", *chunks).orderBy("doc_id")
+
+
+QUERIES = {
+    "dedup_exact_group": dedup_exact_group,
+    "dedup_exact_hash": dedup_exact_hash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLE_SQL = {
+    "dedup_exact_group": """
+        SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text ORDER BY keeper_doc_id
+    """,
+    "dedup_exact_hash": """
+        SELECT SHA256(text) AS content_sha,
+               MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY SHA256(text) ORDER BY keeper_doc_id
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH t AS (
+            SELECT doc_id, source, lang,
+                   LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks
+            FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+                     / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))), 6) AS jaccard
+        FROM t a JOIN t b
+          ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+              / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    # dedup_minhash_lsh, dedup_simhash: hash-permutation-dependent —
+    # rows-only driver check; recall/structure asserted in tests.
+}

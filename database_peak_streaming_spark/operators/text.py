@@ -1,0 +1,247 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2B LLM-data
+rows; north-star mandated).
+
+All pure column expressions (split/regexp/array set ops) — tokenization
+and scoring run inside whole-stage codegen with zero Python, so a 100 TB
+corpus tokenizes at scan speed.  Documents table: (doc_id, text, lang,
+source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_peak_streaming_spark.sources.batch import load_table
+
+#: Marker stopwords per language for the n-gram/stopword language-ID
+#: heuristic.  Deterministic, oracle-expressible; a real deployment would
+#: load fastText-style models via pandas UDF (see functions/multimodal).
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "y", "que", "en"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, char stats,
+    average token length."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = _tokens()
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+            F.length("text").cast("long").alias("n_chars_live"),
+            F.round(
+                F.length(F.regexp_replace("text", " ", "")).cast("double")
+                / F.size(toks),
+                6,
+            ).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_token_count_bpe_ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate: regex word/punct split + a chars/4 proxy —
+    the standard cheap pre-tokenizer count used for corpus budgeting."""
+    d = load_table(spark, "documents", sf_dir)
+    pieces = F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")
+    return (
+        d.select(
+            "doc_id",
+            F.size(pieces).cast("long").alias("n_pieces"),
+            (F.length("text") / F.lit(4)).cast("long").alias("n_tok_est_char4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length band + stopword ratio + mean word length —
+    the C4/Gopher-style heuristic filters, as one composed expression."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = _tokens()
+    n_tok = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    )
+    stop_ratio = stop_hits.cast("double") / n_tok
+    mean_wl = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tok
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").alias("n_chars"),
+            F.round(stop_ratio, 6).alias("stop_ratio"),
+            F.round(mean_wl, 6).alias("mean_word_len"),
+            F.round(score, 2).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by marker-stopword hits (distinct-token intersection
+    per language, argmax with fixed preference order)."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.array_distinct(_tokens())
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    guess = (
+        F.when(best == 0, "und")
+        .when(scores["en"] == best, "en")
+        .when(scores["fr"] == best, "fr")
+        .when(scores["es"] == best, "es")
+        .otherwise("de")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            *[s.cast("long").alias(f"hits_{l}") for l, s in scores.items()],
+            guess.alias("lang_guess"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set — the
+    canonical-content hash used for fuzzy-exact dedup (case/word-order
+    insensitive)."""
+    d = load_table(spark, "documents", sf_dir)
+    canon = F.array_join(F.array_sort(F.array_distinct(_tokens())), " ")
+    return (
+        d.select(
+            "doc_id",
+            F.md5(canon).alias("content_fp"),
+            F.md5("text").alias("exact_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword/regex search with per-doc match counts (grep-over-corpus)."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.filter(F.col("text").rlike("spark|stream"))
+        .select(
+            "doc_id",
+            F.size(F.expr("regexp_extract_all(text, 'spark|stream', 0)"))
+            .cast("long")
+            .alias("n_hits"),
+            F.regexp_extract("text", "(spark|stream)", 1).alias("first_hit"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_token_count_bpe_ish": text_token_count_bpe_ish,
+    "text_quality_score": text_quality_score,
+    "text_langid_heuristic": text_langid_heuristic,
+    "text_fingerprint": text_fingerprint,
+    "text_keyword_search": text_keyword_search,
+}
+
+_MARKER_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in LANG_MARKERS.items()
+}
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+ORACLE_SQL = {
+    "text_token_stats": """
+        SELECT doc_id,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT)
+                   AS n_distinct_tokens,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars_live,
+               ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                     / LEN(STRING_SPLIT(text, ' ')), 6) AS avg_token_len
+        FROM documents ORDER BY doc_id
+    """,
+    "text_token_count_bpe_ish": r"""
+        SELECT doc_id,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '\w+|[^\w\s]')) AS BIGINT) AS n_pieces,
+               CAST(FLOOR(LENGTH(text) / 4) AS BIGINT) AS n_tok_est_char4
+        FROM documents ORDER BY doc_id
+    """,
+    "text_quality_score": f"""
+        WITH t AS (
+            SELECT doc_id, n_chars,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tok,
+                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                       x -> x IN {_STOP_SQL})) AS stop_hits,
+                   CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                       / LEN(STRING_SPLIT(text, ' ')) AS mean_wl
+            FROM documents)
+        SELECT doc_id, n_chars,
+               ROUND(CAST(stop_hits AS DOUBLE) / n_tok, 6) AS stop_ratio,
+               ROUND(mean_wl, 6) AS mean_word_len,
+               ROUND((CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN mean_wl BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+                   + (CASE WHEN CAST(stop_hits AS DOUBLE) / n_tok > 0.01
+                           THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+        FROM t ORDER BY doc_id
+    """,
+    "text_langid_heuristic": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks
+            FROM documents),
+        s AS (
+            SELECT doc_id, lang,
+                   LEN(LIST_INTERSECT(toks, {_MARKER_SQL['en']})) AS hits_en,
+                   LEN(LIST_INTERSECT(toks, {_MARKER_SQL['fr']})) AS hits_fr,
+                   LEN(LIST_INTERSECT(toks, {_MARKER_SQL['es']})) AS hits_es,
+                   LEN(LIST_INTERSECT(toks, {_MARKER_SQL['de']})) AS hits_de
+            FROM t)
+        SELECT doc_id, lang,
+               CAST(hits_en AS BIGINT) AS hits_en,
+               CAST(hits_fr AS BIGINT) AS hits_fr,
+               CAST(hits_es AS BIGINT) AS hits_es,
+               CAST(hits_de AS BIGINT) AS hits_de,
+               CASE WHEN GREATEST(hits_en, hits_fr, hits_es, hits_de) = 0 THEN 'und'
+                    WHEN hits_en = GREATEST(hits_en, hits_fr, hits_es, hits_de) THEN 'en'
+                    WHEN hits_fr = GREATEST(hits_en, hits_fr, hits_es, hits_de) THEN 'fr'
+                    WHEN hits_es = GREATEST(hits_en, hits_fr, hits_es, hits_de) THEN 'es'
+                    ELSE 'de' END AS lang_guess
+        FROM s ORDER BY doc_id
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               MD5(LIST_AGGREGATE(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))),
+                   'string_agg', ' ')) AS content_fp,
+               MD5(text) AS exact_fp
+        FROM documents ORDER BY doc_id
+    """,
+    "text_keyword_search": """
+        SELECT doc_id,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, 'spark|stream')) AS BIGINT) AS n_hits,
+               REGEXP_EXTRACT(text, '(spark|stream)', 1) AS first_hit
+        FROM documents
+        WHERE REGEXP_MATCHES(text, 'spark|stream')
+        ORDER BY doc_id
+    """,
+}

@@ -13,11 +13,14 @@ from pyspark.sql import DataFrame, SparkSession
 from database_peak_streaming_spark.operators import (
     aggregates,
     arrays_json,
+    dedup,
     joins,
     pivots,
     scalars,
     scans,
+    similarity,
     sorts_setops,
+    text,
     windows,
 )
 
@@ -30,6 +33,9 @@ _MODULES = [
     scalars,
     arrays_json,
     pivots,
+    text,
+    dedup,
+    similarity,
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
