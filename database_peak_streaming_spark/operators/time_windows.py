@@ -1,0 +1,171 @@
+"""Event-time window aggregation operators (SURVEY.md §2B streaming rows,
+batch-checkable form).
+
+Reference parity: A1/A2 — the ~97 ms processing-time micro-batch window
+with per-window means (``database_peak_streaming.py:21-45``) — expressed
+as *event-time* tumbling windows, the reproducible generalization
+(SURVEY.md §7 "hard parts": event-time-first).  The same ``F.window`` /
+``F.session_window`` expressions run identically under Structured
+Streaming (streaming/pipeline.py reuses them); batch mode here gives the
+DuckDB-checkable semantics, and the streaming tests assert
+stream==batch equivalence.
+
+Scale notes: window aggregation shuffles on (window, keys); state in
+streaming mode is bounded by the watermark.  Sliding windows multiply
+rows by (length/slide) — kept at 2x here; session windows are
+gaps-and-islands, one shuffle + per-key sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_peak_streaming_spark.operators.common import davg, dsum
+from database_peak_streaming_spark.sources.batch import load_table
+
+
+def window_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows over events: per-window,
+    per-type counts and value aggregates (A1+A2 generalized)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "sum_value"),
+            davg("value", "avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+            "avg_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def window_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): each event lands in 2
+    windows."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+def window_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows: per-user activity sessions closed by a 30-minute
+    inactivity gap.  ``session_window`` in Spark; gaps-and-islands over
+    lag() in the oracle — same semantics."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def window_downsample_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute resample keeping the first event per bucket — the
+    engine's semantic form of the reference's 1/N strided downsample to
+    the long-term tier (A4, ``database_peak_streaming.py:52-56``; intent
+    "one per minute" per README.md:15).  First = min event_id within the
+    minute (explicit order; the reference relied on insertion order)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.min("event_id").alias("first_event_id"), F.count(F.lit(1)).alias("n_in_bucket"))
+        .select(F.col("w.start").alias("minute_start"), "first_event_id", "n_in_bucket")
+        .orderBy("minute_start")
+    )
+
+
+def window_stride_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The literal positional stride ``[::N]`` (A4's exact semantics) over
+    an explicit total order: every 600th event by event_id rank.  Spark
+    has no stable physical row order — the ordering column makes the
+    reference's implicit assumption explicit (SURVEY.md §7)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.orderBy("event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") - 1) % 600 == 0)
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+QUERIES = {
+    "window_tumbling_1h": window_tumbling_1h,
+    "window_sliding_1h_30m": window_sliding_1h_30m,
+    "window_session_30m": window_session_30m,
+    "window_downsample_1min": window_downsample_1min,
+    "window_stride_downsample": window_stride_downsample,
+}
+
+_DEC = "DECIMAL(28,6)"
+
+ORACLE_SQL = {
+    "window_tumbling_1h": f"""
+        SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS window_start, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS {_DEC})) AS DOUBLE) AS sum_value,
+               ROUND(AVG(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "window_sliding_1h_30m": f"""
+        WITH assigned AS (
+            SELECT TIME_BUCKET(INTERVAL '30 minutes', ts) AS window_start, value
+            FROM events
+            UNION ALL
+            SELECT TIME_BUCKET(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+            FROM events)
+        SELECT window_start, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS {_DEC})) AS DOUBLE) AS sum_value
+        FROM assigned GROUP BY window_start ORDER BY window_start
+    """,
+    "window_session_30m": f"""
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session
+            FROM events),
+        numbered AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked)
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS {_DEC})) AS DOUBLE) AS sum_value
+        FROM numbered GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+    """,
+    "window_downsample_1min": """
+        SELECT TIME_BUCKET(INTERVAL '1 minute', ts) AS minute_start,
+               MIN(event_id) AS first_event_id,
+               COUNT(*) AS n_in_bucket
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "window_stride_downsample": """
+        SELECT event_id, ts, event_type, value FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY event_id) AS rn FROM events) t
+        WHERE (rn - 1) % 600 = 0 ORDER BY event_id
+    """,
+}

@@ -21,6 +21,7 @@ from database_peak_streaming_spark.operators import (
     similarity,
     sorts_setops,
     text,
+    time_windows,
     windows,
 )
 
@@ -33,6 +34,7 @@ _MODULES = [
     scalars,
     arrays_json,
     pivots,
+    time_windows,
     text,
     dedup,
     similarity,

@@ -1,0 +1,71 @@
+"""Streaming breadth operators (SURVEY.md §2B streaming rows): dedup,
+stream-static join, sliding/session windows, late-data handling.
+
+Each takes a *streaming* DataFrame and returns a transformed streaming
+DataFrame — composition stays declarative, so Catalyst's incremental
+planner owns state management.  Semantics are verified against batch
+equivalents in tests/test_streaming.py (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_dedup(
+    stream: DataFrame, keys: list[str], watermark_col: str, delay: str
+) -> DataFrame:
+    """Exactly-once-per-key dedup with watermark-bounded state
+    (SURVEY.md §2B streaming-dedup [N]): duplicates arriving within
+    ``delay`` of first sight are dropped; state for keys older than the
+    watermark is evicted, so memory is bounded by the dup horizon — the
+    scale contract exact global dedup cannot offer a stream."""
+    return stream.withWatermark(watermark_col, delay).dropDuplicates(keys)
+
+
+def stream_static_join(stream: DataFrame, dim: DataFrame, on: list[str]) -> DataFrame:
+    """Enrich a stream with a static dimension (stream-static inner
+    join).  The static side is planned per micro-batch — broadcast when
+    small (it is here), so no stream-side shuffle."""
+    return stream.join(F.broadcast(dim), on=on, how="inner")
+
+
+def tumbling_counts(
+    stream: DataFrame, ts_col: str, length: str, delay: str
+) -> DataFrame:
+    """Tumbling event-time counts+sums (A1/A2 on arbitrary streams)."""
+    return (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(F.window(ts_col, length).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+def sliding_counts(
+    stream: DataFrame, ts_col: str, length: str, slide: str, delay: str
+) -> DataFrame:
+    """Sliding event-time windows on a stream."""
+    return (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(F.window(ts_col, length, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_counts(
+    stream: DataFrame, ts_col: str, key: str, gap: str, delay: str
+) -> DataFrame:
+    """Per-key session windows with inactivity ``gap`` on a stream."""
+    return (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
