@@ -1,0 +1,131 @@
+"""Driver-contract queries exercising the UDF surface and the binary
+decode path (SURVEY.md §2B UDF row, §2A S4).
+
+``udf_zscore_by_segment`` runs the Arrow-batched ``applyInPandas`` kernel
+and is verified against a pure-SQL window-function oracle — the
+vectorized-Python path must agree bit-for-bit (to 1e-6) with the
+JVM path.  ``binary_peaks_decode`` decodes deterministic reference-format
+frames and is verified against a literal VALUES oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_peak_streaming_spark.sources.batch import load_table
+
+
+def udf_zscore_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment z-score of customer balances via grouped-map
+    applyInPandas (numpy kernel), rounded for cross-engine compare."""
+    from database_peak_streaming_spark.functions.udfs import zscore_by_group
+
+    c = load_table(spark, "customer", sf_dir)
+    out = zscore_by_group(c, "c_mktsegment", "c_acctbal")
+    return (
+        out.select(
+            "c_custkey", "c_mktsegment", F.round("zscore", 6).alias("zscore")
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def udf_pandas_log1p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF vs the built-in it mirrors (both returned — the
+    oracle checks the UDF column against DuckDB's ln1p equivalent)."""
+    from database_peak_streaming_spark.functions.udfs import log1p_vec
+
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.select(
+            "o_orderkey",
+            F.round(log1p_vec("o_totalprice"), 6).alias("log1p_udf"),
+            F.round(F.log1p("o_totalprice"), 6).alias("log1p_builtin"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_FRAME_COUNTS = [2, 0, 3, 1, 0, 0, 0, 0]
+_FRAME_WLS = [1500.1, 1500.2, 1510.1, 1510.2, 1510.3, 1520.5]
+_N_SCANS = 4
+
+
+def binary_peaks_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-format binary frames (hyperion.py:432-453 layout)
+    synthesized deterministically, decoded via the mapInPandas kernel."""
+    from database_peak_streaming_spark.sources.binary import (
+        decode_peaks_frames,
+        encode_peaks_frame,
+    )
+
+    frames = [
+        (
+            s,
+            encode_peaks_frame(
+                serial_number=7,
+                timestamp_int=1_700_000_000 + s,
+                timestamp_frac=0,
+                counts=_FRAME_COUNTS,
+                wavelengths=[w + s for w in _FRAME_WLS],
+            ),
+        )
+        for s in range(_N_SCANS)
+    ]
+    df = spark.createDataFrame(frames, "scan long, frame binary")
+    return (
+        decode_peaks_frames(df, num_channels=8)
+        .select(
+            "serial_number",
+            "ts",
+            "channel",
+            "peak_idx",
+            F.round("wavelength", 4).alias("wavelength"),
+        )
+        .orderBy("ts", "channel", "peak_idx")
+    )
+
+
+def _binary_oracle_values() -> str:
+    rows = []
+    for s in range(_N_SCANS):
+        epoch = 1_700_000_000 + s
+        i = 0
+        for ch, n in enumerate(_FRAME_COUNTS, start=1):
+            for pk in range(n):
+                wl = round(_FRAME_WLS[i] + s, 4)
+                rows.append(
+                    f"(7, MAKE_TIMESTAMP({epoch}::BIGINT * 1000000), {ch}, {pk}, {wl})"
+                )
+                i += 1
+    return ",\n            ".join(rows)
+
+
+QUERIES = {
+    "udf_zscore_by_segment": udf_zscore_by_segment,
+    "udf_pandas_log1p": udf_pandas_log1p,
+    "binary_peaks_decode": binary_peaks_decode,
+}
+
+ORACLE_SQL = {
+    "udf_zscore_by_segment": """
+        SELECT c_custkey, c_mktsegment,
+               ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                     / STDDEV_SAMP(c_acctbal) OVER (PARTITION BY c_mktsegment),
+                     6) AS zscore
+        FROM customer ORDER BY c_custkey
+    """,
+    "udf_pandas_log1p": """
+        SELECT o_orderkey,
+               ROUND(LN(1 + o_totalprice), 6) AS log1p_udf,
+               ROUND(LN(1 + o_totalprice), 6) AS log1p_builtin
+        FROM orders ORDER BY o_orderkey
+    """,
+    "binary_peaks_decode": f"""
+        SELECT * FROM (VALUES
+            {_binary_oracle_values()}
+        ) AS t(serial_number, ts, channel, peak_idx, wavelength)
+        ORDER BY ts, channel, peak_idx
+    """,
+}

@@ -22,6 +22,7 @@ from database_peak_streaming_spark.operators import (
     sorts_setops,
     text,
     time_windows,
+    udf_queries,
     windows,
 )
 
@@ -38,6 +39,7 @@ _MODULES = [
     text,
     dedup,
     similarity,
+    udf_queries,
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

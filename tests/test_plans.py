@@ -1,0 +1,67 @@
+"""Plan-quality contract tests (SURVEY.md §4): pushdown, pruning,
+broadcast strategy, and codegen coverage on headline queries.  These are
+the properties that make a plan survive a 100x scale-up; a regression
+here is a performance bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+from database_peak_streaming_spark.plans import explain as E
+from database_peak_streaming_spark.registry import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    pushed = " ".join(E.pushed_filters(df))
+    assert "l_shipdate" in pushed and "LessThanOrEqual" in pushed
+    cols = E.scan_columns(df)
+    # only the 7 referenced columns, not all 11
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+    assert {"l_quantity", "l_extendedprice", "l_returnflag"} <= cols
+
+
+def test_projection_prunes_scan(spark):
+    df = QUERIES["scan_project_rename"](spark, SF_DIR)
+    cols = E.scan_columns(df)
+    assert cols == {"p_partkey", "p_name", "p_size", "p_retailprice"}
+
+
+def test_predicates_reach_parquet(spark):
+    df = QUERIES["filter_predicates"](spark, SF_DIR)
+    pushed = " ".join(E.pushed_filters(df))
+    assert "In(o_orderstatus" in pushed
+    assert "o_totalprice" in pushed
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("join_broadcast_dim", "join_inner_3way"):
+        df = QUERIES[name](spark, SF_DIR)
+        assert E.has_broadcast_join(df), f"{name} should broadcast its dim side"
+
+
+def test_codegen_covers_headline_plans(spark):
+    for name in ("q1_pricing_summary", "join_broadcast_dim", "filter_predicates"):
+        df = QUERIES[name](spark, SF_DIR)
+        assert E.codegen_stage_count(df) >= 1, f"{name} has no codegen span"
+
+
+def test_aggregation_shuffle_budget(spark):
+    """Q1 must shuffle exactly twice: once for the agg (partial->final),
+    once for the output sort.  More means a partial-aggregate or AQE
+    regression."""
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    assert E.shuffle_count(df) <= 2, E.formatted_plan(df)
+
+
+def test_broadcast_join_is_shuffle_free_on_probe(spark):
+    """Broadcast dim join: the fact side must not shuffle before the
+    join (only agg/sort exchanges allowed afterwards)."""
+    df = QUERIES["join_broadcast_dim"](spark, SF_DIR)
+    plan = E.formatted_plan(df)
+    join_pos = plan.find("BroadcastHashJoin")
+    assert join_pos != -1
+    # the scan of lineitem feeds the join without an Exchange between
+    scan_pos = plan.find("Scan parquet")
+    exchanges_before_join = plan.count("Exchange hashpartitioning", scan_pos, join_pos)
+    assert exchanges_before_join == 0
