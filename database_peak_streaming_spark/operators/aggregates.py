@@ -98,8 +98,16 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             r6(F.stddev_samp("l_extendedprice"), "std_price"),
             r6(F.var_samp("l_extendedprice"), "var_price"),
-            r6(F.expr("percentile(l_extendedprice, 0.5)"), "median_price"),
-            r6(F.expr("percentile(l_extendedprice, 0.9)"), "p90_price"),
+            # one percentile aggregation for both quantiles (single
+            # counting pass), unpacked after the agg
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("_pcts"),
+        )
+        .select(
+            "l_linestatus",
+            "std_price",
+            "var_price",
+            r6(F.col("_pcts")[0], "median_price"),
+            r6(F.col("_pcts")[1], "p90_price"),
         )
         .orderBy("l_linestatus")
     )

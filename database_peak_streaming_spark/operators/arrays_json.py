@@ -107,15 +107,18 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction from events.props (get_json_object +
     from_json into a typed struct/map)."""
     ev = load_table(spark, "events", sf_dir)
-    schema = T.StructType([T.StructField("k", T.LongType())])
+    # Parse ONCE into a typed map, derive the typed outputs from it;
+    # get_json_object kept for the JSON-path API surface.  (One parse per
+    # JSON function call is the common anti-pattern — at 100 TB, N parses
+    # of the same column N-tuples the CPU cost of the scan stage.)
+    parsed = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
     return (
-        ev.select(
+        ev.withColumn("_m", parsed)
+        .select(
             "event_id",
             F.get_json_object("props", "$.k").cast("long").alias("k_path"),
-            F.from_json("props", schema).getField("k").alias("k_typed"),
-            F.map_keys(
-                F.from_json("props", T.MapType(T.StringType(), T.LongType()))
-            )[0].alias("first_key"),
+            F.element_at("_m", "k").alias("k_typed"),
+            F.map_keys("_m")[0].alias("first_key"),
         )
         .orderBy("event_id")
     )
