@@ -20,6 +20,7 @@ from database_peak_streaming_spark.operators import (
     scans,
     similarity,
     sorts_setops,
+    storage,
     text,
     time_windows,
     udf_queries,
@@ -40,6 +41,7 @@ _MODULES = [
     dedup,
     similarity,
     udf_queries,
+    storage,
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

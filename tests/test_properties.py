@@ -1,0 +1,117 @@
+"""Property-based and bulk-random tests (SURVEY.md §5.5).
+
+Hypothesis drives the pure-Python pieces (binary codec roundtrip,
+canonicalizer invariants) where examples are cheap; the Spark kernels get
+one bulk job over many random rows instead of a job per example.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+@st.composite
+def _frame_case(draw):
+    counts = draw(
+        st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=8)
+    )
+    n = sum(counts)
+    wls = draw(
+        st.lists(
+            st.floats(
+                min_value=1000.0, max_value=2000.0, allow_nan=False, width=64
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return counts, wls
+
+
+@given(_frame_case(), st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=200, deadline=None)
+def test_binary_frame_roundtrip_property(case, serial):
+    """encode -> decode is the identity on (counts, wavelengths) layout
+    (hyperion.py:432-453 format)."""
+    from database_peak_streaming_spark.sources.binary import (
+        _decode_one,
+        encode_peaks_frame,
+    )
+
+    counts, wls = case
+    frame = encode_peaks_frame(serial, 1_700_000_000, 0, counts, wls)
+    rows = list(_decode_one(frame, num_channels=len(counts)))
+    assert len(rows) == len(wls)
+    flat_back = [r[4] for r in rows]
+    assert flat_back == wls
+    # channel boundaries respected
+    per_channel = {}
+    for _, _, ch, pk, _wl in rows:
+        per_channel.setdefault(ch, []).append(pk)
+    for ch, n in enumerate(counts, start=1):
+        assert len(per_channel.get(ch, [])) == n
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-1000, 1000),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            st.text(max_size=8),
+        ),
+        max_size=20,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_value_hash_order_insensitive(rows):
+    """The differential hash must not depend on row order or column
+    order (the driver sorts columns by name; rows are a set)."""
+    import random
+
+    from database_peak_streaming_spark.harness.diff import value_hash
+
+    cols = ["a", "b", "c"]
+    h1 = value_hash(cols, rows)
+    shuffled = rows[:]
+    random.Random(0).shuffle(shuffled)
+    assert value_hash(cols, shuffled) == h1
+    # column permutation with matching tuple permutation
+    perm_rows = [(r[2], r[0], r[1]) for r in rows]
+    assert value_hash(["c", "a", "b"], perm_rows) == h1
+
+
+def test_canonical_value_edge_cases():
+    from database_peak_streaming_spark.harness.diff import _canon_value
+
+    assert _canon_value(None) == "<NULL>"
+    assert _canon_value(-0.0) == "0.000000"
+    assert _canon_value(float("nan")) == "NaN"
+    assert _canon_value(True) == "true"
+    assert _canon_value(1.0000004) == _canon_value(1.0000004123)
+
+
+def test_reslice_bulk_random_matches_numpy(spark):
+    """100 random ragged (counts, flat) rows through the Catalyst kernel
+    in ONE job, each compared to numpy slicing."""
+    from database_peak_streaming_spark.functions import sensor
+
+    rng = np.random.default_rng(123)
+    rows = []
+    for _ in range(100):
+        counts = rng.integers(0, 5, size=rng.integers(1, 9)).tolist()
+        flat = rng.uniform(1500, 1600, size=sum(counts)).tolist()
+        rows.append((counts, flat))
+    df = spark.createDataFrame(rows, "c array<int>, f array<double>")
+    got = df.select(
+        "c", "f", sensor.reslice_ragged(F.col("f"), F.col("c")).alias("s")
+    ).collect()
+    for r in got:
+        bounds = np.cumsum(r.c)
+        expected, start = [], 0
+        for b, n in zip(bounds, r.c):
+            expected.append(r.f[start : start + n])
+            start += n
+        assert r.s == expected
