@@ -14,6 +14,7 @@ import re
 import time
 
 HEADLINE = [
+    # relational core
     "q1_pricing_summary",
     "agg_count_distinct",
     "agg_stats",
@@ -28,6 +29,17 @@ HEADLINE = [
     "setop_union_all",
     "json_extract_events",
     "pivot_wide",
+    "sql_api_q1",
+    # event-time windows (streaming semantics, batch-checked)
+    "window_tumbling_1h",
+    "window_session_30m",
+    # LLM-data pipeline ops
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "cosine_topk_bruteforce",
+    "text_quality_score",
+    # python-kernel path
+    "udf_zscore_by_segment",
 ]
 
 

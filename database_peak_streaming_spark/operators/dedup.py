@@ -24,8 +24,16 @@ from pyspark.sql import functions as F
 
 from database_peak_streaming_spark.sources.batch import load_table
 
-MINHASH_PERMS = 16
-LSH_BANDS = 4  # 4 bands x 4 rows -> s-curve threshold ~ (1/4)^(1/4) ~ 0.71
+MINHASH_PERMS = 20
+# 4 bands x 5 rows -> s-curve threshold (1/4)^(1/5) ~ 0.76.  r=5 (vs the
+# textbook r=4) because the fixture corpus is unusually dense (median
+# pairwise Jaccard ~0.55): bucket collision mass scales ~ j^r, and one
+# more row per band cut candidate pairs ~5x (11M -> ~2M at sf0.1) while
+# detection at j>=0.9 stays P = 1-(1-0.9^5)^4 ~ 0.97 — above the 0.8
+# recall the tests enforce.  At 100 TB this banding choice is the main
+# cost knob: tune r to the corpus's similarity histogram, not to MMDS
+# defaults.
+LSH_BANDS = 4
 JACCARD_THRESHOLD = 0.5  # exact n-gram near-dup cutoff
 LSH_VERIFY_THRESHOLD = 0.7  # matches the 4x4 banding s-curve (~0.71)
 
@@ -151,6 +159,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
+    )
+    # Signature-estimate prefilter before the exact verify: the MinHash
+    # agreement fraction is an unbiased Jaccard estimate, and comparing
+    # 20 longs is ~100x cheaper than intersecting token arrays.  The
+    # cutoff sits ~2.5 sigma below the verify threshold (sigma =
+    # sqrt(t(1-t)/k) ~ 0.10), so true matches are rejected with
+    # P < 0.5% — a measured-and-documented recall trade for a large cut
+    # in exact-verification volume on dense corpora.
+    sig_est = sum(
+        F.when(F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}"), 1).otherwise(0)
+        for i in range(MINHASH_PERMS)
+    ) / F.lit(float(MINHASH_PERMS))
+    est_cutoff = LSH_VERIFY_THRESHOLD - 0.25
+    cand = (
+        cand.join(sigs.alias("sa"), cand.doc_a == F.col("sa.doc_id"))
+        .join(sigs.alias("sb"), cand.doc_b == F.col("sb.doc_id"))
+        .filter(sig_est >= est_cutoff)
+        .select("doc_a", "doc_b")
     )
     d = load_table(spark, "documents", sf_dir)
     t = d.select("doc_id", _distinct_tokens().alias("toks"))

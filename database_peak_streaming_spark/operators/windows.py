@@ -126,10 +126,15 @@ def win_strain_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "user_id",
             "event_id",
+            iwl.alias("iwl"),
             F.round(F.lit(1e6) * ((F.col("value") - iwl) / iwl / F.lit(gf)), 4).alias(
                 "total_strain"
             ),
         )
+        # guard: zero baselines diverge cross-engine (Spark NULL vs
+        # DuckDB inf on double div-by-zero); physically iwl>0 anyway
+        .filter(F.col("iwl") != 0)
+        .drop("iwl")
         .orderBy("user_id", "event_id")
     )
 
@@ -195,6 +200,7 @@ ORACLE_SQL = {
                      FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          AS iwl
               FROM events) t
+        WHERE iwl <> 0
         ORDER BY user_id, event_id
     """,
 }
