@@ -35,7 +35,7 @@ HEADLINE = [
     "window_session_30m",
     # LLM-data pipeline ops
     "dedup_exact_hash",
-    "dedup_minhash_lsh",
+    "dedup_minhash_keepers",
     "cosine_topk_bruteforce",
     "text_quality_score",
     # python-kernel path
@@ -77,17 +77,44 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+
+    # Transparency block: time the same queries' ANSI-SQL oracles in
+    # DuckDB (single-node C++ vectorized engine — the BASELINE.md yard-
+    # stick).  Sub-second fixture queries measure Spark's fixed per-query
+    # overhead (~0.5 s JVM scheduling/codegen) more than its throughput;
+    # the ratio is reported per query so the crossover is visible.
+    oracle_timings: dict[str, float] = {}
+    try:
+        from database_peak_streaming_spark.harness.diff import oracle_connection
+        from database_peak_streaming_spark.registry import ORACLE_SQL
+
+        con = oracle_connection(sf_dir)
+        for name in HEADLINE:
+            sql = ORACLE_SQL.get(name)
+            if sql is None:
+                continue
+            con.sql(sql).fetchall()  # warm
+            t0 = time.perf_counter()
+            con.sql(sql).fetchall()
+            oracle_timings[name] = round(time.perf_counter() - t0, 4)
+    except Exception:
+        pass
+
+    out = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if oracle_timings:
+        comparable = sum(timings[n] for n in oracle_timings)
+        oracle_total = sum(oracle_timings.values())
+        out["oracle_queries"] = oracle_timings
+        out["oracle_total"] = round(oracle_total, 4)
+        out["comparable_total"] = round(comparable, 4)
+        out["ratio_vs_oracle"] = round(comparable / oracle_total, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -47,6 +47,12 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x.cast("long"),
             ).alias("label_tri"),
+            F.array_contains(
+                F.sequence(F.lit(0), F.lit(9)), F.col("label")
+            ).alias("label_in_range"),
+            F.size(
+                F.flatten(F.array(F.slice("embedding", 1, 2), F.slice("embedding", 3, 2)))
+            ).cast("long").alias("flat4_len"),
         )
         .orderBy("vec_id")
     )
@@ -140,7 +146,10 @@ ORACLE_SQL = {
                ROUND(CAST(LIST_MIN(embedding) AS DOUBLE), 6) AS min_val,
                ROUND(LIST_SUM(LIST_TRANSFORM(embedding[1:8],
                      x -> CAST(x AS DOUBLE))), 6) AS head8_sum,
-               CAST(LIST_SUM(GENERATE_SERIES(1, label + 1)) AS BIGINT) AS label_tri
+               CAST(LIST_SUM(GENERATE_SERIES(1, label + 1)) AS BIGINT) AS label_tri,
+               LIST_CONTAINS(GENERATE_SERIES(0, 9), label) AS label_in_range,
+               CAST(LEN(FLATTEN([embedding[1:2], embedding[3:4]])) AS BIGINT)
+                   AS flat4_len
         FROM embeddings ORDER BY vec_id
     """,
     "array_explode_pos": """

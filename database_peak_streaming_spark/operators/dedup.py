@@ -193,6 +193,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *decision* from the LSH pairs: greedy keep-lowest-id —
+    any doc similar to a lower-id doc is dropped.  This is the output a
+    pipeline consumes (and the bench measures): O(corpus) rows, not the
+    O(pairs) evidence set.  (Full transitive clustering would be
+    connected components — iterative, out of per-query scope.)"""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    d = load_table(spark, "documents", sf_dir)
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        d.select("doc_id")
+        .join(drops.withColumn("dropped", F.lit(1)), "doc_id", "left")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("dropped", F.lit(0))).alias("n_dropped"),
+        )
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints: each distinct token votes +-1 on every
     bit of its xxhash64; fingerprint bit b is 1 iff the vote sum is
@@ -240,6 +260,7 @@ QUERIES = {
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_keepers": dedup_minhash_keepers,
     "dedup_simhash": dedup_simhash,
 }
 

@@ -55,6 +55,22 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER: all orders kept, enriched with (possibly missing)
+    customer attributes — symmetric form of join_left_outer."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "right")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("c_custkey").alias("n_with_customer"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join of per-nation customer counts vs supplier counts —
     nations appearing on either side survive with NULLs on the other."""
@@ -177,6 +193,7 @@ def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "join_inner_3way": join_inner_3way,
     "join_left_outer": join_left_outer,
+    "join_right_outer": join_right_outer,
     "join_full_outer": join_full_outer,
     "join_semi": join_semi,
     "join_anti": join_anti,
@@ -200,6 +217,12 @@ ORACLE_SQL = {
         SELECT c_custkey, COUNT(o_orderkey) AS n_orders
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey ORDER BY c_custkey
+    """,
+    "join_right_outer": """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               COUNT(c_custkey) AS n_with_customer
+        FROM customer RIGHT JOIN orders ON c_custkey = o_custkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "join_full_outer": """
         SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey, n_cust, n_supp

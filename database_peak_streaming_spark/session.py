@@ -62,7 +62,7 @@ def get_spark(app_name: str = "database-peak-streaming-spark") -> SparkSession:
         # Broadcast threshold: dims (region/nation/supplier/part) stay
         # broadcastable well past sf100; fact-fact joins shuffle.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
