@@ -60,8 +60,17 @@ def main() -> None:
     spark = get_spark("dps-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up: JVM, parquet footer cache, codegen.
+    # Warm-up: JVM, parquet footer cache, codegen — plus one tiny pandas
+    # UDF so the Python-worker pool (one process per core) spawns outside
+    # the timed section instead of inside the first UDF query.
     QUERIES["q1_pricing_summary"](spark, sf_dir).toPandas()
+    from pyspark.sql import functions as _F
+
+    from database_peak_streaming_spark.functions.udfs import log1p_vec
+
+    spark.range(1000).repartition(32).select(
+        log1p_vec(_F.col("id").cast("double"))
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -107,6 +116,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+
     if oracle_timings:
         comparable = sum(timings[n] for n in oracle_timings)
         oracle_total = sum(oracle_timings.values())
@@ -114,7 +124,58 @@ def main() -> None:
         out["oracle_total"] = round(oracle_total, 4)
         out["comparable_total"] = round(comparable, 4)
         out["ratio_vs_oracle"] = round(comparable / oracle_total, 2)
+
+    # Streaming throughput vs the reference envelope (BASELINE.md: sustain
+    # >=10 windows/s, >=1,200 values/s).  Replays the events fixture
+    # through the tumbling-window pipeline with AvailableNow and reports
+    # end-to-end rows/s and windows/s.
+    try:
+        out["streaming"] = _streaming_throughput(spark, sf_dir)
+    except Exception as e:  # pragma: no cover - report, don't fail bench
+        out["streaming"] = {"error": str(e)[:200]}
     print(json.dumps(out))
+
+
+def _streaming_throughput(spark, sf_dir: str) -> dict:
+    import shutil
+    import tempfile
+
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.ops import tumbling_counts
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "ts", "value")
+    n_rows = ev.count()
+    stream, replay_dir = replay_dataframe(spark, ev, n_chunks=4, order_col="ts")
+    ckpt = tempfile.mkdtemp(prefix="dps-bench-ckpt")
+    windows = []
+
+    def sink(batch_df, _):
+        windows.extend(batch_df.collect())
+
+    t0 = time.perf_counter()
+    q = (
+        tumbling_counts(stream, "ts", "1 minute", "10 minutes")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    wall = time.perf_counter() - t0
+    cleanup_replay(replay_dir)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "rows": n_rows,
+        "windows_emitted": len(windows),
+        "wall_sec": round(wall, 2),
+        "rows_per_sec": round(n_rows / wall, 1),
+        "windows_per_sec": round(len(windows) / wall, 1),
+    }
 
 
 if __name__ == "__main__":

@@ -1,0 +1,72 @@
+"""Skew-mitigation operators (SURVEY.md §4 "hard parts": salted keys for
+skewed groupBy; AQE skew-join is on in session.py for the join side).
+
+A 100 TB aggregation with a hot key (one channel misbehaving at 1000x
+rate, one user generating half the events) funnels the hot key's entire
+volume through one reduce task.  Salting splits the hot key into N
+sub-keys for the expensive first-stage aggregation, then merges the N
+partials — two cheap shuffles instead of one stuck straggler.
+
+These helpers are *semantically transparent*: tests assert salted ==
+unsalted == oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT = 16
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = DEFAULT_SALT,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs``: output_name -> (input_col, fn) with fn in
+    {sum, count, min, max} (the algebraic aggregates that re-combine;
+    avg = sum/count composed by the caller — non-algebraic aggregates
+    like median cannot be salted and must use AQE instead).
+
+    Phase 1 groups by (keys..., salt) — hot keys spread over
+    ``salt_buckets`` tasks; phase 2 re-aggregates the partials by keys.
+    """
+    salted = df.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    phase1_exprs = []
+    phase2_exprs = []
+    for out, (col, fn) in aggs.items():
+        if fn == "sum":
+            phase1_exprs.append(F.sum(col).alias(f"_p_{out}"))
+            phase2_exprs.append(F.sum(f"_p_{out}").alias(out))
+        elif fn == "count":
+            phase1_exprs.append(F.count(col).alias(f"_p_{out}"))
+            phase2_exprs.append(F.sum(f"_p_{out}").alias(out))
+        elif fn == "min":
+            phase1_exprs.append(F.min(col).alias(f"_p_{out}"))
+            phase2_exprs.append(F.min(f"_p_{out}").alias(out))
+        elif fn == "max":
+            phase1_exprs.append(F.max(col).alias(f"_p_{out}"))
+            phase2_exprs.append(F.max(f"_p_{out}").alias(out))
+        else:
+            raise ValueError(f"non-algebraic aggregate cannot be salted: {fn}")
+    partial = salted.groupBy(*keys, "_salt").agg(*phase1_exprs)
+    return partial.groupBy(*keys).agg(*phase2_exprs)
+
+
+def salted_sum_decimal(
+    df: DataFrame, keys: list[str], col: str, out: str, salt_buckets: int = DEFAULT_SALT
+) -> DataFrame:
+    """Salted exact (decimal) sum — composes the engine's
+    order-independent summation (operators/common.dsum) with salting, so
+    the result is identical to the unsalted plan bit-for-bit."""
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.sum(F.col(col).cast("decimal(28,6)")).alias("_p")
+    )
+    return partial.groupBy(*keys).agg(F.sum("_p").cast("double").alias(out))

@@ -1,0 +1,99 @@
+"""Scale-pattern tests: skew salting (semantics preserved) and bucketed
+co-located joins (shuffle elimination visible in the plan)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_salted_agg_equals_plain(spark):
+    from database_peak_streaming_spark.operators.skew import salted_agg
+
+    li_load = __import__(
+        "database_peak_streaming_spark.sources.batch", fromlist=["load_table"]
+    ).load_table
+    li = li_load(spark, "lineitem", SF_DIR)
+    salted = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n": ("l_orderkey", "count"),
+            "min_qty": ("l_quantity", "min"),
+            "max_qty": ("l_quantity", "max"),
+        },
+    ).collect()
+    plain = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("l_orderkey").alias("n"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .collect()
+    )
+    key = lambda rows: {r.l_returnflag: (r.n, r.min_qty, r.max_qty) for r in rows}
+    assert key(salted) == key(plain)
+
+
+def test_salted_decimal_sum_bit_identical(spark):
+    from database_peak_streaming_spark.operators.common import dsum
+    from database_peak_streaming_spark.operators.skew import salted_sum_decimal
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    salted = {
+        r.l_returnflag: r.s
+        for r in salted_sum_decimal(li, ["l_returnflag"], "l_extendedprice", "s").collect()
+    }
+    plain = {
+        r.l_returnflag: r.s
+        for r in li.groupBy("l_returnflag").agg(dsum("l_extendedprice", "s")).collect()
+    }
+    assert salted == plain  # exact equality — decimal path is order-free
+
+
+def test_salted_rejects_non_algebraic(spark):
+    from database_peak_streaming_spark.operators.skew import salted_agg
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_agg(li, ["l_returnflag"], {"m": ("l_quantity", "median")})
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path_factory):
+    from database_peak_streaming_spark.plans import explain as E
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.sources.bucketing import (
+        cobucketed_join,
+        write_bucketed,
+    )
+
+    o = load_table(spark, "orders", SF_DIR).select("o_orderkey", "o_totalprice")
+    li = load_table(spark, "lineitem", SF_DIR).select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(o, "b_orders", "o_orderkey", 8, sort_col="o_orderkey")
+    write_bucketed(li, "b_lineitem", "o_orderkey", 8, sort_col="o_orderkey")
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # fixture tables are broadcast-sized; disable broadcast so the
+        # plan shows what a fact-fact join would do at real scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = cobucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = E.formatted_plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # co-located: no exchange on either side of the join
+        assert "Exchange hashpartitioning" not in plan, plan
+        # and the answer matches the plain join
+        assert joined.count() == o.join(li, "o_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
