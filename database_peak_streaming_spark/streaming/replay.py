@@ -91,3 +91,50 @@ def replay_dataframe(
 
 def cleanup_replay(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
+
+
+def rate_peaks_stream(
+    spark: SparkSession,
+    rows_per_second: int = 10,
+    num_channels: int = 4,
+    num_peaks: int = 4,
+) -> DataFrame:
+    """Live synthetic peaks source: Spark's ``rate`` source (monotone
+    timestamped ticks) expanded to the reference's scan shape — the
+    production-shaped stand-in for the TCP instrument (S1) when running
+    the pipeline with a processing-time trigger.
+
+    One rate tick = one scan (the reference's 10 Hz, README.md:15);
+    explode to (channel, peak_idx) long form with a deterministic
+    wavelength function of (tick, channel, peak) so output is assertable.
+    """
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )  # columns: timestamp, value (tick)
+    grid = F.explode(
+        F.expr(
+            f"flatten(transform(sequence(1, {num_channels}), "
+            f"ch -> transform(sequence(0, {num_peaks - 1}), pk -> struct(ch, pk))))"
+        )
+    ).alias("cp")
+    return (
+        rate.select(
+            F.col("value").alias("scan_id"),
+            F.col("timestamp").alias("ts"),
+            grid,
+        )
+        .select(
+            "scan_id",
+            "ts",
+            F.col("cp.ch").alias("channel"),
+            F.col("cp.pk").alias("peak_idx"),
+            (
+                F.lit(1500.0)
+                + F.col("cp.ch") * 10
+                + F.col("cp.pk")
+                + F.sin(F.col("scan_id") / 100.0) * 0.01
+            ).alias("wavelength"),
+        )
+    )
