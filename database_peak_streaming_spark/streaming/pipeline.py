@@ -86,7 +86,7 @@ class PeaksPipeline:
         if real.isEmpty():
             self.epochs_seen.append(epoch_id)
             return
-        self.store.write_epoch(real)
+        self.store.write_epoch(real, epoch_id=epoch_id)
         self.epochs_seen.append(epoch_id)
 
     def aggregated(self, stream: DataFrame) -> DataFrame:

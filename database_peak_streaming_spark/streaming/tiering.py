@@ -52,11 +52,25 @@ class TieredStore:
 
     # -- epoch sink (A3/S7): one transactionally-written epoch per call --
 
-    def write_epoch(self, batch_df: DataFrame) -> None:
+    def write_epoch(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
         """Append one micro-batch epoch of window aggregates to the st
         tier and fold its minute-resample into the lt tier.  The input
         must carry a ``window_start`` timestamp column; ``date`` is
-        derived for partitioning."""
+        derived for partitioning.
+
+        Exactly-once on retry: ``foreachBatch`` is at-least-once — after
+        a crash the same epoch_id can be re-delivered.  A per-epoch
+        commit marker (written AFTER both tier writes) makes re-delivery
+        a no-op, so checkpoint recovery never double-appends.  (The
+        reference's analogue was the SQLite transaction around
+        ``executemany``, database_peak_streaming.py:60-63 — correct
+        single-node, meaningless across restarts since its buffers died
+        with the process.)
+        """
+        if epoch_id is not None:
+            marker = Path(self.root) / "_epochs" / f"{epoch_id}.committed"
+            if marker.exists():
+                return
         with_date = batch_df.withColumn("date", F.to_date("window_start"))
         # One output file per (date, epoch): without this the window-agg
         # shuffle's partitioning leaks into the sink as hundreds of tiny
@@ -67,6 +81,10 @@ class TieredStore:
             "date"
         ).parquet(self.st_path)
         self._append_lt(with_date)
+        if epoch_id is not None:
+            marker = Path(self.root) / "_epochs" / f"{epoch_id}.committed"
+            marker.parent.mkdir(parents=True, exist_ok=True)
+            marker.touch()
 
     def _append_lt(self, batch_df: DataFrame) -> None:
         """Per-minute downsample of the epoch (A4, semantic form): keep
