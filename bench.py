@@ -16,6 +16,8 @@ import time
 HEADLINE = [
     # relational core
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "agg_count_distinct",
     "agg_stats",
     "agg_rollup",

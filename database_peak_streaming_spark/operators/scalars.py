@@ -101,9 +101,48 @@ def cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def str_funcs_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string pack: initcap/pad/reverse/replace/levenshtein/
+    position — fuzzy-matching and formatting primitives."""
+    p = load_table(spark, "part", sf_dir)
+    return (
+        p.select(
+            "p_partkey",
+            F.initcap(F.col("p_type")).alias("type_title"),
+            F.lpad(F.col("p_brand"), 12, "_").alias("brand_lpad"),
+            F.rpad(F.col("p_brand"), 12, ".").alias("brand_rpad"),
+            F.reverse(F.col("p_brand")).alias("brand_rev"),
+            F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("brand_dash"),
+            F.levenshtein(F.col("p_brand"), F.lit("Brand#10")).cast("long").alias(
+                "lev_to_b10"
+            ),
+            F.instr(F.col("p_name"), "a").cast("long").alias("first_a_pos"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def date_funcs_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date pack: quarter/weekofyear/dayofweek/last_day/months."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.select(
+            "o_orderkey",
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+            F.dayofweek("o_orderdate").cast("long").alias("dow_1sun"),
+            F.last_day("o_orderdate").alias("month_end"),
+            F.add_months(F.to_date("o_orderdate"), 3).alias("plus_3mo"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 QUERIES = {
     "str_funcs": str_funcs,
+    "str_funcs_extra": str_funcs_extra,
     "date_funcs": date_funcs,
+    "date_funcs_extra": date_funcs_extra,
     "math_funcs": math_funcs,
     "cond_funcs": cond_funcs,
 }
@@ -150,6 +189,27 @@ ORACLE_SQL = {
                l_linenumber % 3 AS line_mod3
         FROM lineitem WHERE l_orderkey <= 1000
         ORDER BY l_orderkey, l_linenumber
+    """,
+    "str_funcs_extra": """
+        SELECT p_partkey,
+               LIST_AGGREGATE(LIST_TRANSFORM(STRING_SPLIT(LOWER(p_type), ' '),
+                   w -> UPPER(w[1]) || w[2:]), 'string_agg', ' ') AS type_title,
+               LPAD(p_brand, 12, '_') AS brand_lpad,
+               RPAD(p_brand, 12, '.') AS brand_rpad,
+               REVERSE(p_brand) AS brand_rev,
+               REPLACE(p_brand, '#', '-') AS brand_dash,
+               CAST(LEVENSHTEIN(p_brand, 'Brand#10') AS BIGINT) AS lev_to_b10,
+               CAST(STRPOS(p_name, 'a') AS BIGINT) AS first_a_pos
+        FROM part ORDER BY p_partkey
+    """,
+    "date_funcs_extra": """
+        SELECT o_orderkey,
+               CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
+               CAST(WEEKOFYEAR(o_orderdate) AS BIGINT) AS iso_week,
+               CAST(DAYOFWEEK(o_orderdate) + 1 AS BIGINT) AS dow_1sun,
+               LAST_DAY(o_orderdate) AS month_end,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3mo
+        FROM orders ORDER BY o_orderkey
     """,
     "cond_funcs": """
         SELECT o_orderkey,

@@ -139,8 +139,43 @@ def win_strain_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — distribution window functions."""
+    c = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax) aggregates: which order carries the
+    group's extreme price."""
+    o = load_table(spark, "orders", sf_dir)
+    # ordering key is (price, orderkey): price ties resolve by orderkey,
+    # so argmin/argmax are deterministic under any partitioning
+    ord_key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderkey", ord_key).alias("max_price_orderkey"),
+            F.min_by("o_orderkey", ord_key).alias("min_price_orderkey"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = {
     "win_ranking": win_ranking,
+    "win_distribution": win_distribution,
+    "agg_min_max_by": agg_min_max_by,
     "win_analytic": win_analytic,
     "win_frames": win_frames,
     "win_topk_per_group": win_topk_per_group,
@@ -148,6 +183,23 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "win_distribution": """
+        SELECT c_mktsegment, c_custkey,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_mktsegment, c_custkey
+    """,
+    "agg_min_max_by": """
+        SELECT o_orderstatus,
+               FIRST(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC)
+                   AS max_price_orderkey,
+               FIRST(o_orderkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+                   AS min_price_orderkey,
+               ROUND(MAX(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "win_ranking": """
         SELECT * FROM (
             SELECT c_mktsegment, c_custkey, c_acctbal,

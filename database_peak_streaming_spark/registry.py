@@ -23,6 +23,7 @@ from database_peak_streaming_spark.operators import (
     storage,
     text,
     time_windows,
+    tpch_like,
     udf_queries,
     windows,
 )
@@ -30,6 +31,7 @@ from database_peak_streaming_spark.operators import (
 _MODULES = [
     scans,
     aggregates,
+    tpch_like,
     joins,
     windows,
     sorts_setops,
