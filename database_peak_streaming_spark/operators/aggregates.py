@@ -154,8 +154,24 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics: Pearson correlation + sample/population
+    covariance per group (price vs quantity)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            r6(F.corr("l_extendedprice", "l_quantity"), "corr_pq"),
+            r6(F.covar_samp("l_extendedprice", "l_quantity"), "covs_pq"),
+            r6(F.covar_pop("l_extendedprice", "l_quantity"), "covp_pq"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "agg_corr_covar": agg_corr_covar,
     "agg_global_no_group": agg_global_no_group,
     "agg_count_distinct": agg_count_distinct,
     "agg_approx_distinct": agg_approx_distinct,
@@ -195,6 +211,13 @@ ORACLE_SQL = {
                COUNT(DISTINCT l_suppkey) AS distinct_supps,
                COUNT(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "agg_corr_covar": """
+        SELECT l_linestatus,
+               ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_pq,
+               ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 6) AS covs_pq,
+               ROUND(COVAR_POP(l_extendedprice, l_quantity), 6) AS covp_pq
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
     """,
     # agg_approx_distinct: intentionally no oracle (sketch estimate).
     "agg_stats": """

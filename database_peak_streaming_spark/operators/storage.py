@@ -26,7 +26,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.  Explicit schema on re-read: inference is an extra scan
     and type-lossy (the scale rule)."""
     n = load_table(spark, "nation", sf_dir)
-    path = os.path.join(tempfile.gettempdir(), "dps_csv_roundtrip")
+    path = os.path.join(tempfile.gettempdir(), f"dps_csv_roundtrip_{os.getpid()}")
     write_csv(n, path)
     schema = T.StructType(
         [
@@ -46,7 +46,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines write + schema-given read (supplier), then project."""
     s = load_table(spark, "supplier", sf_dir)
-    path = os.path.join(tempfile.gettempdir(), "dps_jsonl_roundtrip")
+    path = os.path.join(tempfile.gettempdir(), f"dps_jsonl_roundtrip_{os.getpid()}")
     s.write.mode("overwrite").json(path)
     schema = T.StructType(
         [
