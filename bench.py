@@ -11,7 +11,11 @@ from __future__ import annotations
 import json
 import os
 import re
+import sys
 import time
+
+# CWD-independence: the engine package lives beside this script.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     # relational core

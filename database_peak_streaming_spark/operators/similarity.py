@@ -139,6 +139,63 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Random-hyperplane LSH planes: fixed-seed, embedded as literals in both
+#: the Spark plan and the SQL oracle, so bucketing is engine-independent.
+_N_PLANES = 4
+_PLANE_SEED = 20240813
+
+
+def _planes() -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(_PLANE_SEED)
+    return [[round(float(x), 6) for x in rng.normal(0, 1, 64)] for _ in range(_N_PLANES)]
+
+
+def ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: bucket = sign bits of 4 fixed
+    hyperplane projections (a 16-bucket cosine-locality partition of the
+    sphere); each query probes only its own bucket.
+
+    The sketch family behind SimHash, applied to dense vectors: P(same
+    bit) = 1 - angle/pi, so co-bucket probability decays with angular
+    distance.  Scale path: buckets are a plain groupBy key — the probe
+    is an equi-join, and more planes = exponentially smaller buckets.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, "embeddings", sf_dir)
+    planes = _planes()
+    bucket = sum(
+        (
+            F.when(
+                _dot(F.col("embedding"), F.array(*[F.lit(v) for v in plane])) > 0,
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+        )
+        for i, plane in enumerate(planes)
+    ).cast("long")
+    base = e.select(
+        "vec_id", "embedding", bucket.alias("bucket"), _norm(F.col("embedding")).alias("norm")
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("norm").alias("q_norm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        base.join(F.broadcast(queries), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(cos, 6).alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("q_id", "rnk")
+    )
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector norm + normalization check — the unit-norm projection every
     cosine pipeline precomputes once."""
@@ -161,8 +218,18 @@ QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "cosine_pairs_threshold": cosine_pairs_threshold,
     "ann_ivf_bucketed": ann_ivf_bucketed,
+    "ann_rp_lsh": ann_rp_lsh,
     "embedding_norms": embedding_norms,
 }
+
+
+def _rp_bucket_sql() -> str:
+    terms = []
+    for i, plane in enumerate(_planes()):
+        lit = "[" + ", ".join(f"{v}" for v in plane) + "]"
+        dot = _DOT.format(a="embedding", b=lit)
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 _DOT = """LIST_SUM(LIST_TRANSFORM(LIST_ZIP({a}, {b}),
           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"""
@@ -204,6 +271,25 @@ ORACLE_SQL = {
             SELECT vec_id, embedding,
                    CAST(LIST_POSITION(embedding, LIST_MAX(embedding)) AS BIGINT)
                        AS bucket
+            FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+              FROM base WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT q.q_id, e.vec_id,
+                   ROUND({_cos_sql('q.q_emb', 'e.embedding')}, 6) AS cosine
+            FROM q JOIN base e ON e.bucket = q.q_bucket
+            WHERE e.vec_id <> q.q_id),
+        ranked AS (
+            SELECT q_id, vec_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, vec_id) AS rnk
+            FROM scored)
+        SELECT q_id, vec_id, cosine, rnk FROM ranked
+        WHERE rnk <= 3 ORDER BY q_id, rnk
+    """,
+    "ann_rp_lsh": f"""
+        WITH base AS (
+            SELECT vec_id, embedding, {_rp_bucket_sql()} AS bucket
             FROM embeddings),
         q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
               FROM base WHERE vec_id < {N_QUERIES}),
