@@ -147,6 +147,43 @@ class TieredStore:
                 dropped.append(part.name)
         return dropped
 
+    # -- maintenance: small-file compaction --
+
+    def compact_st(self, target_files_per_date: int = 1) -> dict[str, int]:
+        """Rewrite each st date-partition to ``target_files_per_date``
+        files (atomic via temp-dir swap).  Streaming sinks accrete one+
+        file per epoch; at an hourly epoch cadence that is ~8.8k files
+        per partition per year — enough to make scan planning, not IO,
+        the bottleneck.  Run out-of-band (the reference had no analogue:
+        SQLite pages self-compact, distributed object stores do not).
+
+        Returns {partition: files_before} for partitions rewritten.
+        At cluster scale, size target_files to partition_bytes /
+        128 MiB instead of a constant.
+        """
+        import tempfile
+
+        st = Path(self.st_path)
+        done: dict[str, int] = {}
+        if not st.exists():
+            return done
+        for part in sorted(st.glob("date=*")):
+            files = list(part.glob("*.parquet"))
+            if len(files) <= target_files_per_date:
+                continue
+            df = self.spark.read.parquet(str(part))
+            tmp = Path(tempfile.mkdtemp(dir=st, prefix="_compact_"))
+            df.coalesce(target_files_per_date).write.mode("overwrite").parquet(
+                str(tmp / "data")
+            )
+            for f in files:
+                f.unlink()
+            for f in (tmp / "data").glob("*.parquet"):
+                f.rename(part / f.name)
+            shutil.rmtree(tmp)
+            done[part.name] = len(files)
+        return done
+
     # -- reads (S10) --
 
     def read_st(self) -> DataFrame:
