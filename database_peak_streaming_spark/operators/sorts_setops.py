@@ -113,6 +113,61 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: schema-aligned union regardless of column order —
+    positional unionAll silently mismatches when projections differ in
+    order; by-name is the safe default for evolving pipelines."""
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    left = c.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    # deliberately different column order: unionByName must realign
+    right = s.select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    return (
+        left.unionByName(right)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("acctbal").cast("decimal(28,6)")).cast("double"), 6)
+            .alias("sum_bal"),
+        )
+        .orderBy("kind")
+    )
+
+
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling contract: count(*) vs count(col), null-skipping
+    aggregates, null-safe equality (<=>), and null propagation in
+    arithmetic — over a column with synthesized nulls."""
+    o = load_table(spark, "orders", sf_dir)
+    with_null = o.withColumn(
+        "price_or_null",
+        F.when(F.col("o_orderstatus") == "P", None).otherwise(F.col("o_totalprice")),
+    )
+    return (
+        with_null.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("price_or_null").alias("n_nonnull"),
+            F.round(F.avg("price_or_null"), 6).alias("avg_skipnull"),
+            F.sum(
+                F.col("price_or_null").eqNullSafe(F.lit(None).cast("double")).cast("int")
+            ).cast("long").alias("n_nullsafe_eq_null"),
+            F.sum(F.isnull(F.col("price_or_null") + 1).cast("int"))
+            .cast("long")
+            .alias("n_null_arith"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def dedup_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicates on a key subset, made deterministic: keep the row
     with the smallest unique key per group (plain ``dropDuplicates``
@@ -138,6 +193,8 @@ QUERIES = {
     "setop_union_distinct": setop_union_distinct,
     "setop_intersect": setop_intersect,
     "setop_except": setop_except,
+    "setop_union_by_name": setop_union_by_name,
+    "null_semantics": null_semantics,
     "dedup_drop_duplicates": dedup_drop_duplicates,
 }
 
@@ -182,6 +239,32 @@ ORACLE_SQL = {
         EXCEPT
         SELECT s_nationkey FROM supplier
         ORDER BY nationkey
+    """,
+    "setop_union_by_name": """
+        SELECT kind, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(acctbal AS DECIMAL(28,6))) AS DOUBLE), 6)
+                   AS sum_bal
+        FROM (
+            SELECT c_nationkey AS nationkey, c_acctbal AS acctbal,
+                   'customer' AS kind FROM customer
+            UNION ALL
+            SELECT s_nationkey, s_acctbal, 'supplier' FROM supplier
+        ) u GROUP BY kind ORDER BY kind
+    """,
+    "null_semantics": """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_rows,
+               COUNT(price_or_null) AS n_nonnull,
+               ROUND(AVG(price_or_null), 6) AS avg_skipnull,
+               CAST(SUM(CAST(price_or_null IS NOT DISTINCT FROM NULL AS INT))
+                    AS BIGINT) AS n_nullsafe_eq_null,
+               CAST(SUM(CAST(price_or_null + 1 IS NULL AS INT)) AS BIGINT)
+                   AS n_null_arith
+        FROM (SELECT o_orderstatus,
+                     CASE WHEN o_orderstatus = 'P' THEN NULL
+                          ELSE o_totalprice END AS price_or_null
+              FROM orders) t
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "dedup_drop_duplicates": """
         SELECT o_custkey, o_orderstatus, o_orderkey FROM (

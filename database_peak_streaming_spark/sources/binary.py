@@ -81,6 +81,171 @@ def _decode_one(frame: bytes, num_channels: int) -> Iterator[tuple]:
         start += int(n)
 
 
+# ---------------------------------------------------------------------------
+# Spectrum frames (reference hyperion.py:473-549): 48-byte header
+# '<HHIQIIddIHH' (length, version, reserved, serial, ts_int, ts_frac,
+# start_wavelength, wavelength_increment, num_points, num_channels,
+# active_channel_bits) + uint16[num_channels][num_points] matrix.  The
+# bitmask maps matrix rows to physical channel ids (hyperion.py:495-501).
+# ---------------------------------------------------------------------------
+
+SPECTRUM_HEADER_FMT = "<HHIQIIddIHH"
+SPECTRUM_HEADER_LEN = struct.calcsize(SPECTRUM_HEADER_FMT)
+
+SPECTRUM_SCHEMA = T.StructType(
+    [
+        T.StructField("serial_number", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("start_wavelength", T.DoubleType()),
+        T.StructField("wavelength_increment", T.DoubleType()),
+        T.StructField("counts", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def encode_spectrum_frame(
+    serial_number: int,
+    timestamp_int: int,
+    timestamp_frac: int,
+    start_wavelength: float,
+    wavelength_increment: float,
+    active_channel_bits: int,
+    matrix: "np.ndarray",
+    version: int = 1,
+) -> bytes:
+    """Reference-format spectrum frame (test fixture generator)."""
+    num_channels, num_points = matrix.shape
+    assert bin(active_channel_bits).count("1") == num_channels
+    header = struct.pack(
+        SPECTRUM_HEADER_FMT,
+        0,
+        version,
+        0,
+        serial_number,
+        timestamp_int,
+        timestamp_frac,
+        start_wavelength,
+        wavelength_increment,
+        num_points,
+        num_channels,
+        active_channel_bits,
+    )
+    return header + matrix.astype(np.uint16).tobytes()
+
+
+def _decode_spectrum(frame: bytes) -> Iterator[tuple]:
+    (
+        _len,
+        _ver,
+        _res,
+        serial,
+        ts_int,
+        ts_frac,
+        start_wl,
+        wl_inc,
+        num_points,
+        num_channels,
+        bits,
+    ) = struct.unpack_from(SPECTRUM_HEADER_FMT, frame, 0)
+    ts = pd.Timestamp(ts_int, unit="s") + pd.Timedelta(ts_frac, unit="ns")
+    matrix = np.frombuffer(
+        frame, dtype=np.uint16, offset=SPECTRUM_HEADER_LEN
+    ).reshape(num_channels, num_points)
+    # bitmask -> channel map (hyperion.py:495-501): row i of the matrix
+    # belongs to the i-th set bit of active_channel_bits
+    channels = [b for b in range(16) if (bits >> b) & 1]
+    for row, ch in zip(matrix, channels):
+        yield (serial, ts, ch, start_wl, wl_inc, row.astype(np.int32).tolist())
+
+
+def decode_spectrum_frames(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
+    """Spectrum frames -> one row per active channel carrying the raw
+    uint16 counts array plus the wavelength-axis parameters; downstream,
+    ``functions.sensor.power_calibration`` and ``wavelength_axis`` turn
+    counts into (wavelength, dBm) series as pure column expressions."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                row for frame in pdf[frame_col] for row in _decode_spectrum(frame)
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "serial_number",
+                    "ts",
+                    "channel",
+                    "start_wavelength",
+                    "wavelength_increment",
+                    "counts",
+                ],
+            )
+
+    return frames.mapInPandas(_decode, schema=SPECTRUM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Sensor frames (reference hyperion.py:388-420): 24-byte header
+# '<HBBIQII' + float64[] flat payload.
+# ---------------------------------------------------------------------------
+
+SENSOR_HEADER_FMT = "<HBBIQII"
+SENSOR_HEADER_LEN = struct.calcsize(SENSOR_HEADER_FMT)
+
+SENSOR_SCHEMA = T.StructType(
+    [
+        T.StructField("serial_number", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("sensor_idx", T.IntegerType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def encode_sensor_frame(
+    serial_number: int,
+    timestamp_int: int,
+    timestamp_frac: int,
+    values: list[float],
+    version: int = 1,
+) -> bytes:
+    header = struct.pack(
+        SENSOR_HEADER_FMT,
+        0,
+        version,
+        0,
+        0,  # reserved word (the 'I' after the two bytes)
+        serial_number,
+        timestamp_int,
+        timestamp_frac,
+    )
+    return header + np.asarray(values, dtype=np.float64).tobytes()
+
+
+def decode_sensor_frames(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
+    """Sensor frames -> long form (one row per sensor value)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for frame in pdf[frame_col]:
+                frame = bytes(frame)
+                (_l, _v, _r, _pad, serial, ts_int, ts_frac) = struct.unpack_from(
+                    SENSOR_HEADER_FMT, frame, 0
+                )
+                ts = pd.Timestamp(ts_int, unit="s") + pd.Timedelta(ts_frac, unit="ns")
+                vals = np.frombuffer(frame, dtype=np.float64, offset=SENSOR_HEADER_LEN)
+                rows.extend(
+                    (serial, ts, i, float(v)) for i, v in enumerate(vals)
+                )
+            yield pd.DataFrame(
+                rows, columns=["serial_number", "ts", "sensor_idx", "value"]
+            )
+
+    return frames.mapInPandas(_decode, schema=SENSOR_SCHEMA)
+
+
 def decode_peaks_frames(
     frames: DataFrame, frame_col: str = "frame", num_channels: int = 8
 ) -> DataFrame:
