@@ -54,6 +54,36 @@ def test_aggregation_shuffle_budget(spark):
     assert E.shuffle_count(df) <= 2, E.formatted_plan(df)
 
 
+def test_q5_star_join_broadcasts_all_dims(spark):
+    """The 6-way star join must broadcast every dim side — exactly one
+    shuffle pair for the orders⋈lineitem spine plus agg/sort."""
+    df = QUERIES["q5_local_supplier_volume"](spark, SF_DIR)
+    plan = E.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    # spine join + aggregation + output sort only
+    assert E.shuffle_count(df) <= 4, plan
+
+
+def test_session_window_single_shuffle(spark):
+    """Session windows: one shuffle on the session key, not one per
+    analysis stage."""
+    df = QUERIES["window_session_30m"](spark, SF_DIR)
+    assert E.shuffle_count(df) <= 2, E.formatted_plan(df)
+
+
+def test_registry_column_names_unique_and_aliased(spark):
+    """Driver-contract lint: every query returns unique column names
+    (the driver sorts columns by name before hashing — duplicates would
+    be ambiguous) and no auto-generated aggregate names leak out."""
+    from database_peak_streaming_spark.registry import QUERIES as ALL
+
+    for name, fn in ALL.items():
+        cols = fn(spark, SF_DIR).columns
+        assert len(cols) == len(set(cols)), f"{name}: duplicate columns {cols}"
+        for c in cols:
+            assert "(" not in c, f"{name}: unaliased column {c}"
+
+
 def test_broadcast_join_is_shuffle_free_on_probe(spark):
     """Broadcast dim join: the fact side must not shuffle before the
     join (only agg/sort exchanges allowed afterwards)."""

@@ -275,6 +275,39 @@ def test_late_data_dropped_by_watermark(spark, tmpdir_):
     assert by_window[t0] == 2, "late row must be excluded from hour-0 window"
 
 
+def test_sliding_counts_stream_matches_batch(spark, tmpdir_):
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.ops import sliding_counts
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+
+    ev = load_table(spark, "events", SF_DIR).select("event_id", "ts", "value")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = {"event_id": -1, "ts": max_ts + dt.timedelta(hours=3), "value": None}
+    stream, replay_dir = replay_dataframe(
+        spark, ev, n_chunks=4, order_col="ts", sentinel_row=sentinel
+    )
+    try:
+        got = _collect_stream(
+            spark,
+            sliding_counts(stream, "ts", "1 hour", "30 minutes", "10 minutes"),
+            f"{tmpdir_}/ckpt",
+        )
+    finally:
+        cleanup_replay(replay_dir)
+    got_d = {r.window_start: r.n for r in got if r.window_start <= max_ts}
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+        .collect()
+    )
+    batch_d = {r.window_start: r.n for r in batch if r.window_start <= max_ts}
+    assert got_d == batch_d
+
+
 def test_session_counts_stream_matches_batch(spark, tmpdir_):
     from database_peak_streaming_spark.sources.batch import load_table
     from database_peak_streaming_spark.streaming.ops import session_counts
