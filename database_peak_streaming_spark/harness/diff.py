@@ -124,6 +124,24 @@ def diff_query(
     )
 
 
+def main() -> None:  # pragma: no cover - CLI convenience
+    """``python -m database_peak_streaming_spark.harness.diff [sf_dir]``:
+    run the full differential suite and exit non-zero on any mismatch."""
+    import sys
+
+    from database_peak_streaming_spark import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("dps-diff-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = run_suite(spark, sf_dir)
+    for r in results:
+        print(r.describe())
+    fails = sum(1 for r in results if not r.ok)
+    print(f"TOTAL {len(results)} FAIL {fails}")
+    sys.exit(1 if fails else 0)
+
+
 def run_suite(
     spark: SparkSession, sf_dir: str, only: list[str] | None = None
 ) -> list[DiffResult]:
@@ -146,3 +164,7 @@ def run_suite(
             continue
         results.append(diff_query(name, df, sql, con))
     return results
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

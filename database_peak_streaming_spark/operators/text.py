@@ -155,8 +155,28 @@ def text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: document frequency and corpus
+    frequency per token, top 20 by df — the vocab-building /
+    stopword-discovery scan.  explode -> two-level aggregation; the
+    shuffle key is the token (uniform-ish), and the explode happens
+    after projection so only the text column fans out."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("corpus_freq"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("corpus_freq").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_top_terms": text_top_terms,
     "text_token_count_bpe_ish": text_token_count_bpe_ish,
     "text_quality_score": text_quality_score,
     "text_langid_heuristic": text_langid_heuristic,
@@ -171,6 +191,15 @@ _MARKER_SQL = {
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
 ORACLE_SQL = {
+    "text_top_terms": """
+        SELECT token, COUNT(DISTINCT doc_id) AS doc_freq,
+               COUNT(*) AS corpus_freq
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+              FROM documents) t
+        GROUP BY token
+        ORDER BY doc_freq DESC, corpus_freq DESC, token
+        LIMIT 20
+    """,
     "text_token_stats": """
         SELECT doc_id,
                CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
