@@ -22,6 +22,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
     "agg_count_distinct",
     "agg_stats",
     "agg_rollup",

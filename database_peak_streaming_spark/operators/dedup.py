@@ -255,8 +255,51 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "simhash", *chunks).orderBy("doc_id")
 
 
+#: Embedding near-dup threshold.  The fixture corpus has no true dups in
+#: embedding space (max within-label cosine ~0.475 at sf0.01), so the
+#: demonstration threshold sits below that; production corpora use ~0.95.
+EMB_COS_THRESHOLD = 0.35
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: drop any vector whose cosine
+    similarity to a lower-id vector of the same label exceeds the
+    threshold (greedy keep-lowest-id, same decision rule as
+    ``dedup_minhash_keepers``).  Label blocking keeps the pairwise stage
+    linear-ish — the scale path swaps the label for an LSH/IVF bucket key
+    (``ann_rp_lsh``) so the quadratic never sees the full corpus.
+    Expressed as a self-join + left-anti join: both shuffle on the block
+    key only, and the anti-join output is O(corpus)."""
+    from database_peak_streaming_spark.operators.similarity import _dot, _norm
+
+    e = load_table(spark, "embeddings", sf_dir)
+    base = e.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("norm")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    drops = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(F.round(cos, 6) >= EMB_COS_THRESHOLD)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        base.join(drops, "vec_id", "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "dedup_exact_group": dedup_exact_group,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -264,7 +307,23 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
 }
 
+def _emb_dedup_sql() -> str:
+    from database_peak_streaming_spark.operators.similarity import _cos_sql
+
+    return f"""
+        SELECT a.vec_id, a.label
+        FROM embeddings a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM embeddings b
+            WHERE b.label = a.label AND b.vec_id < a.vec_id
+              AND ROUND({_cos_sql('b.embedding', 'a.embedding')}, 6)
+                  >= {EMB_COS_THRESHOLD})
+        ORDER BY a.vec_id
+    """
+
+
 ORACLE_SQL = {
+    "dedup_embedding_cosine": _emb_dedup_sql(),
     "dedup_exact_group": """
         SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text ORDER BY keeper_doc_id

@@ -90,10 +90,255 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: order-priority counts for 1996 orders that have at least
+    one returned lineitem — EXISTS rewritten as a left-semi join.  At
+    scale the semi-join shuffles only (orderkey) pairs, never payload."""
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: single-row revenue-change forecast — three conjunctive
+    range predicates that should ALL reach the parquet scan as pushed
+    filters (min/max row-group pruning does the work at 100 TB)."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_discount").between(0.02, 0.06))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume between two nations by ship year.
+    Both nation dims broadcast; the disjunctive pair predicate prunes
+    before the groupBy so the shuffle carries two nations' rows only."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n1 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_0") & (F.col("cust_nation") == "NATION_1")
+    ) | ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_0"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(_revenue(), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: NATION_3's share of PROMO-part revenue sold into ASIA,
+    by order year.  The share is a conditional-sum / sum ratio computed
+    in one aggregation pass (no second scan, no self-join)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
+    cn = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    sn = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    rev = _revenue().cast(DEC)
+    nation_rev = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0).cast(DEC))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                nation_rev.cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("mkt_share"),
+            dsum(_revenue(), "total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: percent of 1997 revenue from PROMO parts — conditional
+    aggregation over a broadcast part join, single output row."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    p = load_table(spark, "part", sf_dir)
+    rev = _revenue().cast(DEC)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * promo.cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: average yearly revenue lost if small-quantity orders
+    (below 40% of the part's mean quantity) moved to bulk.  The per-part
+    mean is a first aggregation re-joined on l_partkey — both sides
+    shuffle on the same key, so AQE coalesces them into one exchange."""
+    li = load_table(spark, "lineitem", sf_dir)
+    # exact decimal sum / count (not F.avg): the threshold compare below
+    # must be byte-identical with the single-node oracle at any partitioning
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(part_avg, li.l_partkey == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < 0.4 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0, 6
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: customers whose single orders exceed 300 units.  The
+    HAVING subquery is a pre-aggregation of lineitem alone — the big
+    table collapses to (orderkey, qty) before any join touches it."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    oq = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        oq.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: revenue under three OR'd brand/size/quantity branches.
+    The disjunction sits on the join output; each branch alone is
+    sargable, and Catalyst extracts the common l_partkey join key so the
+    broadcast hash join still applies."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(dsum(_revenue(), "revenue"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: per-segment count + balance of above-average-balance
+    customers with no orders since 2000 — scalar subquery threshold plus
+    an anti-join.  The scalar is one collected double (broadcast by
+    value); the anti-join shuffles only custkeys."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01"))
+    )
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    avg_bal = pos.first()[0]
+    return (
+        c.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
+    "q4_order_priority": q4_order_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
     "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_dormant_customers": q22_dormant_customers,
 }
 
 ORACLE_SQL = {
@@ -140,5 +385,129 @@ ORACLE_SQL = {
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q6_forecast_revenue": f"""
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS {DEC}))
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.06
+          AND l_quantity < 24
+    """,
+    "q7_volume_shipping": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+           OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "q8_market_share": f"""
+        SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+               ROUND(
+                 CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                               THEN CAST(l_extendedprice * (1 - l_discount)
+                                         AS {DEC})
+                               ELSE CAST(0 AS {DEC}) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))
+                        AS DOUBLE), 6) AS mkt_share,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))
+                    AS DOUBLE) AS total_revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    "q14_promo_revenue": f"""
+        SELECT ROUND(
+                 100.0
+                 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                 THEN CAST(l_extendedprice * (1 - l_discount)
+                                           AS {DEC})
+                                 ELSE CAST(0 AS {DEC}) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))
+                        AS DOUBLE), 6) AS promo_revenue_pct,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+    "q17_small_quantity_revenue": f"""
+        WITH part_avg AS (
+            SELECT l_partkey AS pa_partkey,
+                   CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*)
+                       AS avg_qty
+            FROM lineitem GROUP BY l_partkey)
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / 7.0,
+                     6) AS avg_yearly,
+               COUNT(*) AS n_rows
+        FROM lineitem JOIN part_avg ON l_partkey = pa_partkey
+        WHERE l_quantity < 0.4 * avg_qty
+    """,
+    "q18_large_volume_customers": f"""
+        WITH oq AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) > 300)
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               total_qty
+        FROM oq
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    "q19_disjunctive_revenue": f"""
+        SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 40)
+    """,
+    "q22_dormant_customers": f"""
+        SELECT c_mktsegment, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE)
+                                  / COUNT(*)
+                           FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
     """,
 }
