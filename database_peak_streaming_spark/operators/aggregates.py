@@ -88,9 +88,12 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: stddev/variance/exact percentile/median.
 
-    ``percentile`` (exact, interpolated) matches DuckDB ``quantile_cont``;
-    at 100 TB swap to ``percentile_approx`` (t-digest sketch, bounded
-    memory) — exposed separately so the trade-off is explicit.
+    ``percentile`` (exact, interpolated) matches DuckDB ``quantile_cont``.
+    Exact percentiles build a per-group value-count map, so they are
+    computed over the bounded-domain quantity column (50 distinct values
+    -> O(1) state); over a near-unique column like price the map is
+    O(rows) per group — there use ``percentile_approx`` (t-digest sketch,
+    bounded memory), exposed separately so the trade-off is explicit.
     """
     li = load_table(spark, "lineitem", sf_dir)
     return (
@@ -100,14 +103,14 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.var_samp("l_extendedprice"), "var_price"),
             # one percentile aggregation for both quantiles (single
             # counting pass), unpacked after the agg
-            F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("_pcts"),
+            F.expr("percentile(l_quantity, array(0.5, 0.9))").alias("_pcts"),
         )
         .select(
             "l_linestatus",
             "std_price",
             "var_price",
-            r6(F.col("_pcts")[0], "median_price"),
-            r6(F.col("_pcts")[1], "p90_price"),
+            r6(F.col("_pcts")[0], "median_qty"),
+            r6(F.col("_pcts")[1], "p90_qty"),
         )
         .orderBy("l_linestatus")
     )
@@ -224,8 +227,8 @@ ORACLE_SQL = {
         SELECT l_linestatus,
                ROUND(STDDEV_SAMP(l_extendedprice), 6) AS std_price,
                ROUND(VAR_SAMP(l_extendedprice), 6) AS var_price,
-               ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.5) AS DOUBLE), 6) AS median_price,
-               ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.9) AS DOUBLE), 6) AS p90_price
+               ROUND(CAST(QUANTILE_CONT(l_quantity, 0.5) AS DOUBLE), 6) AS median_qty,
+               ROUND(CAST(QUANTILE_CONT(l_quantity, 0.9) AS DOUBLE), 6) AS p90_qty
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
     """,
     "agg_rollup": f"""

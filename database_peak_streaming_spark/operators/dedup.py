@@ -194,14 +194,66 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup *decision* from the LSH pairs: greedy keep-lowest-id —
-    any doc similar to a lower-id doc is dropped.  This is the output a
-    pipeline consumes (and the bench measures): O(corpus) rows, not the
-    O(pairs) evidence set.  (Full transitive clustering would be
-    connected components — iterative, out of per-query scope.)"""
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    """The dedup *decision*: keep-lowest-id — a doc is dropped when it
+    verifies (exact Jaccard >= threshold) against the minimum-id doc of
+    any LSH bucket it lands in.  This is the output a pipeline consumes
+    (and the bench measures): O(corpus) rows.
+
+    Unlike ``dedup_minhash_lsh`` (the all-pairs evidence query, O(bucket
+    width^2) candidates), candidates here are linked sparsely — every doc
+    pairs with its bucket HEAD (min id) and its bucket PREDECESSOR (next
+    lower id) — so candidate volume is O(N x bands) regardless of how
+    dense the dup groups are.  Head links equal the greedy all-pairs rule
+    on exact-dup groups; predecessor links additionally walk similarity
+    chains (a~b~c with a!~c).  A doc similar only to a non-adjacent,
+    non-head member is still missed — the sparse-linkage recall trade,
+    bounded by the banding s-curve and measured against the all-pairs
+    rule in tests.
+    """
+    from pyspark.sql import Window
+
+    sigs = minhash_signatures(spark, sf_dir)
+    r = MINHASH_PERMS // LSH_BANDS
+    bands = F.array(
+        *[
+            F.xxhash64(*[F.col(f"sig_{b * r + i}") for i in range(r)], F.lit(b))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = sigs.select("doc_id", F.posexplode(bands).alias("band", "band_hash"))
+    w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
+    linked = banded.select(
+        "doc_id",
+        F.first("doc_id").over(w).alias("head_id"),
+        F.lag("doc_id").over(w).alias("prev_id"),
+    )
+    cand = (
+        linked.select(
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.array(F.col("head_id"), F.col("prev_id")),
+                        lambda x: x.isNotNull() & (x < F.col("doc_id")),
+                    )
+                )
+            ).alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
     d = load_table(spark, "documents", sf_dir)
-    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    t = d.select("doc_id", _distinct_tokens().alias("toks"))
+    jac = (
+        F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks"))).cast("double")
+        / F.size(F.array_union(F.col("ta.toks"), F.col("tb.toks")))
+    )
+    drops = (
+        cand.join(t.alias("ta"), cand.doc_a == F.col("ta.doc_id"))
+        .join(t.alias("tb"), cand.doc_b == F.col("tb.doc_id"))
+        .filter(F.round(jac, 6) >= LSH_VERIFY_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
     return (
         d.select("doc_id")
         .join(drops.withColumn("dropped", F.lit(1)), "doc_id", "left")
