@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_peak_streaming_spark.operators.common import DEC, dsum
+from database_peak_streaming_spark.operators.common import DEC, dsum, r6
 from database_peak_streaming_spark.sources.batch import load_table
 
 def _revenue():
@@ -326,7 +326,273 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: minimum-cost supplier per part — the correlated-MIN
+    subquery.  The fixture has no partsupp, so the supply relation is
+    derived from lineitem history: per (part, supplier) the best unit
+    price ever quoted.  The correlated ``cost = (SELECT MIN ...)`` is a
+    single window-min over l_partkey: one shuffle, no join-back, and the
+    window key is the same as the derivation groupBy key so AQE reuses
+    the exchange."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 15)
+    )
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eu = (
+        supply.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
+    return (
+        eu.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            r6(F.col("unit_cost"), "unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit by supplier nation and order year over a
+    name-matched part family.  No partsupp, so supply cost is modeled as
+    10% of p_retailprice — the plan shape (4-way join, LIKE filter on the
+    dim, two-key groupBy) is what's being exercised."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%bolt%"))
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.1) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(amount, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: per-part value held by one region's suppliers, kept
+    only where it exceeds a fraction of the global total — the
+    scalar-subquery HAVING.  The scalar is one collected double
+    (broadcast by value); both sums are decimal-exact so the threshold
+    compare is partitioning-independent."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    base = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    total = base.agg(dsum(value, "t")).first()[0]
+    return (
+        base.groupBy("l_partkey")
+        .agg(dsum(value, "part_value"))
+        .filter(F.col("part_value") > F.lit(0.0005) * F.lit(total))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional aggregation over late shipments.  The
+    fixture has no shipmode/commit/receipt dates, so "late" = shipped
+    more than 90 days after the order date, bucketed by linestatus with
+    urgent-vs-other priority counts.  The CASE/COUNT pair stays inside
+    one whole-stage-codegen agg — no extra pass per branch."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: histogram of customers by order count — LEFT OUTER join
+    with a join-time filter (so zero-order customers survive), then a
+    second aggregation over the first.  Both groupBys are small-key;
+    the only wide shuffle is the outer join on custkey."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: the supplier(s) with maximum quarterly revenue — a
+    grouped view compared against its own MAX.  Revenue sums are
+    decimal-exact, so the equality against the max is safe on any
+    partitioning; the max itself is one collected double."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    rev = li.groupBy("l_suppkey").agg(dsum(_revenue(), "total_revenue"))
+    max_rev = rev.agg(F.max("total_revenue")).first()[0]
+    return (
+        rev.filter(F.col("total_revenue") == F.lit(max_rev))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per part attribute bucket,
+    excluding a supplier denylist (NOT IN → broadcast anti-join).  The
+    supply relation is the distinct (part, supplier) pairs observed in
+    lineitem; countDistinct shuffles only after the dimension filter
+    has pruned parts."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = load_table(spark, "supplier", sf_dir).filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers who dominate a part's supply — nested
+    aggregation feeding a semi-join.  A supplier qualifies if it shipped
+    >40% of a 'small%' part's 1996 volume; the per-part total is a
+    window sum over the same key as the groupBy (exchange reused), and
+    only qualifying suppkeys reach the supplier dim."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("small%"))
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    from pyspark.sql import Window
+
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn(
+            "total_qty", F.sum(F.col("qty").cast(DEC)).over(w).cast("double")
+        )
+        .filter(F.col("qty") > F.lit(0.4) * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        # dominant is bounded by |suppliers| — broadcast the semi-join
+        # build side so the supplier dim never shuffles
+        s.join(F.broadcast(dominant), s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who alone held up multi-supplier orders.
+    "Late" = shipped >60 days after the order date (no receipt/commit
+    dates in the fixture) on a finished ('F') order.
+
+    The textbook EXISTS / NOT-EXISTS pair (another supplier exists in
+    the order; no OTHER supplier was late) is algebraically the per-order
+    predicate: #distinct suppliers >= 2 AND #distinct late suppliers = 1
+    — computed as ONE aggregation over the order, replacing two
+    self-joins of lineitem with a single shuffle.  The oracle states the
+    EXISTS form; results are identical."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    flagged = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late", F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY")
+    )
+    order_stats = flagged.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    return (
+        flagged.filter(F.col("is_late"))
+        .join(
+            order_stats.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+            ),
+            F.col("l_orderkey") == F.col("os_orderkey"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q11_important_stock": q11_important_stock,
+    "q12_late_shipment_priority": q12_late_shipment_priority,
+    "q13_customer_order_distribution": q13_customer_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_part_count": q16_supplier_part_count,
+    "q20_dominant_part_suppliers": q20_dominant_part_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -342,6 +608,157 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q2_min_cost_supplier": """
+        WITH supply AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), eu AS (
+            SELECT supply.*, s_acctbal, s_name, n_name
+            FROM supply
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               ROUND(unit_cost, 6) AS unit_cost
+        FROM eu
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 15
+          AND unit_cost = (SELECT MIN(e2.unit_cost) FROM eu e2
+                           WHERE e2.l_partkey = eu.l_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "q9_product_type_profit": f"""
+        SELECT n_name AS nation,
+               CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             - 0.1 * p_retailprice * l_quantity AS {DEC}))
+                    AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%bolt%'
+        GROUP BY n_name, YEAR(o_orderdate)
+        ORDER BY nation, o_year DESC
+    """,
+    "q11_important_stock": f"""
+        WITH base AS (
+            SELECT l_partkey, l_extendedprice * (1 - l_discount) AS value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+        )
+        SELECT l_partkey,
+               CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS part_value
+        FROM base
+        GROUP BY l_partkey
+        HAVING CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) >
+               0.0005 * (SELECT CAST(SUM(CAST(value AS {DEC})) AS DOUBLE)
+                         FROM base)
+        ORDER BY part_value DESC, l_partkey
+    """,
+    "q12_late_shipment_priority": """
+        SELECT l_linestatus,
+               COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS high_line_count,
+               COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    "q13_customer_order_distribution": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q15_top_supplier": f"""
+        WITH revenue0 AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))
+                        AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, s_acctbal, total_revenue
+        FROM revenue0
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+        ORDER BY s_suppkey
+    """,
+    "q16_supplier_part_count": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "q20_dominant_part_suppliers": f"""
+        WITH shipped AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS qty
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'small%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_partkey, l_suppkey
+        ), tot AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(qty AS {DEC})) AS DOUBLE) AS total_qty
+            FROM shipped GROUP BY l_partkey
+        )
+        SELECT s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (SELECT l_suppkey FROM shipped
+                            JOIN tot USING (l_partkey)
+                            WHERE qty > 0.4 * total_qty)
+        ORDER BY s_name
+    """,
+    "q21_waiting_suppliers": """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
     "q3_shipping_priority": f"""
         SELECT l_orderkey, o_orderdate, o_orderpriority,
                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))

@@ -84,6 +84,29 @@ def test_registry_column_names_unique_and_aliased(spark):
             assert "(" not in c, f"{name}: unaliased column {c}"
 
 
+def test_tpch_completion_plan_budgets(spark):
+    """Shuffle budgets for the q2..q21 completion set: each query's
+    wide-exchange count is pinned at the value the intended plan needs
+    (dims broadcast, exchanges reused where keys align).  A higher count
+    means a broadcast stopped firing or a window/groupBy key drifted off
+    its feeding shuffle."""
+    budgets = {
+        "q2_min_cost_supplier": 3,   # supply agg, window re-key, top-k sort
+        "q9_product_type_profit": 2,   # spine join + agg (dims broadcast)
+        "q11_important_stock": 2,      # part agg + sort
+        "q12_late_shipment_priority": 2,
+        "q13_customer_order_distribution": 3,  # outer join, 2 aggs
+        "q15_top_supplier": 2,
+        "q16_supplier_part_count": 3,  # distinct expand + agg + sort
+        "q20_dominant_part_suppliers": 4,
+        "q21_waiting_suppliers": 4,
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, SF_DIR)
+        n = E.shuffle_count(df)
+        assert n <= budget, f"{name}: {n} shuffles > budget {budget}\n" + E.formatted_plan(df)
+
+
 def test_broadcast_join_is_shuffle_free_on_probe(spark):
     """Broadcast dim join: the fact side must not shuffle before the
     join (only agg/sort exchanges allowed afterwards)."""
