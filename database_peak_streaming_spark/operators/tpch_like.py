@@ -341,21 +341,30 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, "part", sf_dir).filter(
         (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 15)
     )
-    supply = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
-    )
-    eu = (
-        supply.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    # Prune BEFORE aggregating: the part filter and the EU-supplier set
+    # are both broadcastable dims, so they cut the groupBy input at the
+    # scan (at 100 TB this is the difference between aggregating every
+    # (part, supplier) pair and only the filtered family's).  The
+    # correlated MIN is per-part, and both filters are part-/supplier-
+    # level, so pruning first leaves the min unchanged.
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    supply = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(eu_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_acctbal", "s_name", "n_name",
+                 "p_partkey", "p_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy("l_partkey")
     return (
-        eu.withColumn("min_cost", F.min("unit_cost").over(w))
+        supply.withColumn("min_cost", F.min("unit_cost").over(w))
         .filter(F.col("unit_cost") == F.col("min_cost"))
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
             r6(F.col("unit_cost"), "unit_cost"),
@@ -558,22 +567,29 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
     li = load_table(spark, "lineitem", sf_dir)
     s = load_table(spark, "supplier", sf_dir)
+    from pyspark.sql import Window
+
     flagged = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
         "is_late", F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY")
     )
-    order_stats = flagged.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
-    )
+    # Per-order supplier counts as window aggregates over the join's own
+    # orderkey partitioning — the sort-merge join already partitioned
+    # (and sorted) by orderkey, so these add NO exchange, and the
+    # lineitem⋈orders subtree is evaluated once instead of twice
+    # (groupBy + join-back would plan the join under both branches).
+    w = Window.partitionBy("l_orderkey")
     return (
-        flagged.filter(F.col("is_late"))
-        .join(
-            order_stats.filter(
-                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        flagged.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
             ),
-            F.col("l_orderkey") == F.col("os_orderkey"),
+        )
+        .filter(
+            F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
         )
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")

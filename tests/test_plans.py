@@ -91,7 +91,7 @@ def test_tpch_completion_plan_budgets(spark):
     means a broadcast stopped firing or a window/groupBy key drifted off
     its feeding shuffle."""
     budgets = {
-        "q2_min_cost_supplier": 3,   # supply agg, window re-key, top-k sort
+        "q2_min_cost_supplier": 2,   # pruned supply agg + window re-key
         "q9_product_type_profit": 2,   # spine join + agg (dims broadcast)
         "q11_important_stock": 2,      # part agg + sort
         "q12_late_shipment_priority": 2,
@@ -99,7 +99,7 @@ def test_tpch_completion_plan_budgets(spark):
         "q15_top_supplier": 2,
         "q16_supplier_part_count": 3,  # distinct expand + agg + sort
         "q20_dominant_part_suppliers": 4,
-        "q21_waiting_suppliers": 4,
+        "q21_waiting_suppliers": 3,  # spine SMJ feeds the window for free
     }
     for name, budget in budgets.items():
         df = QUERIES[name](spark, SF_DIR)
