@@ -1,0 +1,150 @@
+"""Deterministic sampling / splitting / balancing — the selection ops a
+training-data pipeline runs before anything else touches the corpus
+(BASELINE.json north star; no reference analogue — the reference's only
+selection is the strided downsample at database_peak_streaming.py:52-56,
+generalized here from "every Nth row" to content-keyed selections).
+
+Every op here is DETERMINISTIC BY CONTENT, not by RNG: assignment is a
+pure function of a stable key (modulus or md5), so it is reproducible
+across engines (DuckDB-oracled — md5 is bit-identical everywhere, unlike
+each engine's native hash or sampler), across cluster sizes, and across
+reruns — the property a training pipeline actually needs from a split
+("this doc is ALWAYS in test") that ``df.sample(seed=...)`` cannot give
+across engines or partitionings.
+
+Scale notes: all three ops are embarrassingly parallel — a narrow
+per-row projection (mod / md5) followed by either a pushed-down filter
+(systematic sample), a small-key groupBy (split summary), or a
+per-group top-k window (balancing, one shuffle on the class key, state
+bounded by k per class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from database_peak_streaming_spark.operators.common import dsum
+from database_peak_streaming_spark.sources.batch import load_table
+
+
+def _md5_of(col: str):
+    """Cross-engine stable pseudo-random key: md5 of the decimal string
+    form of an integer key.  Spark md5() takes binary; cast via string so
+    both engines hash the same bytes."""
+    return F.md5(F.col(col).cast("string").cast("binary"))
+
+
+def sample_systematic_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-in-20 systematic sample keyed on the order key.  The modulus
+    predicate is a row-local projection — no shuffle, no state, and the
+    sample of a 100 TB table is a single filtered scan.  Keying on
+    l_orderkey (not row position) keeps whole orders together: every
+    lineitem of a sampled order is sampled, which is what a pipeline
+    sampling *entities* (not rows) wants."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def split_train_test_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/test split of the document corpus: a doc lands in
+    'test' iff the first hex digit of md5(doc_id) is 0 or 1 (expected
+    2/16 = 12.5%).  Content-keyed, so the assignment survives re-sharding,
+    re-ingestion, and engine changes — no leakage drift between runs.
+    Returns the per-doc assignment (the artifact downstream jobs join
+    against)."""
+    d = load_table(spark, "documents", sf_dir)
+    split = F.when(
+        F.substring(_md5_of("doc_id"), 1, 1).isin("0", "1"), F.lit("test")
+    ).otherwise(F.lit("train"))
+    return (
+        d.select("doc_id", split.alias("split"), "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def split_summary_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate view of the md5 split: doc counts and char volume per
+    (split, lang) — the sanity check a pipeline materializes next to the
+    split itself (class balance across the cut).  Small-key groupBy: one
+    shuffle over at most |splits| x |langs| groups."""
+    assigned = split_train_test_md5(spark, sf_dir)
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def balance_by_class_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class balancing: keep exactly 50 customers per market segment,
+    chosen by md5 order (deterministic pseudo-random, unbiased w.r.t.
+    any business attribute) with the key as tie-break.  One shuffle on
+    the class key; the rank-then-filter window keeps O(k) rows per class
+    regardless of skew — downsampling a dominant class at 100 TB costs
+    the same shuffle as a balanced one."""
+    c = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(_md5_of("c_custkey"), "c_custkey")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("c_mktsegment", "c_custkey", "rn")
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+QUERIES = {
+    "sample_systematic_mod": sample_systematic_mod,
+    "split_train_test_md5": split_train_test_md5,
+    "split_summary_md5": split_summary_md5,
+    "balance_by_class_topk": balance_by_class_topk,
+}
+
+ORACLE_SQL = {
+    "sample_systematic_mod": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_orderkey % 20 = 0
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "split_train_test_md5": """
+        SELECT doc_id,
+               CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                    THEN 'test' ELSE 'train' END AS split,
+               lang, n_chars
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "split_summary_md5": """
+        SELECT CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                    THEN 'test' ELSE 'train' END AS split,
+               lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY split, lang
+    """,
+    "balance_by_class_topk": """
+        SELECT c_mktsegment, c_custkey, rn
+        FROM (
+            SELECT c_mktsegment, c_custkey,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY MD5(CAST(c_custkey AS VARCHAR)), c_custkey
+                   ) AS INTEGER) AS rn
+            FROM customer
+        )
+        WHERE rn <= 50
+        ORDER BY c_mktsegment, rn
+    """,
+}

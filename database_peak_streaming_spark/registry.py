@@ -16,6 +16,7 @@ from database_peak_streaming_spark.operators import (
     dedup,
     joins,
     pivots,
+    sampling,
     scalars,
     scans,
     similarity,
@@ -44,6 +45,7 @@ _MODULES = [
     similarity,
     udf_queries,
     storage,
+    sampling,
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

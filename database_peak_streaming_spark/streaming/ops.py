@@ -31,6 +31,38 @@ def stream_static_join(stream: DataFrame, dim: DataFrame, on: list[str]) -> Data
     return stream.join(F.broadcast(dim), on=on, how="inner")
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_l: str,
+    key_r: str,
+    ts_l: str,
+    ts_r: str,
+    delay: str,
+    upper: str,
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound
+    (attribution shape: right-side events within ``upper`` after a
+    left-side event for the same key).
+
+    Both sides carry watermarks and the join condition carries a
+    two-sided time-range, which is what lets the incremental planner
+    EVICT buffered rows: left state is held for ``delay`` + ``upper``,
+    right state for ``delay`` — without the range the state would grow
+    unboundedly.  Physically both streams shuffle on the equality key,
+    so the 100 TB/day story is the same hash-partitioned join as batch,
+    just with watermark-bounded buffers instead of full materialization.
+    """
+    lw = left.withWatermark(ts_l, delay)
+    rw = right.withWatermark(ts_r, delay)
+    cond = (
+        (F.col(key_l) == F.col(key_r))
+        & (F.col(ts_r) >= F.col(ts_l))
+        & (F.col(ts_r) <= F.col(ts_l) + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def tumbling_counts(
     stream: DataFrame, ts_col: str, length: str, delay: str
 ) -> DataFrame:

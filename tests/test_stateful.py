@@ -49,7 +49,9 @@ def test_stateful_minute_first_matches_batch(spark, tmpdir_):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # generous bound: under full-suite CPU contention the stateful
+        # exchange can take >120s wall even though it always completes
+        q.awaitTermination(420)
         assert not q.isActive
     finally:
         cleanup_replay(replay_dir)

@@ -345,3 +345,61 @@ def test_session_counts_stream_matches_batch(spark, tmpdir_):
     )
     batch_d = {(r.user_id, r.session_start): r.n_events for r in batch}
     assert got_d == batch_d
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmpdir_):
+    """Stream-stream attribution join (click -> purchase within 30 min,
+    same user) equals the identical interval join run as a batch query.
+    Both sides are independent file-replay streams; AvailableNow drains
+    them to completion so no pair is lost to an unadvanced watermark."""
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.ops import (
+        stream_stream_interval_join,
+    )
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+
+    ev = load_table(spark, "events", SF_DIR)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cs, c_dir = replay_dataframe(spark, clicks, n_chunks=3, order_col="click_ts")
+    ps, p_dir = replay_dataframe(spark, purchases, n_chunks=3, order_col="purchase_ts")
+    try:
+        got = _collect_stream(
+            spark,
+            stream_stream_interval_join(
+                cs, ps, "click_user", "purchase_user",
+                "click_ts", "purchase_ts", "2 hours", "30 MINUTES",
+            ),
+            f"{tmpdir_}/ckpt",
+            timeout_s=180,
+        )
+    finally:
+        cleanup_replay(c_dir)
+        cleanup_replay(p_dir)
+
+    batch = (
+        clicks.join(
+            purchases,
+            (F.col("click_user") == F.col("purchase_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "inner",
+        )
+        .select("click_id", "purchase_id")
+        .collect()
+    )
+    got_pairs = sorted((r.click_id, r.purchase_id) for r in got)
+    batch_pairs = sorted((r.click_id, r.purchase_id) for r in batch)
+    assert len(batch_pairs) > 0
+    assert got_pairs == batch_pairs
