@@ -85,6 +85,36 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch) over the near-unique
+    price column — the bounded-memory companion to ``agg_stats``'s exact
+    percentiles: sketch state is O(accuracy) per group regardless of
+    cardinality, and one pass replaces the value-count map.
+
+    Oracle-comparable because the sketch's rank error is <= rows/accuracy
+    < 1 rank at fixture scale, making it rank-EXACT and equal to DuckDB
+    ``quantile_disc`` (both return an actual data value at the rank, not
+    an interpolation).  At 100 TB you dial accuracy down and accept the
+    documented rank error — the operator's contract is the error bound,
+    not exactness."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.25, 0.5, 0.9], 1_000_000
+            ).alias("_p")
+        )
+        .select(
+            "l_returnflag",
+            F.col("_p")[0].alias("p25_price"),
+            F.col("_p")[1].alias("median_price"),
+            F.col("_p")[2].alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: stddev/variance/exact percentile/median.
 
@@ -178,6 +208,7 @@ QUERIES = {
     "agg_global_no_group": agg_global_no_group,
     "agg_count_distinct": agg_count_distinct,
     "agg_approx_distinct": agg_approx_distinct,
+    "agg_approx_percentile": agg_approx_percentile,
     "agg_stats": agg_stats,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
@@ -223,6 +254,13 @@ ORACLE_SQL = {
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
     """,
     # agg_approx_distinct: intentionally no oracle (sketch estimate).
+    "agg_approx_percentile": """
+        SELECT l_returnflag,
+               quantile_disc(l_extendedprice, 0.25) AS p25_price,
+               quantile_disc(l_extendedprice, 0.5) AS median_price,
+               quantile_disc(l_extendedprice, 0.9) AS p90_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     "agg_stats": """
         SELECT l_linestatus,
                ROUND(STDDEV_SAMP(l_extendedprice), 6) AS std_price,
