@@ -109,6 +109,66 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clustering: connected components over the exact
+    n-gram Jaccard pair graph (the closure ``dedup_minhash_keepers``'s
+    greedy rule approximates — a~b~c with a!~c lands in ONE cluster
+    here).  Returns every doc's cluster id = the minimum doc_id reachable
+    through near-dup pairs (singletons keep their own id); keepers are
+    the rows where doc_id = cluster_id.
+
+    Algorithm: hash-min label propagation — iteratively replace each
+    label with the min over self + neighbors until fixpoint.  Each
+    iteration is one equi-join + small-key groupBy (both shuffle on
+    doc id); iteration count is the component diameter, which for dup
+    clusters is small (they are near-cliques).  This is the standard
+    Pregel-style CC on Spark without GraphX — driver code only checks a
+    per-iteration convergence count, all data stays distributed.
+    Labels persist per iteration to truncate lineage; at 100 TB swap
+    persist for localCheckpoint so the plan tree stays bounded.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    d = load_table(spark, "documents", sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(64):  # >= any dup-cluster diameter; fixpoint breaks out
+        nb_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels.doc_id == nb_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("nb_min", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover - 64 iterations without fixpoint
+        raise RuntimeError("connected components did not converge")
+    edges.unpersist()
+    return labels.orderBy("doc_id")
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature: sig[i] = min over the doc's distinct
     token set of xxhash64(token, i).  One scan, k hash evaluations per
@@ -354,6 +414,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters_cc": dedup_clusters_cc,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_keepers": dedup_minhash_keepers,
     "dedup_simhash": dedup_simhash,
@@ -401,4 +462,28 @@ ORACLE_SQL = {
     """,
     # dedup_minhash_lsh, dedup_simhash: hash-permutation-dependent —
     # rows-only driver check; recall/structure asserted in tests.
+    "dedup_clusters_cc": f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, source, lang,
+                   LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks
+            FROM documents),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM t a JOIN t b
+              ON a.source = b.source AND a.lang = b.lang
+             AND a.doc_id < b.doc_id
+            WHERE CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+                  / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks)))
+                  >= {JACCARD_THRESHOLD}),
+        edges AS (
+            SELECT doc_a AS es, doc_b AS et FROM pairs
+            UNION ALL
+            SELECT doc_b AS es, doc_a AS et FROM pairs),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.et FROM reach r JOIN edges e ON r.dst = e.es)
+        SELECT src AS doc_id, MIN(dst) AS cluster_id
+        FROM reach GROUP BY src ORDER BY doc_id
+    """,
 }

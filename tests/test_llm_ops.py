@@ -101,3 +101,36 @@ def test_ann_is_subset_of_bruteforce_corpus(spark):
     for r in ann:
         if (r.q_id, r.vec_id) in brute:
             assert abs(brute[(r.q_id, r.vec_id)] - r.cosine) < 1e-9
+
+
+def test_dedup_clusters_cc_matches_union_find(spark):
+    """The distributed hash-min label propagation must equal a
+    single-node union-find over the same pair graph — an oracle
+    independent of both Spark and DuckDB."""
+    from database_peak_streaming_spark.operators.dedup import (
+        dedup_clusters_cc,
+        dedup_ngram_jaccard,
+    )
+
+    pairs = dedup_ngram_jaccard(spark, SF_DIR).select("doc_a", "doc_b").collect()
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    docs = [r.doc_id for r in load_table(spark, "documents", SF_DIR).select("doc_id").collect()]
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r.doc_a), find(r.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {d: find(d) for d in docs}
+    # canonicalize to min-of-component (find() already returns the min
+    # root because unions always point the larger root at the smaller)
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters_cc(spark, SF_DIR).collect()}
+    assert got == expect
+    assert any(v != k for k, v in got.items())  # fixture has real dup groups
