@@ -110,7 +110,50 @@ def window_stride_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resample_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample with last-observation-carried-forward: a
+    sparse event series (errors from a user cohort, ~0.4/hour at sf0.01)
+    re-gridded onto a complete hourly axis, gaps filled with the last
+    seen hourly average (leading gaps stay NULL, flagged).
+
+    The downsample ops (A4) assume every bucket has data; real sensor
+    feeds drop scans, and the analysis side (`analyze_data.py:66-82`
+    plots assume contiguous series) needs the holes closed.  The axis is
+    `sequence()` + explode — generated, not stored.  The LOCF window
+    here is a single global series (720 rows — driver-trivial); with a
+    per-sensor key the same window partitions by that key and
+    distributes: state is one value per partition, the scan stays
+    parallel."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("event_type") == "error") & (F.col("user_id") % 7 == 0)
+    )
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        davg("value", "avg_value")
+    )
+    axis = spark.sql(
+        """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+                                   timestamp'2024-01-30 23:00:00',
+                                   interval 1 hour)) AS hour"""
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        axis.join(hourly, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce(
+                F.col("avg_value"),
+                F.last("avg_value", ignorenulls=True).over(w),
+            ).alias("filled_value"),
+            F.col("avg_value").isNull().alias("was_gap"),
+        )
+        .orderBy("hour")
+    )
+
+
 QUERIES = {
+    "resample_gap_fill_locf": resample_gap_fill_locf,
     "window_tumbling_1h": window_tumbling_1h,
     "window_sliding_1h_30m": window_sliding_1h_30m,
     "window_session_30m": window_session_30m,
@@ -121,6 +164,28 @@ QUERIES = {
 _DEC = "DECIMAL(28,6)"
 
 ORACLE_SQL = {
+    "resample_gap_fill_locf": """
+        WITH axis AS (
+            SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                          TIMESTAMP '2024-01-30 23:00:00',
+                                          INTERVAL 1 HOUR)) AS hour
+        ), hourly AS (
+            SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM events
+            WHERE event_type = 'error' AND user_id % 7 = 0
+            GROUP BY 1
+        )
+        SELECT a.hour,
+               COALESCE(h.avg_value,
+                        LAST_VALUE(h.avg_value IGNORE NULLS) OVER (
+                            ORDER BY a.hour
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        )) AS filled_value,
+               h.avg_value IS NULL AS was_gap
+        FROM axis a LEFT JOIN hourly h ON a.hour = h.hour
+        ORDER BY a.hour
+    """,
     "window_tumbling_1h": f"""
         SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS window_start, event_type,
                COUNT(*) AS n,
