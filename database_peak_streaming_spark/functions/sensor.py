@@ -136,3 +136,57 @@ def temperature(
 def strain(total: Column, temp: Column) -> Column:
     """``strain = total_strain - temperature`` (analyze_data.py:41)."""
     return total - temp
+
+
+def gap_fill_locf(
+    df,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+):
+    """Per-key regular-grid resample with last-observation-carried-forward
+    (the distributed form of ``resample_gap_fill_locf``): each key's
+    series is re-gridded onto its own [min(ts), max(ts)] axis at ``step``
+    and holes take the last seen value.
+
+    Axis generation is ``sequence()`` per key (no stored calendar table);
+    the LOCF window partitions by ``key`` so fills never cross series and
+    the work distributes — one shuffle on the key, running state is a
+    single value per series.  Buckets before a key's first observation
+    do not exist by construction (the axis starts at the key's min).
+    """
+    from pyspark.sql import DataFrame, Window
+
+    assert isinstance(df, DataFrame)
+    bucketed = (
+        df.select(key, F.date_trunc("hour", F.col(ts_col)).alias("bucket"), value_col)
+        .groupBy(key, "bucket")
+        .agg(F.avg(value_col).alias("_v"))
+    )
+    axis = (
+        bucketed.groupBy(key)
+        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+        .select(
+            key,
+            F.explode(
+                F.expr(f"sequence(_lo, _hi, interval {step})")
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        axis.join(bucketed, [key, "bucket"], "left")
+        .select(
+            key,
+            "bucket",
+            F.coalesce(F.col("_v"), F.last("_v", ignorenulls=True).over(w)).alias(
+                "filled_value"
+            ),
+            F.col("_v").isNull().alias("was_gap"),
+        )
+    )

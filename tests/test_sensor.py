@@ -92,3 +92,32 @@ def test_strain_temperature_formulas(spark):
     assert abs(row.total_strain - exp_total) < 1e-9
     assert abs(row.temperature - exp_temp) < 1e-9
     assert abs(row.strain - (exp_total - exp_temp)) < 1e-9
+
+
+def test_gap_fill_locf_matches_pandas_ffill(spark):
+    """Per-key LOCF gap fill equals pandas resample('1h').mean().ffill()
+    per key — fills never leak across keys."""
+    import pandas as pd
+
+    from database_peak_streaming_spark.functions.sensor import gap_fill_locf
+    from database_peak_streaming_spark.sources.batch import load_table
+    from tests.conftest import SF_DIR
+
+    ev = (
+        load_table(spark, "events", SF_DIR)
+        .filter((F.col("event_type") == "error") & (F.col("user_id") % 31 == 0))
+        .select((F.col("user_id") % 3).alias("series"), "ts", "value")
+    )
+    got = gap_fill_locf(ev, "series", "ts", "value").toPandas()
+    pdf = ev.toPandas()
+    assert got["was_gap"].any()  # the cohort is sparse enough to have holes
+    for s, grp in pdf.groupby("series"):
+        expect = (
+            grp.set_index("ts")["value"]
+            .resample("1h")
+            .mean()
+            .ffill()
+        )
+        g = got[got.series == s].set_index("bucket").sort_index()
+        assert len(g) == len(expect)
+        assert (g["filled_value"].round(9) == expect.round(9)).all()
