@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from database_peak_streaming_spark.operators import (
     aggregates,
     arrays_json,
+    curation,
     dedup,
     joins,
     pivots,
@@ -46,6 +47,7 @@ _MODULES = [
     udf_queries,
     storage,
     sampling,
+    curation,
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
