@@ -81,6 +81,34 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe-evaluation scalar pack: ``try_divide`` / ``try_cast`` /
+    ``try_element_at`` return NULL where ANSI mode (Spark 4 default)
+    would raise — division by zero, unparseable cast, out-of-bounds
+    index.  The null-not-fail contract is what lets a 100 TB batch job
+    survive the one malformed row in shard 9,000 instead of dying at
+    98%; the oracle uses DuckDB's equivalents (x/0 -> NULL, TRY_CAST,
+    out-of-bounds list index -> NULL)."""
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") < 200)
+    mixed = F.when(
+        F.col("l_linenumber") % 2 == 0, F.col("l_orderkey").cast("string")
+    ).otherwise(F.col("l_returnflag"))
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") % 3), 6
+            ).alias("safe_div"),
+            F.try_element_at(
+                F.array(F.col("l_quantity")), F.col("l_linenumber")
+            ).alias("maybe_qty"),
+            mixed.try_cast("int").alias("parsed"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
 def cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN / coalesce / nullif / explicit casts."""
     o = load_table(spark, "orders", sf_dir)
@@ -145,6 +173,7 @@ QUERIES = {
     "date_funcs_extra": date_funcs_extra,
     "math_funcs": math_funcs,
     "cond_funcs": cond_funcs,
+    "try_funcs": try_funcs,
 }
 
 ORACLE_SQL = {
@@ -210,6 +239,17 @@ ORACLE_SQL = {
                LAST_DAY(o_orderdate) AS month_end,
                CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3mo
         FROM orders ORDER BY o_orderkey
+    """,
+    "try_funcs": """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_extendedprice / (l_linenumber % 3), 6) AS safe_div,
+               ([l_quantity])[l_linenumber] AS maybe_qty,
+               TRY_CAST(CASE WHEN l_linenumber % 2 = 0
+                             THEN CAST(l_orderkey AS VARCHAR)
+                             ELSE l_returnflag END AS INTEGER) AS parsed
+        FROM lineitem
+        WHERE l_orderkey < 200
+        ORDER BY l_orderkey, l_linenumber
     """,
     "cond_funcs": """
         SELECT o_orderkey,
