@@ -116,8 +116,34 @@ def sql_api_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_api_cte_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-dialect breadth: CTE + LATERAL VIEW explode + two-level
+    aggregation through the SQL-string surface — the HiveQL-style
+    row-generator syntax a SQL-first user reaches for (the DataFrame
+    twin is ``array_explode_pos``).  Explode fans out rows inside one
+    codegen stage; only the per-doc aggregate shuffles."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents_sql")
+    return spark.sql(
+        """
+        WITH toks AS (
+            SELECT doc_id, tok
+            FROM documents_sql
+            LATERAL VIEW explode(split(text, ' ')) t AS tok
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_tok,
+               COUNT(DISTINCT tok) AS n_distinct
+        FROM toks
+        GROUP BY doc_id
+        ORDER BY doc_id
+        LIMIT 100
+        """
+    )
+
+
 QUERIES = {
     "csv_roundtrip": csv_roundtrip,
+    "sql_api_cte_lateral": sql_api_cte_lateral,
     "jsonl_roundtrip": jsonl_roundtrip,
     "grouping_sets_explicit": grouping_sets_explicit,
     "map_funcs": map_funcs,
@@ -125,6 +151,19 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "sql_api_cte_lateral": """
+        WITH toks AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_tok,
+               COUNT(DISTINCT tok) AS n_distinct
+        FROM toks
+        GROUP BY doc_id
+        ORDER BY doc_id
+        LIMIT 100
+    """,
     "csv_roundtrip": """
         SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
