@@ -160,6 +160,7 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
+        labels.unpersist()  # previous iteration's cache is dead (no-op on iter 0)
         labels = new_labels
         if changed == 0:
             break
