@@ -107,6 +107,25 @@ def test_tpch_completion_plan_budgets(spark):
         assert n <= budget, f"{name}: {n} shuffles > budget {budget}\n" + E.formatted_plan(df)
 
 
+def test_pipeline_ops_plan_budgets(spark):
+    """Sampling/splitting/scalar pipeline ops are narrow by design: a
+    selection or projection plus at most (small-key agg | per-class
+    window) and the output sort."""
+    budgets = {
+        "sample_systematic_mod": 1,      # filter is row-local; sort only
+        "split_train_test_md5": 1,       # projection; sort only
+        "split_summary_md5": 2,          # small-key agg + sort
+        "balance_by_class_topk": 2,      # class-key window + sort
+        "try_funcs": 1,                  # row-local; sort only
+        "sql_api_cte_lateral": 2,        # per-doc agg (+distinct) + sort
+        "resample_gap_fill_locf": 2,     # hourly agg + axis join/sort
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, SF_DIR)
+        n = E.shuffle_count(df)
+        assert n <= budget, f"{name}: {n} shuffles > budget {budget}\n" + E.formatted_plan(df)
+
+
 def test_broadcast_join_is_shuffle_free_on_probe(spark):
     """Broadcast dim join: the fact side must not shuffle before the
     join (only agg/sort exchanges allowed afterwards)."""
