@@ -403,3 +403,55 @@ def test_stream_stream_interval_join_matches_batch(spark, tmpdir_):
     batch_pairs = sorted((r.click_id, r.purchase_id) for r in batch)
     assert len(batch_pairs) > 0
     assert got_pairs == batch_pairs
+
+
+def test_update_mode_emits_revisions_and_converges(spark, tmpdir_):
+    """outputMode('update') re-emits a window's row each time a later
+    chunk revises it; the LAST emission per window must equal the batch
+    aggregate (append mode only emits after the watermark closes a
+    window — update mode is the low-latency path that shows revisions)."""
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.ops import tumbling_counts
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+
+    ev = load_table(spark, "events", SF_DIR).select("event_id", "ts", "value").limit(600)
+    # order by event_id, NOT ts: chunks interleave event times, so later
+    # chunks revise windows already emitted — exercising update semantics
+    stream, replay_dir = replay_dataframe(spark, ev, n_chunks=4, order_col="event_id")
+    emissions = []
+
+    def sink(batch_df, epoch):
+        emissions.extend((epoch, r) for r in batch_df.collect())
+
+    try:
+        q = (
+            tumbling_counts(stream, "ts", "1 hour", "30 days")
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", f"{tmpdir_}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert not q.isActive
+    finally:
+        cleanup_replay(replay_dir)
+
+    last = {}
+    for epoch, r in emissions:
+        last[r.window_start] = (r.n, r.sum_value)
+    batch = {
+        r.window_start: (r.n, r.sum_value)
+        for r in (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+            .collect()
+        )
+    }
+    assert {k: v[0] for k, v in last.items()} == {k: v[0] for k, v in batch.items()}
+    # at least one window was revised across epochs (update mode observable)
+    assert len(emissions) > len(batch)
