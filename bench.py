@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_minhash_keepers",
     "cosine_topk_bruteforce",
     "text_quality_score",
+    "curate_corpus_pipeline",
     # python-kernel path
     "udf_zscore_by_segment",
 ]

@@ -124,8 +124,12 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters is small (they are near-cliques).  This is the standard
     Pregel-style CC on Spark without GraphX — driver code only checks a
     per-iteration convergence count, all data stays distributed.
-    Labels persist per iteration to truncate lineage; at 100 TB swap
-    persist for localCheckpoint so the plan tree stays bounded.
+    Labels are eagerly localCheckpoint-ed each iteration: this TRUNCATES
+    lineage, which a plain persist() does not — with persist alone, an
+    evicted cache block recomputes through every prior iteration
+    (including pair generation), turning eviction into quadratic
+    recompute.  On a cluster with executor loss in scope, swap
+    localCheckpoint for reliable checkpoint(dir); same contract.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     d = load_table(spark, "documents", sf_dir)
@@ -152,7 +156,7 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("nb_min", F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint(eager=True)  # materialize + cut lineage
         )
         changed = (
             new_labels.alias("n")
@@ -160,7 +164,6 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
-        labels.unpersist()  # previous iteration's cache is dead (no-op on iter 0)
         labels = new_labels
         if changed == 0:
             break
