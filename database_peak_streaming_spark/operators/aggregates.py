@@ -75,12 +75,31 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++).  The scale path: one pass, no
-    expand, fixed-size sketch state per group.  No oracle — sketch
-    estimates are engine-specific (driver records rows-only)."""
+    expand, fixed-size sketch state per group.
+
+    The sketch estimate itself is engine-specific, so the oracle-checkable
+    contract is the operator's actual guarantee: the relative error bound.
+    Emits the exact count (engine-independent) plus ``within_rel_err`` =
+    |approx - exact| / exact <= 0.05 (HLL++ is configured at rsd=0.02, so
+    0.05 is 2.5 sigma of headroom); the oracle emits the exact count and
+    TRUE.  At 100 TB you keep only the approx side — the exact column here
+    exists to make the error bound checkable."""
     li = load_table(spark, "lineitem", sf_dir)
     return (
         li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("_approx"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("_approx") - F.col("exact_orders"))
+                / F.col("exact_orders")
+                <= 0.05
+            ).alias("within_rel_err"),
+        )
         .orderBy("l_returnflag")
     )
 
@@ -253,7 +272,14 @@ ORACLE_SQL = {
                ROUND(COVAR_POP(l_extendedprice, l_quantity), 6) AS covp_pq
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
     """,
-    # agg_approx_distinct: intentionally no oracle (sketch estimate).
+    # agg_approx_distinct: the sketch estimate is engine-specific, so the
+    # oracle checks the contract instead — exact count + error bound holds.
+    "agg_approx_distinct": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS exact_orders,
+               TRUE AS within_rel_err
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     "agg_approx_percentile": """
         SELECT l_returnflag,
                quantile_disc(l_extendedprice, 0.25) AS p25_price,

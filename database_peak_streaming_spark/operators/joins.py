@@ -165,27 +165,43 @@ def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     same user at or before the purchase time (SURVEY.md §2B as-of row —
     the time-series join the reference's domain implies).
 
-    Implementation: range join on (user_id, ts<=) then max() per purchase
-    — semantically the classic as-of.  At scale: partition both sides by
-    user_id (shuffle once), and bound the range with a time horizon so
-    the per-key fan-out stays O(events-in-horizon).
+    Implementation: union both sides and take ``last(click_ts, ignorenulls)``
+    over (partition by user_id, order by ts with clicks sorting before
+    purchases on ties).  This is the merge-sorted as-of: ONE shuffle on
+    user_id, O(events) total work, and — unlike the naive range-join +
+    max() formulation — no per-purchase fan-out over every earlier click
+    by the same user (a heavy user with k clicks costs k rows here, not
+    k x purchases rows).  The window's running state is a single value
+    per user, so skewed users cost a sort, never a blowup.
     """
+    from pyspark.sql import Window
+
     ev = load_table(spark, "events", sf_dir)
+    ts_type = ev.schema["ts"].dataType
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id"), F.col("user_id"), F.col("ts")
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast(ts_type).alias("click_ts"),
+        F.lit(1).alias("is_purchase"),
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+        F.lit(None).cast(ev.schema["event_id"].dataType).alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("is_purchase"),  # click at ts == purchase ts counts
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        purchases.join(
-            clicks,
-            (purchases.user_id == clicks.c_user_id)
-            & (clicks.click_ts <= purchases.ts),
-            "left",
-        )
-        .groupBy("event_id", "user_id", "ts")
-        .agg(F.max("click_ts").alias("last_click_ts"))
+        purchases.unionByName(clicks)
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .select("event_id", "user_id", "ts", "last_click_ts")
         .orderBy("event_id")
     )
 
