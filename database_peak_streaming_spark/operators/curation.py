@@ -7,10 +7,12 @@ prunes before dedup's joins and nothing materializes between stages).
 
 Scale shape: quality scoring is a narrow projection (codegen, no
 shuffle); clustering is the CC fixpoint (operators/dedup.py) whose pair
-graph comes from block-bounded joins; keeper election is one window over
-cluster_id; split + summary is a small-key groupBy.  On 100 TB the
-expensive stage is pair generation — already LSH/block-bounded — and
-everything downstream touches only the surviving rows.
+graph comes from the lossless prefix-filter candidate equi-join (narrow
+token/id keys, sub-quadratic — never a block-quadratic self-join);
+keeper election is one window over cluster_id; split + summary is a
+small-key groupBy.  On 100 TB the expensive stage is pair generation —
+bounded by prefix-bucket occupancy — and everything downstream touches
+only the surviving rows.
 """
 
 from __future__ import annotations

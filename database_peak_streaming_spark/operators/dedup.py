@@ -5,8 +5,16 @@ Scale design (the 100 TB story, per operator):
 
 * exact: hash-groupBy on a 256-bit content hash — one shuffle keyed by
   the hash, perfectly parallel, no skew (hash keys are uniform).
-* n-gram Jaccard: quadratic in the candidate-block size, so candidates
-  are blocked by (source, lang) first — never all-pairs on the corpus.
+* n-gram Jaccard: candidates come from LOSSLESS prefix filtering
+  (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07;
+  Chaudhuri et al. SSJoin): under any global token order, two sets with
+  Jaccard >= t must share a token within each one's first
+  |x| - ceil(t*|x|) + 1 tokens — so candidates are an EQUI-JOIN on
+  (block, prefix-token), never an all-pairs compare.  Tokens are ordered
+  rarest-first (global document frequency) so prefix buckets stay small;
+  the exact Jaccard verify then runs only on candidate pairs.  Identical
+  output to the naive quadratic (the filter is exact), which is why the
+  declarative SQL oracle is unchanged.
 * MinHash-LSH: the sub-quadratic path.  Signatures are k independent
   min-hashes over shingles (pure column expressions, one scan); banding
   turns "similar pairs" into an equi-join on (band_id, band_hash) —
@@ -81,29 +89,76 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prefix_filter_candidates(t: DataFrame, threshold: float) -> DataFrame:
+    """Lossless candidate pairs for Jaccard >= ``threshold`` via prefix
+    filtering (module docstring): equi-join on (source, lang, prefix
+    token), where each doc's prefix is its first
+    ``|toks| - ceil(t*|toks|) + 1`` tokens under the global
+    (document-frequency asc, token asc) total order.
+
+    Completeness: jaccard(A,B) >= t implies |A∩B| >= ceil(t*max(|A|,|B|)),
+    and two sets with that much overlap cannot have disjoint prefixes of
+    those lengths — so every qualifying pair survives; only the candidate
+    COUNT depends on the ordering, which is why rarest-first matters (the
+    prefix of every doc then holds its most selective tokens and bucket
+    occupancy stays near-uniform instead of piling onto stopwords).
+
+    Shuffle ledger at scale: explode (none) -> df join (on token) ->
+    per-doc rank (on doc_id) -> candidate equi-join (on block+token) ->
+    distinct.  All keys are narrow (token/id); documents themselves never
+    shuffle.  O(sum of bucket^2) compare work replaces O(block^2).
+    """
+    from pyspark.sql import Window
+
+    tok = t.select("doc_id", "source", "lang", F.size("toks").alias("sz"),
+                   F.explode("toks").alias("tok"))
+    df_freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
+    pref = (
+        tok.join(df_freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= plen)
+        .select("doc_id", "source", "lang", "sz", "tok")
+    )
+    # Length filter (also lossless): jaccard >= t forces t*|B| <= |A| —
+    # a free conjunct on the already-carried sizes.
+    return (
+        pref.alias("pa")
+        .join(
+            pref.alias("pb"),
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.source") == F.col("pb.source"))
+            & (F.col("pa.lang") == F.col("pb.lang"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (F.col("pa.sz") >= F.lit(threshold) * F.col("pb.sz"))
+            & (F.col("pb.sz") >= F.lit(threshold) * F.col("pa.sz")),
+        )
+        .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact token-set Jaccard within (source, lang)
-    blocks.  The block join is an equi-join (shuffles once on the block
-    key); the quadratic compare is confined to each block."""
+    blocks.  Candidates come from the lossless prefix filter
+    (``_prefix_filter_candidates``) — an equi-join on (block, prefix
+    token) — then exact Jaccard verifies each candidate.  Same output as
+    the naive block-quadratic self-join (the filter admits every
+    qualifying pair), but compare volume is driven by prefix-bucket
+    occupancy, not block size squared."""
     d = load_table(spark, "documents", sf_dir)
     t = d.select("doc_id", "source", "lang", _distinct_tokens().alias("toks"))
-    a = t.alias("a")
-    b = t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    cand = _prefix_filter_candidates(t, JACCARD_THRESHOLD)
+    # |A ∪ B| = |A| + |B| - |A ∩ B|: one array traversal per pair, no
+    # allocated union array.
+    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+    union = F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
     jac = inter.cast("double") / union
     return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
-        )
+        cand.join(t.alias("ta"), cand.doc_a == F.col("ta.doc_id"))
+        .join(t.alias("tb"), cand.doc_b == F.col("tb.doc_id"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
@@ -116,6 +171,17 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     here).  Returns every doc's cluster id = the minimum doc_id reachable
     through near-dup pairs (singletons keep their own id); keepers are
     the rows where doc_id = cluster_id.
+
+    Edge source: ``dedup_ngram_jaccard``, whose candidates come from the
+    lossless prefix filter — an equi-join on (block, prefix token), NOT a
+    block-quadratic self-join — so the pair stage is sub-quadratic at
+    scale.  Prefix filtering was chosen over banded MinHash-LSH as the
+    CC feed deliberately: it admits EXACTLY the pairs with Jaccard >=
+    threshold (no s-curve recall loss), so the transitive closure — where
+    one missed edge can split a cluster — equals the declarative spec and
+    the recursive-CTE oracle stays the pure definition.  The LSH path
+    (``dedup_minhash_lsh``) remains the probabilistic alternative when
+    approximate recall is an acceptable trade for cheaper candidates.
 
     Algorithm: hash-min label propagation — iteratively replace each
     label with the min over self + neighbors until fixpoint.  Each
@@ -244,9 +310,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = load_table(spark, "documents", sf_dir)
     t = d.select("doc_id", _distinct_tokens().alias("toks"))
-    jac = (
-        F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks"))).cast("double")
-        / F.size(F.array_union(F.col("ta.toks"), F.col("tb.toks")))
+    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+    jac = inter.cast("double") / (
+        F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
     )
     return (
         cand.join(t.alias("ta"), cand.doc_a == F.col("ta.doc_id"))
@@ -307,9 +373,9 @@ def dedup_minhash_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = load_table(spark, "documents", sf_dir)
     t = d.select("doc_id", _distinct_tokens().alias("toks"))
-    jac = (
-        F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks"))).cast("double")
-        / F.size(F.array_union(F.col("ta.toks"), F.col("tb.toks")))
+    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+    jac = inter.cast("double") / (
+        F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
     )
     drops = (
         cand.join(t.alias("ta"), cand.doc_a == F.col("ta.doc_id"))
