@@ -445,31 +445,30 @@ EMB_COS_THRESHOLD = 0.35
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup: drop any vector whose cosine
-    similarity to a lower-id vector of the same label exceeds the
-    threshold (greedy keep-lowest-id, same decision rule as
-    ``dedup_minhash_keepers``).  Label blocking keeps the pairwise stage
-    linear-ish — the scale path swaps the label for an LSH/IVF bucket key
-    (``ann_rp_lsh``) so the quadratic never sees the full corpus.
-    Expressed as a self-join + left-anti join: both shuffle on the block
-    key only, and the anti-join output is O(corpus)."""
-    from database_peak_streaming_spark.operators.similarity import _dot, _norm
+    similarity to a lower-id vector of the same label AND RP-LSH band
+    bucket exceeds the threshold (greedy keep-lowest-id, same decision
+    rule as ``dedup_minhash_keepers``).
+
+    The pairwise stage joins on (label, band signature) — a bounded LSH
+    bucket — never on the raw label, which is NOT a bounded block at
+    corpus scale.  Two 2-plane bands are OR-ed (union of two equi-joins,
+    the LSH OR-construction; see operators/similarity.py RP_BANDS), and
+    the drop set is the distinct union before a left-anti join, so the
+    output stays O(corpus).  The band condition is part of the operator's
+    contract (the oracle applies the identical fixed-plane buckets);
+    recall against the unblocked quadratic is the published sign-LSH
+    s-curve — add planes/bands to trade bucket size against recall."""
+    from database_peak_streaming_spark.operators.similarity import (
+        _banded_pairs,
+        _rp_banded_base,
+    )
 
     e = load_table(spark, "embeddings", sf_dir)
-    base = e.select(
-        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("norm")
-    )
-    a, b = base.alias("a"), base.alias("b")
-    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.norm") * F.col("b.norm")
-    )
+    base = _rp_banded_base(e)
     drops = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(F.round(cos, 6) >= EMB_COS_THRESHOLD)
-        .select(F.col("b.vec_id").alias("vec_id"))
+        _banded_pairs(base, "b1", EMB_COS_THRESHOLD)
+        .unionByName(_banded_pairs(base, "b2", EMB_COS_THRESHOLD))
+        .select(F.col("vec_b").alias("vec_id"))
         .distinct()
     )
     return (
@@ -491,14 +490,24 @@ QUERIES = {
 }
 
 def _emb_dedup_sql() -> str:
-    from database_peak_streaming_spark.operators.similarity import _cos_sql
+    from database_peak_streaming_spark.operators.similarity import (
+        RP_BANDS,
+        _cos_sql,
+        _rp_band_sql,
+    )
 
     return f"""
+        WITH base AS (
+            SELECT vec_id, label, embedding,
+                   {_rp_band_sql('embedding', RP_BANDS[0])} AS b1,
+                   {_rp_band_sql('embedding', RP_BANDS[1])} AS b2
+            FROM embeddings)
         SELECT a.vec_id, a.label
-        FROM embeddings a
+        FROM base a
         WHERE NOT EXISTS (
-            SELECT 1 FROM embeddings b
+            SELECT 1 FROM base b
             WHERE b.label = a.label AND b.vec_id < a.vec_id
+              AND (b.b1 = a.b1 OR b.b2 = a.b2)
               AND ROUND({_cos_sql('b.embedding', 'a.embedding')}, 6)
                   >= {EMB_COS_THRESHOLD})
         ORDER BY a.vec_id
