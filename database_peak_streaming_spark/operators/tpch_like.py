@@ -38,7 +38,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # customer scales with SF: AQE decides
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(_revenue(), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -60,11 +60,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
-        )
+        # customer and supplier scale with SF (15 M / 1 M rows at sf100):
+        # no hint — AQE broadcasts at fixture scale, shuffles at warehouse
+        # scale.  Only the bounded dims (nation 25, region 5) are pinned.
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -143,7 +143,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)  # scales with SF: AQE decides
         .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
         .filter(pair)
@@ -183,7 +183,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("c_nk"))
         .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)  # scales with SF: AQE decides
         .join(F.broadcast(sn), s.s_nationkey == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -198,7 +198,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 shape: percent of 1997 revenue from PROMO parts — conditional
-    aggregation over a broadcast part join, single output row."""
+    aggregation over the part join, single output row.
+
+    Broadcast-hint policy (applies to every query in this module): hints
+    are pinned only on bounded dims (region=5, nation=25 rows at every
+    SF) and on filtered-small build sides; any table that scales with SF
+    (customer, unfiltered supplier/part) is left to AQE, which broadcasts
+    at fixture scale and switches to a shuffle join at warehouse scale —
+    a pinned hint would instead OOM the driver at 100 TB."""
     li = load_table(spark, "lineitem", sf_dir).filter(
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
@@ -209,7 +216,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)  # unfiltered part: AQE decides
         .agg(
             F.round(
                 F.lit(100.0) * promo.cast("double") / F.sum(rev).cast("double"), 6
@@ -248,7 +255,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 shape: customers whose single orders exceed 300 units.  The
     HAVING subquery is a pre-aggregation of lineitem alone — the big
-    table collapses to (orderkey, qty) before any join touches it."""
+    table collapses to (orderkey, qty) before any join touches it.
+
+    No broadcast hint on customer: it scales with SF (15 M rows at
+    sf100), so the join strategy is left to AQE, which broadcasts at
+    fixture scale and shuffles at warehouse scale.  Hints are reserved
+    for tables that stay small under scale-up (region/nation, filtered
+    part/supplier)."""
     li = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir)
     c = load_table(spark, "customer", sf_dir)
@@ -259,7 +272,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         oq.join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
             "total_qty",
@@ -293,7 +306,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)  # unfiltered part: AQE decides
         .filter(cond)
         .agg(dsum(_revenue(), "revenue"), F.count(F.lit(1)).alias("n_rows"))
     )
@@ -390,7 +403,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)  # scales with SF: AQE decides
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -412,7 +425,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, "nation", sf_dir)
     r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
     base = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)  # scales with SF: AQE decides
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -487,7 +500,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = rev.agg(F.max("total_revenue")).first()[0]
     return (
         rev.filter(F.col("total_revenue") == F.lit(max_rev))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)  # scales with SF: AQE decides
         .select("s_suppkey", "s_name", "s_acctbal", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -591,7 +604,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)  # scales with SF: AQE decides
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
