@@ -152,8 +152,55 @@ def resample_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resample_gap_fill_locf_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LOCF: the scale-safe form of ``resample_gap_fill_locf``.
+
+    The single-series variant's window is ``Window.orderBy("hour")`` — a
+    deliberate single-partition scan, fine for one 720-row series and
+    nothing else.  Here the same fill runs per key (error-event cohorts,
+    ``user_id % 5`` as a stand-in sensor id): the generated axis is
+    (cohort x hour), the window partitions by cohort, and the carried
+    state is ONE value per key — so 1 M sensors parallelize across
+    executors while each key's scan stays ordered.  This is the form a
+    100 TB sensor fleet actually runs (functions/sensor.py:gap_fill_locf
+    is the reusable library kernel with the same contract)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_type") == "error")
+    hourly = ev.groupBy(
+        (F.col("user_id") % 5).alias("cohort"),
+        F.date_trunc("hour", "ts").alias("hour"),
+    ).agg(davg("value", "avg_value"))
+    axis_hours = spark.sql(
+        """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+                                   timestamp'2024-01-30 23:00:00',
+                                   interval 1 hour)) AS hour"""
+    )
+    cohorts = spark.range(5).select(F.col("id").alias("cohort"))
+    axis = cohorts.crossJoin(axis_hours)
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        axis.join(hourly, ["cohort", "hour"], "left")
+        .select(
+            "cohort",
+            "hour",
+            F.coalesce(
+                F.col("avg_value"),
+                F.last("avg_value", ignorenulls=True).over(w),
+            ).alias("filled_value"),
+            F.col("avg_value").isNull().alias("was_gap"),
+        )
+        .orderBy("cohort", "hour")
+    )
+
+
 QUERIES = {
     "resample_gap_fill_locf": resample_gap_fill_locf,
+    "resample_gap_fill_locf_per_key": resample_gap_fill_locf_per_key,
     "window_tumbling_1h": window_tumbling_1h,
     "window_sliding_1h_30m": window_sliding_1h_30m,
     "window_session_30m": window_session_30m,
@@ -185,6 +232,33 @@ ORACLE_SQL = {
                h.avg_value IS NULL AS was_gap
         FROM axis a LEFT JOIN hourly h ON a.hour = h.hour
         ORDER BY a.hour
+    """,
+    "resample_gap_fill_locf_per_key": """
+        WITH axis AS (
+            SELECT c.cohort, h.hour
+            FROM (SELECT CAST(UNNEST([0, 1, 2, 3, 4]) AS BIGINT) AS cohort) c
+            CROSS JOIN (
+                SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                              TIMESTAMP '2024-01-30 23:00:00',
+                                              INTERVAL 1 HOUR)) AS hour) h
+        ), hourly AS (
+            SELECT user_id % 5 AS cohort,
+                   CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM events
+            WHERE event_type = 'error'
+            GROUP BY 1, 2
+        )
+        SELECT a.cohort, a.hour,
+               COALESCE(h.avg_value,
+                        LAST_VALUE(h.avg_value IGNORE NULLS) OVER (
+                            PARTITION BY a.cohort ORDER BY a.hour
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        )) AS filled_value,
+               h.avg_value IS NULL AS was_gap
+        FROM axis a LEFT JOIN hourly h
+          ON a.cohort = h.cohort AND a.hour = h.hour
+        ORDER BY a.cohort, a.hour
     """,
     "window_tumbling_1h": f"""
         SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS window_start, event_type,
