@@ -81,6 +81,23 @@ def main() -> None:
         log1p_vec(_F.col("id").cast("double"))
     ).count()
 
+    # Fixed per-query floor: Spark pays ~0.3-0.5 s of JVM scheduling /
+    # AQE replanning / task launch per query on local mode regardless of
+    # data volume — measured here as the min wall time of a trivial
+    # 5-row parquet query through the same path (scan -> plan -> Arrow
+    # collect).  Sub-second fixture queries are dominated by this
+    # constant, so the net (floor-subtracted) ratio is what actually
+    # compares PLANS against the single-node oracle; both raw and net
+    # are reported.
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    floor = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        load_table(spark, "region", sf_dir).select("r_name").toPandas()
+        floor = min(floor, time.perf_counter() - t0)
+    floor = round(floor, 4)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
@@ -137,6 +154,14 @@ def main() -> None:
         out["oracle_total"] = round(oracle_total, 4)
         out["comparable_total"] = round(comparable, 4)
         out["ratio_vs_oracle"] = round(comparable / oracle_total, 2)
+        out["overhead_floor_sec"] = floor
+        net = {
+            n: round(max(timings[n] - floor, 0.0), 4) for n in oracle_timings
+        }
+        comparable_net = sum(net.values())
+        out["queries_net"] = net
+        out["comparable_net_total"] = round(comparable_net, 4)
+        out["ratio_vs_oracle_net"] = round(comparable_net / oracle_total, 2)
 
     # Streaming throughput vs the reference envelope (BASELINE.md: sustain
     # >=10 windows/s, >=1,200 values/s).  Replays the events fixture

@@ -157,9 +157,11 @@ def run_suite(
         df = fn(spark, sf_dir)
         sql = ORACLE_SQL.get(name)
         if sql is None:
+            # rows>0 is a real check: a no-oracle query that regresses
+            # to empty output must FAIL the local gate, not slide by.
             n = df.count()
             results.append(
-                DiffResult(name, n, -1, True, True, df.columns, [])
+                DiffResult(name, n, -1, n > 0, n > 0, df.columns, [])
             )
             continue
         results.append(diff_query(name, df, sql, con))

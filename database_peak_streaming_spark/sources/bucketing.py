@@ -7,7 +7,7 @@ tables hash-clustered into the same bucket count on the join key, so
 every subsequent join plans as a zip of corresponding buckets — at
 100 TB this removes the single largest recurring cost of a star-schema
 workload.  The plan-level effect (SortMergeJoin with no Exchange on
-either side) is asserted in tests/test_bucketing.py.
+either side) is asserted in tests/test_scale_patterns.py.
 """
 
 from __future__ import annotations

@@ -59,10 +59,22 @@ class TieredStore:
         derived for partitioning.
 
         Exactly-once on retry: ``foreachBatch`` is at-least-once — after
-        a crash the same epoch_id can be re-delivered.  A per-epoch
-        commit marker (written AFTER both tier writes) makes re-delivery
-        a no-op, so checkpoint recovery never double-appends.  (The
-        reference's analogue was the SQLite transaction around
+        a crash the same epoch_id can be re-delivered.  Three layers make
+        the retry a no-op end to end:
+
+        * commit marker (written LAST): a fully-committed epoch returns
+          immediately on re-delivery;
+        * idempotent st publish: the epoch is staged into a private
+          ``_epochs/stage_<id>`` dir and published by renaming files into
+          the date partitions under epoch-tagged names
+          (``epoch-<id>-*.parquet``).  A retry first unlinks any files
+          bearing this epoch's tag — so a crash ANYWHERE between staging
+          and marker (including mid-publish) re-delivers into a clean
+          slate instead of double-appending;
+        * idempotent lt fold: minute buckets already in the lt tier are
+          anti-joined away (:meth:`_append_lt`).
+
+        (The reference's analogue was the SQLite transaction around
         ``executemany``, database_peak_streaming.py:60-63 — correct
         single-node, meaningless across restarts since its buffers died
         with the process.)
@@ -77,14 +89,39 @@ class TieredStore:
         # files per epoch — the classic streaming small-file problem.  At
         # cluster scale, repartition to ceil(epoch_bytes / target_file_size)
         # instead of 1.
-        with_date.repartition("date").write.mode("append").partitionBy(
-            "date"
-        ).parquet(self.st_path)
+        sized = with_date.repartition("date")
+        if epoch_id is None:
+            # ad-hoc batch append: no retry semantics requested
+            sized.write.mode("append").partitionBy("date").parquet(self.st_path)
+        else:
+            self._publish_st_epoch(sized, epoch_id)
         self._append_lt(with_date)
         if epoch_id is not None:
             marker = Path(self.root) / "_epochs" / f"{epoch_id}.committed"
             marker.parent.mkdir(parents=True, exist_ok=True)
             marker.touch()
+
+    def _publish_st_epoch(self, sized: DataFrame, epoch_id: int) -> None:
+        """Stage-then-rename st append, idempotent under re-delivery: any
+        partial output of a previous attempt (identified by the epoch tag
+        in the filename) is removed before publishing, and each staged
+        file moves into its partition with an atomic per-file rename.
+        On an object store, swap the rename for a conditional put keyed
+        by the same epoch-tagged name — the tag, not the rename, is what
+        carries the idempotence."""
+        st = Path(self.st_path)
+        if st.exists():
+            for stale in st.glob(f"date=*/epoch-{epoch_id}-*.parquet"):
+                stale.unlink()
+        stage = Path(self.root) / "_epochs" / f"stage_{epoch_id}"
+        if stage.exists():
+            shutil.rmtree(stage)
+        sized.write.mode("overwrite").partitionBy("date").parquet(str(stage))
+        for i, f in enumerate(sorted(stage.glob("date=*/*.parquet"))):
+            dest_dir = st / f.parent.name
+            dest_dir.mkdir(parents=True, exist_ok=True)
+            f.rename(dest_dir / f"epoch-{epoch_id}-{i}.parquet")
+        shutil.rmtree(stage)
 
     def _append_lt(self, batch_df: DataFrame) -> None:
         """Per-minute downsample of the epoch (A4, semantic form): keep
@@ -151,38 +188,71 @@ class TieredStore:
 
     def compact_st(self, target_files_per_date: int = 1) -> dict[str, int]:
         """Rewrite each st date-partition to ``target_files_per_date``
-        files (atomic via temp-dir swap).  Streaming sinks accrete one+
-        file per epoch; at an hourly epoch cadence that is ~8.8k files
-        per partition per year — enough to make scan planning, not IO,
-        the bottleneck.  Run out-of-band (the reference had no analogue:
-        SQLite pages self-compact, distributed object stores do not).
+        files via a crash-safe directory swap.  Streaming sinks accrete
+        one+ file per epoch; at an hourly epoch cadence that is ~8.8k
+        files per partition per year — enough to make scan planning, not
+        IO, the bottleneck.  Run out-of-band (the reference had no
+        analogue: SQLite pages self-compact, distributed object stores
+        do not).
+
+        Swap protocol per partition (old data is never unlinked before
+        the replacement is fully in place):
+
+        1. write compacted files to ``_compact_tmp_<part>``;
+        2. rename the live partition to ``_compact_trash_<part>``;
+        3. rename the tmp dir to the live partition name;
+        4. delete the trash dir.
+
+        A crash leaves either the original partition intact (before 2)
+        or a recoverable trash/tmp pair; :meth:`_recover_compaction`
+        (run first on every call) rolls the swap forward or back.  Spark
+        ignores ``_``-prefixed directories, so readers never see
+        doubled data; between steps 2-3 a concurrent reader can miss the
+        partition, so run compaction against a quiesced sink or behind a
+        table-format commit (Delta/Iceberg) when readers are live.
 
         Returns {partition: files_before} for partitions rewritten.
         At cluster scale, size target_files to partition_bytes /
         128 MiB instead of a constant.
         """
-        import tempfile
-
         st = Path(self.st_path)
         done: dict[str, int] = {}
         if not st.exists():
             return done
+        self._recover_compaction()
         for part in sorted(st.glob("date=*")):
             files = list(part.glob("*.parquet"))
             if len(files) <= target_files_per_date:
                 continue
             df = self.spark.read.parquet(str(part))
-            tmp = Path(tempfile.mkdtemp(dir=st, prefix="_compact_"))
+            tmp = st / f"_compact_tmp_{part.name}"
+            trash = st / f"_compact_trash_{part.name}"
+            if tmp.exists():
+                shutil.rmtree(tmp)
             df.coalesce(target_files_per_date).write.mode("overwrite").parquet(
-                str(tmp / "data")
+                str(tmp)
             )
-            for f in files:
-                f.unlink()
-            for f in (tmp / "data").glob("*.parquet"):
-                f.rename(part / f.name)
-            shutil.rmtree(tmp)
+            part.rename(trash)
+            tmp.rename(part)
+            shutil.rmtree(trash)
             done[part.name] = len(files)
         return done
+
+    def _recover_compaction(self) -> None:
+        """Roll an interrupted ``compact_st`` swap forward or back: a
+        trash dir whose live partition is missing is restored (crash
+        between swap steps 2-3); any other ``_compact_*`` leftover is
+        incomplete work and is discarded (the live partition still holds
+        the data)."""
+        st = Path(self.st_path)
+        for trash in st.glob("_compact_trash_*"):
+            live = st / trash.name.removeprefix("_compact_trash_")
+            if not live.exists():
+                trash.rename(live)
+            else:
+                shutil.rmtree(trash)
+        for tmp in st.glob("_compact_tmp_*"):
+            shutil.rmtree(tmp)
 
     # -- reads (S10) --
 

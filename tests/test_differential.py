@@ -25,8 +25,9 @@ def test_query_matches_oracle(spark, oracle, name):
     df = QUERIES[name](spark, SF_DIR)
     sql = ORACLE_SQL.get(name)
     if sql is None:
-        # Non-SQL-expressible op: smoke check — runs and yields rows.
-        assert df.count() >= 0
+        # Non-SQL-expressible op: must run AND yield rows — an empty
+        # result is a silent regression, not a pass.
+        assert df.count() > 0, f"{name}: no-oracle query returned 0 rows"
         return
     res = diff_query(name, df, sql, oracle)
     assert res.rows_match, res.describe()

@@ -51,6 +51,75 @@ def test_epoch_redelivery_is_noop(spark, tmpdir_):
     assert store.read_st().count() == 2 * n1
 
 
+def test_epoch_partial_crash_redelivery_exactly_once(spark, tmpdir_):
+    """The hard crash window: st files published but the commit marker
+    never written.  Re-delivery must converge to exactly-once content —
+    the epoch-tagged publish replaces the partial attempt instead of
+    appending next to it."""
+    from pathlib import Path
+
+    from database_peak_streaming_spark.schemas import peaks_long_schema
+    from database_peak_streaming_spark.streaming.pipeline import window_means
+    from database_peak_streaming_spark.streaming.tiering import TieredStore
+
+    df = spark.createDataFrame(_peaks(), schema=peaks_long_schema())
+    agg = window_means(df)
+    store = TieredStore(spark, f"{tmpdir_}/tiers")
+    store.write_epoch(agg, epoch_id=7)
+    n1 = store.read_st().count()
+
+    # simulate a crash after the st publish but before the marker:
+    marker = Path(f"{tmpdir_}/tiers/_epochs/7.committed")
+    marker.unlink()
+    store.write_epoch(agg, epoch_id=7)  # re-delivery
+    assert store.read_st().count() == n1, "partial-commit retry double-appended st"
+    assert marker.exists()
+
+    # simulate a crash mid-publish (some of the epoch's files landed):
+    marker.unlink()
+    published = sorted(Path(store.st_path).glob("date=*/epoch-7-*.parquet"))
+    assert published, "expected epoch-tagged st files"
+    published[0].unlink()  # half-published state
+    store.write_epoch(agg, epoch_id=7)  # re-delivery
+    assert store.read_st().count() == n1, "mid-publish retry lost or doubled rows"
+
+
+def test_compaction_crash_recovery(spark, tmpdir_):
+    """compact_st's swap must never lose a partition: a crash between
+    the trash and tmp renames leaves a trash dir that the next call
+    restores; leftover tmp dirs are discarded."""
+    import shutil as sh
+    from pathlib import Path
+
+    from database_peak_streaming_spark.schemas import peaks_long_schema
+    from database_peak_streaming_spark.streaming.pipeline import window_means
+    from database_peak_streaming_spark.streaming.tiering import TieredStore
+
+    df = spark.createDataFrame(_peaks(), schema=peaks_long_schema())
+    agg = window_means(df)
+    store = TieredStore(spark, f"{tmpdir_}/tiers")
+    store.write_epoch(agg, epoch_id=1)
+    store.write_epoch(agg.withColumn("n_samples", F.col("n_samples")), epoch_id=2)
+    n = store.read_st().count()
+
+    st = Path(store.st_path)
+    part = sorted(st.glob("date=*"))[0]
+    # crash between swap steps 2 and 3: live partition renamed to trash
+    part.rename(st / f"_compact_trash_{part.name}")
+    assert not part.exists()
+    store.compact_st()
+    assert part.exists(), "trash partition was not restored"
+    assert store.read_st().count() == n, "recovery lost rows"
+
+    # stale tmp dir from an interrupted attempt is discarded
+    tmp = st / f"_compact_tmp_{part.name}"
+    tmp.mkdir()
+    (tmp / "junk.parquet").write_bytes(b"junk")
+    store.compact_st()
+    assert not tmp.exists()
+    assert store.read_st().count() == n
+
+
 def test_kill_and_resume_from_checkpoint(spark, tmpdir_):
     """Stop the stream mid-replay; restart on the same checkpoint; the
     final store must equal the batch oracle exactly (no loss, no dups)."""
