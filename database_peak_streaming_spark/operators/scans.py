@@ -71,11 +71,14 @@ def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def catalog_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog scan (S9 ≙ ``sqlite_master`` at ``analyze_data.py:21-24``):
-    register all fixture tables, list them from the session catalog."""
+    register all fixture tables, list them from the session catalog.
+    Scoped to the engine's own table set: Spark's session catalog is
+    shared state (other queries may hold temp views in it), unlike the
+    reference's per-file SQLite master table."""
     from database_peak_streaming_spark.sources.batch import TABLES, register_tables
 
     register_tables(spark, sf_dir)
-    names = sorted(t.name for t in spark.catalog.listTables())
+    names = sorted(t.name for t in spark.catalog.listTables() if t.name in TABLES)
     return spark.createDataFrame([(n,) for n in names], "table_name string")
 
 
