@@ -103,6 +103,65 @@ def test_ann_is_subset_of_bruteforce_corpus(spark):
             assert abs(brute[(r.q_id, r.vec_id)] - r.cosine) < 1e-9
 
 
+def test_kmeans_ivf_buckets_and_recall(spark):
+    """The trained-quantizer IVF: (a) every pinned-centroid bucket
+    assignment equals a numpy argmin over the same literals; (b) its
+    cosines agree with brute force; (c) it finds at least one true
+    top-k neighbor per query on the fixture (nonzero recall — the
+    Voronoi cells are cosine-local)."""
+    import numpy as np
+
+    from database_peak_streaming_spark.operators.similarity import (
+        _KMEANS_CENTROIDS,
+        _kmeans_bucket,
+        ann_ivf_kmeans,
+        cosine_topk_bruteforce,
+    )
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    e = load_table(spark, "embeddings", SF_DIR)
+    got = (
+        e.select("vec_id", "embedding", _kmeans_bucket(F.col("embedding")).alias("b"))
+        .limit(100)
+        .collect()
+    )
+    C = np.array(_KMEANS_CENTROIDS)
+    for r in got:
+        x = np.array(r.embedding, dtype=np.float64)
+        want = int(((C - x) ** 2).sum(1).argmin()) + 1  # 1-based like array_position
+        assert r.b == want, f"vec {r.vec_id}: bucket {r.b} != numpy {want}"
+
+    brute = {
+        (r.q_id, r.vec_id): r.cosine
+        for r in cosine_topk_bruteforce(spark, SF_DIR).collect()
+    }
+    ann = ann_ivf_kmeans(spark, SF_DIR).collect()
+    assert ann
+    hits = 0
+    for r in ann:
+        if (r.q_id, r.vec_id) in brute:
+            assert abs(brute[(r.q_id, r.vec_id)] - r.cosine) < 1e-9
+            hits += 1
+    assert hits > 0, "trained IVF found no true top-k neighbor at all"
+
+
+def test_train_ivf_centroids_distributed(spark):
+    """The pyspark.ml training path runs and yields k centroids of the
+    right dimensionality with every vector assigned (the step whose
+    pinned output is _KMEANS_CENTROIDS)."""
+    from database_peak_streaming_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    e = load_table(spark, "embeddings", SF_DIR)
+    cents = train_ivf_centroids(e, k=4, max_iter=5)
+    assert len(cents) == 4
+    assert all(len(c) == 64 for c in cents)
+    flat = [v for c in cents for v in c]
+    assert any(abs(v) > 0 for v in flat)
+
+
 def test_dedup_clusters_cc_matches_union_find(spark):
     """The distributed hash-min label propagation must equal a
     single-node union-find over the same pair graph — an oracle
