@@ -221,16 +221,18 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cluster_id"),
                     F.coalesce("nb_min", F.col("cluster_id")),
                 ).alias("cluster_id"),
+                # convergence flag computed IN the update, so detecting the
+                # fixpoint is a filter-count over the checkpoint we already
+                # materialized — not a join back against the old labels
+                # (which would re-shuffle both sides every iteration).
+                (F.coalesce("nb_min", F.col("cluster_id")) < F.col("cluster_id"))
+                .cast("int")
+                .alias("improved"),
             )
             .localCheckpoint(eager=True)  # materialize + cut lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("improved") == 1).count()
+        labels = new_labels.drop("improved")
         if changed == 0:
             break
     else:  # pragma: no cover - 64 iterations without fixpoint
