@@ -17,7 +17,7 @@ only the surviving rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from database_peak_streaming_spark.operators.dedup import (
@@ -29,6 +29,24 @@ from database_peak_streaming_spark.sources.batch import load_table
 
 #: selects quality scores {0.7, 1.0} with no float-boundary equality
 QUALITY_CUTOFF = 0.65
+
+
+def quality_score_col() -> Column:
+    """The C4/Gopher-style composed quality heuristic over ``text`` —
+    length band + mean word length + stopword ratio — as a pure column
+    expression, shared by the batch funnel and the streaming ingest
+    (streaming/corpus.py) so both gates are one definition."""
+    toks = _tokens()
+    n_tok = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n_tok
+    )
+    mean_wl = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tok
+    return (
+        F.when((n_tok >= 10) & (n_tok <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
 
 
 def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,18 +65,9 @@ def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
          rerun/engine/partitioning-invariant).
     """
     d = load_table(spark, "documents", sf_dir)
-    toks = _tokens()
-    n_tok = F.size(toks)
-    stop_ratio = (
-        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n_tok
+    passed = d.filter(quality_score_col() > QUALITY_CUTOFF).select(
+        "doc_id", "lang", "n_chars"
     )
-    mean_wl = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tok
-    score = (
-        F.when((n_tok >= 10) & (n_tok <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
-        + F.when(stop_ratio > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
-    )
-    passed = d.filter(score > QUALITY_CUTOFF).select("doc_id", "lang", "n_chars")
 
     clusters = dedup_clusters_cc(spark, sf_dir)
     w = Window.partitionBy("cluster_id")
