@@ -16,6 +16,7 @@ from database_peak_streaming_spark.operators import (
     curation,
     dedup,
     joins,
+    multimodal_queries,
     pivots,
     sampling,
     scalars,
@@ -45,6 +46,7 @@ _MODULES = [
     dedup,
     similarity,
     udf_queries,
+    multimodal_queries,
     storage,
     sampling,
     curation,
@@ -59,7 +61,9 @@ _MODULES = [
 #: similarity/ANN, UDFs, storage round-trips, sampling/splitting, and the
 #: end-to-end curation pipeline — rather than whatever module import
 #: order front-loads.  Queries outside this window keep full local-gate
-#: coverage (tests/test_differential.py) and rotate in across rounds.
+#: coverage (tests/test_differential.py) and rotate in across rounds
+#: (round 2 rotated in the multimodal binary-payload kernel and the S4
+#: binary peaks codec in place of two of the five scalar packs).
 _PRIORITY = [
     "q1_pricing_summary",
     "q18_large_volume_customers",
@@ -76,9 +80,9 @@ _PRIORITY = [
     "dedup_drop_duplicates",
     "str_funcs",
     "date_funcs",
-    "math_funcs",
-    "cond_funcs",
     "try_funcs",
+    "multimodal_payload_fingerprint",
+    "binary_peaks_decode",
     "array_funcs",
     "array_explode_pos",
     "array_transform_filter",

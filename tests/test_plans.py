@@ -126,6 +126,36 @@ def test_pipeline_ops_plan_budgets(spark):
         assert n <= budget, f"{name}: {n} shuffles > budget {budget}\n" + E.formatted_plan(df)
 
 
+def test_ann_probe_plans_broadcast_and_stay_narrow(spark):
+    """Every bucketed ANN variant must plan the probe as a broadcast
+    join (query set is tiny by construction) with no shuffle before it —
+    the corpus side streams straight from the scan into the probe; only
+    the per-query top-k window and output sort may exchange."""
+    for name in ("ann_ivf_bucketed", "ann_ivf_kmeans", "ann_rp_lsh"):
+        df = QUERIES[name](spark, SF_DIR)
+        assert E.has_broadcast_join(df), f"{name}: probe join not broadcast"
+        plan = E.formatted_plan(df)
+        join_pos = plan.find("BroadcastHashJoin")
+        scan_pos = plan.find("Scan parquet")
+        assert plan.count("Exchange hashpartitioning", scan_pos, join_pos) == 0, (
+            f"{name}: corpus side shuffles before the probe join"
+        )
+
+
+def test_multimodal_fingerprint_is_single_python_stage(spark):
+    """The binary-payload kernel must appear exactly once (one
+    mapInPandas stage), with no shuffle before it — payloads stream from
+    the scan into the Arrow batch without moving between executors."""
+    df = QUERIES["multimodal_payload_fingerprint"](spark, SF_DIR)
+    # the tree section lists parents above children: everything after the
+    # MapInPandas line is its input subtree, which must be exchange-free
+    tree = E.formatted_plan(df).split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1, tree
+    subtree = tree[tree.index("MapInPandas"):]
+    assert "Exchange" not in subtree, tree
+    assert "Scan parquet" in subtree, tree
+
+
 def test_broadcast_join_is_shuffle_free_on_probe(spark):
     """Broadcast dim join: the fact side must not shuffle before the
     join (only agg/sort exchanges allowed afterwards)."""
