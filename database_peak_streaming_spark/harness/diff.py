@@ -27,12 +27,17 @@ from database_peak_streaming_spark.sources.batch import TABLES
 
 
 def oracle_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    """DuckDB connection with every fixture table registered as a view."""
+    """DuckDB connection with every fixture table registered as a view.
+    Accepts both layouts: a single parquet file per table (the driver
+    fixtures) or a directory of part files (Spark-written tables, e.g.
+    bench_scaled.py's scaled copies)."""
+    import os
+
     con = duckdb.connect()
     for name in TABLES:
-        con.sql(
-            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
-        )
+        path = f"{sf_dir}/{name}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     return con
 
 
