@@ -199,6 +199,13 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     d = load_table(spark, "documents", sf_dir)
+    return _connected_components(d, pairs)
+
+
+def _connected_components(d: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Hash-min label propagation to fixpoint over an undirected pair
+    graph (see ``dedup_clusters_cc`` for the algorithm and scale notes);
+    every doc in ``d`` gets cluster_id = min reachable doc_id."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(
@@ -239,6 +246,42 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("connected components did not converge")
     edges.unpersist()
     return labels.orderBy("doc_id")
+
+
+def dedup_clusters_cc_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clustering with the PROBABILISTIC edge source:
+    same hash-min CC fixpoint as ``dedup_clusters_cc``, but edges come
+    from the banded MinHash-LSH candidate join (verified at exact
+    Jaccard >= LSH_VERIFY_THRESHOLD) instead of the lossless prefix
+    filter.  The cheaper-candidates / s-curve-recall trade, offered
+    alongside the exact variant: at 100 TB, prefix-bucket occupancy on a
+    stopword-heavy corpus can exceed LSH bucket occupancy, and this form
+    caps candidate volume by banding alone.  Every edge is exact-verified
+    at a HIGHER threshold than the exact variant's (0.7 vs 0.5), so each
+    LSH cluster refines an exact cluster (asserted in tests); missed
+    edges — and therefore split clusters — follow the banding s-curve.
+    Edges are restricted to the SAME (source, lang) block as the exact
+    variant: that restriction is the dedup *semantics* (what counts as a
+    duplicate), not part of the candidate strategy — ``dedup_minhash_lsh``
+    itself stays corpus-wide because cross-source near-dup *evidence* is
+    a different product.  With matching semantics, every LSH edge
+    (verified >= 0.7, same block) is also an exact-graph edge (>= 0.5,
+    same block), so each LSH cluster refines an exact cluster.
+    No SQL oracle (hash-permutation-dependent); rows-only driver check +
+    the refinement property test."""
+    d = load_table(spark, "documents", sf_dir)
+    meta = d.select("doc_id", "source", "lang")
+    raw = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = (
+        raw.join(meta.alias("ma"), raw.doc_a == F.col("ma.doc_id"))
+        .join(meta.alias("mb"), raw.doc_b == F.col("mb.doc_id"))
+        .filter(
+            (F.col("ma.source") == F.col("mb.source"))
+            & (F.col("ma.lang") == F.col("mb.lang"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    return _connected_components(d, pairs)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,6 +529,7 @@ QUERIES = {
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters_cc": dedup_clusters_cc,
+    "dedup_clusters_cc_lsh": dedup_clusters_cc_lsh,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_keepers": dedup_minhash_keepers,
     "dedup_simhash": dedup_simhash,

@@ -103,6 +103,35 @@ def test_ann_is_subset_of_bruteforce_corpus(spark):
             assert abs(brute[(r.q_id, r.vec_id)] - r.cosine) < 1e-9
 
 
+def test_lsh_cc_refines_exact_cc(spark):
+    """The LSH-fed transitive clustering must REFINE the exact one:
+    every LSH edge is verified at a higher Jaccard threshold (0.7) than
+    the exact pair graph's (0.5), so two docs the LSH variant clusters
+    together must also share an exact cluster — LSH may split clusters
+    (missed s-curve edges), never merge ones the exact graph keeps
+    apart.  And it must not be degenerate: some real (non-singleton)
+    cluster exists."""
+    from database_peak_streaming_spark.operators.dedup import (
+        dedup_clusters_cc,
+        dedup_clusters_cc_lsh,
+    )
+
+    exact = {
+        r.doc_id: r.cluster_id for r in dedup_clusters_cc(spark, SF_DIR).collect()
+    }
+    lsh_rows = dedup_clusters_cc_lsh(spark, SF_DIR).collect()
+    lsh_clusters: dict[int, list[int]] = {}
+    for r in lsh_rows:
+        lsh_clusters.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert len(lsh_rows) == len(exact), "variants disagree on the doc set"
+    assert any(len(m) > 1 for m in lsh_clusters.values()), "no non-singleton cluster"
+    for cid, members in lsh_clusters.items():
+        exact_ids = {exact[m] for m in members}
+        assert len(exact_ids) == 1, (
+            f"LSH cluster {cid} spans exact clusters {exact_ids}"
+        )
+
+
 def test_kmeans_ivf_buckets_and_recall(spark):
     """The trained-quantizer IVF: (a) every pinned-centroid bucket
     assignment equals a numpy argmin over the same literals; (b) its
