@@ -142,6 +142,25 @@ def test_ann_probe_plans_broadcast_and_stay_narrow(spark):
         )
 
 
+def test_dedup_pair_generation_is_equi_join(spark):
+    """Every near-dup candidate generator must plan its pair stage as an
+    EQUI-join (prefix-token / LSH-band / RP-band keys) — a
+    CartesianProduct or nested-loop join in any of these plans means the
+    sub-quadratic candidate design regressed to all-pairs."""
+    for name in (
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_clusters_cc_lsh",
+        "cosine_pairs_threshold",
+        "dedup_embedding_cosine",
+    ):
+        plan = E.formatted_plan(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a nested-loop join"
+        )
+
+
 def test_multimodal_fingerprint_is_single_python_stage(spark):
     """The binary-payload kernel must appear exactly once (one
     mapInPandas stage), with no shuffle before it — payloads stream from
