@@ -1,5 +1,6 @@
-"""Scale-pattern tests: skew salting (semantics preserved) and bucketed
-co-located joins (shuffle elimination visible in the plan)."""
+"""Scale-pattern tests: skew salting (semantics preserved), bucketed
+co-located joins (shuffle elimination visible in the plan), and
+partition pruning (date predicates prune directories, not just rows)."""
 
 from __future__ import annotations
 
@@ -97,3 +98,28 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path_factory):
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_partition_pruning_skips_directories(spark, tmp_path_factory):
+    """A date predicate over a date-partitioned table must prune at the
+    DIRECTORY level — the scan's input files may only come from matching
+    partitions.  This is the read-side contract behind the tiered
+    store's layout (partition-drop TTL, date-scoped backfills): at 100 TB
+    a query for one day touches one directory, not the table."""
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    out = str(tmp_path_factory.mktemp("part_prune") / "events_by_date")
+    ev = load_table(spark, "events", SF_DIR).withColumn(
+        "date", F.to_date("ts")
+    )
+    ev.write.mode("overwrite").partitionBy("date").parquet(out)
+
+    one_day = spark.read.parquet(out).filter(F.col("date") == "2024-01-02")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # the predicate must become a PARTITION filter (directory pruning),
+    # not a row-level data filter over the whole table
+    assert "PartitionFilters: [isnotnull(date" in plan, plan
+    assert "= 2024-01-02)" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0], plan
+    # and the pruned read still answers correctly
+    want = ev.filter(F.to_date("ts") == "2024-01-02").count()
+    assert one_day.count() == want > 0
