@@ -7,6 +7,7 @@ from __future__ import annotations
 import shutil
 import tempfile
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -70,3 +71,135 @@ def test_stateful_minute_first_matches_batch(spark, tmpdir_):
     )
     expected = {(r.user_id, r.minute_start): (r.ts, r.value) for r in batch}
     assert got == expected
+
+
+def test_transform_with_state_ema_matches_batch(spark, tmpdir_):
+    """The transformWithState EMA must equal the batch pandas EMA over
+    the full per-key series: ValueState carries the running average
+    across micro-batches, so a 5-chunk replay and a single pass agree."""
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+    from database_peak_streaming_spark.streaming.stateful import (
+        EMA_ALPHA,
+        stateful_ema,
+    )
+
+    ev = (
+        load_table(spark, "events", SF_DIR)
+        .select(
+            (F.col("user_id") % 4).cast("long").alias("channel"),
+            "ts",
+            F.col("value").cast("double").alias("value"),
+        )
+        .filter(F.col("user_id") < 40)
+    )
+    stream, replay_dir = replay_dataframe(spark, ev, n_chunks=5, order_col="ts")
+
+    rows = []
+
+    def sink(batch_df, _):
+        rows.extend(batch_df.collect())
+
+    try:
+        q = (
+            stateful_ema(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", f"{tmpdir_}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(420)
+        assert not q.isActive
+    finally:
+        cleanup_replay(replay_dir)
+
+    pdf = ev.orderBy("ts").toPandas()
+    oracle = {}
+    for ch, grp in pdf.groupby("channel"):
+        ema = None
+        for ts, v in zip(grp["ts"], grp["value"]):
+            ema = v if ema is None else EMA_ALPHA * v + (1 - EMA_ALPHA) * ema
+            oracle[(ch, ts)] = ema
+
+    assert len(rows) == len(pdf), f"streamed {len(rows)} rows, batch {len(pdf)}"
+    for r in rows:
+        want = oracle[(r.channel, pd.Timestamp(r.ts))]
+        assert abs(r.ema - want) < 1e-9, (r.channel, r.ts, r.ema, want)
+
+
+def test_ema_smoother_kernel_unit():
+    """The transformWithState processor kernel, unit-tested against the
+    recurrence with a stub state handle (the TWS e2e path needs
+    google.protobuf, absent in this container — see
+    test_transform_with_state_ema_e2e)."""
+    from database_peak_streaming_spark.streaming.stateful import (
+        EMA_ALPHA,
+        EmaSmoother,
+    )
+
+    class _StubState:
+        def __init__(self):
+            self.v = None
+        def exists(self):
+            return self.v is not None
+        def get(self):
+            return self.v
+        def update(self, t):
+            self.v = t
+
+    proc = EmaSmoother()
+    proc._state = _StubState()
+    ts = pd.date_range("2024-01-01", periods=5, freq="1min")
+    batch1 = pd.DataFrame({"channel": [1] * 3, "ts": ts[:3], "value": [1.0, 2.0, 3.0]})
+    batch2 = pd.DataFrame({"channel": [1] * 2, "ts": ts[3:], "value": [4.0, 5.0]})
+    out1 = next(proc.handleInputRows((1,), iter([batch1]), None))
+    out2 = next(proc.handleInputRows((1,), iter([batch2]), None))
+    got = list(out1["ema"]) + list(out2["ema"])
+    ema, want = None, []
+    for v in [1.0, 2.0, 3.0, 4.0, 5.0]:
+        ema = v if ema is None else EMA_ALPHA * v + (1 - EMA_ALPHA) * ema
+        want.append(ema)
+    assert all(abs(a - b) < 1e-12 for a, b in zip(got, want))
+
+
+def test_transform_with_state_ema_e2e(spark, tmpdir_):
+    """Full transformWithStateInPandas run — auto-skips where the TWS
+    Python protocol dependency (google.protobuf) is unavailable."""
+    pytest.importorskip("google.protobuf")
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+    from database_peak_streaming_spark.streaming.stateful import stateful_ema_tws
+
+    ev = (
+        load_table(spark, "events", SF_DIR)
+        .select(
+            (F.col("user_id") % 4).cast("long").alias("channel"),
+            "ts",
+            F.col("value").cast("double").alias("value"),
+        )
+        .filter(F.col("user_id") < 40)
+    )
+    stream, replay_dir = replay_dataframe(spark, ev, n_chunks=3, order_col="ts")
+    rows = []
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    try:
+        q = (
+            stateful_ema_tws(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, _: rows.extend(b.collect()))
+            .option("checkpointLocation", f"{tmpdir_}/ckpt_tws")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(420)
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        cleanup_replay(replay_dir)
+    assert len(rows) == ev.count()
