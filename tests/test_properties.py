@@ -115,3 +115,62 @@ def test_reslice_bulk_random_matches_numpy(spark):
             expected.append(r.f[start : start + n])
             start += n
         assert r.s == expected
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    ),
+    split=st.integers(min_value=0, max_value=59),
+)
+@settings(max_examples=200, deadline=None)
+def test_ema_kernel_batch_split_invariant(values, split):
+    """The EMA processor must be batch-boundary invariant: feeding a
+    series as one batch or split at ANY point yields identical output —
+    the ValueState carries exactly the information the recurrence needs.
+    Cross-checked against pandas ewm(adjust=False)."""
+    import numpy as np
+    import pandas as pd
+
+    from database_peak_streaming_spark.streaming.stateful import (
+        EMA_ALPHA,
+        EmaSmoother,
+    )
+
+    class _Stub:
+        def __init__(self):
+            self.v = None
+        def exists(self):
+            return self.v is not None
+        def get(self):
+            return self.v
+        def update(self, t):
+            self.v = t
+
+    def run(batches):
+        proc = EmaSmoother()
+        proc._state = _Stub()
+        out = []
+        t0 = pd.Timestamp("2024-01-01")
+        i = 0
+        for b in batches:
+            if not b:
+                continue
+            pdf = pd.DataFrame({
+                "channel": [1] * len(b),
+                "ts": [t0 + pd.Timedelta(seconds=i + j) for j in range(len(b))],
+                "value": b,
+            })
+            i += len(b)
+            out.extend(next(proc.handleInputRows((1,), iter([pdf]), None))["ema"])
+        return out
+
+    whole = run([values])
+    cut = min(split, len(values))
+    parts = run([values[:cut], values[cut:]])
+    assert len(whole) == len(parts) == len(values)
+    assert all(abs(a - b) < 1e-9 for a, b in zip(whole, parts))
+    want = pd.Series(values).ewm(alpha=EMA_ALPHA, adjust=False).mean()
+    assert np.allclose(whole, want, atol=1e-9)
