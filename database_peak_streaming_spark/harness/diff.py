@@ -154,6 +154,12 @@ def run_suite(
     oracle get a rows>0 smoke check only."""
     from database_peak_streaming_spark.registry import ORACLE_SQL, QUERIES
 
+    if only:
+        unknown = sorted(set(only) - set(QUERIES))
+        if unknown:
+            # a typo'd `only` must fail loudly — an empty run would
+            # vacuously pass every all(r.ok ...) gate built on it
+            raise ValueError(f"unknown query names in only=: {unknown}")
     con = oracle_connection(sf_dir)
     results: list[DiffResult] = []
     for name, fn in QUERIES.items():

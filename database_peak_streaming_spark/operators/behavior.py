@@ -1,0 +1,185 @@
+"""User-behavior analytics over the events stream at rest: ordered
+funnel, batch sessionization, deterministic per-key mode.  The shapes a
+product-analytics workload runs daily on an events warehouse, expressed
+as pure window/aggregate plans (no UDFs).
+
+Scale notes: every stage keys on ``user_id`` (or (user, session)) — the
+natural partition key of an events table; funnel stages are four narrow
+aggregations joined on user_id (AQE coalesces the tiny maps), and
+sessionization is the classic lag-flag-cumsum window stack, one shuffle
+on the partition key for the whole stack (windows share the key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from database_peak_streaming_spark.sources.batch import load_table
+
+#: sessionization gap: a pause longer than this starts a new session
+SESSION_GAP_S = 1800
+
+
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> view -> click -> purchase:
+    a user reaches stage N only with an event of that type strictly
+    AFTER their stage-N-1 time (first-touch attribution).  Emits one row
+    per stage with the surviving-user count — the monotone funnel."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+
+    def first_after(df: DataFrame, etype: str, prev: DataFrame, prev_col: str, out: str) -> DataFrame:
+        return (
+            df.join(prev, "user_id")
+            .filter((F.col("event_type") == etype) & (F.col("ts") > F.col(prev_col)))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    t1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    t2 = first_after(ev, "view", t1, "t_signup", "t_view")
+    t3 = first_after(ev, "click", t2, "t_view", "t_click")
+    t4 = first_after(ev, "purchase", t3, "t_click", "t_purchase")
+    counts = [
+        ("1_signup", t1),
+        ("2_view", t2),
+        ("3_click", t3),
+        ("4_purchase", t4),
+    ]
+    out = None
+    for stage, df in counts:
+        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(stage).alias("stage"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage")
+
+
+def sessionize_gap_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per user, a gap > SESSION_GAP_S starts a new
+    session (lag -> boundary flag -> running sum = session index), then a
+    per-session summary.  The batch twin of the streaming
+    ``session_window`` aggregation (``window_session_30m``), useful when
+    the warehouse query needs session IDs joinable back to raw events —
+    which the streaming window form does not expose."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "value")
+    w_user = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user))
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > SESSION_GAP_S), F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_id = flagged.withColumn(
+        "session_idx",
+        F.sum("new_sess").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    from database_peak_streaming_spark.operators.common import dsum
+
+    return (
+        with_id.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            dsum("value", "total_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-user modal event type: count per (user, type),
+    rank by (count desc, type asc) — the explicit tie-break is the point
+    (native ``mode()`` aggregates are tie-nondeterministic across
+    engines and partitionings, so they cannot be differentially
+    tested)."""
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n")
+        .orderBy("user_id")
+    )
+
+
+QUERIES = {
+    "events_funnel_ordered": events_funnel_ordered,
+    "sessionize_gap_ids": sessionize_gap_ids,
+    "mode_event_type_per_user": mode_event_type_per_user,
+}
+
+ORACLE_SQL = {
+    "events_funnel_ordered": """
+        WITH t1 AS (
+            SELECT user_id, MIN(ts) AS t_signup FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+        t2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t_view
+            FROM events e JOIN t1 ON e.user_id = t1.user_id
+            WHERE e.event_type = 'view' AND e.ts > t1.t_signup
+            GROUP BY e.user_id),
+        t3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN t2 ON e.user_id = t2.user_id
+            WHERE e.event_type = 'click' AND e.ts > t2.t_view
+            GROUP BY e.user_id),
+        t4 AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN t3 ON e.user_id = t3.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > t3.t_click
+            GROUP BY e.user_id)
+        SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM t1
+        UNION ALL SELECT '2_view', COUNT(*) FROM t2
+        UNION ALL SELECT '3_click', COUNT(*) FROM t3
+        UNION ALL SELECT '4_purchase', COUNT(*) FROM t4
+        ORDER BY stage
+    """,
+    "sessionize_gap_ids": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN CAST(EPOCH(ts) AS BIGINT)
+                             - CAST(EPOCH(LAG(ts) OVER w) AS BIGINT)
+                             > {SESSION_GAP_S}
+                             OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        with_id AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_idx
+            FROM flagged)
+        SELECT user_id, session_idx,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28, 6))) AS DOUBLE), 6)
+                   AS total_value
+        FROM with_id
+        GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx
+    """,
+    "mode_event_type_per_user": """
+        WITH counts AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY user_id, event_type),
+        ranked AS (
+            SELECT user_id, event_type, n,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY n DESC, event_type) AS rn
+            FROM counts)
+        SELECT user_id, event_type AS modal_type, n
+        FROM ranked WHERE rn = 1 ORDER BY user_id
+    """,
+}

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from database_peak_streaming_spark.operators import (
     aggregates,
     arrays_json,
+    behavior,
     curation,
     dedup,
     joins,
@@ -50,6 +51,7 @@ _MODULES = [
     storage,
     sampling,
     curation,
+    behavior,
 ]
 
 #: External drivers check a bounded prefix of the registry (observed: the
@@ -75,7 +77,7 @@ _PRIORITY = [
     "sort_limit_topn",
     "sort_nulls_ordering",
     "setop_union_all",
-    "setop_intersect",
+    "sessionize_gap_ids",
     "null_semantics",
     "dedup_drop_duplicates",
     "str_funcs",
