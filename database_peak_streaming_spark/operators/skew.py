@@ -70,3 +70,42 @@ def salted_sum_decimal(
         F.sum(F.col(col).cast("decimal(28,6)")).alias("_p")
     )
     return partial.groupBy(*keys).agg(F.sum("_p").cast("double").alias(out))
+
+
+# -- registered (oracle-checked) form ------------------------------------
+
+def agg_salted_hot_key(spark, sf_dir: str):
+    """The skew pattern as a driver-checked query: lineitem aggregated by
+    its 3-value return flag — exactly the hot-key shape (600M rows over 3
+    reduce keys at sf100) that funnels a naive groupBy through 3
+    stragglers.  Salting spreads phase 1 over (key, salt) buckets; the
+    decimal re-sum makes the two-phase result bit-identical to the
+    single-phase plan, which is why the plain GROUP BY is a valid oracle:
+    the strategy changes the shuffle layout, never the answer."""
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = salted_sum_decimal(
+        li, ["l_returnflag"], "l_extendedprice", "total_price"
+    )
+    counts = salted_agg(li, ["l_returnflag"], {"n_items": ("l_quantity", "count")})
+    return (
+        out.join(counts, "l_returnflag")
+        .select("l_returnflag", "n_items", F.round("total_price", 6).alias("total_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES = {"agg_salted_hot_key": agg_salted_hot_key}
+
+ORACLE_SQL = {
+    "agg_salted_hot_key": """
+        SELECT l_returnflag,
+               COUNT(l_quantity) AS n_items,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
+                          AS DOUBLE), 6) AS total_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+}

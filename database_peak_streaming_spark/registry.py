@@ -23,6 +23,7 @@ from database_peak_streaming_spark.operators import (
     scalars,
     scans,
     similarity,
+    skew,
     sorts_setops,
     storage,
     text,
@@ -52,6 +53,7 @@ _MODULES = [
     sampling,
     curation,
     behavior,
+    skew,
 ]
 
 #: External drivers check a bounded prefix of the registry (observed: the
@@ -75,7 +77,7 @@ _PRIORITY = [
     "win_topk_per_group",
     "win_strain_derivation",
     "sort_limit_topn",
-    "sort_nulls_ordering",
+    "agg_salted_hot_key",
     "setop_union_all",
     "sessionize_gap_ids",
     "null_semantics",
