@@ -174,9 +174,32 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word bigrams by corpus frequency — the n-gram LM statistic
+    (and the shingle distribution the MinHash pipeline hashes).  The
+    bigram array is built by zipping the token array with its own tail
+    (P11's re-slice pattern), so the explode fans out exactly n-1 rows
+    per n-token doc and the shuffle key is the bigram itself."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = _tokens()
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("corpus_freq"))
+        .orderBy(F.col("corpus_freq").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_top_terms": text_top_terms,
+    "text_top_bigrams": text_top_bigrams,
     "text_token_count_bpe_ish": text_token_count_bpe_ish,
     "text_quality_score": text_quality_score,
     "text_langid_heuristic": text_langid_heuristic,
@@ -191,6 +214,19 @@ _MARKER_SQL = {
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
 ORACLE_SQL = {
+    "text_top_bigrams": """
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        bg AS (
+            SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+                          i -> t[i] || ' ' || t[i + 1])) AS bigram
+            FROM toks)
+        SELECT bigram, COUNT(*) AS corpus_freq
+        FROM bg
+        GROUP BY bigram
+        ORDER BY corpus_freq DESC, bigram
+        LIMIT 20
+    """,
     "text_top_terms": """
         SELECT token, COUNT(DISTINCT doc_id) AS doc_freq,
                COUNT(*) AS corpus_freq
