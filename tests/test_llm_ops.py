@@ -222,3 +222,53 @@ def test_dedup_clusters_cc_matches_union_find(spark):
     got = {r.doc_id: r.cluster_id for r in dedup_clusters_cc(spark, SF_DIR).collect()}
     assert got == expect
     assert any(v != k for k, v in got.items())  # fixture has real dup groups
+
+
+def test_prefix_filter_lossless_on_random_corpus(spark):
+    """The Bayardo prefix filter must admit EVERY pair with Jaccard >=
+    threshold — losslessness is what lets the transitive CC path use it
+    without recall loss.  Random 150-doc corpus with planted near-dups;
+    candidates from the filter, truth from brute-force all-pairs."""
+    import itertools
+    import random
+
+    from database_peak_streaming_spark.operators.dedup import (
+        _distinct_tokens,
+        _prefix_filter_candidates,
+    )
+
+    rng = random.Random(20260813)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = []
+    for i in range(100):
+        toks = rng.sample(vocab, rng.randint(5, 25))
+        docs.append((i, "s0", "en", " ".join(toks)))
+    # planted near-dups: copy an earlier doc, drop/add a token or two
+    for j in range(50):
+        base_id = rng.randrange(len(docs))
+        toks = docs[base_id][3].split(" ")
+        if len(toks) > 6 and rng.random() < 0.7:
+            toks = toks[:-1]
+        toks = toks + [rng.choice(vocab)]
+        docs.append((100 + j, "s0", "en", " ".join(sorted(set(toks)))))
+
+    df = spark.createDataFrame(docs, "doc_id long, source string, lang string, text string")
+    t = df.select("doc_id", "source", "lang", _distinct_tokens().alias("toks"))
+    threshold = 0.5
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in _prefix_filter_candidates(t, threshold).collect()
+    }
+
+    tok_sets = {i: set(text.split(" ")) for i, _, _, text in docs}
+    missed = []
+    n_true = 0
+    for a, b in itertools.combinations(sorted(tok_sets), 2):
+        sa, sb = tok_sets[a], tok_sets[b]
+        jac = len(sa & sb) / len(sa | sb)
+        if jac >= threshold:
+            n_true += 1
+            if (a, b) not in cand:
+                missed.append((a, b, jac))
+    assert n_true > 20, "fixture too easy — not enough true pairs planted"
+    assert not missed, f"prefix filter MISSED qualifying pairs: {missed[:5]}"
