@@ -171,6 +171,23 @@ def main() -> None:
         out["streaming"] = _streaming_throughput(spark, sf_dir)
     except Exception as e:  # pragma: no cover - report, don't fail bench
         out["streaming"] = {"error": str(e)[:200]}
+
+    # Second scale point: embed the committed 10x crossover summary
+    # (BENCH_SCALED.json, produced by bench_scaled.py — too expensive to
+    # re-time on every bench run: its DuckDB side alone is ~100 s) so one
+    # JSON line carries per-query ratios at BOTH scales.
+    scaled_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SCALED.json")
+    if os.path.exists(scaled_path):
+        with open(scaled_path) as f:
+            sc = json.load(f)
+        out["scaled_crossover"] = {
+            "source": "BENCH_SCALED.json (committed; regenerate: python bench_scaled.py)",
+            "copies": sc.get("copies"),
+            "ratio_total_base": sc.get("base", {}).get("ratio_total"),
+            "ratio_total_scaled": sc.get("scaled", {}).get("ratio_total"),
+            "per_query_ratio_scaled": sc.get("scaled", {}).get("ratio"),
+        }
     print(json.dumps(out))
 
 
