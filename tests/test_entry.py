@@ -49,3 +49,17 @@ def test_every_query_callable_signature(spark):
     for name in sample:
         df = q[name](spark, SF_DIR)
         assert isinstance(df, DataFrame), name
+
+
+def test_bench_headline_names_registered():
+    """bench.py's headline set must stay a subset of the registry (a
+    query rename would otherwise break the driver's bench run), and its
+    comparable subset must all carry oracles."""
+    import bench
+
+    from database_peak_streaming_spark.registry import ORACLE_SQL, QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"bench names not registered: {missing}"
+    oracled = [n for n in bench.HEADLINE if n in ORACLE_SQL]
+    assert len(oracled) >= 20, "comparable subset shrank unexpectedly"
