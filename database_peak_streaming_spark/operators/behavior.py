@@ -147,8 +147,8 @@ ORACLE_SQL = {
     "sessionize_gap_ids": f"""
         WITH flagged AS (
             SELECT user_id, ts, value,
-                   CASE WHEN CAST(EPOCH(ts) AS BIGINT)
-                             - CAST(EPOCH(LAG(ts) OVER w) AS BIGINT)
+                   CASE WHEN CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                             - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT)
                              > {SESSION_GAP_S}
                              OR LAG(ts) OVER w IS NULL
                         THEN 1 ELSE 0 END AS new_sess
