@@ -175,6 +175,35 @@ def test_multimodal_fingerprint_is_single_python_stage(spark):
     assert "Scan parquet" in subtree, tree
 
 
+def test_behavior_and_skew_plan_budgets(spark):
+    """Shuffle budgets for the behavior/skew queries.  sessionize is the
+    exemplar: the whole lag->flag->cumsum window stack plus the session
+    agg rides ONE exchange on user_id (+ output sort).  The funnel's
+    budget is higher by design: four DEPENDENT stages (each gated on the
+    previous stage's timestamp), all shuffling a narrow (user_id, ts)
+    projection — the scale-safe alternative to collecting per-user event
+    arrays, which a heavy user could blow up."""
+    budgets = {
+        "sessionize_gap_ids": 2,
+        "mode_event_type_per_user": 3,
+        "agg_salted_hot_key": 5,      # 2x two-phase agg + broadcast-join tails
+        "events_funnel_ordered": 11,  # 4 dependent join+agg stages + union
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, SF_DIR)
+        n = E.shuffle_count(df)
+        assert n <= budget, f"{name}: {n} shuffles > budget {budget}\n" + E.formatted_plan(df)
+
+
+def test_run_suite_rejects_unknown_only_names(spark):
+    """A typo'd only= must raise, not return an empty (vacuously green)
+    result list."""
+    from database_peak_streaming_spark.harness.diff import run_suite
+
+    with __import__("pytest").raises(ValueError, match="unknown query names"):
+        run_suite(spark, SF_DIR, only=["no_such_query_xyz"])
+
+
 def test_broadcast_join_is_shuffle_free_on_probe(spark):
     """Broadcast dim join: the fact side must not shuffle before the
     join (only agg/sort exchanges allowed afterwards)."""
