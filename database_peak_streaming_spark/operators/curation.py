@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from database_peak_streaming_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     dedup_clusters_cc,
+    dedup_clusters_cc_lsh,
 )
 from database_peak_streaming_spark.operators.text import _STOP_SQL, STOPWORDS, _tokens
 from database_peak_streaming_spark.sources.batch import load_table
@@ -64,12 +65,17 @@ def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       3. split — md5-stable train/test assignment (content-keyed,
          rerun/engine/partitioning-invariant).
     """
+    clusters = dedup_clusters_cc(spark, sf_dir)
+    return _funnel_summary(spark, sf_dir, clusters)
+
+
+def _funnel_summary(spark: SparkSession, sf_dir: str, clusters: DataFrame) -> DataFrame:
+    """Stages 1+3+summary of the funnel over a given clustering (the
+    clustering is the only stage the two pipeline variants differ in)."""
     d = load_table(spark, "documents", sf_dir)
     passed = d.filter(quality_score_col() > QUALITY_CUTOFF).select(
         "doc_id", "lang", "n_chars"
     )
-
-    clusters = dedup_clusters_cc(spark, sf_dir)
     w = Window.partitionBy("cluster_id")
     keepers = (
         passed.join(clusters, "doc_id")
@@ -95,7 +101,24 @@ def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"curate_corpus_pipeline": curate_corpus_pipeline}
+def curate_corpus_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel with the PROBABILISTIC clustering stage
+    (``dedup_clusters_cc_lsh``) — the form a 100 TB run would choose when
+    LSH candidate volume undercuts prefix-bucket volume.  Cluster
+    refinement (LSH splits, never merges — property-tested) gives the
+    funnel-level invariant the tests pin: the exact pipeline's keeper
+    set is a SUBSET of this one's, so LSH trades a few extra near-dup
+    survivors for cheaper candidates — it never drops a document the
+    exact pipeline keeps.  No SQL oracle (hash-dependent edges);
+    rows-only driver check + the subset invariant test."""
+    clusters = dedup_clusters_cc_lsh(spark, sf_dir)
+    return _funnel_summary(spark, sf_dir, clusters)
+
+
+QUERIES = {
+    "curate_corpus_pipeline": curate_corpus_pipeline,
+    "curate_corpus_pipeline_lsh": curate_corpus_pipeline_lsh,
+}
 
 ORACLE_SQL = {
     "curate_corpus_pipeline": f"""

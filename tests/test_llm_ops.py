@@ -272,3 +272,43 @@ def test_prefix_filter_lossless_on_random_corpus(spark):
                 missed.append((a, b, jac))
     assert n_true > 20, "fixture too easy — not enough true pairs planted"
     assert not missed, f"prefix filter MISSED qualifying pairs: {missed[:5]}"
+
+
+def test_lsh_funnel_keepers_superset_of_exact(spark):
+    """Funnel-level consequence of cluster refinement: the exact
+    pipeline's keeper set must be a subset of the LSH pipeline's — an
+    exact cluster's keeper is the min quality-passing member of the
+    whole cluster, hence also of whichever LSH sub-cluster it fell into.
+    LSH curation may keep extra near-dups (split clusters), never drop a
+    document the exact pipeline keeps."""
+    from pyspark.sql import Window
+
+    from database_peak_streaming_spark.operators.curation import (
+        QUALITY_CUTOFF,
+        quality_score_col,
+    )
+    from database_peak_streaming_spark.operators.dedup import (
+        dedup_clusters_cc,
+        dedup_clusters_cc_lsh,
+    )
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    d = load_table(spark, "documents", SF_DIR)
+    passed = d.filter(quality_score_col() > QUALITY_CUTOFF).select("doc_id")
+
+    def keepers(clusters):
+        w = Window.partitionBy("cluster_id")
+        return {
+            r.doc_id
+            for r in (
+                passed.join(clusters, "doc_id")
+                .withColumn("keep_id", F.min("doc_id").over(w))
+                .filter(F.col("doc_id") == F.col("keep_id"))
+                .collect()
+            )
+        }
+
+    exact = keepers(dedup_clusters_cc(spark, SF_DIR))
+    lsh = keepers(dedup_clusters_cc_lsh(spark, SF_DIR))
+    assert exact <= lsh, f"exact keepers missing from LSH funnel: {sorted(exact - lsh)[:5]}"
+    assert len(lsh) >= len(exact)
