@@ -312,3 +312,18 @@ def test_lsh_funnel_keepers_superset_of_exact(spark):
     lsh = keepers(dedup_clusters_cc_lsh(spark, SF_DIR))
     assert exact <= lsh, f"exact keepers missing from LSH funnel: {sorted(exact - lsh)[:5]}"
     assert len(lsh) >= len(exact)
+
+
+def test_funnel_counts_monotone(spark):
+    """Ordered-funnel sanity: each stage's survivor count must be <= the
+    previous stage's (strictly-after gating can only lose users)."""
+    from database_peak_streaming_spark.operators.behavior import (
+        events_funnel_ordered,
+    )
+
+    rows = {r.stage: r.n_users for r in events_funnel_ordered(spark, SF_DIR).collect()}
+    order = ["1_signup", "2_view", "3_click", "4_purchase"]
+    assert set(rows) == set(order)
+    assert rows["1_signup"] > 0
+    for a, b in zip(order, order[1:]):
+        assert rows[b] <= rows[a], f"{b} ({rows[b]}) > {a} ({rows[a]})"
