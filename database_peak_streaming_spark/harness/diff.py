@@ -28,16 +28,23 @@ from database_peak_streaming_spark.sources.batch import TABLES
 
 def oracle_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """DuckDB connection with every fixture table registered as a view.
-    Accepts both layouts: a single parquet file per table (the driver
-    fixtures) or a directory of part files (Spark-written tables, e.g.
-    bench_scaled.py's scaled copies)."""
+    Accepts all three layouts: a single parquet file per table (the
+    driver fixtures), a flat directory of part files (bench_scaled.py's
+    scaled copies), or a hive-partitioned directory tree (Spark
+    ``partitionBy`` output — the partition column is recovered from the
+    directory names)."""
     import os
 
     con = duckdb.connect()
     for name in TABLES:
         path = f"{sf_dir}/{name}.parquet"
-        src = f"{path}/*.parquet" if os.path.isdir(path) else path
-        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
+        if os.path.isdir(path):
+            src = (
+                f"read_parquet('{path}/**/*.parquet', hive_partitioning = 1)"
+            )
+        else:
+            src = f"'{path}'"
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM {src}")
     return con
 
 

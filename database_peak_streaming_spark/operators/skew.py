@@ -28,9 +28,11 @@ def salted_agg(
     """Two-phase salted aggregation.
 
     ``aggs``: output_name -> (input_col, fn) with fn in
-    {sum, count, min, max} (the algebraic aggregates that re-combine;
-    avg = sum/count composed by the caller — non-algebraic aggregates
-    like median cannot be salted and must use AQE instead).
+    {sum, dsum, count, min, max} (the algebraic aggregates that
+    re-combine; ``dsum`` is the engine's order-independent decimal sum,
+    cast back to double — see operators/common.dsum; avg = sum/count
+    composed by the caller — non-algebraic aggregates like median cannot
+    be salted and must use AQE instead).
 
     Phase 1 groups by (keys..., salt) — hot keys spread over
     ``salt_buckets`` tasks; phase 2 re-aggregates the partials by keys.
@@ -44,6 +46,11 @@ def salted_agg(
         if fn == "sum":
             phase1_exprs.append(F.sum(col).alias(f"_p_{out}"))
             phase2_exprs.append(F.sum(f"_p_{out}").alias(out))
+        elif fn == "dsum":
+            phase1_exprs.append(
+                F.sum(F.col(col).cast("decimal(28,6)")).alias(f"_p_{out}")
+            )
+            phase2_exprs.append(F.sum(f"_p_{out}").cast("double").alias(out))
         elif fn == "count":
             phase1_exprs.append(F.count(col).alias(f"_p_{out}"))
             phase2_exprs.append(F.sum(f"_p_{out}").alias(out))
@@ -85,15 +92,17 @@ def agg_salted_hot_key(spark, sf_dir: str):
     from database_peak_streaming_spark.sources.batch import load_table
 
     li = load_table(spark, "lineitem", sf_dir)
-    out = salted_sum_decimal(
-        li, ["l_returnflag"], "l_extendedprice", "total_price"
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_items": ("l_quantity", "count"),
+            "total_price": ("l_extendedprice", "dsum"),
+        },
     )
-    counts = salted_agg(li, ["l_returnflag"], {"n_items": ("l_quantity", "count")})
-    return (
-        out.join(counts, "l_returnflag")
-        .select("l_returnflag", "n_items", F.round("total_price", 6).alias("total_price"))
-        .orderBy("l_returnflag")
-    )
+    return out.select(
+        "l_returnflag", "n_items", F.round("total_price", 6).alias("total_price")
+    ).orderBy("l_returnflag")
 
 
 QUERIES = {"agg_salted_hot_key": agg_salted_hot_key}

@@ -163,15 +163,15 @@ def stateful_ema_tws(stream: DataFrame) -> DataFrame:
     needs ``google.protobuf`` (standard in Spark distributions' Python
     env, absent here — the e2e test auto-skips without it; the processor
     kernel itself is unit-tested either way), and the RocksDB state
-    store provider, set on the session because it must be in force when
-    the query STARTS — at scale that is the store you want anyway
-    (state spills to disk, changelog checkpointing, not JVM heap)."""
+    store provider (``spark.sql.streaming.stateStore.providerClass =
+    ...state.RocksDBStateStoreProvider``), which the CALLER must set
+    before starting the query — deliberately not mutated here: flipping
+    a session-wide conf inside a query builder would silently change the
+    provider under every other streaming query in the session, breaking
+    any that resume a checkpoint written by the default provider.  At
+    scale RocksDB is the store you want anyway (state spills to disk,
+    changelog checkpointing, not JVM heap)."""
     proc = EmaSmoother()
-    session = stream.sparkSession
-    session.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
     return stream.groupBy("channel").transformWithStateInPandas(
         statefulProcessor=proc,
         outputStructType="channel bigint, ts timestamp, value double, ema double",

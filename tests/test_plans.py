@@ -134,12 +134,18 @@ def test_ann_probe_plans_broadcast_and_stay_narrow(spark):
     for name in ("ann_ivf_bucketed", "ann_ivf_kmeans", "ann_rp_lsh"):
         df = QUERIES[name](spark, SF_DIR)
         assert E.has_broadcast_join(df), f"{name}: probe join not broadcast"
-        plan = E.formatted_plan(df)
-        join_pos = plan.find("BroadcastHashJoin")
-        scan_pos = plan.find("Scan parquet")
-        assert plan.count("Exchange hashpartitioning", scan_pos, join_pos) == 0, (
-            f"{name}: corpus side shuffles before the probe join"
-        )
+        # tree section lists parents above children, so everything after
+        # the join line is its input subtree: it may contain the
+        # BroadcastExchange (query side) but no shuffle Exchange
+        tree = E.formatted_plan(df).split("\n\n")[0]
+        subtree = tree[tree.index("BroadcastHashJoin"):]
+        bad = [
+            ln for ln in subtree.splitlines()
+            if "Exchange" in ln and "BroadcastExchange" not in ln
+        ]
+        assert not bad, f"{name}: shuffle below the probe join\n{tree}"
+        # and the whole plan budgets to top-k window + output sort
+        assert E.shuffle_count(df) <= 2, E.formatted_plan(df)
 
 
 def test_dedup_pair_generation_is_equi_join(spark):
@@ -186,7 +192,7 @@ def test_behavior_and_skew_plan_budgets(spark):
     budgets = {
         "sessionize_gap_ids": 2,
         "mode_event_type_per_user": 3,
-        "agg_salted_hot_key": 5,      # 2x two-phase agg + broadcast-join tails
+        "agg_salted_hot_key": 3,      # one two-phase salted agg + output sort
         "events_funnel_ordered": 11,  # 4 dependent join+agg stages + union
     }
     for name, budget in budgets.items():
@@ -208,10 +214,13 @@ def test_broadcast_join_is_shuffle_free_on_probe(spark):
     """Broadcast dim join: the fact side must not shuffle before the
     join (only agg/sort exchanges allowed afterwards)."""
     df = QUERIES["join_broadcast_dim"](spark, SF_DIR)
-    plan = E.formatted_plan(df)
-    join_pos = plan.find("BroadcastHashJoin")
-    assert join_pos != -1
-    # the scan of lineitem feeds the join without an Exchange between
-    scan_pos = plan.find("Scan parquet")
-    exchanges_before_join = plan.count("Exchange hashpartitioning", scan_pos, join_pos)
-    assert exchanges_before_join == 0
+    tree = E.formatted_plan(df).split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    # the join's input subtree (tree lines below it) must be free of
+    # shuffle Exchanges — the fact scan feeds the join directly
+    subtree = tree[tree.index("BroadcastHashJoin"):]
+    bad = [
+        ln for ln in subtree.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert not bad, tree

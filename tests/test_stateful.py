@@ -190,6 +190,12 @@ def test_transform_with_state_ema_e2e(spark, tmpdir_):
     rows = []
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
     try:
+        # the caller-side provider setup stateful_ema_tws documents
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         q = (
             stateful_ema_tws(stream)
             .writeStream.outputMode("append")
