@@ -368,23 +368,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup *decision*: keep-lowest-id — a doc is dropped when it
-    verifies (exact Jaccard >= threshold) against the minimum-id doc of
-    any LSH bucket it lands in.  This is the output a pipeline consumes
-    (and the bench measures): O(corpus) rows.
-
-    Unlike ``dedup_minhash_lsh`` (the all-pairs evidence query, O(bucket
-    width^2) candidates), candidates here are linked sparsely — every doc
-    pairs with its bucket HEAD (min id) and its bucket PREDECESSOR (next
-    lower id) — so candidate volume is O(N x bands) regardless of how
-    dense the dup groups are.  Head links equal the greedy all-pairs rule
-    on exact-dup groups; predecessor links additionally walk similarity
-    chains (a~b~c with a!~c).  A doc similar only to a non-adjacent,
-    non-head member is still missed — the sparse-linkage recall trade,
-    bounded by the banding s-curve and measured against the all-pairs
-    rule in tests.
-    """
+def _minhash_sparse_drop_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc ids dropped by the sparse-linkage minhash keeper rule (see
+    ``dedup_minhash_keepers`` for the decision semantics): one ``doc_id``
+    column, every id verified at exact Jaccard >= LSH_VERIFY_THRESHOLD
+    against some lower-id doc.  Shared by the keeper summary and the
+    driver-facing property check (operators/checks.py)."""
     from pyspark.sql import Window
 
     sigs = minhash_signatures(spark, sf_dir)
