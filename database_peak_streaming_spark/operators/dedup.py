@@ -411,13 +411,36 @@ def _minhash_sparse_drop_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = inter.cast("double") / (
         F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
     )
-    drops = (
+    return (
         cand.join(t.alias("ta"), cand.doc_a == F.col("ta.doc_id"))
         .join(t.alias("tb"), cand.doc_b == F.col("tb.doc_id"))
         .filter(F.round(jac, 6) >= LSH_VERIFY_THRESHOLD)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
+
+
+def dedup_minhash_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *decision*: keep-lowest-id — a doc is dropped when it
+    verifies (exact Jaccard >= threshold) against the minimum-id doc of
+    any LSH bucket it lands in.  This is the output a pipeline consumes
+    (and the bench measures): O(corpus) rows.
+
+    Unlike ``dedup_minhash_lsh`` (the all-pairs evidence query, O(bucket
+    width^2) candidates), candidates here are linked sparsely — every doc
+    pairs with its bucket HEAD (min id) and its bucket PREDECESSOR (next
+    lower id) — so candidate volume is O(N x bands) regardless of how
+    dense the dup groups are.  Head links equal the greedy all-pairs rule
+    on exact-dup groups; predecessor links additionally walk similarity
+    chains (a~b~c with a!~c).  A doc similar only to a non-adjacent,
+    non-head member is still missed — the sparse-linkage recall trade,
+    bounded by the banding s-curve and measured against the all-pairs
+    rule in tests.  Drop-id computation lives in
+    ``_minhash_sparse_drop_ids``; this wrapper reduces it to the
+    one-row ``(n_docs, n_dropped)`` summary the driver hashes.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    drops = _minhash_sparse_drop_ids(spark, sf_dir)
     return (
         d.select("doc_id")
         .join(drops.withColumn("dropped", F.lit(1)), "doc_id", "left")
