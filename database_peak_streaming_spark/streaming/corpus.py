@@ -60,9 +60,11 @@ def streaming_curate(
     past the horizon.  Output carries the content hash so downstream
     sinks can maintain a hash index for the cross-horizon anti-join.
     """
+    from database_peak_streaming_spark.streaming.ops import as_event_time
+
+    gated = quality_gate(docs).withColumn("content_sha", F.sha2(F.col("text"), 256))
     return (
-        quality_gate(docs)
-        .withColumn("content_sha", F.sha2(F.col("text"), 256))
+        as_event_time(gated, ts_col)
         .withWatermark(ts_col, dedup_horizon)
         .dropDuplicatesWithinWatermark(["content_sha"])
     )

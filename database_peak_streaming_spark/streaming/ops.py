@@ -13,6 +13,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Coerce ``ts_col`` to TIMESTAMP (LTZ) so it can carry a watermark.
+
+    Parquet written with tz-naive timestamps (the driver's testdata and
+    most pandas/arrow writers) reads back as TIMESTAMP_NTZ under Spark
+    4's parquet type inference, and ``withWatermark`` rejects NTZ event
+    time.  With the session timezone pinned to UTC (session.py) the cast
+    is value-preserving; on an already-LTZ column it is a no-op."""
+    return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+
+
 def streaming_dedup(
     stream: DataFrame, keys: list[str], watermark_col: str, delay: str
 ) -> DataFrame:
@@ -21,6 +32,7 @@ def streaming_dedup(
     ``delay`` of first sight are dropped; state for keys older than the
     watermark is evicted, so memory is bounded by the dup horizon — the
     scale contract exact global dedup cannot offer a stream."""
+    stream = as_event_time(stream, watermark_col)
     return stream.withWatermark(watermark_col, delay).dropDuplicates(keys)
 
 
@@ -53,8 +65,8 @@ def stream_stream_interval_join(
     so the 100 TB/day story is the same hash-partitioned join as batch,
     just with watermark-bounded buffers instead of full materialization.
     """
-    lw = left.withWatermark(ts_l, delay)
-    rw = right.withWatermark(ts_r, delay)
+    lw = as_event_time(left, ts_l).withWatermark(ts_l, delay)
+    rw = as_event_time(right, ts_r).withWatermark(ts_r, delay)
     cond = (
         (F.col(key_l) == F.col(key_r))
         & (F.col(ts_r) >= F.col(ts_l))
@@ -68,7 +80,8 @@ def tumbling_counts(
 ) -> DataFrame:
     """Tumbling event-time counts+sums (A1/A2 on arbitrary streams)."""
     return (
-        stream.withWatermark(ts_col, delay)
+        as_event_time(stream, ts_col)
+        .withWatermark(ts_col, delay)
         .groupBy(F.window(ts_col, length).alias("w"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "n", "sum_value")
@@ -80,7 +93,8 @@ def sliding_counts(
 ) -> DataFrame:
     """Sliding event-time windows on a stream."""
     return (
-        stream.withWatermark(ts_col, delay)
+        as_event_time(stream, ts_col)
+        .withWatermark(ts_col, delay)
         .groupBy(F.window(ts_col, length, slide).alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "n")
@@ -92,7 +106,8 @@ def session_counts(
 ) -> DataFrame:
     """Per-key session windows with inactivity ``gap`` on a stream."""
     return (
-        stream.withWatermark(ts_col, delay)
+        as_event_time(stream, ts_col)
+        .withWatermark(ts_col, delay)
         .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(

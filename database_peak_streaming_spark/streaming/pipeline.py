@@ -44,8 +44,11 @@ def window_means(
     """Event-time tumbling window means per (channel, peak_idx) over a
     long-form peaks stream (ts, channel, peak_idx, wavelength) — works
     identically on a batch DataFrame (the tests' oracle path)."""
+    from database_peak_streaming_spark.streaming.ops import as_event_time
+
     return (
-        stream.withWatermark("ts", watermark_delay)
+        as_event_time(stream, "ts")
+        .withWatermark("ts", watermark_delay)
         .groupBy(
             F.window("ts", window_length).alias("w"),
             F.col("channel"),

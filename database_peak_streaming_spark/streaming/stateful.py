@@ -93,8 +93,11 @@ def stateful_minute_first(
                 out, columns=[key_col, "minute_start", ts_col, value_col]
             )
 
+    from database_peak_streaming_spark.streaming.ops import as_event_time
+
     return (
-        stream.withWatermark(ts_col, watermark_delay)
+        as_event_time(stream, ts_col)
+        .withWatermark(ts_col, watermark_delay)
         .groupBy(key_col)
         .applyInPandasWithState(
             fn,
@@ -218,8 +221,11 @@ def stateful_ema(stream: DataFrame, watermark_delay: str = "10 minutes") -> Data
             }
         )
 
+    from database_peak_streaming_spark.streaming.ops import as_event_time
+
     return (
-        stream.withWatermark("ts", watermark_delay)
+        as_event_time(stream, "ts")
+        .withWatermark("ts", watermark_delay)
         .groupBy("channel")
         .applyInPandasWithState(
             fn,
