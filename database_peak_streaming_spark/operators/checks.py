@@ -1,0 +1,317 @@
+"""Driver-facing property checks for the hash-dependent queries.
+
+Five registry queries have no ANSI-SQL oracle because their outputs
+depend on xxhash64 permutations DuckDB cannot reproduce
+(``dedup_minhash_lsh``, ``dedup_simhash``, ``dedup_clusters_cc_lsh``,
+``dedup_minhash_keepers``, ``curate_corpus_pipeline_lsh``).  Without an
+oracle the driver's correctness gate degrades to rows>0.  Each
+``check_*`` query here recomputes the operator's *invariants* —
+properties that hold for every dataset, pinned locally in
+tests/test_llm_ops.py — entirely in Spark (no collect), and emits one
+``(invariant, ok)`` row per property.  The expected output is a
+constant all-true relation, so the oracle is a literal ``VALUES`` list
+and the driver's value-hash compare becomes a real gate: if banding,
+signatures, clustering, or the keeper rule regress, an invariant row
+flips to false and the hash mismatches.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_peak_streaming_spark.operators.dedup import (
+    LSH_VERIFY_THRESHOLD,
+    _distinct_tokens,
+    _minhash_sparse_drop_ids,
+    dedup_clusters_cc,
+    dedup_clusters_cc_lsh,
+    dedup_minhash_keepers,
+    dedup_minhash_lsh,
+    dedup_simhash,
+)
+from database_peak_streaming_spark.sources.batch import load_table
+
+
+def _inv(name: str, df: DataFrame) -> DataFrame:
+    """Tag a 1-row boolean frame (column ``ok``) with its invariant name."""
+    return df.select(
+        F.lit(name).alias("invariant"),
+        F.coalesce(F.col("ok"), F.lit(True)).alias("ok"),
+    )
+
+
+def _stack(parts: list[DataFrame]) -> DataFrame:
+    return reduce(DataFrame.unionAll, parts).orderBy("invariant")
+
+
+def check_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariants of the banded-LSH pair query:
+
+    * ``pairs_ordered_verified`` — every emitted pair is (low, high) by
+      doc_id and its *recomputed* exact Jaccard clears the verify
+      threshold (catches a broken verify stage or column swap);
+    * ``exact_dup_pairs_covered`` — every pair of documents with
+      identical text appears: identical text gives identical signatures,
+      hence identical bands, hence a mandatory candidate — a guaranteed
+      (not probabilistic) recall floor;
+    * ``nonempty`` — the fixture corpus contains near-dups, the query
+      must find some.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select("doc_id", _distinct_tokens().alias("toks"))
+    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+    jac = inter.cast("double") / (
+        F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
+    )
+    verified = (
+        pairs.join(t.alias("ta"), pairs.doc_a == F.col("ta.doc_id"))
+        .join(t.alias("tb"), pairs.doc_b == F.col("tb.doc_id"))
+        .agg(
+            F.bool_and(
+                (F.col("doc_a") < F.col("doc_b"))
+                & (F.round(jac, 6) >= LSH_VERIFY_THRESHOLD)
+            ).alias("ok")
+        )
+    )
+    exact_dups = (
+        d.alias("x")
+        .join(d.alias("y"), (F.col("x.text") == F.col("y.text")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    )
+    covered = (
+        exact_dups.join(pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("ok"))
+    )
+    nonempty = pairs.agg((F.count(F.lit(1)) > 0).alias("ok"))
+    return _stack(
+        [
+            _inv("exact_dup_pairs_covered", covered),
+            _inv("nonempty", nonempty),
+            _inv("pairs_ordered_verified", verified),
+        ]
+    )
+
+
+def check_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariants of the 64-bit SimHash fingerprint query:
+
+    * ``one_row_per_doc`` — exactly one fingerprint per document;
+    * ``chunks_reassemble`` — each 16-bit chunk equals the matching slice
+      of the fingerprint under *logical* shift (the emit path uses
+      arithmetic shift + mask; equality proves the mask discipline);
+    * ``identical_text_same_fp`` — the fingerprint is a pure function of
+      text.
+    """
+    s = dedup_simhash(spark, sf_dir)
+    d = load_table(spark, "documents", sf_dir)
+    chunk_ok = reduce(
+        lambda a, c: a
+        & (
+            F.col(f"chunk_{c}")
+            == F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(
+                F.lit(0xFFFF)
+            )
+        ),
+        range(4),
+        F.lit(True),
+    )
+    reassemble = s.agg(F.bool_and(chunk_ok).alias("ok"))
+    per_doc = s.join(d.select("doc_id"), "doc_id").agg(
+        (
+            (F.count(F.lit(1)) == F.count_distinct(F.col("doc_id")))
+        ).alias("ok")
+    )
+    row_counts = (
+        s.agg(F.count(F.lit(1)).alias("n_s"))
+        .crossJoin(d.agg(F.count(F.lit(1)).alias("n_d")))
+        .select((F.col("n_s") == F.col("n_d")).alias("ok"))
+    )
+    one_per_doc = per_doc.crossJoin(
+        row_counts.select(F.col("ok").alias("ok2"))
+    ).select((F.col("ok") & F.col("ok2")).alias("ok"))
+    pure_fn = (
+        s.join(d.select("doc_id", "text"), "doc_id")
+        .groupBy("text")
+        .agg(F.count_distinct(F.col("simhash")).alias("n_fp"))
+        .agg(F.bool_and(F.col("n_fp") == 1).alias("ok"))
+    )
+    return _stack(
+        [
+            _inv("chunks_reassemble", reassemble),
+            _inv("identical_text_same_fp", pure_fn),
+            _inv("one_row_per_doc", one_per_doc),
+        ]
+    )
+
+
+def check_dedup_clusters_cc_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariants of the LSH-fed connected-components clustering, vs the
+    exact (lossless prefix-filter) clustering:
+
+    * ``refines_exact`` — every LSH cluster sits inside ONE exact
+      cluster: LSH edges verify at 0.7 >= the exact graph's 0.5, so LSH
+      may split clusters (missed s-curve edges) but must never merge
+      docs the exact closure keeps apart;
+    * ``same_doc_set`` — both variants label every document exactly once;
+    * ``has_nonsingleton`` — the clustering is not degenerate.
+    """
+    lsh = dedup_clusters_cc_lsh(spark, sf_dir).select(
+        "doc_id", F.col("cluster_id").alias("lsh_cluster")
+    )
+    exact = dedup_clusters_cc(spark, sf_dir).select(
+        "doc_id", F.col("cluster_id").alias("exact_cluster")
+    )
+    joined = lsh.join(exact, "doc_id")
+    refines = (
+        joined.groupBy("lsh_cluster")
+        .agg(F.count_distinct(F.col("exact_cluster")).alias("n_exact"))
+        .agg(F.bool_and(F.col("n_exact") == 1).alias("ok"))
+    )
+    same_set = (
+        lsh.agg(F.count(F.lit(1)).alias("n_l"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_e")))
+        .crossJoin(joined.agg(F.count(F.lit(1)).alias("n_j")))
+        .select(
+            ((F.col("n_l") == F.col("n_e")) & (F.col("n_e") == F.col("n_j"))).alias(
+                "ok"
+            )
+        )
+    )
+    nonsingleton = (
+        lsh.groupBy("lsh_cluster")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg((F.max("sz") >= 2).alias("ok"))
+    )
+    return _stack(
+        [
+            _inv("has_nonsingleton", nonsingleton),
+            _inv("refines_exact", refines),
+            _inv("same_doc_set", same_set),
+        ]
+    )
+
+
+def check_dedup_minhash_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariants tying the keeper summary to its drop-id set:
+
+    * ``summary_consistent`` — the registered query's (n_docs,
+      n_dropped) equals count(documents) / count(drop ids);
+    * ``drops_subset`` — every dropped id is a real document id;
+    * ``min_id_kept`` — the globally minimum doc_id can never verify
+      against a lower id, so it must survive.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    drops = _minhash_sparse_drop_ids(spark, sf_dir)
+    summary = dedup_minhash_keepers(spark, sf_dir)
+    consistent = (
+        summary.crossJoin(d.agg(F.count(F.lit(1)).alias("n_real")))
+        .crossJoin(drops.agg(F.count(F.lit(1)).alias("n_drop_real")))
+        .select(
+            (
+                (F.col("n_docs") == F.col("n_real"))
+                & (F.col("n_dropped") == F.col("n_drop_real"))
+            ).alias("ok")
+        )
+    )
+    subset = drops.join(d.select("doc_id"), "doc_id", "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("ok")
+    )
+    min_kept = (
+        d.agg(F.min("doc_id").alias("doc_id"))
+        .join(drops, "doc_id", "left_semi")
+        .agg((F.count(F.lit(1)) == 0).alias("ok"))
+    )
+    return _stack(
+        [
+            _inv("drops_subset", subset),
+            _inv("min_id_kept", min_kept),
+            _inv("summary_consistent", consistent),
+        ]
+    )
+
+
+def check_curate_corpus_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel-level invariants of the LSH curation pipeline vs the exact
+    one (tests/test_llm_ops.py::test_lsh_funnel_keepers_superset_of_exact):
+
+    * ``exact_keepers_subset`` — cluster refinement means the exact
+      pipeline's keeper set is a subset of the LSH pipeline's: LSH may
+      keep extra near-dups, never drop a doc the exact pipeline keeps;
+    * ``summary_matches_keepers`` — the registered query's total n_docs
+      equals the recomputed LSH keeper count (ties the public summary to
+      the document-level decision).
+    """
+    from database_peak_streaming_spark.operators.curation import (
+        QUALITY_CUTOFF,
+        curate_corpus_pipeline_lsh,
+        quality_score_col,
+    )
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    passed = d.filter(quality_score_col() > QUALITY_CUTOFF).select("doc_id")
+
+    def keepers(clusters: DataFrame) -> DataFrame:
+        w = Window.partitionBy("cluster_id")
+        return (
+            passed.join(clusters, "doc_id")
+            .withColumn("keep_id", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") == F.col("keep_id"))
+            .select("doc_id")
+        )
+
+    exact_k = keepers(dedup_clusters_cc(spark, sf_dir))
+    lsh_k = keepers(dedup_clusters_cc_lsh(spark, sf_dir))
+    subset = exact_k.join(lsh_k, "doc_id", "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("ok")
+    )
+    summary_total = (
+        curate_corpus_pipeline_lsh(spark, sf_dir)
+        .agg(F.sum("n_docs").alias("n_summary"))
+        .crossJoin(lsh_k.agg(F.count(F.lit(1)).alias("n_keep")))
+        .select((F.col("n_summary") == F.col("n_keep")).alias("ok"))
+    )
+    return _stack(
+        [
+            _inv("exact_keepers_subset", subset),
+            _inv("summary_matches_keepers", summary_total),
+        ]
+    )
+
+
+def _all_true_sql(names: list[str]) -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT '{n}' AS invariant, TRUE AS ok" for n in sorted(names)
+    )
+    return f"SELECT * FROM ({rows}) ORDER BY invariant"
+
+
+QUERIES = {
+    "check_dedup_minhash_lsh": check_dedup_minhash_lsh,
+    "check_dedup_simhash": check_dedup_simhash,
+    "check_dedup_clusters_cc_lsh": check_dedup_clusters_cc_lsh,
+    "check_dedup_minhash_keepers": check_dedup_minhash_keepers,
+    "check_curate_corpus_pipeline_lsh": check_curate_corpus_pipeline_lsh,
+}
+
+ORACLE_SQL = {
+    "check_dedup_minhash_lsh": _all_true_sql(
+        ["exact_dup_pairs_covered", "nonempty", "pairs_ordered_verified"]
+    ),
+    "check_dedup_simhash": _all_true_sql(
+        ["chunks_reassemble", "identical_text_same_fp", "one_row_per_doc"]
+    ),
+    "check_dedup_clusters_cc_lsh": _all_true_sql(
+        ["has_nonsingleton", "refines_exact", "same_doc_set"]
+    ),
+    "check_dedup_minhash_keepers": _all_true_sql(
+        ["drops_subset", "min_id_kept", "summary_consistent"]
+    ),
+    "check_curate_corpus_pipeline_lsh": _all_true_sql(
+        ["exact_keepers_subset", "summary_matches_keepers"]
+    ),
+}

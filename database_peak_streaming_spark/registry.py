@@ -14,6 +14,7 @@ from database_peak_streaming_spark.operators import (
     aggregates,
     arrays_json,
     behavior,
+    checks,
     curation,
     dedup,
     joins,
@@ -54,6 +55,7 @@ _MODULES = [
     curation,
     behavior,
     skew,
+    checks,
 ]
 
 #: External drivers check a bounded prefix of the registry (observed: the
