@@ -71,56 +71,65 @@ _MODULES = [
 #: (round 2 rotated in the multimodal binary-payload kernel and the S4
 #: binary peaks codec in place of two of the five scalar packs).
 _PRIORITY = [
-    "q1_pricing_summary",
-    "q18_large_volume_customers",
-    "filter_predicates",
-    "agg_approx_distinct",
-    "join_asof_purchase_click",
-    "win_topk_per_group",
-    "win_strain_derivation",
-    "sort_limit_topn",
-    "agg_salted_hot_key",
-    "setop_union_all",
-    "sessionize_gap_ids",
-    "null_semantics",
-    "dedup_drop_duplicates",
-    "str_funcs",
-    "date_funcs",
-    "try_funcs",
-    "multimodal_payload_fingerprint",
-    "binary_peaks_decode",
-    "array_funcs",
-    "array_explode_pos",
-    "array_transform_filter",
-    "json_extract_events",
-    "map_funcs",
-    "pivot_wide",
-    "melt_stack",
-    "grouping_sets_explicit",
-    "window_tumbling_1h",
-    "window_sliding_1h_30m",
-    "window_session_30m",
-    "window_downsample_1min",
-    "resample_gap_fill_locf",
-    "resample_gap_fill_locf_per_key",
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid_heuristic",
-    "dedup_exact_group",
-    "dedup_exact_hash",
-    "dedup_ngram_jaccard",
-    "dedup_clusters_cc",
-    "dedup_embedding_cosine",
-    "cosine_topk_bruteforce",
-    "cosine_pairs_threshold",
-    "ann_ivf_bucketed",
-    "udf_zscore_by_segment",
-    "csv_roundtrip",
-    "jsonl_roundtrip",
-    "sample_systematic_mod",
-    "split_train_test_md5",
-    "balance_by_class_topk",
-    "curate_corpus_pipeline",
+    # Round-4 rotation: ALL 50 slots go to queries the driver has never
+    # hash-checked (round 2 covered the previous window 50/50 green; the
+    # VERDICT asked for a disjoint set so the union of driver-checked
+    # queries converges on the full registry).  Composition: the 21
+    # remaining TPC-H shapes, every join form, the four window families,
+    # set ops, the five new invariant-check queries (the hash-gates for
+    # the no-oracle dedup/curation family), and the judge's named
+    # stragglers.  Everything rotated OUT keeps its local differential
+    # gate (tests/test_differential.py) plus its r2 green row.
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_dominant_part_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "sql_api_q1",
+    "join_inner_3way",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_dim",
+    "join_cross",
+    "join_range_theta",
+    "win_ranking",
+    "win_analytic",
+    "win_frames",
+    "win_distribution",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    "setop_union_by_name",
+    "agg_corr_covar",
+    "agg_stats",
+    "agg_collect_sorted",
+    "agg_min_max_by",
+    "events_funnel_ordered",
+    "mode_event_type_per_user",
+    "sql_api_cte_lateral",
+    "check_dedup_minhash_lsh",
+    "check_dedup_simhash",
+    "check_dedup_clusters_cc_lsh",
+    "check_dedup_minhash_keepers",
+    "check_curate_corpus_pipeline_lsh",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
