@@ -368,23 +368,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sparse_drop_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Doc ids dropped by the sparse-linkage minhash keeper rule (see
-    ``dedup_minhash_keepers`` for the decision semantics): one ``doc_id``
-    column, every id verified at exact Jaccard >= LSH_VERIFY_THRESHOLD
-    against some lower-id doc.  Shared by the keeper summary and the
-    driver-facing property check (operators/checks.py)."""
+def _sparse_drop_ids_from_banded(banded: DataFrame, d: DataFrame) -> DataFrame:
+    """Sparse-linkage drop rule over any (doc_id, band, band_hash)
+    banding: link each doc to its bucket HEAD (min id) and PREDECESSOR
+    (next lower id), verify candidates at exact token Jaccard >=
+    LSH_VERIFY_THRESHOLD, return the distinct dropped ``doc_id``s.
+    Candidate volume is O(N x bands) regardless of bucket density."""
     from pyspark.sql import Window
 
-    sigs = minhash_signatures(spark, sf_dir)
-    r = MINHASH_PERMS // LSH_BANDS
-    bands = F.array(
-        *[
-            F.xxhash64(*[F.col(f"sig_{b * r + i}") for i in range(r)], F.lit(b))
-            for b in range(LSH_BANDS)
-        ]
-    )
-    banded = sigs.select("doc_id", F.posexplode(bands).alias("band", "band_hash"))
     w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
     linked = banded.select(
         "doc_id",
@@ -405,7 +396,6 @@ def _minhash_sparse_drop_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    d = load_table(spark, "documents", sf_dir)
     t = d.select("doc_id", _distinct_tokens().alias("toks"))
     inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
     jac = inter.cast("double") / (
@@ -418,6 +408,24 @@ def _minhash_sparse_drop_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
+
+
+def _minhash_sparse_drop_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc ids dropped by the sparse-linkage minhash keeper rule (see
+    ``dedup_minhash_keepers`` for the decision semantics): one ``doc_id``
+    column, every id verified at exact Jaccard >= LSH_VERIFY_THRESHOLD
+    against some lower-id doc.  Shared by the keeper summary and the
+    driver-facing property check (operators/checks.py)."""
+    sigs = minhash_signatures(spark, sf_dir)
+    r = MINHASH_PERMS // LSH_BANDS
+    bands = F.array(
+        *[
+            F.xxhash64(*[F.col(f"sig_{b * r + i}") for i in range(r)], F.lit(b))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = sigs.select("doc_id", F.posexplode(bands).alias("band", "band_hash"))
+    return _sparse_drop_ids_from_banded(banded, load_table(spark, "documents", sf_dir))
 
 
 def dedup_minhash_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,6 +458,110 @@ def dedup_minhash_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("dropped", F.lit(0))).alias("n_dropped"),
         )
     )
+
+
+def dedup_minhash_keepers_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_minhash_keepers`` with ENGINE-PORTABLE permutations: each
+    of the 20 min-hashes is the lexicographic minimum of
+    ``md5(i || ':' || shingle)`` over the doc's 3-gram shingles, and the
+    band key is ``md5(concat_ws(',', sigs-in-band))`` — every primitive
+    (md5 hex string, string min, concat) computes identically in any SQL
+    engine, so unlike the xxhash64 form this variant has a FULL DuckDB
+    oracle: the same banding, sparse linkage (bucket head + predecessor),
+    exact-Jaccard verify, and (n_docs, n_dropped) summary, declared in
+    SQL.  The xxhash64 form stays the production fast path (one JVM hash
+    vs an md5 per shingle x permutation); this form is the conformance
+    witness that the keeper rule itself — not the hash — drives the
+    result."""
+    d = load_table(spark, "documents", sf_dir)
+    sh = d.select("doc_id", _shingles().alias("sh"))
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("sh"),
+                (lambda i_: lambda s: F.md5(F.concat(F.lit(f"{i_}:"), s)))(i),
+            )
+        ).alias(f"sig_{i}")
+        for i in range(MINHASH_PERMS)
+    ]
+    sigs = sh.select("doc_id", *sig_cols)
+    r = MINHASH_PERMS // LSH_BANDS
+    bands = F.array(
+        *[
+            F.md5(F.concat_ws(",", *[F.col(f"sig_{b * r + i}") for i in range(r)]))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = sigs.select("doc_id", F.posexplode(bands).alias("band", "band_hash"))
+    drops = _sparse_drop_ids_from_banded(banded, d)
+    return (
+        d.select("doc_id")
+        .join(drops.withColumn("dropped", F.lit(1)), "doc_id", "left")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("dropped", F.lit(0))).alias("n_dropped"),
+        )
+    )
+
+
+def _minhash_keepers_md5_sql() -> str:
+    """DuckDB mirror of ``dedup_minhash_keepers_md5`` (same shingling,
+    md5 permutations, banding, sparse linkage, verify, summary)."""
+    r = MINHASH_PERMS // LSH_BANDS
+    sig_exprs = ",\n            ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS sig_{i}"
+        for i in range(MINHASH_PERMS)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(','"
+        + "".join(f", sig_{b * r + i}" for i in range(r))
+        + ")) AS band_hash FROM sigs"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+                       j -> concat_ws(' ',
+                            string_split(text, ' ')[j + 1],
+                            string_split(text, ' ')[j + 2],
+                            string_split(text, ' ')[j + 3]))) AS sh
+            FROM documents),
+        sigs AS (
+            SELECT doc_id,
+            {sig_exprs}
+            FROM sh),
+        banded AS (
+            {band_selects}),
+        linked AS (
+            SELECT doc_id,
+                   first_value(doc_id) OVER w AS head_id,
+                   lag(doc_id) OVER w AS prev_id
+            FROM banded
+            WINDOW w AS (PARTITION BY band, band_hash ORDER BY doc_id)),
+        cand AS (
+            SELECT head_id AS doc_a, doc_id AS doc_b
+            FROM linked WHERE head_id < doc_id
+            UNION
+            SELECT prev_id AS doc_a, doc_id AS doc_b
+            FROM linked WHERE prev_id IS NOT NULL AND prev_id < doc_id),
+        tok AS (
+            SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks
+            FROM documents),
+        drops AS (
+            SELECT DISTINCT c.doc_b AS doc_id
+            FROM cand c
+            JOIN tok a ON c.doc_a = a.doc_id
+            JOIN tok b ON c.doc_b = b.doc_id
+            WHERE ROUND(
+                CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+                6) >= {LSH_VERIFY_THRESHOLD})
+        SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+               (SELECT COUNT(*) FROM drops) AS n_dropped
+    """
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,6 +656,7 @@ QUERIES = {
     "dedup_clusters_cc_lsh": dedup_clusters_cc_lsh,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_keepers": dedup_minhash_keepers,
+    "dedup_minhash_keepers_md5": dedup_minhash_keepers_md5,
     "dedup_simhash": dedup_simhash,
 }
 
@@ -574,6 +687,7 @@ def _emb_dedup_sql() -> str:
 
 ORACLE_SQL = {
     "dedup_embedding_cosine": _emb_dedup_sql(),
+    "dedup_minhash_keepers_md5": _minhash_keepers_md5_sql(),
     "dedup_exact_group": """
         SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text ORDER BY keeper_doc_id
