@@ -196,8 +196,53 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition metrics (Rae et al. 2021,
+    "Scaling Language Models", Table A1): duplicate-token ratio and
+    duplicate word-3-gram ratio, plus the standard >0.2 filter flag on
+    the 3-gram ratio.  Pure column expressions — the n-gram slide is the
+    P11 re-slice pattern, so the whole filter runs in whole-stage codegen
+    at scan speed; nothing explodes (per-doc arrays only)."""
+    d = load_table(spark, "documents", sf_dir)
+    base = d.select("doc_id", _tokens().alias("t"))
+    n = F.size(F.col("t"))
+    tg = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda j: F.concat_ws(
+                " ", F.col("t")[j], F.col("t")[j + 1], F.col("t")[j + 2]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_g = base.select("doc_id", "t", tg.alias("tg"))
+    n3 = F.size(F.col("tg"))
+    dup_tok = F.round(
+        1
+        - F.size(F.array_distinct(F.col("t"))).cast("double")
+        / F.size(F.col("t")),
+        6,
+    )
+    dup_3g = F.when(
+        n3 > 0,
+        F.round(
+            1 - F.size(F.array_distinct(F.col("tg"))).cast("double") / n3, 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        with_g.select(
+            "doc_id",
+            dup_tok.alias("dup_token_ratio"),
+            dup_3g.alias("dup_3gram_ratio"),
+            (dup_3g > 0.2).alias("flag_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_repetition_score": text_repetition_score,
     "text_top_terms": text_top_terms,
     "text_top_bigrams": text_top_bigrams,
     "text_token_count_bpe_ish": text_token_count_bpe_ish,
@@ -214,6 +259,29 @@ _MARKER_SQL = {
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
 ORACLE_SQL = {
+    "text_repetition_score": """
+        WITH t AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        g AS (
+            SELECT doc_id, t,
+                   CASE WHEN LEN(t) >= 3
+                        THEN LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+                        ELSE [] END AS tg
+            FROM t)
+        SELECT doc_id,
+               ROUND(1 - CAST(LEN(LIST_DISTINCT(t)) AS DOUBLE) / LEN(t), 6)
+                   AS dup_token_ratio,
+               CASE WHEN LEN(tg) > 0
+                    THEN ROUND(1 - CAST(LEN(LIST_DISTINCT(tg)) AS DOUBLE)
+                               / LEN(tg), 6)
+                    ELSE 0.0 END AS dup_3gram_ratio,
+               (CASE WHEN LEN(tg) > 0
+                     THEN ROUND(1 - CAST(LEN(LIST_DISTINCT(tg)) AS DOUBLE)
+                                / LEN(tg), 6)
+                     ELSE 0.0 END) > 0.2 AS flag_repetitive
+        FROM g ORDER BY doc_id
+    """,
     "text_top_bigrams": """
         WITH toks AS (
             SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
