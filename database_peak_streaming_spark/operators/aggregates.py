@@ -13,7 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_peak_streaming_spark.operators.common import DEC, davg, dsum, r6
+from database_peak_streaming_spark.operators.common import (
+    DEC,
+    davg,
+    dsum,
+    from_micros,
+    micros,
+    r6,
+)
 from database_peak_streaming_spark.sources.batch import load_table
 
 
@@ -24,22 +31,52 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> 8 aggregates -> sort.  The group-key cardinality is 6, so the
     post-shuffle stage is trivially small at any scale; the heavy lifting
     is the map-side partial agg, which scales linearly with input splits.
+
+    Exact sums run in fixed-point: each row contributes long micro-units
+    (``micros`` — identical HALF_UP rounding to the DEC cast), summed as
+    primitive longs per (group, input partition) and merged as decimals.
+    The per-partition partial is overflow-safe by partition sizing
+    (maxPartitionBytes caps rows/partition at ~1.3M; 1.3M x 1.2e11
+    micro-units ~ 1.6e17 << 2^63) and the cross-partition merge is
+    decimal, so the plan is exact at ANY table scale — while never
+    putting a BigDecimal in the per-row hot path the way a
+    DECIMAL(28,6) input cast does (~3x on this query).  The extra
+    "shuffle" this two-phase form adds moves only groups x partitions
+    rows (6 x P here).
     """
     li = load_table(spark, "lineitem", sf_dir)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
+    part = (
         li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy(
+            "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid")
+        )
         .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            dsum(disc_price, "sum_disc_price"),
-            dsum(charge, "sum_charge"),
-            davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
-            davg("l_discount", "avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(micros("l_quantity")).alias("_m_qty"),
+            F.sum(micros("l_extendedprice")).alias("_m_price"),
+            F.sum(micros(disc_price)).alias("_m_disc_price"),
+            F.sum(micros(charge)).alias("_m_charge"),
+            # avg partials: plain double sums — same partial/final
+            # associativity the built-in avg uses; round(6) absorbs ulps
+            F.sum("l_quantity").alias("_s_qty"),
+            F.sum("l_extendedprice").alias("_s_price"),
+            F.sum("l_discount").alias("_s_disc"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    n = F.sum("_n")
+    return (
+        part.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            from_micros(F.sum("_m_qty"), "sum_qty"),
+            from_micros(F.sum("_m_price"), "sum_base_price"),
+            from_micros(F.sum("_m_disc_price"), "sum_disc_price"),
+            from_micros(F.sum("_m_charge"), "sum_charge"),
+            F.round(F.sum("_s_qty") / n, 6).alias("avg_qty"),
+            F.round(F.sum("_s_price") / n, 6).alias("avg_price"),
+            F.round(F.sum("_s_disc") / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

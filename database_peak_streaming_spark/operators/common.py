@@ -22,6 +22,39 @@ def dsum(col: Column | str, alias: str) -> Column:
     return F.sum(c.cast(DEC)).cast("double").alias(alias)
 
 
+def micros(col: Column | str) -> Column:
+    """Exact fixed-point micro-units: ``CAST(x AS DECIMAL(18,6))`` —
+    identical HALF_UP rounding to the ``DEC`` cast for every |x| < 1e12,
+    but precision 18 keeps the value in Spark's compact-long decimal
+    form (no BigDecimal) — shifted into a plain LONG.
+
+    Why: summing a DECIMAL(28,6) input forces a BigDecimal-backed
+    aggregation buffer (precision > 18 leaves the UnsafeRow fast path),
+    which is the dominant cost of the exact-sum queries; summing longs
+    stays in whole-stage codegen's primitive path.  See ``dsum_bounded``
+    and the q1 two-phase form for the two scale-safe consumption
+    patterns."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast("decimal(18,6)") * 1000000).cast("long")
+
+
+def from_micros(sum_micros: Column, alias: str) -> Column:
+    """Exact decimal descale of a summed micro-unit column back to the
+    public double schema (same value ``dsum`` produces)."""
+    return (sum_micros.cast(DEC) / 1000000).cast("double").alias(alias)
+
+
+def dsum_bounded(col: Column | str, alias: str) -> Column:
+    """Order-independent exact sum via long micro-units — for groupings
+    whose PER-GROUP row count is bounded by the schema (an order's
+    lineitems, a session's events), NOT by table scale.  The long
+    partial never overflows because group_rows x max|x| x 1e6 << 2^63
+    by construction; for global/low-cardinality groupings (sums that
+    grow with SF) use ``dsum`` or the two-phase pid split (see
+    q1_pricing_summary), never this."""
+    return from_micros(F.sum(micros(col)), alias)
+
+
 def davg(col: Column | str, alias: str) -> Column:
     """avg rounded to 6 decimals: the mean's error is ~1 ulp of the mean,
     far below 1e-6, so rounding yields a stable cross-engine value."""

@@ -15,7 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_peak_streaming_spark.operators.common import DEC, dsum, r6
+from database_peak_streaming_spark.operators.common import (
+    DEC,
+    dsum,
+    dsum_bounded,
+    from_micros,
+    micros,
+    r6,
+)
 from database_peak_streaming_spark.sources.batch import load_table
 
 def _revenue():
@@ -40,7 +47,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)  # customer scales with SF: AQE decides
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(_revenue(), "revenue"))
+        # per-order revenue: bounded lineitem count per order -> the
+        # long micro-unit partial is overflow-safe at any SF
+        .agg(dsum_bounded(_revenue(), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -67,8 +76,19 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        # nation groups grow with SF -> two-phase exact sum: primitive
+        # long micro-units per (nation, partition), decimal merge above
+        # (the q1 pattern; the merge moves only 25 x P rows)
+        .groupBy("n_name", F.spark_partition_id().alias("_pid"))
+        .agg(
+            F.sum(micros(_revenue())).alias("_m_rev"),
+            F.count(F.lit(1)).alias("_n"),
+        )
         .groupBy("n_name")
-        .agg(dsum(_revenue(), "revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+        .agg(
+            from_micros(F.sum("_m_rev"), "revenue"),
+            F.sum("_n").alias("n_lineitems"),
+        )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -265,9 +285,12 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir)
     c = load_table(spark, "customer", sf_dir)
+    # exact sum in long micro-units: an order has a bounded lineitem
+    # count, so the per-group long partial cannot overflow at any SF —
+    # and the 18M-row hot path sums primitives, not BigDecimals
     oq = (
         li.groupBy("l_orderkey")
-        .agg(dsum("l_quantity", "total_qty"))
+        .agg(dsum_bounded("l_quantity", "total_qty"))
         .filter(F.col("total_qty") > 300)
     )
     return (

@@ -37,6 +37,17 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Memoized scan relations, keyed by (applicationId, table, dir, fanout).
+#: Building a fresh reader per query re-lists the directory and re-reads
+#: parquet footers on the DRIVER — measured as a large share of the
+#: constant ~1s per-query overhead at toy scale (the executed plan for
+#: q1 takes ~35 ms once built).  DataFrames are immutable, so handing
+#: every query the same resolved relation is semantically free; the
+#: fixture dirs are never mutated within a session (writers use their
+#: own paths).  Keyed by applicationId so a new session never sees a
+#: dead session's plans; stale entries are purged on first miss.
+_SCAN_CACHE: dict[tuple, DataFrame] = {}
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Scan one fixture table as a DataFrame (lazy; no IO until an action).
@@ -48,6 +59,18 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     truncation DuckDB applies casting ns->us).  The fixtures carry no
     sub-microsecond precision, so this is exact.
     """
+    app_id = spark.sparkContext.applicationId
+    key = (
+        app_id,
+        name,
+        sf_dir,
+        os.environ.get("SPARK_GRAFT_SCAN_FANOUT") == "1",
+    )
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for stale in [k for k in _SCAN_CACHE if k[0] != app_id]:
+        del _SCAN_CACHE[stale]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
@@ -57,7 +80,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return _maybe_fanout(spark, name, df)
+    df = _maybe_fanout(spark, name, df)
+    _SCAN_CACHE[key] = df
+    return df
 
 
 #: Tables eligible for scan fan-out: the ones with heavy PER-ROW compute

@@ -47,11 +47,15 @@ def test_codegen_covers_headline_plans(spark):
 
 
 def test_aggregation_shuffle_budget(spark):
-    """Q1 must shuffle exactly twice: once for the agg (partial->final),
-    once for the output sort.  More means a partial-aggregate or AQE
+    """Q1's two-phase exact-sum plan shuffles three times: the
+    (group, partition-id) partial (6 x P rows), the cross-partition
+    decimal merge (6 x P rows), and the output sort (6 rows).  Only the
+    FIRST carries more than a handful of rows, and even it is tiny —
+    the 18M-row hot path is the map-side long-micro partial before any
+    exchange.  More than 3 means a partial-aggregate or AQE
     regression."""
     df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
-    assert E.shuffle_count(df) <= 2, E.formatted_plan(df)
+    assert E.shuffle_count(df) <= 3, E.formatted_plan(df)
 
 
 def test_q5_star_join_broadcasts_all_dims(spark):
@@ -60,8 +64,9 @@ def test_q5_star_join_broadcasts_all_dims(spark):
     df = QUERIES["q5_local_supplier_volume"](spark, SF_DIR)
     plan = E.formatted_plan(df)
     assert plan.count("BroadcastHashJoin") >= 4, plan
-    # spine join + aggregation + output sort only
-    assert E.shuffle_count(df) <= 4, plan
+    # spine join + two-phase agg (pid partial + nation merge, both
+    # 25 x P rows max) + output sort
+    assert E.shuffle_count(df) <= 5, plan
 
 
 def test_session_window_single_shuffle(spark):
