@@ -44,8 +44,10 @@ HEADLINE = [
     # LLM-data pipeline ops
     "dedup_exact_hash",
     "dedup_minhash_keepers",
+    "dedup_minhash_keepers_md5",
     "cosine_topk_bruteforce",
     "text_quality_score",
+    "text_repetition_score",
     "curate_corpus_pipeline",
     # python-kernel path
     "udf_zscore_by_segment",
@@ -188,6 +190,14 @@ def main() -> None:
             "ratio_total_scaled": sc.get("scaled", {}).get("ratio_total"),
             "per_query_ratio_scaled": sc.get("scaled", {}).get("ratio"),
         }
+        if "deep" in sc:  # third phase: the 10x stragglers, deeper scale
+            out["scaled_crossover"]["copies_deep"] = sc.get("copies_deep")
+            out["scaled_crossover"]["ratio_total_deep"] = sc.get("deep", {}).get(
+                "ratio_total"
+            )
+            out["scaled_crossover"]["per_query_ratio_deep"] = sc.get("deep", {}).get(
+                "ratio"
+            )
     print(json.dumps(out))
 
 
