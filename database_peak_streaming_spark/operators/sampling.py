@@ -67,6 +67,62 @@ def split_train_test_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: decontamination n-gram width — the standard 8-13 window; 8 fits the
+#: fixture's ~54-token docs while matching real pipelines' lower bound.
+DECON_NGRAM = 8
+
+
+def decontaminate_test_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: test-split documents that share at
+    least one word 8-gram with any train-split document (the GPT-3 /
+    PaLM-style n-gram collision rule), with the evidence counts a
+    pipeline reports before dropping or flagging them.
+
+    Shape: per-doc distinct 8-grams (P11 re-slice, no quadratic work)
+    -> explode -> test-grams equi-join train-grams on the gram ->
+    per-test-doc counts.  The join is a plain shuffle on the gram key,
+    so the contamination check over a 100 TB corpus is one
+    hash-partitioned join; boilerplate mega-grams skew the key — AQE
+    skew-join handles the fixture, and a production run first drops
+    grams above a document-frequency cap (they flag everything anyway).
+    At scale the join key would be xxhash64(gram) (8-byte shuffle
+    width); the oracle keeps the string form so DuckDB joins the same
+    values."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = DECON_NGRAM
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda j: F.concat_ws(" ", *[toks[j + i] for i in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    split = F.when(
+        F.substring(_md5_of("doc_id"), 1, 1).isin("0", "1"), F.lit("test")
+    ).otherwise(F.lit("train"))
+    e = d.select(
+        "doc_id",
+        split.alias("split"),
+        F.explode(F.array_distinct(grams)).alias("gram"),
+    )
+    te = e.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc_id"), "gram"
+    )
+    tr = e.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "gram"
+    )
+    return (
+        te.join(tr, "gram")
+        .groupBy("test_doc_id")
+        .agg(
+            F.count_distinct(F.col("train_doc_id")).alias("n_train_docs"),
+            F.count_distinct(F.col("gram")).alias("n_shared_ngrams"),
+        )
+        .orderBy("test_doc_id")
+    )
+
+
 def split_summary_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate view of the md5 split: doc counts and char volume per
     (split, lang) — the sanity check a pipeline materializes next to the
@@ -106,9 +162,38 @@ QUERIES = {
     "split_train_test_md5": split_train_test_md5,
     "split_summary_md5": split_summary_md5,
     "balance_by_class_topk": balance_by_class_topk,
+    "decontaminate_test_overlap": decontaminate_test_overlap,
 }
 
+_DECON_GRAM_SQL = " || ' ' || ".join(
+    f"t[i + {k}]" for k in range(DECON_NGRAM)
+)
+
 ORACLE_SQL = {
+    "decontaminate_test_overlap": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('0', '1')
+                        THEN 'test' ELSE 'train' END AS split,
+                   LIST_DISTINCT(
+                       CASE WHEN LEN(t) >= {DECON_NGRAM}
+                            THEN LIST_TRANSFORM(
+                                RANGE(1, LEN(t) - {DECON_NGRAM - 2}),
+                                i -> {_DECON_GRAM_SQL})
+                            ELSE [] END) AS grams
+            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+                  FROM documents)),
+        e AS (SELECT doc_id, split, UNNEST(grams) AS gram FROM g)
+        SELECT te.doc_id AS test_doc_id,
+               COUNT(DISTINCT tr.doc_id) AS n_train_docs,
+               COUNT(DISTINCT te.gram) AS n_shared_ngrams
+        FROM e te
+        JOIN e tr ON te.gram = tr.gram
+        WHERE te.split = 'test' AND tr.split = 'train'
+        GROUP BY te.doc_id
+        ORDER BY te.doc_id
+    """,
     "sample_systematic_mod": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         FROM lineitem
