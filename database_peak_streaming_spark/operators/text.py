@@ -240,9 +240,80 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Redaction patterns: the standard PII shapes (email, NANP phone,
+#: IPv4) plus a configurable sensitive-term denylist.  The fixture
+#: corpus is synthetic word salad with no digits, so only the denylist
+#: fires there — it exists precisely so the oracle check exercises a
+#: non-identity replace; production deployments extend this table.
+REDACT_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("denylist", r"\b(customer|supplier)\b"),
+)
+
+
+def text_redact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / sensitive-term scan + redaction: per document, the match
+    count for each pattern class and the md5 fingerprint of the fully
+    redacted text (every pattern replaced by ``<MASK>``).  The
+    fingerprint is the oracle-checked artifact: a regex drift on either
+    engine changes the redacted bytes, so the hash compare gates the
+    REPLACE itself, not just the counts.  Pure regexp column
+    expressions — the scan runs at codegen speed; patterns stay in the
+    RE2/Java-compatible subset so any engine applies the same rules."""
+    d = load_table(spark, "documents", sf_dir)
+    counts = [
+        # the pattern passes through Spark's SQL string-literal parser,
+        # which consumes backslash escapes — double them
+        F.size(F.expr(f"regexp_extract_all(text, '{pat.replace(chr(92), chr(92) * 2)}', 0)"))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat in REDACT_PATTERNS
+    ]
+    redacted = F.col("text")
+    for _, pat in REDACT_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, "<MASK>")
+    return (
+        d.select("doc_id", *counts, F.md5(redacted.cast("binary")).alias("redacted_fp"))
+        .orderBy("doc_id")
+    )
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score (the KenLM-filter sketch):
+    corpus token frequencies in one aggregation pass, then each doc
+    scored by its mean token surprisal -ln(freq/total).  Gibberish and
+    boilerplate sit at the distribution's tails — the standard cheap
+    perplexity proxy for corpus filtering.
+
+    Two shuffles at any scale: token -> frequency (uniform-ish key),
+    then doc_id -> mean (explode feeds the corpus-frequency join; the
+    frequency table is vocabulary-sized, so the join is a plain shuffle
+    join that AQE broadcasts when the vocab is small)."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").alias("total"))
+    return (
+        toks.join(freq, "token")
+        .crossJoin(total)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.log(F.col("tf") / F.col("total"))), 6).alias(
+                "mean_surprisal"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_repetition_score": text_repetition_score,
+    "text_redact_scan": text_redact_scan,
+    "text_unigram_logprob": text_unigram_logprob,
     "text_top_terms": text_top_terms,
     "text_top_bigrams": text_top_bigrams,
     "text_token_count_bpe_ish": text_token_count_bpe_ish,
@@ -258,7 +329,35 @@ _MARKER_SQL = {
 }
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
+_REDACT_COUNT_SQL = ",\n               ".join(
+    f"CAST(LEN(REGEXP_EXTRACT_ALL(text, '{pat}')) AS BIGINT) AS n_{name}"
+    for name, pat in REDACT_PATTERNS
+)
+_REDACTED_SQL = "text"
+for _, _pat in REDACT_PATTERNS:
+    _REDACTED_SQL = f"REGEXP_REPLACE({_REDACTED_SQL}, '{_pat}', '<MASK>', 'g')"
+
 ORACLE_SQL = {
+    "text_redact_scan": f"""
+        SELECT doc_id,
+               {_REDACT_COUNT_SQL},
+               MD5({_REDACTED_SQL}) AS redacted_fp
+        FROM documents ORDER BY doc_id
+    """,
+    "text_unigram_logprob": """
+        WITH toks AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+            FROM documents),
+        freq AS (
+            SELECT token, COUNT(*) AS tf FROM toks GROUP BY token),
+        tot AS (SELECT SUM(tf) AS total FROM freq)
+        SELECT t.doc_id,
+               ROUND(AVG(-LN(f.tf / tot.total)), 6) AS mean_surprisal,
+               COUNT(*) AS n_tokens
+        FROM toks t JOIN freq f USING (token) CROSS JOIN tot
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """,
     "text_repetition_score": """
         WITH t AS (
             SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
