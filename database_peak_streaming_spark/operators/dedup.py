@@ -647,8 +647,86 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings with a k-means coarse quantizer, then dropping
+    any vector whose cosine to a LOWER-ID vector in the SAME cluster
+    clears the threshold — pairwise work is confined to Voronoi cells,
+    never the corpus.  Returns the keeper set (vec_id, cluster).
+
+    Scale: pair volume is O(sum cell^2); production picks k ~ N/avg_cell
+    so cells stay bounded as the corpus grows (the paper uses 50k
+    clusters for LAION-scale), making the pairs stage an equi-join on
+    the cluster id exactly like the RP-LSH variant
+    (``dedup_embedding_cosine``) — the two differ only in how buckets
+    are drawn (trained Voronoi cells vs data-independent hyperplanes).
+    The fixture pins the 8 offline-trained centroids from
+    ``ann_ivf_kmeans`` (operators/similarity.py), so assignment — and
+    the DuckDB oracle — is deterministic."""
+    from database_peak_streaming_spark.operators.similarity import (
+        _dot,
+        _kmeans_bucket,
+        _norm,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    base = e.select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("norm"),
+        _kmeans_bucket(F.col("embedding")).alias("cluster"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(F.round(cos, 6) >= EMB_COS_THRESHOLD)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        base.join(drops, "vec_id", "left_anti")
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_sql() -> str:
+    from database_peak_streaming_spark.operators.similarity import (
+        _cos_sql,
+        _kmeans_dists_sql,
+    )
+
+    return f"""
+        WITH d AS (
+            SELECT vec_id, embedding,
+                   {_kmeans_dists_sql('embedding')} AS dists
+            FROM embeddings),
+        base AS (
+            SELECT vec_id, embedding,
+                   CAST(LIST_POSITION(dists, LIST_MIN(dists)) AS BIGINT)
+                       AS cluster
+            FROM d)
+        SELECT a.vec_id, a.cluster
+        FROM base a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM base b
+            WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+              AND ROUND({_cos_sql('b.embedding', 'a.embedding')}, 6)
+                  >= {EMB_COS_THRESHOLD})
+        ORDER BY a.vec_id
+    """
+
+
 QUERIES = {
     "dedup_exact_group": dedup_exact_group,
+    "dedup_semdedup_kmeans": dedup_semdedup_kmeans,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -688,6 +766,7 @@ def _emb_dedup_sql() -> str:
 ORACLE_SQL = {
     "dedup_embedding_cosine": _emb_dedup_sql(),
     "dedup_minhash_keepers_md5": _minhash_keepers_md5_sql(),
+    "dedup_semdedup_kmeans": _semdedup_sql(),
     "dedup_exact_group": """
         SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text ORDER BY keeper_doc_id
