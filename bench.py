@@ -101,6 +101,7 @@ def main() -> None:
     floor = round(floor, 4)
 
     timings: dict[str, float] = {}
+    exec_timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
@@ -116,6 +117,22 @@ def main() -> None:
             fn(spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # Execution-only: the DataFrame (plan) built ONCE, re-executed.
+        # Full-query time at fixture scale is dominated by a per-rebuild
+        # constant — Catalyst analysis + codegen JIT + AQE compile,
+        # measured ~1-2 s for the complex plans vs ~35 ms execution —
+        # that is invariant in data volume.  Reporting both decomposes
+        # "engine data path" from "per-plan constant"; the DuckDB side
+        # gets the same treatment below (relation built once,
+        # re-fetched), so the exec ratio compares like with like.
+        df = fn(spark, sf_dir)
+        df.toPandas()
+        best_exec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.toPandas()
+            best_exec = min(best_exec, time.perf_counter() - t0)
+        exec_timings[name] = round(best_exec, 4)
 
     total = round(sum(timings.values()), 4)
 
@@ -138,8 +155,22 @@ def main() -> None:
             t0 = time.perf_counter()
             con.sql(sql).fetchall()
             oracle_timings[name] = round(time.perf_counter() - t0, 4)
+        # symmetric execution-only pass: relation built once, re-fetched
+        oracle_exec: dict[str, float] = {}
+        for name in HEADLINE:
+            sql = ORACLE_SQL.get(name)
+            if sql is None:
+                continue
+            rel = con.sql(sql)
+            rel.fetchall()
+            best_exec = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rel.fetchall()
+                best_exec = min(best_exec, time.perf_counter() - t0)
+            oracle_exec[name] = round(best_exec, 4)
     except Exception:
-        pass
+        oracle_exec = {}
 
     out = {
         "metric": "headline_suite_wall_clock",
@@ -164,6 +195,28 @@ def main() -> None:
         out["queries_net"] = net
         out["comparable_net_total"] = round(comparable_net, 4)
         out["ratio_vs_oracle_net"] = round(comparable_net / oracle_total, 2)
+        if oracle_exec:
+            # curate's CC fixpoint localCheckpoints during plan BUILD, so
+            # its re-execution replays cached state while DuckDB re-runs
+            # the recursive CTE — not like-for-like; excluded from the
+            # exec comparison (it stays in the full-query ratios above).
+            exec_exclude = {"curate_corpus_pipeline"}
+            exec_names = [
+                n
+                for n in oracle_exec
+                if n in exec_timings and n not in exec_exclude
+            ]
+            comp_exec = sum(exec_timings[n] for n in exec_names)
+            oracle_exec_total = sum(oracle_exec[n] for n in exec_names)
+            out["queries_exec"] = {n: exec_timings[n] for n in exec_names}
+            out["oracle_queries_exec"] = {
+                n: oracle_exec[n] for n in exec_names
+            }
+            out["comparable_exec_total"] = round(comp_exec, 4)
+            out["oracle_exec_total"] = round(oracle_exec_total, 4)
+            out["ratio_vs_oracle_exec"] = round(
+                comp_exec / max(oracle_exec_total, 1e-9), 2
+            )
 
     # Streaming throughput vs the reference envelope (BASELINE.md: sustain
     # >=10 windows/s, >=1,200 values/s).  Replays the events fixture
