@@ -75,6 +75,36 @@ def stream_stream_interval_join(
     return lw.join(rw, cond, "inner")
 
 
+def stream_stream_interval_join_left(
+    left: DataFrame,
+    right: DataFrame,
+    key_l: str,
+    key_r: str,
+    ts_l: str,
+    ts_r: str,
+    delay: str,
+    upper: str,
+) -> DataFrame:
+    """LEFT OUTER form of the interval join: matched pairs emit like the
+    inner form; an UNMATCHED left row emits with right-side nulls only
+    once the watermark proves no match can still arrive — i.e. when its
+    buffered state expires (``delay`` + ``upper`` past its event time).
+    That state-eviction null is the semantic difference from batch: a
+    left row younger than the final watermark stays buffered forever in
+    an unterminated stream, so equivalence with the batch left join
+    holds for rows older than (max event time - delay - upper), which is
+    what the test asserts.  Same physical shape as the inner join: both
+    streams shuffle on the equality key, watermark-bounded buffers."""
+    lw = as_event_time(left, ts_l).withWatermark(ts_l, delay)
+    rw = as_event_time(right, ts_r).withWatermark(ts_r, delay)
+    cond = (
+        (F.col(key_l) == F.col(key_r))
+        & (F.col(ts_r) >= F.col(ts_l))
+        & (F.col(ts_r) <= F.col(ts_l) + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, "leftOuter")
+
+
 def tumbling_counts(
     stream: DataFrame, ts_col: str, length: str, delay: str
 ) -> DataFrame:

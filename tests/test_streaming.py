@@ -405,6 +405,91 @@ def test_stream_stream_interval_join_matches_batch(spark, tmpdir_):
     assert got_pairs == batch_pairs
 
 
+def test_stream_stream_left_outer_join_matches_batch(spark, tmpdir_):
+    """Left-outer interval join: matched pairs equal the batch join, and
+    clicks with NO purchase within the interval emit null-padded rows
+    once their state expires.  Compared against the batch left join on
+    the watermark-closed prefix (rows older than max_ts - delay - upper;
+    younger unmatched rows are still legitimately buffered at stream
+    end)."""
+    import datetime as dt
+
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.ops import (
+        stream_stream_interval_join_left,
+    )
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+
+    ev = load_table(spark, "events", SF_DIR)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    # S6 sentinels: outer-join nulls emit only in a batch AFTER the
+    # watermark passes the buffered row; a far-future row on EACH side
+    # (global watermark is the min across streams) closes all real state
+    # before the replay drains.  Distinct negative user ids so the
+    # sentinels can't join each other or any real row.
+    max_ts = max(r.ts for r in ev.select(F.max("ts").alias("ts")).collect())
+    far = max_ts + dt.timedelta(days=2)
+    cs, c_dir = replay_dataframe(
+        spark, clicks, n_chunks=3, order_col="click_ts",
+        sentinel_row={"click_id": -1, "click_user": -1, "click_ts": far},
+    )
+    ps, p_dir = replay_dataframe(
+        spark, purchases, n_chunks=3, order_col="purchase_ts",
+        sentinel_row={"purchase_id": -1, "purchase_user": -2, "purchase_ts": far},
+    )
+    try:
+        got = _collect_stream(
+            spark,
+            stream_stream_interval_join_left(
+                cs, ps, "click_user", "purchase_user",
+                "click_ts", "purchase_ts", "2 hours", "30 MINUTES",
+            ),
+            f"{tmpdir_}/ckpt",
+            timeout_s=180,
+        )
+    finally:
+        cleanup_replay(c_dir)
+        cleanup_replay(p_dir)
+    got = [r for r in got if r.click_id >= 0]
+
+    # the sentinels push the final watermark 2 days past every real row,
+    # so ALL real click state closes; the cutoff now only guards the
+    # margin below the sentinel itself
+    closed_before = far - dt.timedelta(hours=3, minutes=30)
+    batch = (
+        clicks.join(
+            purchases,
+            (F.col("click_user") == F.col("purchase_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "left",
+        )
+        .filter(F.col("click_ts") < F.lit(closed_before))
+        .select("click_id", "purchase_id")
+        .collect()
+    )
+    got_pairs = sorted(
+        (r.click_id, r.purchase_id)
+        for r in got
+        if r.click_ts.replace(tzinfo=None) < closed_before
+    )
+    batch_pairs = sorted((r.click_id, r.purchase_id) for r in batch)
+    assert any(p is None for _, p in batch_pairs), "fixture lacks unmatched clicks"
+    assert got_pairs == batch_pairs
+
+
 def test_update_mode_emits_revisions_and_converges(spark, tmpdir_):
     """outputMode('update') re-emits a window's row each time a later
     chunk revises it; the LAST emission per window must equal the batch
