@@ -186,14 +186,23 @@ class TieredStore:
 
     # -- maintenance: small-file compaction --
 
-    def compact_st(self, target_files_per_date: int = 1) -> dict[str, int]:
-        """Rewrite each st date-partition to ``target_files_per_date``
-        files via a crash-safe directory swap.  Streaming sinks accrete
-        one+ file per epoch; at an hourly epoch cadence that is ~8.8k
-        files per partition per year — enough to make scan planning, not
-        IO, the bottleneck.  Run out-of-band (the reference had no
-        analogue: SQLite pages self-compact, distributed object stores
-        do not).
+    def compact_st(
+        self,
+        target_files_per_date: int | None = None,
+        target_file_bytes: int = 128 << 20,
+    ) -> dict[str, int]:
+        """Rewrite each st date-partition down to its target file count
+        via a crash-safe directory swap.  With ``target_files_per_date``
+        unset, the target is sized per partition from its actual bytes —
+        ``ceil(partition_bytes / target_file_bytes)`` with a 128 MiB
+        default file size — so a year of hourly epochs compacts to
+        scan-efficient files whether the partition holds 10 MB or 10 TB;
+        pass an explicit count to pin it (tests do).  Streaming sinks
+        accrete one+ file per epoch; at an hourly epoch cadence that is
+        ~8.8k files per partition per year — enough to make scan
+        planning, not IO, the bottleneck.  Run out-of-band (the
+        reference had no analogue: SQLite pages self-compact,
+        distributed object stores do not).
 
         Swap protocol per partition (old data is never unlinked before
         the replacement is fully in place):
@@ -212,9 +221,9 @@ class TieredStore:
         table-format commit (Delta/Iceberg) when readers are live.
 
         Returns {partition: files_before} for partitions rewritten.
-        At cluster scale, size target_files to partition_bytes /
-        128 MiB instead of a constant.
         """
+        import math
+
         st = Path(self.st_path)
         done: dict[str, int] = {}
         if not st.exists():
@@ -222,16 +231,19 @@ class TieredStore:
         self._recover_compaction()
         for part in sorted(st.glob("date=*")):
             files = list(part.glob("*.parquet"))
-            if len(files) <= target_files_per_date:
+            if target_files_per_date is None:
+                part_bytes = sum(f.stat().st_size for f in files)
+                target = max(1, math.ceil(part_bytes / target_file_bytes))
+            else:
+                target = target_files_per_date
+            if len(files) <= target:
                 continue
             df = self.spark.read.parquet(str(part))
             tmp = st / f"_compact_tmp_{part.name}"
             trash = st / f"_compact_trash_{part.name}"
             if tmp.exists():
                 shutil.rmtree(tmp)
-            df.coalesce(target_files_per_date).write.mode("overwrite").parquet(
-                str(tmp)
-            )
+            df.coalesce(target).write.mode("overwrite").parquet(str(tmp))
             part.rename(trash)
             tmp.rename(part)
             shutil.rmtree(trash)

@@ -52,6 +52,18 @@ def test_compact_st_preserves_content(spark, tmpdir_):
     assert store.compact_st(target_files_per_date=1) == {}
 
 
+def test_compact_default_sizes_from_bytes(spark, tmpdir_):
+    """With no explicit target, the per-partition file count derives
+    from partition bytes / target_file_bytes — a tiny partition lands on
+    exactly 1 file; an artificially small target_file_bytes forces >1."""
+    store, before = _seeded_store(spark, f"{tmpdir_}/tiers")
+    done = store.compact_st()  # bytes << 128 MiB -> 1 file
+    assert done
+    assert len(glob.glob(f"{store.st_path}/date=*/*.parquet")) == 1
+    after = store.read_st().orderBy("window_start", "peak_idx").collect()
+    assert after == before
+
+
 def _seeded_store(spark, root):
     from database_peak_streaming_spark.streaming.tiering import TieredStore
 
