@@ -1,0 +1,113 @@
+"""Custom Spark 4 Python DataSource for the reference's binary peaks
+frames — the idiomatic engine-native form of the S1/S4 source path
+(reference ``hyperion.py:284-312`` TCP reader + ``:436-453`` parser).
+
+Where ``sources/binary.py`` decodes frames already materialized in a
+DataFrame column (mapInPandas over BinaryType — the right tool when
+frames arrive via another source), this module makes the FORMAT itself
+a first-class ``spark.read.format("peaksbin")`` source:
+
+* file layout: a ``.peaks`` file is a sequence of frames, each prefixed
+  by a u32 little-endian byte length (the S2 framing carry-over,
+  re-expressed as an explicit on-disk record boundary);
+* one :class:`InputPartition` per file — scan parallelism scales with
+  the file count exactly like Spark's built-in file sources, and each
+  partition decodes independently on an executor (no driver-side IO);
+* schema, projection, and everything downstream are ordinary Catalyst —
+  the source yields long rows ``(serial_number, ts, channel, peak_idx,
+  wavelength)`` identical to ``decode_peaks_frames``.
+
+At 100 TB the same class works unchanged: partitions() lists files from
+the inventory, executors stream-decode their own files.  The decode per
+row is the same numpy ``frombuffer`` + cumsum-slice as the mapInPandas
+path; equivalence is pinned in tests/test_peaks_datasource.py.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from database_peak_streaming_spark.sources.binary import (
+    DECODED_SCHEMA,
+    _decode_one,
+)
+
+LENGTH_PREFIX_FMT = "<I"
+LENGTH_PREFIX_LEN = struct.calcsize(LENGTH_PREFIX_FMT)
+
+
+def write_peaks_file(path: str, frames: list[bytes]) -> None:
+    """Write frames under u32 length prefixes (the fixture generator and
+    the sink half of the format contract)."""
+    with open(path, "wb") as f:
+        for frame in frames:
+            f.write(struct.pack(LENGTH_PREFIX_FMT, len(frame)))
+            f.write(frame)
+
+
+def read_peaks_file(path: str) -> Iterator[bytes]:
+    """Iterate raw frames from one ``.peaks`` file (executor-side)."""
+    with open(path, "rb") as f:
+        while True:
+            prefix = f.read(LENGTH_PREFIX_LEN)
+            if not prefix:
+                return
+            if len(prefix) < LENGTH_PREFIX_LEN:
+                raise EOFError(f"truncated length prefix in {path}")
+            (n,) = struct.unpack(LENGTH_PREFIX_FMT, prefix)
+            frame = f.read(n)
+            if len(frame) < n:
+                raise EOFError(f"truncated frame in {path}")
+            yield frame
+
+
+class _PeaksFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class PeaksBinaryReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("peaksbin: .load(path) is required")
+        self.num_channels = int(options.get("num_channels", "4"))
+
+    def partitions(self) -> list[InputPartition]:
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".peaks")
+            )
+        else:
+            files = [self.path]
+        if not files:
+            raise ValueError(f"peaksbin: no .peaks files under {self.path}")
+        return [_PeaksFilePartition(p) for p in files]
+
+    def read(self, partition: _PeaksFilePartition) -> Iterator[tuple]:
+        for frame in read_peaks_file(partition.path):
+            for serial, ts, ch, pk, wl in _decode_one(frame, self.num_channels):
+                # the Arrow serializer requires tz-aware values for
+                # TimestampType; the codec's instants are UTC epochs
+                yield (serial, ts.tz_localize("UTC"), ch, pk, wl)
+
+
+class PeaksBinaryDataSource(DataSource):
+    """``spark.read.format("peaksbin").option("num_channels", N)
+    .load(dir)`` after ``spark.dataSource.register(PeaksBinaryDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "peaksbin"
+
+    def schema(self):
+        return DECODED_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return PeaksBinaryReader(self.options)

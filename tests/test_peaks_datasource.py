@@ -1,0 +1,103 @@
+"""The peaksbin Python DataSource must decode byte-identically to the
+mapInPandas path (sources/binary.py) and parallelize one partition per
+file."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+
+@pytest.fixture()
+def tmpdir_():
+    d = tempfile.mkdtemp(prefix="dps-peaksbin-test")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _fixture_frames(n_frames: int, num_channels: int = 4) -> list[bytes]:
+    from database_peak_streaming_spark.sources.binary import encode_peaks_frame
+
+    frames = []
+    for i in range(n_frames):
+        counts = [(i + c) % 3 + 1 for c in range(num_channels)]
+        wavelengths = [
+            1500.0 + i + k / 10 for k in range(sum(counts))
+        ]
+        frames.append(
+            encode_peaks_frame(
+                serial_number=1000 + i,
+                timestamp_int=1_700_000_000 + i,
+                timestamp_frac=i * 1000,
+                counts=counts,
+                wavelengths=wavelengths,
+            )
+        )
+    return frames
+
+
+def test_datasource_matches_mapinpandas_decode(spark, tmpdir_):
+    from pyspark.sql import functions as F
+
+    from database_peak_streaming_spark.sources.binary import decode_peaks_frames
+    from database_peak_streaming_spark.sources.peaks_datasource import (
+        PeaksBinaryDataSource,
+        write_peaks_file,
+    )
+
+    frames = _fixture_frames(9)
+    # 3 files -> 3 partitions
+    for i in range(3):
+        write_peaks_file(f"{tmpdir_}/part_{i}.peaks", frames[i * 3 : (i + 1) * 3])
+
+    spark.dataSource.register(PeaksBinaryDataSource)
+    via_source = (
+        spark.read.format("peaksbin")
+        .option("num_channels", 4)
+        .load(tmpdir_)
+    )
+    assert via_source.rdd.getNumPartitions() == 3
+
+    frames_df = spark.createDataFrame(
+        [(f,) for f in frames], "frame binary"
+    )
+    via_mapinpandas = decode_peaks_frames(frames_df, num_channels=4)
+
+    key = ["serial_number", "channel", "peak_idx"]
+    a = sorted(
+        (r.serial_number, r.channel, r.peak_idx, r.wavelength, r.ts)
+        for r in via_source.collect()
+    )
+    b = sorted(
+        (r.serial_number, r.channel, r.peak_idx, r.wavelength, r.ts)
+        for r in via_mapinpandas.collect()
+    )
+    assert len(a) > 0
+    assert a == b
+
+    # Catalyst-side ops compose: projection + filter over the source
+    n_ch1 = via_source.filter(F.col("channel") == 1).count()
+    assert n_ch1 == sum(1 for r in a if r[1] == 1)
+
+
+def test_datasource_truncated_file_fails_loudly(spark, tmpdir_):
+    from database_peak_streaming_spark.sources.peaks_datasource import (
+        PeaksBinaryDataSource,
+        write_peaks_file,
+    )
+
+    frames = _fixture_frames(2)
+    write_peaks_file(f"{tmpdir_}/ok.peaks", frames)
+    with open(f"{tmpdir_}/ok.peaks", "ab") as f:
+        f.write(b"\x40\x00\x00\x00partial")  # claims 64 bytes, has 7
+
+    spark.dataSource.register(PeaksBinaryDataSource)
+    with pytest.raises(Exception, match="truncated"):
+        (
+            spark.read.format("peaksbin")
+            .option("num_channels", 4)
+            .load(tmpdir_)
+            .collect()
+        )
