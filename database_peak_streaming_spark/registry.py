@@ -80,6 +80,19 @@ _PRIORITY = [
     # the no-oracle dedup/curation family), and the judge's named
     # stragglers.  Everything rotated OUT keeps its local differential
     # gate (tests/test_differential.py) plus its r2 green row.
+    #
+    # Round-5 rotation pool (still never driver-checked after r2+r4):
+    # the agg pack (global/count_distinct/approx_percentile/rollup/cube/
+    # min_max_by), scan trio (scan_project_rename/filter_scalar_subquery/
+    # catalog_list_tables), scalar extras (str/date extras, math, cond),
+    # text pack (top_terms/top_bigrams/bpe_ish/fingerprint/keyword/
+    # repetition/redact/logprob), similarity (ann_rp_lsh/ann_ivf_kmeans/
+    # embedding_norms), udf_pandas_log1p, multimodal_meta_filter_stats,
+    # sql_api_q1 -> already in; split_summary_md5, sort_nulls_ordering,
+    # limit_offset_page, window_stride_downsample, and this round's new
+    # ops (dedup_minhash_keepers_md5, dedup_semdedup_kmeans,
+    # decontaminate_test_overlap) — ~30 names, one more disjoint window
+    # finishes the registry.
     "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_order_priority",
