@@ -112,13 +112,73 @@ def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from the event log: each
+    user's event_type acts as the tracked attribute; consecutive
+    duplicates collapse and every VALUE CHANGE opens a versioned row
+    with ``valid_from`` / ``valid_to`` (null = current) and a version
+    number — the standard dimension-history construction a warehouse
+    derives from a change stream.
+
+    Plan: one shuffle on user_id serves the whole window stack (lag to
+    find change points, lead for the closing timestamp, row_number for
+    the version).  Ordering is (ts, event_id) so timestamp ties are
+    deterministic — required for cross-engine differential testing, and
+    the same discipline a production SCD2 job needs for idempotent
+    rebuilds."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.withColumn("valid_to", F.lead("ts").over(wc))
+        .withColumn("version", F.row_number().over(wc))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+            "version",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
 QUERIES = {
     "events_funnel_ordered": events_funnel_ordered,
     "sessionize_gap_ids": sessionize_gap_ids,
     "mode_event_type_per_user": mode_event_type_per_user,
+    "scd2_user_state_history": scd2_user_state_history,
 }
 
 ORACLE_SQL = {
+    "scd2_user_state_history": """
+        WITH marked AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER w AS prev_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        changes AS (
+            SELECT user_id, event_type, ts, event_id FROM marked
+            WHERE prev_type IS NULL OR event_type <> prev_type)
+        SELECT user_id,
+               event_type AS state,
+               ts AS valid_from,
+               LEAD(ts) OVER w AS valid_to,
+               (LEAD(ts) OVER w IS NULL) AS is_current,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, version
+    """,
     "events_funnel_ordered": """
         WITH t1 AS (
             SELECT user_id, MIN(ts) AS t_signup FROM events
