@@ -130,14 +130,56 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's VARIANT type: ``props``
+    parsed ONCE into the binary variant encoding, fields extracted with
+    ``variant_get`` path expressions — the engine-native successor to
+    string-JSON round-trips (no re-parse per extraction, pushdown-able
+    shredding on recent runtimes), plus a per-event-type aggregate over
+    the extracted value.  Oracle extracts the same paths with DuckDB's
+    JSON functions — VARIANT is an encoding choice, the VALUES are
+    engine-independent."""
+    ev = load_table(spark, "events", sf_dir)
+    v = F.parse_json("props")
+    base = ev.withColumn("_v", v).select(
+        "event_type",
+        F.variant_get("_v", "$.k", "long").alias("k"),
+        F.try_variant_get("_v", "$.missing", "long").alias("missing"),
+    )
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count("missing").alias("n_missing_present"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "array_funcs": array_funcs,
     "array_explode_pos": array_explode_pos,
     "array_transform_filter": array_transform_filter,
     "json_extract_events": json_extract_events,
+    "json_variant_events": json_variant_events,
 }
 
 ORACLE_SQL = {
+    "json_variant_events": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS sum_k,
+               MIN(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS min_k,
+               MAX(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS max_k,
+               COUNT(CAST(JSON_EXTRACT(props, '$.missing') AS BIGINT))
+                   AS n_missing_present
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "array_funcs": """
         SELECT vec_id,
                CAST(LEN(embedding) AS BIGINT) AS emb_len,
