@@ -229,3 +229,22 @@ def test_broadcast_join_is_shuffle_free_on_probe(spark):
         if "Exchange" in ln and "BroadcastExchange" not in ln
     ]
     assert not bad, tree
+
+
+def test_decontamination_join_is_not_quadratic(spark):
+    """The train/test n-gram collision scan must be a hash/sort-merge
+    equi-join on the gram key — a CartesianProduct or nested-loop join
+    here means the pair generation regressed to O(test x train)."""
+    df = QUERIES["decontaminate_test_overlap"](spark, SF_DIR)
+    plan = E.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_semdedup_join_keyed_on_cluster(spark):
+    """SemDeDup's pairwise stage must join on the cluster id (Voronoi
+    cell), never cross-join the corpus."""
+    df = QUERIES["dedup_semdedup_kmeans"](spark, SF_DIR)
+    plan = E.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

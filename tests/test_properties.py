@@ -174,3 +174,55 @@ def test_ema_kernel_batch_split_invariant(values, split):
     assert all(abs(a - b) < 1e-9 for a, b in zip(whole, parts))
     want = pd.Series(values).ewm(alpha=EMA_ALPHA, adjust=False).mean()
     assert np.allclose(whole, want, atol=1e-9)
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_micros_fixed_point_equals_decimal_sum(values):
+    """The long micro-unit path (operators/common.micros + from_micros)
+    must reproduce the DECIMAL(28,6) exact sum bit-for-bit for every
+    value in the money/quantity domain — the invariant the q1/q3/q5/q18
+    rewrites rely on."""
+    import decimal
+
+    ref = sum(
+        decimal.Decimal(v).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+        for v in values
+    )
+    micros = sum(
+        int(
+            decimal.Decimal(v)
+            .quantize(decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP)
+            .scaleb(6)
+        )
+        for v in values
+    )
+    assert decimal.Decimal(micros).scaleb(-6) == ref
+
+
+def test_micros_spark_matches_dsum(spark):
+    """End-to-end on the engine: dsum (decimal buffer) and the
+    micros/from_micros long path produce identical doubles over a
+    sign-mixed fractional column."""
+    from database_peak_streaming_spark.operators.common import (
+        dsum,
+        from_micros,
+        micros,
+    )
+
+    df = spark.range(10_000).select(
+        ((F.col("id") - 5000) * 0.123456 + 0.0000005).alias("x")
+    )
+    a = df.agg(dsum("x", "s")).collect()[0].s
+    b = df.agg(from_micros(F.sum(micros("x")), "s")).collect()[0].s
+    assert a == b
