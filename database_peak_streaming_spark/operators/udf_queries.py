@@ -102,13 +102,73 @@ def _binary_oracle_values() -> str:
     return ",\n            ".join(rows)
 
 
+def udf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas``: purchases and clicks cogrouped per
+    user, merged with ``pandas.merge_asof`` inside the Arrow batch — the
+    imperative-kernel form of ``join_asof_purchase_click`` (same
+    semantics, same SQL oracle), covering the cogroup API the UDF
+    surface otherwise lacks.
+
+    Both sides shuffle once on the cogroup key and each user's slices
+    arrive sorted to one Python worker — the distributed contract is the
+    same as the declarative as-of (one shuffle, per-key locality), with
+    the per-key merge in pandas instead of a window.  Prefer the
+    declarative form in production (JVM-side, no Python hop); this is
+    the pattern to reach for when the per-key logic outgrows SQL."""
+    import pandas as pd
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+
+    def merge(p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values("ts")
+        if c.empty:
+            out = p.copy()
+            out["last_click_ts"] = pd.NaT
+            return out[["event_id", "user_id", "ts", "last_click_ts"]]
+        c = c.sort_values("click_ts")
+        out = pd.merge_asof(
+            p,
+            c[["click_ts"]].assign(last_click_ts=c["click_ts"]),
+            left_on="ts",
+            right_on="click_ts",
+            direction="backward",
+        )
+        return out[["event_id", "user_id", "ts", "last_click_ts"]]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "event_id long, user_id long, ts timestamp, last_click_ts timestamp",
+        )
+        .orderBy("event_id")
+    )
+
+
 QUERIES = {
     "udf_zscore_by_segment": udf_zscore_by_segment,
     "udf_pandas_log1p": udf_pandas_log1p,
     "binary_peaks_decode": binary_peaks_decode,
+    "udf_cogroup_asof": udf_cogroup_asof,
 }
 
 ORACLE_SQL = {
+    "udf_cogroup_asof": """
+        SELECT p.event_id, p.user_id, p.ts, MAX(c.click_ts) AS last_click_ts
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id AS c_user_id, ts AS click_ts FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.c_user_id AND c.click_ts <= p.ts
+        GROUP BY p.event_id, p.user_id, p.ts
+        ORDER BY p.event_id
+    """,
     "udf_zscore_by_segment": """
         SELECT c_custkey, c_mktsegment,
                ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_mktsegment))
