@@ -338,8 +338,10 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 shape: per-segment count + balance of above-average-balance
     customers with no orders since 2000 — scalar subquery threshold plus
-    an anti-join.  The scalar is one collected double (broadcast by
-    value); the anti-join shuffles only custkeys."""
+    an anti-join.  The scalar stays IN the plan as a broadcast 1-row
+    cross join (same pattern as ``filter_scalar_subquery``): no eager
+    driver job, one composed Catalyst plan; the anti-join shuffles only
+    custkeys."""
     c = load_table(spark, "customer", sf_dir)
     o = load_table(spark, "orders", sf_dir).filter(
         F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01"))
@@ -349,9 +351,9 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1))
         ).alias("avg_bal")
     )
-    avg_bal = pos.first()[0]
     return (
-        c.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(
@@ -440,9 +442,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 shape: per-part value held by one region's suppliers, kept
     only where it exceeds a fraction of the global total — the
-    scalar-subquery HAVING.  The scalar is one collected double
-    (broadcast by value); both sums are decimal-exact so the threshold
-    compare is partitioning-independent."""
+    scalar-subquery HAVING.  The scalar stays in the plan as a broadcast
+    1-row cross join (no driver pull); both sums are decimal-exact so
+    the threshold compare is partitioning-independent."""
     li = load_table(spark, "lineitem", sf_dir)
     s = load_table(spark, "supplier", sf_dir)
     n = load_table(spark, "nation", sf_dir)
@@ -453,11 +455,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    total = base.agg(dsum(value, "t")).first()[0]
+    total = base.agg(dsum(value, "t"))
     return (
         base.groupBy("l_partkey")
         .agg(dsum(value, "part_value"))
-        .filter(F.col("part_value") > F.lit(0.0005) * F.lit(total))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(0.0005) * F.col("t"))
+        .drop("t")
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
 
@@ -513,16 +517,19 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 shape: the supplier(s) with maximum quarterly revenue — a
     grouped view compared against its own MAX.  Revenue sums are
     decimal-exact, so the equality against the max is safe on any
-    partitioning; the max itself is one collected double."""
+    partitioning; the max stays in the plan as a broadcast 1-row
+    cross join (no driver pull)."""
     li = load_table(spark, "lineitem", sf_dir).filter(
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
     )
     s = load_table(spark, "supplier", sf_dir)
     rev = li.groupBy("l_suppkey").agg(dsum(_revenue(), "total_revenue"))
-    max_rev = rev.agg(F.max("total_revenue")).first()[0]
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
-        rev.filter(F.col("total_revenue") == F.lit(max_rev))
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .drop("max_revenue")
         .join(s, F.col("l_suppkey") == s.s_suppkey)  # scales with SF: AQE decides
         .select("s_suppkey", "s_name", "s_acctbal", "total_revenue")
         .orderBy("s_suppkey")

@@ -248,3 +248,26 @@ def test_semdedup_join_keyed_on_cluster(spark):
     plan = E.formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_operators_are_collect_free():
+    """No operator may pull a scalar to the driver: every scalar
+    subquery must stay in the plan as a broadcast 1-row cross join
+    (the ``filter_scalar_subquery`` pattern).  An eager ``.first()`` /
+    ``.collect()`` / ``.toPandas()`` inside ``operators/`` forces an
+    extra job per call and breaks single-plan composition."""
+    import pathlib
+    import re
+
+    ops_dir = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "database_peak_streaming_spark"
+        / "operators"
+    )
+    offenders = []
+    pat = re.compile(r"\.(first|collect|toPandas|head)\(\)")
+    for py in sorted(ops_dir.glob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if pat.search(line) and not line.lstrip().startswith("#"):
+                offenders.append(f"{py.name}:{i}: {line.strip()}")
+    assert not offenders, "driver-side pulls in operators/:\n" + "\n".join(offenders)
