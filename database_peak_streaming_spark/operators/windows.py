@@ -154,6 +154,24 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_zscore_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment z-score via built-in window avg/stddev — the JVM-side
+    twin of ``udf_zscore_by_segment`` (same output contract).  Both are
+    registered deliberately: this is the production form (whole-stage
+    codegen, one shuffle on the segment key, no Python workers); the
+    grouped-map UDF form exists to exercise and *price* the
+    applyInPandas surface — the bench reports both so the UDF tax is a
+    measured number, not the only implementation."""
+    c = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment")
+    z = (F.col("c_acctbal") - F.avg("c_acctbal").over(w)) / F.stddev_samp(
+        "c_acctbal"
+    ).over(w)
+    return c.select(
+        "c_custkey", "c_mktsegment", F.round(z, 6).alias("zscore")
+    ).orderBy("c_custkey")
+
+
 def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by (argmin/argmax) aggregates: which order carries the
     group's extreme price."""
@@ -180,6 +198,7 @@ QUERIES = {
     "win_frames": win_frames,
     "win_topk_per_group": win_topk_per_group,
     "win_strain_derivation": win_strain_derivation,
+    "win_zscore_by_segment": win_zscore_by_segment,
 }
 
 ORACLE_SQL = {
@@ -244,6 +263,13 @@ ORACLE_SQL = {
                                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
             FROM orders) t
         WHERE rn <= 3 ORDER BY o_orderstatus, rn
+    """,
+    "win_zscore_by_segment": """
+        SELECT c_custkey, c_mktsegment,
+               ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                     / STDDEV_SAMP(c_acctbal) OVER (PARTITION BY c_mktsegment),
+                     6) AS zscore
+        FROM customer ORDER BY c_custkey
     """,
     "win_strain_derivation": """
         SELECT user_id, event_id,
