@@ -566,23 +566,32 @@ def _minhash_keepers_md5_sql() -> str:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints: each distinct token votes +-1 on every
-    bit of its xxhash64; fingerprint bit b is 1 iff the vote sum is
+    bit of its 64-bit hash; fingerprint bit b is 1 iff the vote sum is
     positive.  Emitted with 4x16-bit chunks — joining on any equal chunk
     blocks candidates at Hamming distance <= 3 per the pigeonhole
-    principle.  No SQL oracle (hash-dependent); structural properties
-    tested in tests/test_llm_ops.py."""
+    principle.
+
+    The token hash is the first 16 hex digits of md5 (bit b = bit
+    ``b % 4`` of hex digit ``b / 4``) — engine-independent, so the full
+    fingerprint is recomputable in ANSI SQL and the query carries a
+    value-hash DuckDB oracle (vs the earlier xxhash64 form, which was
+    rows-gated only).  Structural properties additionally tested in
+    tests/test_llm_ops.py."""
     d = load_table(spark, "documents", sf_dir)
     # Bit-parallel vote/assemble as a SQL higher-order expression —
-    # getbit/shiftleft take column operands only in SQL form.
+    # shiftleft/shiftright take column operands only in SQL form.
+    # md5 is evaluated once per distinct token (outer transform), not
+    # once per (token, bit).
     votes = F.expr(
         """
         aggregate(
-          array_distinct(split(text, ' ')),
+          transform(array_distinct(split(text, ' ')), tok -> md5(tok)),
           array_repeat(CAST(0 AS BIGINT), 64),
-          (acc, tok) -> zip_with(
+          (acc, h) -> zip_with(
             acc,
             transform(sequence(0, 63),
-                      b -> CAST(getbit(xxhash64(tok), b) AS BIGINT) * 2 - 1),
+                      b -> CAST(shiftright(CAST(conv(substring(h, CAST(b div 4 AS INT) + 1, 1), 16, 10) AS INT),
+                                           CAST(b % 4 AS INT)) & 1 AS BIGINT) * 2 - 1),
             (a, v) -> a + v))
         """
     )
@@ -790,8 +799,38 @@ ORACLE_SQL = {
               / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) >= {JACCARD_THRESHOLD}
         ORDER BY doc_a, doc_b
     """,
-    # dedup_minhash_lsh, dedup_simhash: hash-permutation-dependent —
-    # rows-only driver check; recall/structure asserted in tests.
+    # dedup_minhash_lsh: xxhash64-permutation-dependent — rows-only
+    # driver check; recall/structure asserted in tests + check_* gate.
+    "dedup_simhash": """
+        WITH tok_raw AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents),
+        toks AS (SELECT DISTINCT doc_id, tok FROM tok_raw),
+        bits AS (
+            SELECT doc_id, b AS bit_pos,
+                   SUM(CASE WHEN
+                         ((STRPOS('0123456789abcdef',
+                                  SUBSTRING(md5(tok), CAST(b // 4 AS INT) + 1, 1)) - 1)
+                          >> CAST(b % 4 AS INT)) & 1 = 1
+                       THEN 1 ELSE -1 END) AS vote
+            FROM toks CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS b) bb
+            GROUP BY doc_id, b),
+        sh AS (
+            SELECT doc_id,
+                   BIT_OR(CASE WHEN vote > 0 THEN
+                            CASE WHEN bit_pos = 63
+                                 THEN CAST(-9223372036854775808 AS BIGINT)
+                                 ELSE (CAST(1 AS BIGINT) << CAST(bit_pos AS INT))
+                            END
+                          ELSE CAST(0 AS BIGINT) END) AS simhash
+            FROM bits GROUP BY doc_id)
+        SELECT doc_id, simhash,
+               CAST((simhash >> 0) & 65535 AS BIGINT) AS chunk_0,
+               CAST((simhash >> 16) & 65535 AS BIGINT) AS chunk_1,
+               CAST((simhash >> 32) & 65535 AS BIGINT) AS chunk_2,
+               CAST((simhash >> 48) & 65535 AS BIGINT) AS chunk_3
+        FROM sh ORDER BY doc_id
+    """,
     "dedup_clusters_cc": f"""
         WITH RECURSIVE t AS (
             SELECT doc_id, source, lang,
