@@ -71,78 +71,72 @@ _MODULES = [
 #: (round 2 rotated in the multimodal binary-payload kernel and the S4
 #: binary peaks codec in place of two of the five scalar packs).
 _PRIORITY = [
-    # Round-4 rotation: ALL 50 slots go to queries the driver has never
-    # hash-checked (round 2 covered the previous window 50/50 green; the
-    # VERDICT asked for a disjoint set so the union of driver-checked
-    # queries converges on the full registry).  Composition: the 21
-    # remaining TPC-H shapes, every join form, the four window families,
-    # set ops, the five new invariant-check queries (the hash-gates for
-    # the no-oracle dedup/curation family), and the judge's named
-    # stragglers.  Everything rotated OUT keeps its local differential
-    # gate (tests/test_differential.py) plus its r2 green row.
+    # Round-5 rotation: COMPLETES driver coverage.  Slots 1-32 are the
+    # final 32 queries never hash-checked in rounds 1-4 (computed from
+    # the committed CORRECTNESS_r0*.json artifacts — see
+    # tests/test_registry.py, which derives the historical windows from
+    # those files rather than a hand-maintained copy).  Slot 33 is this
+    # round's new query (the built-in z-score twin).  Slots 34-50 are
+    # regression re-checks: the three TPC-H shapes whose scalar
+    # subqueries moved from driver-pull to plan-side broadcast this
+    # round (q11/q15/q22 — plans changed, so their green rows must be
+    # re-earned), plus a spread across every operator family that has
+    # been green in an earlier round's window.
     #
-    # Round-5 rotation pool (still never driver-checked after r2+r4):
-    # the agg pack (global/count_distinct/approx_percentile/rollup/cube/
-    # min_max_by), scan trio (scan_project_rename/filter_scalar_subquery/
-    # catalog_list_tables), scalar extras (str/date extras, math, cond),
-    # text pack (top_terms/top_bigrams/bpe_ish/fingerprint/keyword/
-    # repetition/redact/logprob), similarity (ann_rp_lsh/ann_ivf_kmeans/
-    # embedding_norms), udf_pandas_log1p, multimodal_meta_filter_stats,
-    # sql_api_q1 -> already in; split_summary_md5, sort_nulls_ordering,
-    # limit_offset_page, window_stride_downsample, and this round's new
-    # ops (dedup_minhash_keepers_md5, dedup_semdedup_kmeans,
-    # decontaminate_test_overlap) — ~30 names, one more disjoint window
-    # finishes the registry.
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
+    # never driver-checked after r1+r2+r4 (32):
+    "sort_nulls_ordering",
+    "limit_offset_page",
+    "str_funcs_extra",
+    "date_funcs_extra",
+    "math_funcs",
+    "cond_funcs",
+    "json_variant_events",
+    "window_stride_downsample",
+    "text_repetition_score",
+    "text_redact_scan",
+    "text_unigram_logprob",
+    "text_top_terms",
+    "text_top_bigrams",
+    "text_token_count_bpe_ish",
+    "text_fingerprint",
+    "text_keyword_search",
+    "dedup_semdedup_kmeans",
+    "dedup_clusters_cc_lsh",
+    "dedup_minhash_lsh",
+    "dedup_minhash_keepers",
+    "dedup_minhash_keepers_md5",
+    "dedup_simhash",
+    "ann_ivf_kmeans",
+    "ann_rp_lsh",
+    "embedding_norms",
+    "udf_pandas_log1p",
+    "udf_cogroup_asof",
+    "multimodal_meta_filter_stats",
+    "split_summary_md5",
+    "decontaminate_test_overlap",
+    "curate_corpus_pipeline_lsh",
+    "scd2_user_state_history",
+    # new this round (never checked by construction):
+    "win_zscore_by_segment",
+    # regression re-checks — changed plans first:
     "q11_important_stock",
-    "q12_late_shipment_priority",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
     "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_dominant_part_suppliers",
-    "q21_waiting_suppliers",
     "q22_dormant_customers",
-    "sql_api_q1",
-    "join_inner_3way",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_broadcast_dim",
-    "join_cross",
-    "join_range_theta",
-    "win_ranking",
-    "win_analytic",
-    "win_frames",
-    "win_distribution",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except",
-    "setop_union_by_name",
-    "agg_corr_covar",
-    "agg_stats",
-    "agg_collect_sorted",
-    "agg_min_max_by",
-    "events_funnel_ordered",
-    "mode_event_type_per_user",
-    "sql_api_cte_lateral",
-    "check_dedup_minhash_lsh",
-    "check_dedup_simhash",
-    "check_dedup_clusters_cc_lsh",
-    "check_dedup_minhash_keepers",
-    "check_curate_corpus_pipeline_lsh",
+    # then one representative per family, green in r1/r2/r4:
+    "q1_pricing_summary",
+    "q18_large_volume_customers",
+    "filter_scalar_subquery",
+    "join_asof_purchase_click",
+    "window_tumbling_1h",
+    "dedup_exact_hash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters_cc",
+    "cosine_topk_bruteforce",
+    "text_quality_score",
+    "sample_systematic_mod",
+    "split_train_test_md5",
+    "udf_zscore_by_segment",
+    "curate_corpus_pipeline",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -3,72 +3,45 @@ prefix of the registry (the first 50 names in iteration order).  The
 prefix ROTATES per round (round 3 VERDICT: make each round's checked
 set disjoint from the last so the union converges on the full
 registry), so the coverage contract is on the UNION of the windows
-already driver-verified: every operator category must appear there, and
-every current-prefix query must carry a SQL oracle — otherwise whole
-categories ship with only the local gate (the round-1 failure mode:
-65/115 queries never saw the hard correctness signal).
+already driver-verified plus the current prefix.
+
+The historical windows are derived from the committed
+``CORRECTNESS_r0*.json`` artifacts — what the driver ACTUALLY checked —
+not from a hand-maintained copy that could drift (round-4 ADVICE).
 """
 
 from __future__ import annotations
+
+import json
+import pathlib
 
 from database_peak_streaming_spark import registry
 
 CHECK_WINDOW = 50
 
-#: the round-2 driver window (CORRECTNESS_r02: 50/50 green) — part of
-#: the union-coverage contract now that the prefix rotates.
-R2_WINDOW = [
-    "q1_pricing_summary",
-    "q18_large_volume_customers",
-    "filter_predicates",
-    "agg_approx_distinct",
-    "join_asof_purchase_click",
-    "win_topk_per_group",
-    "win_strain_derivation",
-    "sort_limit_topn",
-    "agg_salted_hot_key",
-    "setop_union_all",
-    "sessionize_gap_ids",
-    "null_semantics",
-    "dedup_drop_duplicates",
-    "str_funcs",
-    "date_funcs",
-    "try_funcs",
-    "multimodal_payload_fingerprint",
-    "binary_peaks_decode",
-    "array_funcs",
-    "array_explode_pos",
-    "array_transform_filter",
-    "json_extract_events",
-    "map_funcs",
-    "pivot_wide",
-    "melt_stack",
-    "grouping_sets_explicit",
-    "window_tumbling_1h",
-    "window_sliding_1h_30m",
-    "window_session_30m",
-    "window_downsample_1min",
-    "resample_gap_fill_locf",
-    "resample_gap_fill_locf_per_key",
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid_heuristic",
-    "dedup_exact_group",
-    "dedup_exact_hash",
-    "dedup_ngram_jaccard",
-    "dedup_clusters_cc",
-    "dedup_embedding_cosine",
-    "cosine_topk_bruteforce",
-    "cosine_pairs_threshold",
-    "ann_ivf_bucketed",
-    "udf_zscore_by_segment",
-    "csv_roundtrip",
-    "jsonl_roundtrip",
-    "sample_systematic_mod",
-    "split_train_test_md5",
-    "balance_by_class_topk",
-    "curate_corpus_pipeline",
-]
+_ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+#: Queries whose output is seeded by an engine-specific hash
+#: (xxhash64 minhash signatures / random-permutation band ids) and so
+#: cannot be value-hash-compared with a DuckDB recompute.  Each is
+#: rows-gated by the driver AND hash-gated through its paired
+#: ``check_*`` invariant query (operators/checks.py), which IS fully
+#: oracled and driver-green.
+ROWS_ONLY_WITH_CHECK_GATE = {
+    "dedup_minhash_lsh": "check_dedup_minhash_lsh",
+    "dedup_minhash_keepers": "check_dedup_minhash_keepers",
+    "dedup_clusters_cc_lsh": "check_dedup_clusters_cc_lsh",
+    "curate_corpus_pipeline_lsh": "check_curate_corpus_pipeline_lsh",
+}
+
+
+def _driver_checked_union() -> set[str]:
+    """Every query name the round driver has hash/rows-checked, from the
+    committed per-round artifacts."""
+    union: set[str] = set()
+    for f in sorted(_ROOT.glob("CORRECTNESS_r0*.json")):
+        union |= set(json.load(open(f)).keys())
+    return union
 
 
 def test_priority_is_the_registry_prefix():
@@ -80,10 +53,25 @@ def test_priority_names_unique():
     assert len(set(registry._PRIORITY)) == len(registry._PRIORITY)
 
 
+def test_window_completes_driver_coverage():
+    """Round-5 contract: the current prefix must contain EVERY query the
+    driver has never checked, so (union of past windows) + (this window)
+    covers the full registry."""
+    union = _driver_checked_union()
+    window = set(list(registry.QUERIES)[:CHECK_WINDOW])
+    never = {n for n in registry._ALL_QUERIES if n not in union}
+    missing = never - window
+    assert not missing, (
+        f"{len(missing)} never-driver-checked queries missing from the "
+        f"current window: {sorted(missing)}"
+    )
+    assert union | window >= set(registry._ALL_QUERIES)
+
+
 def test_every_category_represented_in_checked_union():
     """Union-coverage: every module has a representative in SOME
-    driver-verified window (r2's 50/50-green set + the current prefix)."""
-    union = set(R2_WINDOW) | set(list(registry.QUERIES)[:CHECK_WINDOW])
+    driver-verified window or the current prefix."""
+    union = _driver_checked_union() | set(list(registry.QUERIES)[:CHECK_WINDOW])
     for mod in registry._MODULES:
         names = set(mod.QUERIES)
         assert names & union, (
@@ -92,25 +80,27 @@ def test_every_category_represented_in_checked_union():
         )
 
 
-def test_r2_window_names_still_registered():
+def test_previously_checked_names_still_registered():
     """Rotation must not silently drop previously-verified queries."""
-    missing = [n for n in R2_WINDOW if n not in registry.QUERIES]
-    assert not missing, f"r2-verified queries vanished: {missing}"
+    missing = [n for n in _driver_checked_union() if n not in registry.QUERIES]
+    assert not missing, f"driver-verified queries vanished: {missing}"
 
 
-def test_current_window_disjoint_from_r2():
-    """The rotation's point: this round's driver window re-checks as few
-    already-green names as possible (the union converges on the full
-    registry).  Fully disjoint today; loosen only deliberately."""
-    overlap = set(R2_WINDOW) & set(list(registry.QUERIES)[:CHECK_WINDOW])
-    assert not overlap, f"window wastes slots on r2-green queries: {overlap}"
-
-
-def test_check_window_is_fully_oracled():
-    """Every slot in the bounded check window must carry a SQL oracle —
-    a rows-only check would waste the slot."""
+def test_check_window_is_oracled_or_check_gated():
+    """Every slot in the bounded check window must carry a SQL oracle,
+    except the documented hash-seeded ops — each of those must have its
+    paired ``check_*`` invariant query registered, oracled, and already
+    driver-green (CORRECTNESS_r04)."""
+    r04 = json.load(open(_ROOT / "CORRECTNESS_r04.json"))
     for name in list(registry.QUERIES)[:CHECK_WINDOW]:
-        assert name in registry.ORACLE_SQL, f"{name} has no oracle"
+        if name in registry.ORACLE_SQL:
+            continue
+        gate = ROWS_ONLY_WITH_CHECK_GATE.get(name)
+        assert gate is not None, f"{name} has no oracle and no check gate"
+        assert gate in registry.ORACLE_SQL, f"{gate} lost its oracle"
+        assert r04.get(gate, {}).get("hash_match"), (
+            f"{name}'s gate {gate} is not driver-green"
+        )
 
 
 def test_registry_complete():
