@@ -49,9 +49,33 @@ HEADLINE = [
     "text_quality_score",
     "text_repetition_score",
     "curate_corpus_pipeline",
-    # python-kernel path
+    # round-5 rotated-in queries (newly driver-checked this round get
+    # perf-graded too; these are the heaviest of the new window)
+    "dedup_simhash",
+    "dedup_semdedup_kmeans",
+    "text_unigram_logprob",
+    "decontaminate_test_overlap",
+    "ann_ivf_kmeans",
+    "scd2_user_state_history",
+    # python-kernel path, priced against its JVM twin
     "udf_zscore_by_segment",
+    "win_zscore_by_segment",
 ]
+
+
+def _planning_ms(df) -> float:
+    """Sum of Catalyst phase durations (parsing/analysis/optimization/
+    physical planning) for a DataFrame that has just executed, from
+    Spark's QueryPlanningTracker."""
+    try:
+        phases = df._jdf.queryExecution().tracker().phases()
+        it = phases.iterator()
+        total = 0.0
+        while it.hasNext():
+            total += it.next()._2().durationMs()
+        return total
+    except Exception:
+        return 0.0
 
 
 def main() -> None:
@@ -111,27 +135,28 @@ def main() -> None:
         # materialization (toPandas) — the engine's result-transfer fast
         # path; collect() serializes row-by-row through py4j, ~2-3x
         # slower for wide results.
+        # Plan-build vs execution decomposition comes from Spark's own
+        # QueryPlanningTracker (analysis + optimization + physical
+        # planning durations for THIS df), not from re-executing a
+        # cached DataFrame — re-running the same plan object reuses
+        # shuffle files and skips map stages, which understates
+        # execution cost.  Every timed run here builds a FRESH plan, so
+        # nothing is reused; exec = wall - tracker planning phases.
+        # Codegen JIT and AQE re-optimization happen during execution
+        # and are deliberately left in the exec number (they are real
+        # runtime cost), so this decomposition is conservative.
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).toPandas()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        # Execution-only: the DataFrame (plan) built ONCE, re-executed.
-        # Full-query time at fixture scale is dominated by a per-rebuild
-        # constant — Catalyst analysis + codegen JIT + AQE compile,
-        # measured ~1-2 s for the complex plans vs ~35 ms execution —
-        # that is invariant in data volume.  Reporting both decomposes
-        # "engine data path" from "per-plan constant"; the DuckDB side
-        # gets the same treatment below (relation built once,
-        # re-fetched), so the exec ratio compares like with like.
-        df = fn(spark, sf_dir)
-        df.toPandas()
         best_exec = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
             df.toPandas()
-            best_exec = min(best_exec, time.perf_counter() - t0)
+            wall = time.perf_counter() - t0
+            plan_ms = _planning_ms(df)
+            if wall < best:
+                best = wall
+                best_exec = max(wall - plan_ms / 1000.0, 0.0)
+        timings[name] = round(best, 4)
         exec_timings[name] = round(best_exec, 4)
 
     total = round(sum(timings.values()), 4)
@@ -155,20 +180,11 @@ def main() -> None:
             t0 = time.perf_counter()
             con.sql(sql).fetchall()
             oracle_timings[name] = round(time.perf_counter() - t0, 4)
-        # symmetric execution-only pass: relation built once, re-fetched
-        oracle_exec: dict[str, float] = {}
-        for name in HEADLINE:
-            sql = ORACLE_SQL.get(name)
-            if sql is None:
-                continue
-            rel = con.sql(sql)
-            rel.fetchall()
-            best_exec = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                rel.fetchall()
-                best_exec = min(best_exec, time.perf_counter() - t0)
-            oracle_exec[name] = round(best_exec, 4)
+        # The exec-ratio denominator is DuckDB's FULL query time: its
+        # planner costs ~1 ms (measured via EXPLAIN), so full ≈ exec on
+        # the oracle side and no separate pass is needed — re-fetching a
+        # built relation would re-run the query anyway.
+        oracle_exec = dict(oracle_timings)
     except Exception:
         oracle_exec = {}
 
@@ -196,16 +212,7 @@ def main() -> None:
         out["comparable_net_total"] = round(comparable_net, 4)
         out["ratio_vs_oracle_net"] = round(comparable_net / oracle_total, 2)
         if oracle_exec:
-            # curate's CC fixpoint localCheckpoints during plan BUILD, so
-            # its re-execution replays cached state while DuckDB re-runs
-            # the recursive CTE — not like-for-like; excluded from the
-            # exec comparison (it stays in the full-query ratios above).
-            exec_exclude = {"curate_corpus_pipeline"}
-            exec_names = [
-                n
-                for n in oracle_exec
-                if n in exec_timings and n not in exec_exclude
-            ]
+            exec_names = [n for n in oracle_exec if n in exec_timings]
             comp_exec = sum(exec_timings[n] for n in exec_names)
             oracle_exec_total = sum(oracle_exec[n] for n in exec_names)
             out["queries_exec"] = {n: exec_timings[n] for n in exec_names}

@@ -210,22 +210,27 @@ def main() -> None:
         "scaled": scaled,
         "copies_deep": COPIES2,
         "deep": deep,
-        # Decomposition measured while chasing the 10x stragglers: a
-        # registered query REBUILT per call (the timing protocol, and
-        # what a driver does) spends ~1-2 s in plan analysis + codegen
-        # JIT + AQE compile, while RE-EXECUTING the same built DataFrame
-        # takes ~35 ms (q1 at 30x).  The straggler ratios are that
-        # constant divided by DuckDB's ~1 ms planner, not a data-path
-        # gap — per-row work is already primitive (long micro-unit
-        # sums), and the constant is invariant in data volume, so it
-        # vanishes into the noise the moment a plan runs for minutes
-        # instead of milliseconds.
+        # Decomposition caveat: an earlier version of this finding cited
+        # "~35 ms re-execution" measured by re-running the SAME built
+        # DataFrame — that path reuses shuffle files and skips map
+        # stages, so it UNDERSTATES execution cost and is retracted.
+        # The honest split now comes from Spark's QueryPlanningTracker
+        # (bench.py): Catalyst analysis+optimization+planning is a
+        # per-plan constant (~0.1-0.5 s/query), while codegen JIT and
+        # AQE compile are counted as execution.  The straggler ratios
+        # remain dominated by data-volume-invariant per-query constants
+        # (planning + JIT + task-launch floor vs DuckDB's ~1 ms
+        # planner) — the scaled tiers below show exactly how far that
+        # claim holds: ratios that fall with volume are constant-bound,
+        # ratios that do not are data-path gaps.
         "finding": (
-            "straggler ratios are plan-build+JIT constants (~1-2s/query"
-            " rebuild vs ~35ms execution for q1 at 30x), amortized to"
-            " zero at production scale; crossed at 30x:"
+            "straggler ratios are dominated by per-query constants"
+            " (tracker-measured planning + JIT + task-launch floor),"
+            " amortized with data volume; crossed at 30x:"
             " text_quality_score, join_asof (run-dependent); crossing:"
-            " q5, cosine; constant-bound: q1, q18, dedup_exact_hash"
+            " q5, cosine; constant-bound: q1, q18, dedup_exact_hash."
+            " Earlier '~35ms execution' figure retracted: it timed a"
+            " shuffle-reuse re-execution, not a fresh run."
         ),
     }
     print(json.dumps(out))

@@ -40,8 +40,9 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: Memoized scan relations, keyed by (applicationId, table, dir, fanout).
 #: Building a fresh reader per query re-lists the directory and re-reads
 #: parquet footers on the DRIVER — measured as a large share of the
-#: constant ~1s per-query overhead at toy scale (the executed plan for
-#: q1 takes ~35 ms once built).  DataFrames are immutable, so handing
+#: constant ~1s per-query overhead at toy scale (Catalyst's own
+#: planning phases are ~0.1-0.5 s/query per QueryPlanningTracker).
+#: DataFrames are immutable, so handing
 #: every query the same resolved relation is semantically free; the
 #: fixture dirs are never mutated within a session (writers use their
 #: own paths).  Keyed by applicationId so a new session never sees a
