@@ -17,8 +17,8 @@ from database_peak_streaming_spark.operators.common import (
     DEC,
     davg,
     dsum,
-    from_micros,
-    micros,
+    merge_micros_checked,
+    micros_partial,
     r6,
 )
 from database_peak_streaming_spark.sources.batch import load_table
@@ -53,10 +53,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid")
         )
         .agg(
-            F.sum(micros("l_quantity")).alias("_m_qty"),
-            F.sum(micros("l_extendedprice")).alias("_m_price"),
-            F.sum(micros(disc_price)).alias("_m_disc_price"),
-            F.sum(micros(charge)).alias("_m_charge"),
+            micros_partial("l_quantity", "_m_qty"),
+            micros_partial("l_extendedprice", "_m_price"),
+            micros_partial(disc_price, "_m_disc_price"),
+            micros_partial(charge, "_m_charge"),
             # avg partials: plain double sums — same partial/final
             # associativity the built-in avg uses; round(6) absorbs ulps
             F.sum("l_quantity").alias("_s_qty"),
@@ -69,10 +69,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         part.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            from_micros(F.sum("_m_qty"), "sum_qty"),
-            from_micros(F.sum("_m_price"), "sum_base_price"),
-            from_micros(F.sum("_m_disc_price"), "sum_disc_price"),
-            from_micros(F.sum("_m_charge"), "sum_charge"),
+            merge_micros_checked("_m_qty", "sum_qty"),
+            merge_micros_checked("_m_price", "sum_base_price"),
+            merge_micros_checked("_m_disc_price", "sum_disc_price"),
+            merge_micros_checked("_m_charge", "sum_charge"),
             F.round(F.sum("_s_qty") / n, 6).alias("avg_qty"),
             F.round(F.sum("_s_price") / n, 6).alias("avg_price"),
             F.round(F.sum("_s_disc") / n, 6).alias("avg_disc"),

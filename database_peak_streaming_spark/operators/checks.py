@@ -1,9 +1,11 @@
 """Driver-facing property checks for the hash-dependent queries.
 
-Five registry queries have no ANSI-SQL oracle because their outputs
+Four registry queries have no ANSI-SQL oracle because their outputs
 depend on xxhash64 permutations DuckDB cannot reproduce
-(``dedup_minhash_lsh``, ``dedup_simhash``, ``dedup_clusters_cc_lsh``,
-``dedup_minhash_keepers``, ``curate_corpus_pipeline_lsh``).  Without an
+(``dedup_minhash_lsh``, ``dedup_clusters_cc_lsh``,
+``dedup_minhash_keepers``, ``curate_corpus_pipeline_lsh``;
+``dedup_simhash`` graduated to a full md5-based oracle in round 5 but
+keeps its structural check).  Without an
 oracle the driver's correctness gate degrades to rows>0.  Each
 ``check_*`` query here recomputes the operator's *invariants* —
 properties that hold for every dataset, pinned locally in
@@ -36,10 +38,17 @@ from database_peak_streaming_spark.sources.batch import load_table
 
 
 def _inv(name: str, df: DataFrame) -> DataFrame:
-    """Tag a 1-row boolean frame (column ``ok``) with its invariant name."""
+    """Tag a 1-row boolean frame (column ``ok``) with its invariant name.
+
+    NULL ``ok`` coalesces to FALSE: a NULL here means the invariant's
+    aggregate ran over an EMPTY input (``bool_and``/``max`` over zero
+    rows), and every fixture these checks run on is nonempty — so an
+    empty input is itself a regression (e.g., a both-outputs-empty
+    clustering would otherwise satisfy refinement vacuously) and must
+    flip the row to false, mismatching the all-true oracle."""
     return df.select(
         F.lit(name).alias("invariant"),
-        F.coalesce(F.col("ok"), F.lit(True)).alias("ok"),
+        F.coalesce(F.col("ok"), F.lit(False)).alias("ok"),
     )
 
 

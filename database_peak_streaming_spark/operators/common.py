@@ -51,8 +51,53 @@ def dsum_bounded(col: Column | str, alias: str) -> Column:
     partial never overflows because group_rows x max|x| x 1e6 << 2^63
     by construction; for global/low-cardinality groupings (sums that
     grow with SF) use ``dsum`` or the two-phase pid split (see
-    q1_pricing_summary), never this."""
-    return from_micros(F.sum(micros(col)), alias)
+    q1_pricing_summary), never this.
+
+    The boundedness argument is ENFORCED, not assumed: the partial is
+    ``try_sum`` (NULL on long overflow instead of Spark's silent
+    non-ANSI wrap), and a NULL partial with non-null inputs raises —
+    degenerate partitioning or an unbounded group fed here fails the
+    query instead of yielding a silently wrong "exact" sum."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.try_sum(micros(c))
+    guarded = F.when(
+        s.isNull() & (F.count(c) > 0),
+        F.raise_error(
+            F.lit(
+                "dsum_bounded overflow: long micro-unit partial wrapped — "
+                "group is not schema-bounded; use dsum/two-phase split"
+            )
+        ).cast("long"),
+    ).otherwise(s)
+    return from_micros(guarded, alias)
+
+
+def micros_partial(col: Column | str, alias: str) -> Column:
+    """Phase-1 partial for the two-phase exact sum (see
+    ``q1_pricing_summary``): ``try_sum`` of long micro-units — NULL on
+    long overflow instead of Spark's silent non-ANSI wrap.  Consume with
+    ``merge_micros_checked``, which turns that NULL into a hard error."""
+    return F.try_sum(micros(col)).alias(alias)
+
+
+def merge_micros_checked(partial: str, alias: str) -> Column:
+    """Phase-2 merge of ``micros_partial`` columns: decimal-exact sum,
+    raising if any partial is NULL (overflow in phase 1).  Assumes the
+    summed measure is NOT NULL by schema (true for every fixture money/
+    quantity column), so a NULL partial can only mean a wrapped long —
+    the "partition rows are bounded" safety argument is enforced, not
+    documented."""
+    p = F.col(partial)
+    s = F.when(F.count(F.lit(1)) == F.count(p), F.sum(p)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{partial}: long micro-unit partial overflowed — "
+                "partition/group no longer satisfies the boundedness "
+                "argument; repartition or use dsum"
+            )
+        ).cast("long")
+    )
+    return from_micros(s, alias)
 
 
 def davg(col: Column | str, alias: str) -> Column:

@@ -19,8 +19,8 @@ from database_peak_streaming_spark.operators.common import (
     DEC,
     dsum,
     dsum_bounded,
-    from_micros,
-    micros,
+    merge_micros_checked,
+    micros_partial,
     r6,
 )
 from database_peak_streaming_spark.sources.batch import load_table
@@ -81,12 +81,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (the q1 pattern; the merge moves only 25 x P rows)
         .groupBy("n_name", F.spark_partition_id().alias("_pid"))
         .agg(
-            F.sum(micros(_revenue())).alias("_m_rev"),
+            micros_partial(_revenue(), "_m_rev"),
             F.count(F.lit(1)).alias("_n"),
         )
         .groupBy("n_name")
         .agg(
-            from_micros(F.sum("_m_rev"), "revenue"),
+            merge_micros_checked("_m_rev", "revenue"),
             F.sum("_n").alias("n_lineitems"),
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))

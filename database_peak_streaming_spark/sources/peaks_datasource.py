@@ -91,6 +91,20 @@ class PeaksBinaryReader(DataSourceReader):
         return [_PeaksFilePartition(p) for p in files]
 
     def read(self, partition: _PeaksFilePartition) -> Iterator[tuple]:
+        # partitions() listed files on the DRIVER; this runs on an
+        # EXECUTOR.  The source therefore requires `path` to be on a
+        # shared filesystem (NFS/DBFS/fuse mount) visible at the same
+        # absolute path on every node — fail fast with the host name
+        # rather than reading divergent per-host files.
+        if not os.path.exists(partition.path):
+            import socket
+
+            raise FileNotFoundError(
+                f"peaksbin: {partition.path} not visible on executor host "
+                f"{socket.gethostname()} — the path listed on the driver "
+                "must be a shared filesystem mounted at the same absolute "
+                "path on every node"
+            )
         for frame in read_peaks_file(partition.path):
             for serial, ts, ch, pk, wl in _decode_one(frame, self.num_channels):
                 # the Arrow serializer requires tz-aware values for
@@ -100,7 +114,12 @@ class PeaksBinaryReader(DataSourceReader):
 
 class PeaksBinaryDataSource(DataSource):
     """``spark.read.format("peaksbin").option("num_channels", N)
-    .load(dir)`` after ``spark.dataSource.register(PeaksBinaryDataSource)``."""
+    .load(dir)`` after ``spark.dataSource.register(PeaksBinaryDataSource)``.
+
+    Requires ``path`` on a SHARED filesystem: the file list is produced
+    on the driver and each file is opened by an executor at the same
+    absolute path (one partition per file).  Executors fail fast with
+    their host name if the path is driver-local."""
 
     @classmethod
     def name(cls) -> str:

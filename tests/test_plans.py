@@ -98,10 +98,18 @@ def test_tpch_completion_plan_budgets(spark):
     budgets = {
         "q2_min_cost_supplier": 2,   # pruned supply agg + window re-key
         "q9_product_type_profit": 2,   # spine join + agg (dims broadcast)
-        "q11_important_stock": 2,      # part agg + sort
+        # part agg + sort + the global-total agg that used to be an
+        # eager .first() job (now composed in-plan as a broadcast
+        # scalar, so its exchange is counted here — same total work,
+        # one plan instead of two jobs)
+        "q11_important_stock": 3,
         "q12_late_shipment_priority": 2,
         "q13_customer_order_distribution": 3,  # outer join, 2 aggs
-        "q15_top_supplier": 2,
+        # rev agg + its max (broadcast scalar, in-plan) + sort: the rev
+        # subtree appears twice in the composed plan — identical work to
+        # the old .first() form, which ALSO computed rev twice (once in
+        # the eager max job, once in the main plan), just uncounted
+        "q15_top_supplier": 4,
         "q16_supplier_part_count": 3,  # distinct expand + agg + sort
         "q20_dominant_part_suppliers": 4,
         "q21_waiting_suppliers": 3,  # spine SMJ feeds the window for free
