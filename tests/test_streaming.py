@@ -540,3 +540,212 @@ def test_update_mode_emits_revisions_and_converges(spark, tmpdir_):
     assert {k: v[0] for k, v in last.items()} == {k: v[0] for k, v in batch.items()}
     # at least one window was revised across epochs (update mode observable)
     assert len(emissions) > len(batch)
+
+
+def _synth_peak_frames(n_scans=20, n_channels=4, n_peaks=2, base_epoch=1_700_000_000):
+    """Deterministic reference-format binary frames: 10 Hz scans (100 ms
+    fractional steps), n_peaks wavelengths per channel."""
+    from database_peak_streaming_spark.sources.binary import encode_peaks_frame
+
+    frames = []
+    for s in range(n_scans):
+        frames.append(
+            encode_peaks_frame(
+                serial_number=999,
+                timestamp_int=base_epoch + s // 10,
+                timestamp_frac=(s % 10) * 100_000_000,
+                counts=[n_peaks] * n_channels,
+                wavelengths=[
+                    1500.0 + 10 * ch + pk + 0.01 * s
+                    for ch in range(1, n_channels + 1)
+                    for pk in range(n_peaks)
+                ],
+            )
+        )
+    return frames
+
+
+def test_socket_live_path_matches_replay(spark, tmpdir_):
+    """S1 closure: the live-shaped path (TCP socket source -> base64
+    line framing -> decode_peaks_frames -> window_means -> tiered sink)
+    must produce the same st tier as the replay pipeline over the same
+    binary frames (hyperion.py:284-312's connect->parse->queue loop,
+    re-expressed as a Structured Streaming topology)."""
+    import time
+
+    from database_peak_streaming_spark.sources.binary import (
+        decode_peaks_frames,
+        encode_peaks_frame,
+    )
+    from database_peak_streaming_spark.streaming.pipeline import PeaksPipeline
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+    from database_peak_streaming_spark.streaming.socket_source import (
+        FrameServer,
+        peaks_socket_stream,
+    )
+    from database_peak_streaming_spark.streaming.tiering import TieredStore
+
+    frames = _synth_peak_frames()
+    # flush sentinel (S6): one real frame 60 s past the data, pushing
+    # the watermark over every data window; its own window is excluded
+    # from the comparison below.
+    sentinel = encode_peaks_frame(
+        serial_number=0,
+        timestamp_int=1_700_000_000 + 60,
+        timestamp_frac=0,
+        counts=[1, 0, 0, 0],
+        wavelengths=[0.0],
+    )
+    wire = frames + [sentinel]
+
+    # replay path (the existing verified pipeline) over the same frames
+    batch = spark.createDataFrame([(f,) for f in wire], "frame binary")
+    decoded = decode_peaks_frames(batch, num_channels=4)
+    stream, replay_dir = replay_dataframe(spark, decoded, n_chunks=4, order_col="ts")
+    store_replay = TieredStore(spark, f"{tmpdir_}/replay_tiers", st_length_s=30 * 86400)
+    try:
+        PeaksPipeline(spark, store_replay).run_available_now(
+            stream, f"{tmpdir_}/replay_ckpt"
+        )
+    finally:
+        cleanup_replay(replay_dir)
+    # the sentinel's OWN window never flushes (nothing advances the
+    # watermark past it) — exclude anything at/after its known ts
+    sentinel_ts = dt.datetime(1970, 1, 1) + dt.timedelta(seconds=1_700_000_060)
+    want = {
+        (r.window_start, r.channel, r.peak_idx): (r.mean_wavelength, r.n_samples)
+        for r in store_replay.read_st().collect()
+        if r.window_start < sentinel_ts
+    }
+    assert len(want) == 20 * 4 * 2  # every (scan-window, channel, peak)
+
+    # live path: TCP server -> socket source -> same pipeline
+    server = FrameServer(wire).start()
+    store_live = TieredStore(spark, f"{tmpdir_}/live_tiers", st_length_s=30 * 86400)
+    pipe = PeaksPipeline(spark, store_live)
+    live = peaks_socket_stream(spark, "127.0.0.1", server.port, num_channels=4)
+    q = pipe.start(live, f"{tmpdir_}/live_ckpt", {"processingTime": "200 milliseconds"})
+    try:
+        deadline = time.time() + 90
+        got = {}
+        while time.time() < deadline:
+            try:
+                got = {
+                    (r.window_start, r.channel, r.peak_idx): (
+                        r.mean_wavelength,
+                        r.n_samples,
+                    )
+                    for r in store_live.read_st().collect()
+                }
+            except Exception:  # tier dir not created yet
+                got = {}
+            if len(got) >= len(want):
+                break
+            time.sleep(1.0)
+    finally:
+        q.stop()
+        server.close()
+
+    got = {k: v for k, v in got.items() if k[0] < sentinel_ts}
+    assert got.keys() == want.keys()
+    for k, (mean, n) in want.items():
+        assert abs(got[k][0] - mean) < 1e-9 and got[k][1] == n
+
+
+def test_spectrum_pipeline_end_to_end(spark, tmpdir_):
+    """S4 across all payload kinds: replay a synthetic SPECTRUM frame
+    stream through the tiered pipeline; window means must match the
+    numpy oracle and the lt tier must resample per minute — the
+    spectrum twin of test_peaks_pipeline_end_to_end."""
+    from database_peak_streaming_spark.sources.binary import (
+        decode_spectrum_frames,
+        encode_spectrum_frame,
+    )
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+    from database_peak_streaming_spark.streaming.spectra import (
+        SpectraPipeline,
+        window_spectrum_means,
+    )
+    from database_peak_streaming_spark.streaming.tiering import TieredStore
+
+    n_scans, n_points, base = 20, 8, 1_700_000_000
+    # channels 1 and 3 active (bits 0b0101), deterministic intensities
+    frames = []
+    for s in range(n_scans):
+        matrix = np.array(
+            [
+                [1000 + 10 * ch + p + (s % 5) for p in range(n_points)]
+                for ch in (1, 3)
+            ],
+            dtype=np.uint16,
+        )
+        frames.append(
+            encode_spectrum_frame(
+                serial_number=42,
+                timestamp_int=base + s // 10,
+                timestamp_frac=(s % 10) * 100_000_000,
+                start_wavelength=1500.0,
+                wavelength_increment=0.02,
+                active_channel_bits=0b0101,
+                matrix=matrix,
+            )
+        )
+    batch = spark.createDataFrame([(f,) for f in frames], "frame binary")
+    decoded = decode_spectrum_frames(batch)
+
+    # numpy oracle over the decoded batch: mean intensity per
+    # (100ms window, channel, point)
+    pdf = decoded.toPandas()
+    rows = []
+    for _, r in pdf.iterrows():
+        for p, v in enumerate(r.counts):
+            rows.append((r.ts.floor("100ms"), r.channel, p, v))
+    opdf = pd.DataFrame(rows, columns=["win", "channel", "point_idx", "v"])
+    oracle = opdf.groupby(["win", "channel", "point_idx"]).v.agg(["mean", "count"])
+
+    # stream path: replay decoded rows with a flush sentinel
+    sentinel = {
+        "serial_number": -1,
+        "ts": pdf.ts.max() + dt.timedelta(seconds=60),
+        "channel": None,
+        "start_wavelength": None,
+        "wavelength_increment": None,
+        "counts": None,
+    }
+    stream, replay_dir = replay_dataframe(
+        spark, decoded, n_chunks=4, order_col="ts", sentinel_row=sentinel
+    )
+    store = TieredStore(spark, f"{tmpdir_}/tiers", st_length_s=30 * 86400)
+    pipe = SpectraPipeline(spark, store)
+    try:
+        pipe.run_available_now(stream, f"{tmpdir_}/ckpt")
+    finally:
+        cleanup_replay(replay_dir)
+
+    got = {
+        (r.window_start, r.channel, r.point_idx): (
+            r.mean_intensity,
+            r.n_samples,
+            r.wavelength,
+        )
+        for r in store.read_st().collect()
+    }
+    assert len(got) == len(oracle) == n_scans * 2 * n_points
+    for (win, ch, pk), row in oracle.iterrows():
+        mean, n, wl = got[(win.to_pydatetime(), ch, pk)]
+        assert abs(mean - row["mean"]) < 1e-9
+        assert n == row["count"]
+        assert abs(wl - (1500.0 + 0.02 * pk)) < 1e-12
+
+    # lt tier: 2 s of data -> one minute bucket -> one row per (ch, point)
+    assert store.read_lt().count() == 2 * n_points
+
+    # stream == batch equivalence for the same transformation
+    batch_means = window_spectrum_means(decoded)
+    assert batch_means.count() == len(oracle)
