@@ -226,3 +226,59 @@ def test_micros_spark_matches_dsum(spark):
     a = df.agg(dsum("x", "s")).collect()[0].s
     b = df.agg(from_micros(F.sum(micros("x")), "s")).collect()[0].s
     assert a == b
+
+
+def test_dsum_bounded_raises_on_long_overflow(spark):
+    """The boundedness guard is enforced, not documented: feeding
+    dsum_bounded a group whose long micro-unit partial wraps must raise,
+    never return a silently wrong 'exact' sum.  200 rows of 1e11 sum to
+    2e19 micro-units > 2^63."""
+    import pytest as _pytest
+
+    from database_peak_streaming_spark.operators.common import dsum_bounded
+
+    df = spark.range(200).select(F.lit(1.0e11).alias("x"))
+    with _pytest.raises(Exception, match="overflow"):
+        df.agg(dsum_bounded("x", "s")).collect()
+
+
+def test_merge_micros_checked_raises_on_overflowed_partial(spark):
+    """Two-phase form: a phase-1 partial that wrapped (try_sum -> NULL)
+    must fail the phase-2 merge."""
+    import pytest as _pytest
+
+    from database_peak_streaming_spark.operators.common import (
+        merge_micros_checked,
+        micros_partial,
+    )
+
+    df = spark.range(400).select(
+        (F.col("id") % 2).alias("g"), F.lit(1.0e11).alias("x")
+    )
+    part = df.groupBy("g").agg(micros_partial("x", "_m"))
+    with _pytest.raises(Exception, match="overflow"):
+        part.groupBy().agg(merge_micros_checked("_m", "s")).collect()
+
+
+def test_merge_micros_checked_ok_within_bounds(spark):
+    """Control: the guarded path returns the exact decimal sum when the
+    partial stays in range."""
+    from database_peak_streaming_spark.operators.common import (
+        dsum,
+        merge_micros_checked,
+        micros_partial,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 7).alias("g"),
+        ((F.col("id") - 5000) * 0.123456).alias("x"),
+    )
+    part = df.groupBy("g", F.spark_partition_id().alias("_p")).agg(
+        micros_partial("x", "_m")
+    )
+    got = {
+        r.g: r.s
+        for r in part.groupBy("g").agg(merge_micros_checked("_m", "s")).collect()
+    }
+    want = {r.g: r.s for r in df.groupBy("g").agg(dsum("x", "s")).collect()}
+    assert got == want
