@@ -135,7 +135,7 @@ class TieredStore:
         windows arrive in watermark order, so the first epoch touching a
         bucket carries the bucket's earliest window.)
         """
-        keys = [c for c in batch_df.columns if c in ("channel", "peak_idx", "point_idx", "event_type")]
+        keys = [c for c in batch_df.columns if c in ("channel", "peak_idx", "point_idx", "sensor_idx", "event_type")]
         minute = F.window("window_start", self.lt_bucket)
         agg = (
             batch_df.groupBy(minute.alias("w"), *keys)
@@ -146,7 +146,7 @@ class TieredStore:
                     # first() is pick-any under distributed evaluation.
                     F.min_by(c, "window_start").alias(c)
                     for c in batch_df.columns
-                    if c not in ("window_start", "date", "channel", "peak_idx", "point_idx", "event_type")
+                    if c not in ("window_start", "date", "channel", "peak_idx", "point_idx", "sensor_idx", "event_type")
                 ],
             )
             .withColumn("minute_start", F.col("w.start"))

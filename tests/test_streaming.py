@@ -749,3 +749,71 @@ def test_spectrum_pipeline_end_to_end(spark, tmpdir_):
     # stream == batch equivalence for the same transformation
     batch_means = window_spectrum_means(decoded)
     assert batch_means.count() == len(oracle)
+
+
+def test_sensor_pipeline_end_to_end(spark, tmpdir_):
+    """S4's third payload kind: replay a synthetic SENSOR frame stream
+    through the tiered pipeline; window means must match the numpy
+    oracle — completes stream->tier coverage across peaks, spectra,
+    and sensors."""
+    from database_peak_streaming_spark.sources.binary import (
+        decode_sensor_frames,
+        encode_sensor_frame,
+    )
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+    from database_peak_streaming_spark.streaming.sensors import (
+        SensorsPipeline,
+        window_sensor_means,
+    )
+    from database_peak_streaming_spark.streaming.tiering import TieredStore
+
+    n_scans, n_sensors, base = 20, 6, 1_700_000_000
+    frames = [
+        encode_sensor_frame(
+            serial_number=7,
+            timestamp_int=base + s // 10,
+            timestamp_frac=(s % 10) * 100_000_000,
+            values=[20.0 + i + 0.25 * (s % 4) for i in range(n_sensors)],
+        )
+        for s in range(n_scans)
+    ]
+    batch = spark.createDataFrame([(f,) for f in frames], "frame binary")
+    decoded = decode_sensor_frames(batch)
+
+    pdf = decoded.toPandas()
+    pdf["win"] = pdf.ts.dt.floor("100ms")
+    oracle = pdf.groupby(["win", "sensor_idx"]).value.agg(["mean", "count"])
+
+    sentinel = {
+        "serial_number": -1,
+        "ts": pdf.ts.max() + dt.timedelta(seconds=60),
+        "sensor_idx": None,
+        "value": None,
+    }
+    stream, replay_dir = replay_dataframe(
+        spark, decoded, n_chunks=4, order_col="ts", sentinel_row=sentinel
+    )
+    store = TieredStore(spark, f"{tmpdir_}/tiers", st_length_s=30 * 86400)
+    pipe = SensorsPipeline(spark, store)
+    try:
+        pipe.run_available_now(stream, f"{tmpdir_}/ckpt")
+    finally:
+        cleanup_replay(replay_dir)
+
+    got = {
+        (r.window_start, r.sensor_idx): (r.mean_value, r.n_samples)
+        for r in store.read_st().collect()
+    }
+    assert len(got) == len(oracle) == n_scans * n_sensors
+    for (win, si), row in oracle.iterrows():
+        mean, n = got[(win.to_pydatetime(), si)]
+        assert abs(mean - row["mean"]) < 1e-9 and n == row["count"]
+
+    # lt tier: 2 s of data -> one minute bucket -> one row per sensor
+    assert store.read_lt().count() == n_sensors
+
+    # stream == batch equivalence
+    assert window_sensor_means(decoded).count() == len(oracle)
