@@ -368,6 +368,120 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_minhash_lsh`` with ENGINE-PORTABLE permutations — the
+    pairs-level conformance witness (the keepers-level one is
+    ``dedup_minhash_keepers_md5``): sig[i] is the lexicographic min of
+    ``md5(i || ':' || token)`` over the doc's distinct tokens, band key
+    is ``md5(concat_ws(',', band sigs))``, candidates are the banded
+    equi-join, and every emitted pair is verified at exact token
+    Jaccard — all primitives compute identically in any SQL engine, so
+    this variant carries a FULL DuckDB oracle.
+
+    Two deliberate deltas vs the xxhash64 production form: md5-per-
+    (token x permutation) instead of one JVM hash (the conformance tax),
+    and NO signature-estimate prefilter — the prefilter is a documented
+    probabilistic recall trade, and the oracle compare must be exact,
+    not probabilistic.  Banding/verify/output contract are identical."""
+    d = load_table(spark, "documents", sf_dir)
+    # Hash the VOCABULARY, not the corpus: md5 is ~20x slower than
+    # xxhash64 here, so instead of the per-doc HOF (one md5 per
+    # (doc, token, permutation) occurrence — corpus-sized work), compute
+    # the 20 permuted hashes once per DISTINCT token and join them back,
+    # then min-aggregate per doc.  Token frequency follows a power law,
+    # so |vocabulary| << |token occurrences| and the hash work drops by
+    # the corpus's token reuse factor; the join is hash-partitioned on
+    # the token (AQE broadcasts while the vocabulary is small).
+    tok = d.select("doc_id", F.explode(_distinct_tokens()).alias("tok"))
+    vocab = tok.select("tok").distinct().select(
+        "tok",
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("tok"))).alias(f"h_{i}")
+            for i in range(MINHASH_PERMS)
+        ],
+    )
+    sigs = (
+        tok.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h_{i}").alias(f"sig_{i}") for i in range(MINHASH_PERMS)])
+    )
+    r = MINHASH_PERMS // LSH_BANDS
+    bands = F.array(
+        *[
+            F.md5(F.concat_ws(",", *[F.col(f"sig_{b * r + i}") for i in range(r)]))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = sigs.select("doc_id", F.posexplode(bands).alias("band", "band_hash"))
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    t = d.select("doc_id", _distinct_tokens().alias("toks"))
+    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+    jac = inter.cast("double") / (
+        F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
+    )
+    return (
+        cand.join(t.alias("ta"), cand.doc_a == F.col("ta.doc_id"))
+        .join(t.alias("tb"), cand.doc_b == F.col("tb.doc_id"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= LSH_VERIFY_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_lsh_md5_sql() -> str:
+    """DuckDB mirror of ``dedup_minhash_lsh_md5`` (same token minhash,
+    md5 permutations, banding, candidate join, exact-Jaccard verify)."""
+    r = MINHASH_PERMS // LSH_BANDS
+    sig_exprs = ",\n            ".join(
+        f"list_min(list_transform(toks, s -> md5('{i}:' || s))) AS sig_{i}"
+        for i in range(MINHASH_PERMS)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(','"
+        + "".join(f", sig_{b * r + i}" for i in range(r))
+        + ")) AS band_hash FROM sigs"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks
+            FROM documents),
+        sigs AS (
+            SELECT doc_id,
+            {sig_exprs}
+            FROM t),
+        banded AS (
+            {band_selects}),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.band_hash = y.band_hash
+             AND x.doc_id < y.doc_id)
+        SELECT c.doc_a, c.doc_b,
+               ROUND(CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+                     / (LEN(a.toks) + LEN(b.toks)
+                        - LEN(LIST_INTERSECT(a.toks, b.toks))), 6) AS jaccard
+        FROM cand c
+        JOIN t a ON c.doc_a = a.doc_id
+        JOIN t b ON c.doc_b = b.doc_id
+        WHERE ROUND(CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+                    / (LEN(a.toks) + LEN(b.toks)
+                       - LEN(LIST_INTERSECT(a.toks, b.toks))), 6)
+              >= {LSH_VERIFY_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """
+
+
 def _sparse_drop_ids_from_banded(banded: DataFrame, d: DataFrame) -> DataFrame:
     """Sparse-linkage drop rule over any (doc_id, band, band_hash)
     banding: link each doc to its bucket HEAD (min id) and PREDECESSOR
@@ -742,6 +856,7 @@ QUERIES = {
     "dedup_clusters_cc": dedup_clusters_cc,
     "dedup_clusters_cc_lsh": dedup_clusters_cc_lsh,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_md5": dedup_minhash_lsh_md5,
     "dedup_minhash_keepers": dedup_minhash_keepers,
     "dedup_minhash_keepers_md5": dedup_minhash_keepers_md5,
     "dedup_simhash": dedup_simhash,
@@ -775,6 +890,7 @@ def _emb_dedup_sql() -> str:
 ORACLE_SQL = {
     "dedup_embedding_cosine": _emb_dedup_sql(),
     "dedup_minhash_keepers_md5": _minhash_keepers_md5_sql(),
+    "dedup_minhash_lsh_md5": _minhash_lsh_md5_sql(),
     "dedup_semdedup_kmeans": _semdedup_sql(),
     "dedup_exact_group": """
         SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies

@@ -118,6 +118,7 @@ _PRIORITY = [
     "scd2_user_state_history",
     # new this round (never checked by construction):
     "win_zscore_by_segment",
+    "dedup_minhash_lsh_md5",
     # regression re-checks — changed plans first:
     "q11_important_stock",
     "q15_top_supplier",
@@ -129,7 +130,6 @@ _PRIORITY = [
     "join_asof_purchase_click",
     "window_tumbling_1h",
     "dedup_exact_hash",
-    "dedup_ngram_jaccard",
     "dedup_clusters_cc",
     "cosine_topk_bruteforce",
     "text_quality_score",
