@@ -141,6 +141,53 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via Spark 4's
+    ``hll_sketch_agg`` / ``hll_union_agg``) — the property
+    ``approx_count_distinct`` does NOT give you: the sketch itself is a
+    column value, so per-partition / per-day sketches persist and merge
+    later without touching raw data.  That re-aggregation is the whole
+    point at 100 TB: daily distinct-user sketches union into monthly
+    counts in milliseconds instead of a month-long re-scan.
+
+    Demonstrates both levels: per-group sketch -> estimate, and the
+    union of all group sketches re-estimated as the global count.  The
+    estimates are sketch-seed-specific, so (as with
+    ``agg_approx_distinct``) the oracled contract is the error bound:
+    exact counts plus within-5%-relative-error flags at both levels
+    (lgConfigK=14 -> rse ~0.8%, so 5% is >6 sigma)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    per = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey", F.lit(14)).alias("_sk"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_union_approx")
+    )
+    global_exact = li.agg(
+        F.countDistinct("l_orderkey").alias("_global_exact")
+    )
+    return (
+        per.crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(global_exact))
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.hll_sketch_estimate("_sk") - F.col("exact_orders"))
+                / F.col("exact_orders")
+                <= 0.05
+            ).alias("within_rel_err"),
+            (
+                F.abs(F.col("_union_approx") - F.col("_global_exact"))
+                / F.col("_global_exact")
+                <= 0.05
+            ).alias("union_within_rel_err"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (Greenwald-Khanna sketch) over the near-unique
     price column — the bounded-memory companion to ``agg_stats``'s exact
@@ -264,6 +311,7 @@ QUERIES = {
     "agg_global_no_group": agg_global_no_group,
     "agg_count_distinct": agg_count_distinct,
     "agg_approx_distinct": agg_approx_distinct,
+    "agg_hll_sketch_merge": agg_hll_sketch_merge,
     "agg_approx_percentile": agg_approx_percentile,
     "agg_stats": agg_stats,
     "agg_rollup": agg_rollup,
@@ -315,6 +363,17 @@ ORACLE_SQL = {
         SELECT l_returnflag,
                COUNT(DISTINCT l_orderkey) AS exact_orders,
                TRUE AS within_rel_err
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    # agg_hll_sketch_merge: same contract-oracle pattern — the sketch
+    # binary is engine-specific; the checkable guarantees are the exact
+    # counts and the error bounds at both sketch levels (per-group and
+    # merged union).
+    "agg_hll_sketch_merge": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS exact_orders,
+               TRUE AS within_rel_err,
+               TRUE AS union_within_rel_err
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "agg_approx_percentile": """

@@ -89,6 +89,72 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Exact-substring span dedup (Lee et al., "Deduplicating Training Data
+#: Makes Language Models Better", ACL'22): every SPAN_N-word gram,
+#: deduplicated by content hash.
+SPAN_N = 8
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup: hash EVERY ``SPAN_N``-word gram of
+    every document (stride 1) and flag grams whose hash occurs in >= 2
+    distinct documents — the Lee et al. ACL'22 span-level signal that
+    catches copied PASSAGES inside otherwise-distinct documents, which
+    whole-document hashing misses.  Stride 1 over word positions makes
+    detection independent of WHERE in each document the copied passage
+    sits (a fixed-stride character window would only match copies whose
+    offsets happen to align); the paper's suffix array gives the same
+    position independence but is a single-machine construction —
+    hashing all grams is its shuffle-friendly distributed equivalent.
+
+    Output: per-doc span count, duplicated-span count, and the
+    duplication ratio (the usual "drop docs with > X% duplicated spans"
+    curation predicate).
+
+    Scale: the explode amplifies each doc to ~n_tokens rows, but every
+    shuffled row is a (16-byte md5, doc_id) pair — documents themselves
+    never shuffle.  Both aggregations key on uniform hashes, so no
+    skew.  md5 (not xxhash64) so the oracle recomputes the exact same
+    spans — engine-portable by construction."""
+    d = load_table(spark, "documents", sf_dir)
+    w = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .filter(F.size("toks") >= SPAN_N)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - SPAN_N + 1)
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), SPAN_N))
+            ).alias("h"),
+        )
+    )
+    dup = (
+        w.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        w.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_ratio", F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _prefix_filter_candidates(t: DataFrame, threshold: float) -> DataFrame:
     """Lossless candidate pairs for Jaccard >= ``threshold`` via prefix
     filtering (module docstring): equi-join on (source, lang, prefix
@@ -852,6 +918,7 @@ QUERIES = {
     "dedup_semdedup_kmeans": dedup_semdedup_kmeans,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_exact_hash": dedup_exact_hash,
+    "dedup_substring_spans": dedup_substring_spans,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters_cc": dedup_clusters_cc,
     "dedup_clusters_cc_lsh": dedup_clusters_cc_lsh,
@@ -900,6 +967,27 @@ ORACLE_SQL = {
         SELECT SHA256(text) AS content_sha,
                MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY SHA256(text) ORDER BY keeper_doc_id
+    """,
+    "dedup_substring_spans": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE len(string_split(text, ' ')) >= {SPAN_N}),
+        w AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       toks[CAST(i AS INT):CAST(i + {SPAN_N - 1} AS INT)],
+                       ' ')) AS h
+            FROM t, LATERAL unnest(
+                generate_series(1, len(toks) - {SPAN_N - 1})) AS g(i)),
+        dup AS (
+            SELECT h FROM w GROUP BY h
+            HAVING count(DISTINCT doc_id) >= 2)
+        SELECT w.doc_id,
+               count(*) AS n_spans,
+               count(dup.h) AS n_dup_spans,
+               round(CAST(count(dup.h) AS DOUBLE) / count(*), 6) AS dup_ratio
+        FROM w LEFT JOIN dup ON w.h = dup.h
+        GROUP BY w.doc_id ORDER BY w.doc_id
     """,
     "dedup_ngram_jaccard": f"""
         WITH t AS (

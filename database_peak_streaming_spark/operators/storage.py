@@ -63,6 +63,39 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read round-trip (part) — the third columnar-adjacent
+    format after parquet and the text formats, exercising Spark's
+    built-in ORC source/sink (vectorized reader, predicate pushdown).
+    Schema given on re-read, same rule as the CSV path.  The aggregate
+    runs on the re-read data, so the oracle (computed from parquet)
+    proves the format preserved values, not just that the API ran."""
+    p = load_table(spark, "part", sf_dir)
+    path = os.path.join(tempfile.gettempdir(), f"dps_orc_roundtrip_{os.getpid()}")
+    p.select("p_partkey", "p_brand", "p_size", "p_retailprice").write.mode(
+        "overwrite"
+    ).orc(path)
+    schema = T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).orc(path)
+    return (
+        back.filter(F.col("p_size") <= 20)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("p_retailprice", "sum_price"),
+            F.min("p_partkey").alias("min_partkey"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS beyond rollup/cube: exactly the sets asked for,
     via the SQL surface (the DataFrame API has no direct equivalent)."""
@@ -145,6 +178,7 @@ QUERIES = {
     "csv_roundtrip": csv_roundtrip,
     "sql_api_cte_lateral": sql_api_cte_lateral,
     "jsonl_roundtrip": jsonl_roundtrip,
+    "orc_roundtrip": orc_roundtrip,
     "grouping_sets_explicit": grouping_sets_explicit,
     "map_funcs": map_funcs,
     "sql_api_q1": sql_api_q1,
@@ -171,6 +205,13 @@ ORACLE_SQL = {
     "jsonl_roundtrip": """
         SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal
         FROM supplier ORDER BY s_suppkey
+    """,
+    "orc_roundtrip": """
+        SELECT p_brand, COUNT(*) AS n_parts,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+               MIN(p_partkey) AS min_partkey
+        FROM part WHERE p_size <= 20
+        GROUP BY p_brand ORDER BY p_brand
     """,
     "grouping_sets_explicit": """
         SELECT o_orderstatus, o_orderpriority,

@@ -75,9 +75,10 @@ _PRIORITY = [
     # final 32 queries never hash-checked in rounds 1-4 (computed from
     # the committed CORRECTNESS_r0*.json artifacts — see
     # tests/test_registry.py, which derives the historical windows from
-    # those files rather than a hand-maintained copy).  Slot 33 is this
-    # round's new query (the built-in z-score twin).  Slots 34-50 are
-    # regression re-checks: the three TPC-H shapes whose scalar
+    # those files rather than a hand-maintained copy).  Next come this
+    # round's NEW queries (never checked by construction).  The
+    # remaining slots are regression re-checks: the three TPC-H shapes
+    # whose scalar
     # subqueries moved from driver-pull to plan-side broadcast this
     # round (q11/q15/q22 — plans changed, so their green rows must be
     # re-earned), plus a spread across every operator family that has
@@ -119,6 +120,9 @@ _PRIORITY = [
     # new this round (never checked by construction):
     "win_zscore_by_segment",
     "dedup_minhash_lsh_md5",
+    "dedup_substring_spans",
+    "agg_hll_sketch_merge",
+    "orc_roundtrip",
     # regression re-checks — changed plans first:
     "q11_important_stock",
     "q15_top_supplier",
@@ -126,15 +130,12 @@ _PRIORITY = [
     # then one representative per family, green in r1/r2/r4:
     "q1_pricing_summary",
     "q18_large_volume_customers",
-    "filter_scalar_subquery",
     "join_asof_purchase_click",
     "window_tumbling_1h",
     "dedup_exact_hash",
     "dedup_clusters_cc",
     "cosine_topk_bruteforce",
     "text_quality_score",
-    "sample_systematic_mod",
-    "split_train_test_md5",
     "udf_zscore_by_segment",
     "curate_corpus_pipeline",
 ]

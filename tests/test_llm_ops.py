@@ -327,3 +327,40 @@ def test_funnel_counts_monotone(spark):
     assert rows["1_signup"] > 0
     for a, b in zip(order, order[1:]):
         assert rows[b] <= rows[a], f"{b} ({rows[b]}) > {a} ({rows[a]})"
+
+
+def test_substring_spans_position_independent(spark, tmp_path):
+    """Planted-passage sensitivity: a SPAN_N-word passage copied into two
+    documents at DIFFERENT word offsets must be flagged in both (the
+    stride-1 gram construction is alignment-independent — the property a
+    fixed-stride window would not have), and a third document sharing no
+    span stays clean."""
+    from database_peak_streaming_spark.operators.dedup import (
+        SPAN_N,
+        dedup_substring_spans,
+    )
+
+    shared = " ".join(f"shared{i}" for i in range(SPAN_N))
+    docs = [
+        # passage at word offset 3
+        (0, "a b c " + shared + " tail0 tail1"),
+        # same passage at word offset 5 — different alignment
+        (1, "p q r s t " + shared),
+        # no shared span, long enough to emit spans
+        (2, " ".join(f"solo{i}" for i in range(SPAN_N + 4))),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "srcX", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.doc_id: r
+        for r in dedup_substring_spans(spark, str(tmp_path)).collect()
+    }
+    assert got[0].n_dup_spans >= 1
+    assert got[1].n_dup_spans >= 1
+    assert got[2].n_dup_spans == 0
+    # the planted passage is exactly one shared gram per doc
+    assert got[0].n_dup_spans == 1
+    assert got[1].n_dup_spans == 1
