@@ -258,6 +258,14 @@ def main() -> None:
             out["scaled_crossover"]["per_query_ratio_deep"] = sc.get("deep", {}).get(
                 "ratio"
             )
+            # tracker-decomposed execution-only ratios (planning constant
+            # removed; see bench_scaled._planning_ms for the method)
+            out["scaled_crossover"]["per_query_exec_ratio_deep"] = sc.get(
+                "deep", {}
+            ).get("ratio_exec")
+            out["scaled_crossover"]["ratio_exec_total_deep"] = sc.get(
+                "deep", {}
+            ).get("ratio_exec_total")
     print(json.dumps(out))
 
 

@@ -136,20 +136,44 @@ def build_scaled(spark, out_dir: Path = OUT, copies: int = COPIES) -> None:
         out.write.mode("overwrite").parquet(str(dst))
 
 
+def _planning_ms(df) -> float:
+    """Catalyst phase durations for a just-executed DataFrame (see
+    bench.py): every timed run builds a FRESH plan, so subtracting the
+    tracker's analysis+optimization+planning time yields an execution
+    figure with no shuffle-reuse understatement (codegen JIT and AQE
+    compile stay in the exec number — they are real runtime cost)."""
+    try:
+        phases = df._jdf.queryExecution().tracker().phases()
+        it = phases.iterator()
+        total = 0.0
+        while it.hasNext():
+            total += it.next()._2().durationMs()
+        return total
+    except Exception:
+        return 0.0
+
+
 def time_set(spark, sf_dir: str, query_set: list[str] = QUERY_SET) -> dict:
     from database_peak_streaming_spark.harness.diff import oracle_connection
     from database_peak_streaming_spark.registry import ORACLE_SQL, QUERIES
 
     spark_t: dict[str, float] = {}
+    spark_exec: dict[str, float] = {}
     for name in query_set:
         fn = QUERIES[name]
         fn(spark, sf_dir).count()  # warm (footers, codegen)
         best = float("inf")
+        best_exec = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).toPandas()
-            best = min(best, time.perf_counter() - t0)
+            df = fn(spark, sf_dir)
+            df.toPandas()
+            wall = time.perf_counter() - t0
+            if wall < best:
+                best = wall
+                best_exec = max(wall - _planning_ms(df) / 1000.0, 0.0)
         spark_t[name] = round(best, 3)
+        spark_exec[name] = round(best_exec, 3)
     duck_t: dict[str, float] = {}
     con = oracle_connection(sf_dir)
     for name in query_set:
@@ -162,13 +186,23 @@ def time_set(spark, sf_dir: str, query_set: list[str] = QUERY_SET) -> dict:
             best = min(best, time.perf_counter() - t0)
         duck_t[name] = round(best, 3)
     ratios = {n: round(spark_t[n] / max(duck_t[n], 1e-4), 2) for n in query_set}
+    # DuckDB's planner costs ~1 ms (EXPLAIN-measured), so duck full ~= duck
+    # exec and the exec ratio uses the same denominator.
+    exec_ratios = {
+        n: round(spark_exec[n] / max(duck_t[n], 1e-4), 2) for n in query_set
+    }
     return {
         "spark": spark_t,
+        "spark_exec": spark_exec,
         "duckdb": duck_t,
         "ratio": ratios,
+        "ratio_exec": exec_ratios,
         "spark_total": round(sum(spark_t.values()), 2),
         "duckdb_total": round(sum(duck_t.values()), 2),
         "ratio_total": round(sum(spark_t.values()) / sum(duck_t.values()), 2),
+        "ratio_exec_total": round(
+            sum(spark_exec.values()) / sum(duck_t.values()), 2
+        ),
     }
 
 

@@ -157,8 +157,46 @@ def balance_by_class_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: A-Res weighted sampling: 52 bits of md5 as the uniform, sample size k.
+ARES_BITS_M = float(16**13)
+ARES_K = 50
+
+
+def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via A-Res (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir"): each
+    row draws u ~ U(0,1) and the k rows with the largest u^(1/w) — here
+    ranked by the equivalent key -ln(u)/w ascending, largest-weight-
+    favored — form an exact weighted sample.  Weight = n_chars, so
+    selection probability tracks document volume (the "sample
+    proportional to tokens" draw a data-mixing pipeline uses to build a
+    training blend).
+
+    Determinism by content: u derives from 52 bits of md5(doc_id), not
+    an RNG, so the SAME sample comes out on any engine, any partitioning
+    and any rerun — and the oracle can recompute it exactly.
+
+    Scale: the per-row key is a narrow projection; top-k by key is
+    Spark's TakeOrdered pattern (per-partition k, then a k-sized merge
+    on the driver) — no global sort materializes, state is O(k)."""
+    d = load_table(spark, "documents", sf_dir)
+    u = (
+        F.conv(F.substring(_md5_of("doc_id"), 1, 13), 16, 10).cast("double")
+        + 1.0
+    ) / (ARES_BITS_M + 1.0)
+    key = -F.log(u) / F.col("n_chars").cast("double")
+    return (
+        d.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy(F.col("k").asc(), "doc_id")
+        .limit(ARES_K)
+        .select("doc_id", "n_chars", F.round("k", 6).alias("ares_key"))
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "sample_systematic_mod": sample_systematic_mod,
+    "sample_weighted_ares": sample_weighted_ares,
     "split_train_test_md5": split_train_test_md5,
     "split_summary_md5": split_summary_md5,
     "balance_by_class_topk": balance_by_class_topk,
@@ -193,6 +231,18 @@ ORACLE_SQL = {
         WHERE te.split = 'test' AND tr.split = 'train'
         GROUP BY te.doc_id
         ORDER BY te.doc_id
+    """,
+    "sample_weighted_ares": f"""
+        WITH keyed AS (
+            SELECT doc_id, n_chars,
+                   -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                        ::UBIGINT + 1.0) / ({ARES_BITS_M} + 1.0))
+                   / CAST(n_chars AS DOUBLE) AS k
+            FROM documents),
+        top AS (
+            SELECT doc_id, n_chars, round(k, 6) AS ares_key
+            FROM keyed ORDER BY k ASC, doc_id LIMIT {ARES_K})
+        SELECT doc_id, n_chars, ares_key FROM top ORDER BY doc_id
     """,
     "sample_systematic_mod": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

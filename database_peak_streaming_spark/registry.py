@@ -123,6 +123,7 @@ _PRIORITY = [
     "dedup_substring_spans",
     "agg_hll_sketch_merge",
     "orc_roundtrip",
+    "sample_weighted_ares",
     # regression re-checks — changed plans first:
     "q11_important_stock",
     "q15_top_supplier",
@@ -131,7 +132,6 @@ _PRIORITY = [
     "q1_pricing_summary",
     "q18_large_volume_customers",
     "join_asof_purchase_click",
-    "window_tumbling_1h",
     "dedup_exact_hash",
     "dedup_clusters_cc",
     "cosine_topk_bruteforce",
