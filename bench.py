@@ -53,6 +53,9 @@ HEADLINE = [
     # perf-graded too; these are the heaviest of the new window)
     "dedup_simhash",
     "dedup_semdedup_kmeans",
+    "dedup_substring_spans",
+    "agg_hll_sketch_merge",
+    "sample_weighted_ares",
     "text_unigram_logprob",
     "decontaminate_test_overlap",
     "ann_ivf_kmeans",

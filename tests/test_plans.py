@@ -132,11 +132,23 @@ def test_pipeline_ops_plan_budgets(spark):
         "try_funcs": 1,                  # row-local; sort only
         "sql_api_cte_lateral": 2,        # per-doc agg (+distinct) + sort
         "resample_gap_fill_locf": 2,     # hourly agg + axis join/sort
+        "sample_weighted_ares": 0,       # TakeOrdered: no exchange at all
+        "orc_roundtrip": 2,              # brand agg + sort
+        "dedup_substring_spans": 4,      # gram agg + dup join + doc agg + sort
+        # 7 exchanges but all post-aggregation singletons except the
+        # group sketch and the global exact count (the checkable contract
+        # column — dropped in production use)
+        "agg_hll_sketch_merge": 7,
     }
     for name, budget in budgets.items():
         df = QUERIES[name](spark, SF_DIR)
         n = E.shuffle_count(df)
         assert n <= budget, f"{name}: {n} shuffles > budget {budget}\n" + E.formatted_plan(df)
+    # the weighted sample must plan as TakeOrdered (per-partition k +
+    # driver-side k-merge), never a global sort
+    assert "TakeOrdered" in E.formatted_plan(
+        QUERIES["sample_weighted_ares"](spark, SF_DIR)
+    )
 
 
 def test_ann_probe_plans_broadcast_and_stay_narrow(spark):
