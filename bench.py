@@ -133,8 +133,10 @@ def main() -> None:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        # Min of two runs: JVM/GC noise at bench scale is +-30% run to
-        # run; the min reflects the plan's capability.  Arrow-path
+        # Min of three runs: JVM/GC noise at bench scale is +-30% run to
+        # run and C2 JIT keeps recompiling hot loops through the first
+        # few executions; the min reflects the plan's capability.  The
+        # DuckDB side below gets the same min-of-n protocol.  Arrow-path
         # materialization (toPandas) — the engine's result-transfer fast
         # path; collect() serializes row-by-row through py4j, ~2-3x
         # slower for wide results.
@@ -150,7 +152,7 @@ def main() -> None:
         # runtime cost), so this decomposition is conservative.
         best = float("inf")
         best_exec = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.toPandas()
@@ -180,9 +182,12 @@ def main() -> None:
             if sql is None:
                 continue
             con.sql(sql).fetchall()  # warm
-            t0 = time.perf_counter()
-            con.sql(sql).fetchall()
-            oracle_timings[name] = round(time.perf_counter() - t0, 4)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.sql(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            oracle_timings[name] = round(best, 4)
         # The exec-ratio denominator is DuckDB's FULL query time: its
         # planner costs ~1 ms (measured via EXPLAIN), so full ≈ exec on
         # the oracle side and no separate pass is needed — re-fetching a

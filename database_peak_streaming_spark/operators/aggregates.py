@@ -155,16 +155,23 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates are sketch-seed-specific, so (as with
     ``agg_approx_distinct``) the oracled contract is the error bound:
     exact counts plus within-5%-relative-error flags at both levels
-    (lgConfigK=14 -> rse ~0.8%, so 5% is >6 sigma)."""
+    (lgConfigK=14 -> rse ~0.8%, so 5% is >6 sigma).
+
+    Plan shape: distinct (group, key) pairs FIRST, then every consumer
+    aggregates the pre-distinct pairs — no expand (the plan
+    countDistinct-next-to-another-agg would otherwise force, 2.4x
+    slower measured), and the pairs' shuffle is computed once and
+    shared by all three consumers via ReuseExchange."""
     li = load_table(spark, "lineitem", sf_dir)
-    per = li.groupBy("l_returnflag").agg(
+    pairs = li.select("l_returnflag", "l_orderkey").distinct()
+    per = pairs.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_orderkey", F.lit(14)).alias("_sk"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.count("l_orderkey").alias("exact_orders"),
     )
     merged = per.agg(
         F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_union_approx")
     )
-    global_exact = li.agg(
+    global_exact = pairs.agg(
         F.countDistinct("l_orderkey").alias("_global_exact")
     )
     return (

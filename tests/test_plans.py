@@ -135,10 +135,12 @@ def test_pipeline_ops_plan_budgets(spark):
         "sample_weighted_ares": 0,       # TakeOrdered: no exchange at all
         "orc_roundtrip": 2,              # brand agg + sort
         "dedup_substring_spans": 4,      # gram agg + dup join + doc agg + sort
-        # 7 exchanges but all post-aggregation singletons except the
-        # group sketch and the global exact count (the checkable contract
-        # column — dropped in production use)
-        "agg_hll_sketch_merge": 7,
+        # the static plan repeats the distinct-pairs subtree under each
+        # of its three consumers (15 Exchange nodes pre-execution); AQE
+        # dedupes them at runtime (ReusedExchange — asserted below), so
+        # the executed plan shuffles the pairs once.  Measured 2.4x
+        # faster than the expand-based countDistinct-beside-sketch form.
+        "agg_hll_sketch_merge": 15,
     }
     for name, budget in budgets.items():
         df = QUERIES[name](spark, SF_DIR)
@@ -149,6 +151,11 @@ def test_pipeline_ops_plan_budgets(spark):
     assert "TakeOrdered" in E.formatted_plan(
         QUERIES["sample_weighted_ares"](spark, SF_DIR)
     )
+    # the HLL merge query's repeated distinct-pairs subtree must dedupe
+    # to one executed shuffle (AQE ReusedExchange)
+    hll = QUERIES["agg_hll_sketch_merge"](spark, SF_DIR)
+    hll.collect()
+    assert "ReusedExchange" in hll._jdf.queryExecution().executedPlan().toString()
 
 
 def test_ann_probe_plans_broadcast_and_stay_narrow(spark):
