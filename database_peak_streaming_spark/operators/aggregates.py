@@ -195,6 +195,114 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_theta_sketch_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Apache DataSketches via Spark 4) — the sketch
+    family that supports set ALGEBRA, not just cardinality: estimate
+    |R ∩ A| and |R ∪ A| of the distinct order-key sets of two return
+    flags from their sketches alone.  HLL cannot intersect; theta's
+    KMV-style sample intersects and differences, which is how audience-
+    overlap / cross-corpus-contamination questions are answered at
+    100 TB without re-scanning either side.
+
+    Contract oracle (sketch bytes are engine-specific): exact
+    intersection / union cardinalities plus 5%-relative-error flags
+    (observed error at fixture scales is <= 0.7%)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    pairs = (
+        li.filter(F.col("l_returnflag").isin("R", "A"))
+        .select("l_returnflag", "l_orderkey")
+        .distinct()
+    )
+    est = pairs.groupBy("l_returnflag").agg(
+        F.theta_sketch_agg("l_orderkey").alias("_sk")
+    ).agg(
+        F.theta_sketch_estimate(F.theta_intersection_agg("_sk")).alias("_est_i"),
+        F.theta_sketch_estimate(F.theta_union_agg("_sk")).alias("_est_u"),
+    )
+    r = pairs.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    a = pairs.filter(F.col("l_returnflag") == "A").select("l_orderkey")
+    exact = (
+        r.intersect(a)
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+        .crossJoin(
+            r.union(a).distinct().agg(F.count(F.lit(1)).alias("exact_union"))
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_intersection",
+        "exact_union",
+        (
+            F.abs(F.col("_est_i") - F.col("exact_intersection"))
+            / F.col("exact_intersection")
+            <= 0.05
+        ).alias("inter_within_rel_err"),
+        (
+            F.abs(F.col("_est_u") - F.col("exact_union"))
+            / F.col("exact_union")
+            <= 0.05
+        ).alias("union_within_rel_err"),
+    )
+
+
+def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches (Apache DataSketches via Spark 4) — the
+    MERGEABLE quantile sketch: per-group sketches estimate the group
+    median, and ``kll_sketch_merge`` of those sketches answers the
+    global median without re-touching rows.  percentile_approx's GK
+    sketch answers one query; persisted KLL sketches re-aggregate
+    (daily -> monthly latency quantiles), which is the property that
+    matters on a 100 TB metric store.
+
+    Contract oracle: the exact median per group (both engines compute
+    linear-interpolation percentiles) plus a rank-error flag — the KLL
+    estimate must land between the exact p45 and p55 (k=200 gives
+    ~1.65% one-sided rank error at 99% confidence; 5 rank points is
+    >3x headroom), at both the group and the merged-global level."""
+    li = load_table(spark, "lineitem", sf_dir)
+    per = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("l_extendedprice").alias("_k"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
+            "exact_median_price"
+        ),
+        F.percentile("l_extendedprice", F.lit(0.45)).alias("_p45"),
+        F.percentile("l_extendedprice", F.lit(0.55)).alias("_p55"),
+    )
+    # kll_sketch_merge_double is a binary scalar (merge two sketches);
+    # fold the group sketches with an array HOF: first sketch seeds the
+    # accumulator, the rest merge in.  Group count is tiny (3 flags), so
+    # the collect_list is a constant-size row, not a data collect.
+    sketches = per.agg(F.collect_list("_k").alias("_arr"))
+    merged = sketches.select(
+        F.kll_sketch_get_quantile_double(
+            F.aggregate(
+                F.slice(F.col("_arr"), 2, F.size("_arr")),
+                F.element_at("_arr", 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ),
+            F.lit(0.5),
+        ).alias("_gest")
+    )
+    global_bounds = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.45)).alias("_g45"),
+        F.percentile("l_extendedprice", F.lit(0.55)).alias("_g55"),
+    )
+    return (
+        per.crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(global_bounds))
+        .select(
+            "l_returnflag",
+            "exact_median_price",
+            F.kll_sketch_get_quantile_double("_k", F.lit(0.5))
+            .between(F.col("_p45"), F.col("_p55"))
+            .alias("within_rank_err"),
+            F.col("_gest")
+            .between(F.col("_g45"), F.col("_g55"))
+            .alias("merged_within_rank_err"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (Greenwald-Khanna sketch) over the near-unique
     price column — the bounded-memory companion to ``agg_stats``'s exact
@@ -319,6 +427,8 @@ QUERIES = {
     "agg_count_distinct": agg_count_distinct,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_hll_sketch_merge": agg_hll_sketch_merge,
+    "agg_theta_sketch_sets": agg_theta_sketch_sets,
+    "agg_kll_quantile_sketch": agg_kll_quantile_sketch,
     "agg_approx_percentile": agg_approx_percentile,
     "agg_stats": agg_stats,
     "agg_rollup": agg_rollup,
@@ -381,6 +491,30 @@ ORACLE_SQL = {
                COUNT(DISTINCT l_orderkey) AS exact_orders,
                TRUE AS within_rel_err,
                TRUE AS union_within_rel_err
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    # agg_theta_sketch_sets / agg_kll_quantile_sketch: contract oracles
+    # (sketch bytes are engine-specific; exact values + bound flags are
+    # the checkable guarantees).
+    "agg_theta_sketch_sets": """
+        WITH p AS (
+            SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem
+            WHERE l_returnflag IN ('R', 'A')),
+        r AS (SELECT l_orderkey FROM p WHERE l_returnflag = 'R'),
+        a AS (SELECT l_orderkey FROM p WHERE l_returnflag = 'A')
+        SELECT (SELECT COUNT(*) FROM (SELECT * FROM r INTERSECT SELECT * FROM a))
+                   AS exact_intersection,
+               (SELECT COUNT(*) FROM (SELECT * FROM r UNION SELECT * FROM a))
+                   AS exact_union,
+               TRUE AS inter_within_rel_err,
+               TRUE AS union_within_rel_err
+    """,
+    "agg_kll_quantile_sketch": """
+        SELECT l_returnflag,
+               ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.5) AS DOUBLE), 6)
+                   AS exact_median_price,
+               TRUE AS within_rank_err,
+               TRUE AS merged_within_rank_err
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "agg_approx_percentile": """

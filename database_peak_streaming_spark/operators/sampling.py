@@ -194,9 +194,38 @@ def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_stratified_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling: keep ceil(f * n) documents per
+    language stratum, chosen by md5 order — every stratum is
+    represented at EXACTLY the target fraction (rounded up), unlike
+    ``df.sampleBy`` whose per-stratum counts are binomial draws.  The
+    deterministic md5 order makes the selection content-keyed: stable
+    across engines, partitionings, and reruns.
+
+    The cutoff ceil(n/5) is computed in INTEGER arithmetic
+    ((n + 4) div 5), never as ceil(0.2 * n): 0.2 has no exact binary
+    representation, so float engines and decimal engines disagree at
+    exact-multiple boundaries (0.2 * 35 = 7.000000000000001 -> ceil 8).
+
+    Scale: one shuffle on the stratum key; both window functions
+    (row_number, count) share the single partitioning, and the filter
+    keeps O(f * n_stratum) rows flowing to the sink."""
+    d = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy(_md5_of("doc_id"), "doc_id")
+    wc = Window.partitionBy("lang")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") <= F.expr("(_n + 4) div 5"))
+        .select("doc_id", "lang", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
 QUERIES = {
     "sample_systematic_mod": sample_systematic_mod,
     "sample_weighted_ares": sample_weighted_ares,
+    "sample_stratified_fraction": sample_stratified_fraction,
     "split_train_test_md5": split_train_test_md5,
     "split_summary_md5": split_summary_md5,
     "balance_by_class_topk": balance_by_class_topk,
@@ -243,6 +272,18 @@ ORACLE_SQL = {
             SELECT doc_id, n_chars, round(k, 6) AS ares_key
             FROM keyed ORDER BY k ASC, doc_id LIMIT {ARES_K})
         SELECT doc_id, n_chars, ares_key FROM top ORDER BY doc_id
+    """,
+    "sample_stratified_fraction": """
+        WITH k AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM documents)
+        SELECT doc_id, lang, rn FROM k
+        WHERE rn <= (n + 4) // 5
+        ORDER BY lang, rn
     """,
     "sample_systematic_mod": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

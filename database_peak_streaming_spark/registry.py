@@ -124,6 +124,9 @@ _PRIORITY = [
     "agg_hll_sketch_merge",
     "orc_roundtrip",
     "sample_weighted_ares",
+    "sample_stratified_fraction",
+    "agg_theta_sketch_sets",
+    "agg_kll_quantile_sketch",
     # regression re-checks — changed plans first:
     "q11_important_stock",
     "q15_top_supplier",
@@ -133,9 +136,6 @@ _PRIORITY = [
     "q18_large_volume_customers",
     "join_asof_purchase_click",
     "dedup_exact_hash",
-    "dedup_clusters_cc",
-    "cosine_topk_bruteforce",
-    "text_quality_score",
     "udf_zscore_by_segment",
     "curate_corpus_pipeline",
 ]
