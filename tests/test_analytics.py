@@ -71,3 +71,34 @@ def test_plot_frames_boundary(spark, lt_df):
         assert isinstance(pdf, pd.DataFrame)
         assert len(pdf) == 20  # 2 peaks x 10 minutes
         assert {"window_start", "strain", "temperature"} <= set(pdf.columns)
+
+
+def test_render_svg_plot_sink(spark, lt_df, tmp_path):
+    """S12 closure: the SVG sink emits well-formed XML with one panel
+    per channel and one polyline per (channel, peak) series, each
+    polyline carrying one point per window — the reference's
+    per-port subplot loops (analyze_data.py:53-91) without the
+    matplotlib dependency."""
+    import xml.etree.ElementTree as ET
+
+    from database_peak_streaming_spark.analytics import render_svg
+
+    out = tmp_path / "lt.svg"
+    svg = render_svg(lt_df, str(out))
+    assert out.read_text() == svg
+
+    root = ET.fromstring(svg)  # well-formed
+    ns = "{http://www.w3.org/2000/svg}"
+    panels = root.findall(f"{ns}g")
+    assert len(panels) == 2  # channels 1, 2
+    for panel in panels:
+        lines = panel.findall(f"{ns}polyline")
+        assert len(lines) == 2  # peaks 0, 1
+        for line in lines:
+            assert len(line.get("points").split()) == 10  # 10 windows
+    # y-scaling sanity: every coordinate stays inside the viewBox
+    w, h = float(root.get("width")), float(root.get("height"))
+    for line in root.iter(f"{ns}polyline"):
+        for pt in line.get("points").split():
+            x, y = map(float, pt.split(","))
+            assert 0 <= x <= w and 0 <= y <= h
