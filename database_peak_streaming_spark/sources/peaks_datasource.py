@@ -29,7 +29,12 @@ import os
 import struct
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from database_peak_streaming_spark.sources.binary import (
     DECODED_SCHEMA,
@@ -112,6 +117,65 @@ class PeaksBinaryReader(DataSourceReader):
                 yield (serial, ts.tz_localize("UTC"), ch, pk, wl)
 
 
+class PeaksBinarySimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the ``peaksbin`` format (S1 through the
+    DataSource API): watch a directory for appended ``.peaks`` files and
+    emit each new file's decoded rows as a micro-batch — the
+    file-drop-per-scan pattern an instrument gateway produces
+    (hyperion.py:284-312's connect→read→queue loop, re-expressed as
+    monotone file offsets).
+
+    Offsets are ``{"files_consumed": n}`` over the SORTED file list, so
+    the source is replayable: ``readBetweenOffsets`` re-decodes exactly
+    the files of a prior batch after restart (deterministic recovery,
+    required by the SimpleStreamReader contract).  Files must be
+    complete when they appear (write-then-rename, the standard file
+    source discipline).
+
+    Scale note: a SimpleDataSourceStreamReader reads on the DRIVER by
+    design (the executor-partitioned ``DataSourceStreamReader`` is the
+    high-throughput form); at the reference's 10 Hz x dozens-of-peaks
+    rate the driver path is orders of magnitude of headroom, and the
+    decode itself is the same codec the batch partitions run."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("peaksbin: .load(path) is required")
+        self.num_channels = int(options.get("num_channels", "4"))
+
+    def _files(self) -> list[str]:
+        if os.path.isdir(self.path):
+            return sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".peaks")
+            )
+        return [self.path] if os.path.exists(self.path) else []
+
+    def initialOffset(self) -> dict:
+        return {"files_consumed": 0}
+
+    def _rows_for(self, files: list[str]) -> list[tuple]:
+        rows = []
+        for path in files:
+            for frame in read_peaks_file(path):
+                for serial, ts, ch, pk, wl in _decode_one(frame, self.num_channels):
+                    rows.append((serial, ts.tz_localize("UTC"), ch, pk, wl))
+        return rows
+
+    def read(self, start: dict):
+        files = self._files()
+        n0 = int(start["files_consumed"])
+        return iter(self._rows_for(files[n0:])), {"files_consumed": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        return iter(
+            self._rows_for(files[int(start["files_consumed"]) : int(end["files_consumed"])])
+        )
+
+
 class PeaksBinaryDataSource(DataSource):
     """``spark.read.format("peaksbin").option("num_channels", N)
     .load(dir)`` after ``spark.dataSource.register(PeaksBinaryDataSource)``.
@@ -130,3 +194,6 @@ class PeaksBinaryDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return PeaksBinaryReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return PeaksBinarySimpleStreamReader(self.options)

@@ -101,3 +101,55 @@ def test_datasource_truncated_file_fails_loudly(spark, tmpdir_):
             .load(tmpdir_)
             .collect()
         )
+
+
+def test_datasource_stream_matches_batch(spark, tmpdir_):
+    """The streaming half of the format (SimpleDataSourceStreamReader)
+    must emit exactly the batch reader's rows over the same files, and
+    replaying a committed offset range (readBetweenOffsets — what
+    checkpoint recovery calls) must reproduce its batch."""
+    import os
+
+    from database_peak_streaming_spark.sources.peaks_datasource import (
+        PeaksBinaryDataSource,
+        PeaksBinarySimpleStreamReader,
+        write_peaks_file,
+    )
+
+    frames = _fixture_frames(6)
+    write_peaks_file(os.path.join(tmpdir_, "a.peaks"), frames[:3])
+    write_peaks_file(os.path.join(tmpdir_, "b.peaks"), frames[3:])
+    spark.dataSource.register(PeaksBinaryDataSource)
+
+    collected = []
+    q = (
+        spark.readStream.format("peaksbin")
+        .option("num_channels", "4")
+        .load(tmpdir_)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _: collected.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = (
+        spark.read.format("peaksbin")
+        .option("num_channels", "4")
+        .load(tmpdir_)
+        .collect()
+    )
+    key = lambda r: (r.serial_number, r.ts, r.channel, r.peak_idx)
+    assert sorted(collected, key=key) == sorted(batch, key=key)
+
+    # deterministic replay of the first file's offset range
+    rdr = PeaksBinarySimpleStreamReader({"path": tmpdir_, "num_channels": "4"})
+    replay = list(
+        rdr.readBetweenOffsets({"files_consumed": 0}, {"files_consumed": 1})
+    )
+    batch_a = [
+        r
+        for r in batch
+        if r.serial_number in {1000, 1001, 1002}
+    ]
+    assert len(replay) == len(batch_a)
