@@ -118,6 +118,30 @@ def tumbling_counts(
     )
 
 
+def tumbling_distinct_users(
+    stream: DataFrame, ts_col: str, key: str, length: str, delay: str
+) -> DataFrame:
+    """Windowed DISTINCT-cardinality on a stream via HLL++ sketch state
+    (``approx_count_distinct``): per-window state is a fixed-size sketch
+    merged incrementally across micro-batches, never the key set — the
+    only way a distinct-users-per-window metric is computable over an
+    unbounded stream with bounded memory (exact ``countDistinct`` is
+    unsupported in streaming aggregation for exactly this reason).
+    rsd=0.02 matches the batch surface (``agg_approx_distinct``); the
+    stream==batch equivalence test bounds the estimate against the
+    exact batch recompute."""
+    return (
+        as_event_time(stream, ts_col)
+        .withWatermark(ts_col, delay)
+        .groupBy(F.window(ts_col, length).alias("w"))
+        .agg(
+            F.approx_count_distinct(key, 0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.col("w.start").alias("window_start"), "approx_users", "n")
+    )
+
+
 def sliding_counts(
     stream: DataFrame, ts_col: str, length: str, slide: str, delay: str
 ) -> DataFrame:

@@ -817,3 +817,57 @@ def test_sensor_pipeline_end_to_end(spark, tmpdir_):
 
     # stream == batch equivalence
     assert window_sensor_means(decoded).count() == len(oracle)
+
+
+def test_stream_distinct_users_sketch_bounded(spark, tmpdir_):
+    """Windowed distinct-user cardinality on a stream (HLL++ sketch
+    state — exact countDistinct is unsupported in streaming aggregation)
+    must land within the sketch's error bound of the exact batch
+    recompute for every window, and the incremental cross-micro-batch
+    merge must equal the single-pass batch estimate exactly (sketch
+    merge is deterministic)."""
+    import datetime as dt
+
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.ops import tumbling_distinct_users
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+
+    ev = load_table(spark, "events", SF_DIR).select("event_id", "ts", "user_id")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = {"event_id": -1, "ts": max_ts + dt.timedelta(hours=2), "user_id": None}
+    stream, replay_dir = replay_dataframe(
+        spark, ev, n_chunks=4, order_col="ts", sentinel_row=sentinel
+    )
+    try:
+        got = _collect_stream(
+            spark,
+            tumbling_distinct_users(stream, "ts", "user_id", "1 hour", "10 minutes"),
+            f"{tmpdir_}/ckpt",
+        )
+    finally:
+        cleanup_replay(replay_dir)
+    got_d = {
+        r.window_start: r.approx_users for r in got if r.window_start <= max_ts
+    }
+    exact = {
+        r.window_start: (r.exact, r.approx)
+        for r in (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.countDistinct("user_id").alias("exact"),
+                F.approx_count_distinct("user_id", 0.02).alias("approx"),
+            )
+            .select(F.col("w.start").alias("window_start"), "exact", "approx")
+            .collect()
+        )
+    }
+    assert set(got_d) == set(exact)
+    for w, est in got_d.items():
+        ex, batch_est = exact[w]
+        # bound vs truth: 2.5 sigma of rsd=0.02
+        assert abs(est - ex) / ex <= 0.05, (w, est, ex)
+        # incremental merge == single-pass sketch (determinism)
+        assert est == batch_est, (w, est, batch_est)
