@@ -9,7 +9,7 @@ source, n_chars).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from database_peak_streaming_spark.sources.batch import load_table
@@ -134,6 +134,79 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.md5(canon).alias("content_fp"),
             F.md5("text").alias("exact_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: Winnowing parameters: k-gram size (words) and local-min window.
+WINNOW_K = 4
+WINNOW_W = 5
+
+
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style local fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03): hash every ``WINNOW_K``-word gram, keep a gram at
+    position p iff its hash is the minimum of the ``WINNOW_W`` hashes
+    ending at p (the deterministic local-min variant — both engines
+    select the identical set).  Selected fingerprints are
+    position-robust: insertions/deletions outside a window leave the
+    fingerprints inside it unchanged, so two documents sharing a long
+    passage share fingerprints wherever the passage sits — the
+    guarantee whole-document hashing (``text_fingerprint``) lacks and
+    the storage exhaustive gram hashing (``dedup_substring_spans``)
+    pays ~4-5x more for.
+
+    Output per doc: gram count, fingerprint count (the ~1/W compression
+    is the point), and an md5 over the sorted fingerprint set — the
+    compact sketch a plagiarism/copy-detection index stores.
+
+    Scale: explode to ~n_tokens narrow (doc_id, pos, 16-byte hash)
+    rows; the rolling min runs inside the per-doc sort the window
+    already needs; everything downstream aggregates on doc_id."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = _tokens()
+    g = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= WINNOW_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - WINNOW_K + 1)
+            ).alias("pos"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), WINNOW_K))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    sel = (
+        g.withColumn("roll_min", F.min("h").over(w))
+        .filter(F.col("h") == F.col("roll_min"))
+        .select("doc_id", "h")
+        .distinct()
+    )
+    return (
+        g.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .join(
+            sel.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_fingerprints"),
+                F.md5(
+                    F.concat_ws("|", F.sort_array(F.collect_list("h")))
+                ).alias("fp_set_hash"),
+            ),
+            "doc_id",
         )
         .orderBy("doc_id")
     )
@@ -320,6 +393,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_langid_heuristic": text_langid_heuristic,
     "text_fingerprint": text_fingerprint,
+    "text_winnowing_fingerprint": text_winnowing_fingerprint,
     "text_keyword_search": text_keyword_search,
 }
 
@@ -467,6 +541,33 @@ ORACLE_SQL = {
                    'string_agg', ' ')) AS content_fp,
                MD5(text) AS exact_fp
         FROM documents ORDER BY doc_id
+    """,
+    "text_winnowing_fingerprint": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE len(string_split(text, ' ')) >= {WINNOW_K}),
+        g AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(
+                       toks[CAST(i AS INT):CAST(i + {WINNOW_K - 1} AS INT)],
+                       ' ')) AS h
+            FROM t, LATERAL unnest(
+                generate_series(1, len(toks) - {WINNOW_K - 1})) AS u(i)),
+        sel AS (
+            SELECT DISTINCT doc_id, h FROM (
+                SELECT doc_id, h,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                           AND CURRENT ROW) AS roll_min
+                FROM g)
+            WHERE h = roll_min),
+        agg AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        f AS (
+            SELECT doc_id, count(*) AS n_fingerprints,
+                   md5(array_to_string(list_sort(list(h)), '|')) AS fp_set_hash
+            FROM sel GROUP BY doc_id)
+        SELECT agg.doc_id, n_grams, n_fingerprints, fp_set_hash
+        FROM agg JOIN f USING (doc_id) ORDER BY agg.doc_id
     """,
     "text_keyword_search": """
         SELECT doc_id,

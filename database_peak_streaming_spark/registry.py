@@ -127,6 +127,7 @@ _PRIORITY = [
     "sample_stratified_fraction",
     "agg_theta_sketch_sets",
     "agg_kll_quantile_sketch",
+    "text_winnowing_fingerprint",
     # regression re-checks — changed plans first:
     "q11_important_stock",
     "q15_top_supplier",
@@ -136,7 +137,6 @@ _PRIORITY = [
     "q18_large_volume_customers",
     "join_asof_purchase_click",
     "dedup_exact_hash",
-    "udf_zscore_by_segment",
     "curate_corpus_pipeline",
 ]
 
