@@ -96,6 +96,103 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delete_rewrite_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level delete on an immutable columnar store, the
+    copy-on-write way (what DELETE means on parquet without a table
+    format): anti-join the deletion keyset, rewrite the survivors, read
+    the rewrite back and PROVE the deletion — zero matching rows
+    remaining, everything else intact.  The deletion set (users with
+    user_id % 97 == 0 — a GDPR erasure batch) stays a DataFrame, so at
+    scale the anti-join is a broadcast against the scan, and only
+    affected partitions need rewriting under a partitioned layout
+    (streaming/tiering.py's date partitioning composes here).
+
+    Output: per-event-type survivor counts plus the global count of
+    deleted-user rows remaining (must be 0) — the post-erasure audit
+    artifact."""
+    ev = load_table(spark, "events", sf_dir)
+    doomed = ev.select("user_id").where(F.col("user_id") % 97 == 0).distinct()
+    survivors = ev.join(doomed, "user_id", "left_anti")
+    path = os.path.join(tempfile.gettempdir(), f"dps_gdpr_rewrite_{os.getpid()}")
+    survivors.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    remaining = back.where(F.col("user_id") % 97 == 0).agg(
+        F.count(F.lit(1)).alias("deleted_rows_remaining")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .crossJoin(F.broadcast(remaining))
+        .orderBy("event_type")
+    )
+
+
+def merge_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (SCD type-1 upsert) on plain parquet:
+    updates overwrite matching keys, inserts append new keys — via one
+    full-outer join + coalesce, then a copy-on-write rewrite.  The
+    update batch is derived deterministically from the fixture
+    (every 50th customer gets +1000 balance; every 250th spawns a new
+    key shifted by 10M), so the oracle recomputes the merged state
+    declaratively.
+
+    Scale: the full-outer join shuffles on the merge key exactly once;
+    with a bucketed base table it would be shuffle-free on the base
+    side.  Output: per-segment row count, exact balance sum, and how
+    many rows came from the update batch (audit columns)."""
+    c = load_table(spark, "customer", sf_dir)
+    updates = c.where(F.col("c_custkey") % 50 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+    )
+    inserts = c.where(F.col("c_custkey") % 250 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+        "c_mktsegment",
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    batch = updates.unionByName(inserts)
+    base = c.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    merged = (
+        base.alias("b")
+        .join(
+            batch.alias("u"),
+            F.col("b.c_custkey") == F.col("u.c_custkey"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("u.c_custkey"), F.col("b.c_custkey")).alias(
+                "c_custkey"
+            ),
+            F.coalesce(F.col("u.c_name"), F.col("b.c_name")).alias("c_name"),
+            F.coalesce(F.col("u.c_mktsegment"), F.col("b.c_mktsegment")).alias(
+                "c_mktsegment"
+            ),
+            F.coalesce(F.col("u.c_acctbal"), F.col("b.c_acctbal")).alias(
+                "c_acctbal"
+            ),
+            F.col("u.c_custkey").isNotNull().alias("_from_batch"),
+        )
+    )
+    path = os.path.join(tempfile.gettempdir(), f"dps_merge_rewrite_{os.getpid()}")
+    merged.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("c_acctbal", "sum_acctbal"),
+            F.sum(F.col("_from_batch").cast("long")).alias("n_from_batch"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS beyond rollup/cube: exactly the sets asked for,
     via the SQL surface (the DataFrame API has no direct equivalent)."""
@@ -179,6 +276,8 @@ QUERIES = {
     "sql_api_cte_lateral": sql_api_cte_lateral,
     "jsonl_roundtrip": jsonl_roundtrip,
     "orc_roundtrip": orc_roundtrip,
+    "delete_rewrite_gdpr": delete_rewrite_gdpr,
+    "merge_upsert_scd1": merge_upsert_scd1,
     "grouping_sets_explicit": grouping_sets_explicit,
     "map_funcs": map_funcs,
     "sql_api_q1": sql_api_q1,
@@ -205,6 +304,39 @@ ORACLE_SQL = {
     "jsonl_roundtrip": """
         SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal
         FROM supplier ORDER BY s_suppkey
+    """,
+    "delete_rewrite_gdpr": """
+        SELECT event_type,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT user_id) AS n_users,
+               0 AS deleted_rows_remaining
+        FROM events
+        WHERE user_id % 97 <> 0
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "merge_upsert_scd1": """
+        WITH upd AS (
+            SELECT c_custkey, c_name, c_mktsegment,
+                   c_acctbal + 1000.0 AS c_acctbal
+            FROM customer WHERE c_custkey % 50 = 0),
+        ins AS (
+            SELECT c_custkey + 10000000 AS c_custkey,
+                   'new-' || c_name AS c_name, c_mktsegment,
+                   0.0 AS c_acctbal
+            FROM customer WHERE c_custkey % 250 = 0),
+        batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        merged AS (
+            SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+                   COALESCE(u.c_name, b.c_name) AS c_name,
+                   COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+                   COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+                   u.c_custkey IS NOT NULL AS from_batch
+            FROM customer b FULL OUTER JOIN batch u USING (c_custkey))
+        SELECT c_mktsegment,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_acctbal,
+               SUM(CASE WHEN from_batch THEN 1 ELSE 0 END) AS n_from_batch
+        FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     "orc_roundtrip": """
         SELECT p_brand, COUNT(*) AS n_parts,

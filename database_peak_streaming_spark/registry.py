@@ -128,6 +128,8 @@ _PRIORITY = [
     "agg_theta_sketch_sets",
     "agg_kll_quantile_sketch",
     "text_winnowing_fingerprint",
+    "delete_rewrite_gdpr",
+    "merge_upsert_scd1",
     # regression re-checks — changed plans first:
     "q11_important_stock",
     "q15_top_supplier",
@@ -135,8 +137,6 @@ _PRIORITY = [
     # then one representative per family, green in r1/r2/r4:
     "q1_pricing_summary",
     "q18_large_volume_customers",
-    "join_asof_purchase_click",
-    "dedup_exact_hash",
     "curate_corpus_pipeline",
 ]
 
