@@ -364,3 +364,21 @@ def test_substring_spans_position_independent(spark, tmp_path):
     # the planted passage is exactly one shared gram per doc
     assert got[0].n_dup_spans == 1
     assert got[1].n_dup_spans == 1
+
+
+def test_weighted_sample_biases_toward_weight(spark):
+    """A-Res sanity: sampling with weight = n_chars must overrepresent
+    long documents — the sample's mean length exceeds the corpus mean
+    (deterministic given the md5 uniforms, so this is a fixed fact of
+    the fixture, not a flaky statistical assertion)."""
+    from database_peak_streaming_spark.operators.sampling import (
+        sample_weighted_ares,
+    )
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    sample = sample_weighted_ares(spark, SF_DIR)
+    s_mean = sample.agg(F.avg("n_chars")).first()[0]
+    c_mean = (
+        load_table(spark, "documents", SF_DIR).agg(F.avg("n_chars")).first()[0]
+    )
+    assert s_mean > c_mean, (s_mean, c_mean)
