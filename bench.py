@@ -60,6 +60,8 @@ HEADLINE = [
     "decontaminate_test_overlap",
     "ann_ivf_kmeans",
     "scd2_user_state_history",
+    "text_bm25_topk",
+    "embedding_quantize_int8",
     # python-kernel path, priced against its JVM twin
     "udf_zscore_by_segment",
     "win_zscore_by_segment",

@@ -222,6 +222,60 @@ def sample_stratified_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Target language mix for the training blend (shares sum to 1).  Pinned
+#: literals — the mix is a data-governance decision made offline, and
+#: pinning it keeps the query fully oracle-able.
+MIXTURE_TARGET = (
+    ("de", 0.15),
+    ("en", 0.35),
+    ("es", 0.15),
+    ("fr", 0.15),
+    ("zh", 0.2),
+)
+
+
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: per-language token counts -> the
+    per-language sampling weight that reshapes the corpus into a pinned
+    target blend (weight = target_share / actual_token_share; weight>1
+    means the slice must be oversampled/repeated, <1 downsampled).
+    This is the step that turns "we crawled X" into "we train on Y" —
+    the DoReMi/Pile-style domain-mixture computation at its simplest.
+
+    Scale: one groupBy on a tiny key (languages) with map-side partial
+    counts, one broadcast of the 1-row total — the corpus is read once,
+    no wide shuffle.  All shares derive from exact long token counts,
+    divided in double with a parenthesization mirrored by the oracle,
+    so the output hash-matches bit-for-bit.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    by_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    total = by_lang.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    target = F.create_map(
+        *[x for k, v in MIXTURE_TARGET for x in (F.lit(k), F.lit(v))]
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    tgt = F.coalesce(target[F.col("lang")], F.lit(0.0))
+    return (
+        by_lang.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("token_share"),
+            tgt.alias("target_share"),
+            F.round(tgt / share, 6).alias("sampling_weight"),
+            (tgt / share > 1.0).alias("needs_oversample"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "sample_systematic_mod": sample_systematic_mod,
     "sample_weighted_ares": sample_weighted_ares,
@@ -230,7 +284,16 @@ QUERIES = {
     "split_summary_md5": split_summary_md5,
     "balance_by_class_topk": balance_by_class_topk,
     "decontaminate_test_overlap": decontaminate_test_overlap,
+    "corpus_mixture_weights": corpus_mixture_weights,
 }
+
+_MIX_TGT_SQL = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{k}' THEN CAST({v} AS DOUBLE)" for k, v in MIXTURE_TARGET
+    )
+    + " ELSE CAST(0.0 AS DOUBLE) END"
+)
 
 _DECON_GRAM_SQL = " || ' ' || ".join(
     f"t[i + {k}]" for k in range(DECON_NGRAM)
@@ -322,5 +385,28 @@ ORACLE_SQL = {
         )
         WHERE rn <= 50
         ORDER BY c_mktsegment, rn
+    """,
+    # Mirrors corpus_mixture_weights arithmetic (exact long counts; the
+    # double divisions keep the same parenthesization).
+    "corpus_mixture_weights": f"""
+        WITH by_lang AS (
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY lang),
+        tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM by_lang)
+        SELECT lang, n_docs, n_tokens,
+               ROUND(CAST(n_tokens AS DOUBLE) / total_tokens, 6)
+                   AS token_share,
+               {_MIX_TGT_SQL} AS target_share,
+               ROUND(({_MIX_TGT_SQL})
+                     / (CAST(n_tokens AS DOUBLE) / total_tokens), 6)
+                   AS sampling_weight,
+               (({_MIX_TGT_SQL})
+                / (CAST(n_tokens AS DOUBLE) / total_tokens)) > 1.0
+                   AS needs_oversample
+        FROM by_lang CROSS JOIN tot ORDER BY lang
     """,
 }

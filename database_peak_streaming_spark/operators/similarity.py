@@ -413,6 +413,68 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bucket_probe_topk(e, _kmeans_bucket(F.col("embedding")))
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the standard
+    4x-compression storage transform for embedding corpora (scale =
+    max|x|/127, q = round(x/scale) in [-127, 127]) — plus the
+    reconstruction-error audit every quantized index ships with.
+
+    Scale design: pure array HOFs (transform/zip_with/aggregate) per
+    row — no shuffle at all except the final presentation sort; at
+    100 TB this is a map-only pass that rewrites the vector column at
+    scan speed.  Quantization uses ``floor(x/scale + 0.5)`` (identical
+    half-up semantics in both engines — double ``round`` ties differ
+    engine-to-engine) and fixed fold order, so the audit doubles are
+    bit-identical with the oracle.
+    """
+    e = load_table(spark, "embeddings", sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(F.col("amax") > 0.0, F.col("amax") / 127.0).otherwise(
+        F.lit(1.0)
+    )
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(x / F.col("scale") + 0.5)),
+        ),
+    )
+    err = F.zip_with(
+        F.col("v"), F.col("q"), lambda x, qi: x - qi * F.col("scale")
+    )
+    sum_sq = F.aggregate(
+        F.transform(F.col("err"), lambda r: r * r),
+        F.lit(0.0),
+        lambda acc, r: acc + r,
+    )
+    return (
+        e.select("vec_id", "label", v.alias("v"), amax.alias("amax"))
+        .withColumn("scale", scale)
+        .withColumn("q", q)
+        .withColumn("err", err)
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("scale"), 9).alias("scale"),
+            F.aggregate(
+                F.col("q"), F.lit(0.0), lambda acc, x: acc + x
+            )
+            .cast("long")
+            .alias("q_checksum"),
+            F.round(
+                F.sqrt(sum_sq / F.size(F.col("q"))) / F.col("scale"), 6
+            ).alias("rmse_over_scale"),
+            F.round(
+                F.array_max(F.transform(F.col("err"), F.abs))
+                / F.col("scale"),
+                6,
+            ).alias("max_err_over_scale"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "cosine_pairs_threshold": cosine_pairs_threshold,
@@ -420,6 +482,7 @@ QUERIES = {
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "ann_rp_lsh": ann_rp_lsh,
     "embedding_norms": embedding_norms,
+    "embedding_quantize_int8": embedding_quantize_int8,
 }
 
 
@@ -564,5 +627,39 @@ ORACLE_SQL = {
                         * SQRT({_DOT.format(a='embedding', b='embedding')})), 6)
                    AS self_cosine
         FROM embeddings ORDER BY vec_id
+    """,
+    # Mirrors embedding_quantize_int8 step-for-step (same fold order,
+    # same floor(x/s + 0.5) half-up rule) so the audit doubles are
+    # bit-identical.
+    "embedding_quantize_int8": """
+        WITH base AS (
+            SELECT vec_id, label,
+                   LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        s AS (
+            SELECT vec_id, label, v,
+                   LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) AS amax
+            FROM base),
+        sc AS (
+            SELECT *, CASE WHEN amax > 0.0 THEN amax / 127.0 ELSE 1.0 END
+                          AS scale
+            FROM s),
+        qq AS (
+            SELECT *, LIST_TRANSFORM(v, x ->
+                          GREATEST(-127.0, LEAST(127.0,
+                              FLOOR(x / scale + 0.5)))) AS q
+            FROM sc),
+        ee AS (
+            SELECT *, LIST_TRANSFORM(LIST_ZIP(v, q),
+                          p -> p[1] - p[2] * scale) AS err
+            FROM qq)
+        SELECT vec_id, label,
+               ROUND(scale, 9) AS scale,
+               CAST(LIST_SUM(q) AS BIGINT) AS q_checksum,
+               ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(err, r -> r * r))
+                          / LEN(q)) / scale, 6) AS rmse_over_scale,
+               ROUND(LIST_MAX(LIST_TRANSFORM(err, r -> ABS(r))) / scale, 6)
+                   AS max_err_over_scale
+        FROM ee ORDER BY vec_id
     """,
 }

@@ -382,6 +382,90 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed query-term set for the BM25 ranking query (terms present in the
+#: fixture vocabulary).  A production search path would parameterize
+#: these; pinning them keeps the query fully oracle-able.
+BM25_TERMS = ("spark", "vector", "hash")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _eq_term(t: str):
+    """Single-arg HOF predicate (a two-parameter lambda would be read by
+    ``F.filter`` as the (element, index) form)."""
+    return lambda x: x == F.lit(t)
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck-Jones; the Lucene
+    ``k1/b`` form with the +1 idf floor) for a pinned query-term set:
+    top-10 documents by summed per-term contribution.
+
+    Scale design: because the query terms are a fixed small set, term
+    frequencies come from ``size(filter(tokens, ...))`` per document —
+    pure scan-side column expressions, NO explode and NO postings
+    shuffle.  The only aggregation is one global (n_docs, avgdl, df_t)
+    row that broadcasts back via crossJoin, so the whole query is
+    scan -> tiny agg -> scan-side scoring -> top-k: embarrassingly
+    parallel at any corpus size.  (A parameterized-query service would
+    build an inverted index instead; that path is `text_top_terms`.)
+
+    Determinism: per-term contributions are added in fixed term order
+    (one expression tree, not a SUM over rows), and every input to the
+    double arithmetic (tf, dl, df, n_docs as exact longs; avgdl as an
+    exact-sum/count division) is bit-identical across engines, so the
+    rounded score hash-matches the oracle.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    toks = _tokens()
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq_term(t))).cast("long").alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    def contrib(t: str) -> Column:
+        tf = F.col(f"tf_{t}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + 0.5)
+            / (F.col(f"df_{t}") + 0.5)
+            + 1.0
+        )
+        denom = tf + BM25_K1 * (
+            1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        return idf * (tf * (BM25_K1 + 1.0)) / denom
+
+    score = contrib(BM25_TERMS[0])
+    for t in BM25_TERMS[1:]:
+        score = score + contrib(t)
+    hits = F.col(f"tf_{BM25_TERMS[0]}") > 0
+    n_hits = hits.cast("long")
+    for t in BM25_TERMS[1:]:
+        n_hits = n_hits + (F.col(f"tf_{t}") > 0).cast("long")
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(score, 6).alias("bm25"),
+            n_hits.alias("n_terms_hit"),
+        )
+        .where(F.col("n_terms_hit") > 0)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_repetition_score": text_repetition_score,
@@ -395,6 +479,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_winnowing_fingerprint": text_winnowing_fingerprint,
     "text_keyword_search": text_keyword_search,
+    "text_bm25_topk": text_bm25_topk,
 }
 
 _MARKER_SQL = {
@@ -577,4 +662,46 @@ ORACLE_SQL = {
         WHERE REGEXP_MATCHES(text, 'spark|stream')
         ORDER BY doc_id
     """,
+    # Mirrors text_bm25_topk expression-for-expression (same association
+    # order, same unfolded double literals) so the rounded doubles are
+    # bit-identical.
+    "text_bm25_topk": """
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS dl,
+                   {tfs}
+            FROM documents),
+        stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                   {dfs}
+            FROM base)
+        SELECT doc_id,
+               ROUND({score}, 6) AS bm25,
+               CAST({nhits} AS BIGINT) AS n_terms_hit
+        FROM base CROSS JOIN stats
+        WHERE ({nhits}) > 0
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 10
+    """.format(
+        tfs=",\n                   ".join(
+            f"CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), "
+            f"x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+            for t in BM25_TERMS
+        ),
+        dfs=",\n                   ".join(
+            f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+            for t in BM25_TERMS
+        ),
+        score=" + ".join(
+            f"((LN((n_docs - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)"
+            f" * (CAST(tf_{t} AS DOUBLE) * (1.2 + 1.0)))"
+            f" / (CAST(tf_{t} AS DOUBLE)"
+            f" + 1.2 * ((1.0 - 0.75) + ((0.75 * dl) / avgdl))))"
+            for t in BM25_TERMS
+        ),
+        nhits=" + ".join(
+            f"CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END" for t in BM25_TERMS
+        ),
+    ),
 }

@@ -382,3 +382,59 @@ def test_weighted_sample_biases_toward_weight(spark):
         load_table(spark, "documents", SF_DIR).agg(F.avg("n_chars")).first()[0]
     )
     assert s_mean > c_mean, (s_mean, c_mean)
+
+
+def test_bm25_semantics(spark):
+    """BM25 invariants on the fixture: every returned doc contains at
+    least one query term; scores are positive and non-increasing; and a
+    doc matching MORE distinct query terms than another doc of the same
+    length profile never scores zero."""
+    from database_peak_streaming_spark.operators.text import (
+        BM25_TERMS,
+        text_bm25_topk,
+    )
+
+    rows = text_bm25_topk(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 10
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.bm25 > 0 for r in rows)
+    assert all(1 <= r.n_terms_hit <= len(BM25_TERMS) for r in rows)
+
+
+def test_quantize_int8_error_bounds(spark):
+    """Symmetric int8 quantization contract: reconstruction error is
+    bounded by half a quantization step (max|err| <= scale/2, so
+    max_err_over_scale <= 0.5 + float slack), and RMSE never exceeds the
+    max error."""
+    from database_peak_streaming_spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+
+    rows = embedding_quantize_int8(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.scale > 0
+        assert r.max_err_over_scale <= 0.500001, r
+        assert r.rmse_over_scale <= r.max_err_over_scale + 1e-9, r
+
+
+def test_mixture_weights_reshape_to_target(spark):
+    """The defining property of the mixture computation: resampling each
+    language slice by its weight yields EXACTLY the target shares
+    (weight * actual_share == target_share by construction), and the
+    weights are a valid resampling plan (all positive, finite)."""
+    from database_peak_streaming_spark.operators.sampling import (
+        MIXTURE_TARGET,
+        corpus_mixture_weights,
+    )
+
+    rows = corpus_mixture_weights(spark, SF_DIR).collect()
+    target = dict(MIXTURE_TARGET)
+    assert {r.lang for r in rows} == set(target)
+    total = sum(r.n_tokens for r in rows)
+    for r in rows:
+        assert r.sampling_weight > 0
+        achieved = r.sampling_weight * r.n_tokens / total
+        assert abs(achieved - target[r.lang]) < 1e-5, r
+        assert r.needs_oversample == (r.sampling_weight > 1.0)
