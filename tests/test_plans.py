@@ -298,3 +298,33 @@ def test_operators_are_collect_free():
             if pat.search(line) and not line.lstrip().startswith("#"):
                 offenders.append(f"{py.name}:{i}: {line.strip()}")
     assert not offenders, "driver-side pulls in operators/:\n" + "\n".join(offenders)
+
+
+def test_bm25_is_scan_side_no_postings_shuffle(spark):
+    """BM25's scale contract: term frequencies are scan-side HOF columns
+    (no explode), so the plan carries exactly the 1-row stats exchange
+    pair, the broadcast back, and the final top-k sort — NOT a postings
+    shuffle proportional to corpus tokens."""
+    df = QUERIES["text_bm25_topk"](spark, SF_DIR)
+    assert E.has_broadcast_join(df), "global stats row must broadcast"
+    # stats partial+final agg (2) + top-k presentation sort (1)
+    assert E.shuffle_count(df) <= 3, E.formatted_plan(df)
+    plan = E.formatted_plan(df)
+    assert "Generate" not in plan, "postings explode crept in"
+
+
+def test_quantize_int8_is_map_only(spark):
+    """Int8 quantization must be a map-only pass: the only exchange is
+    the presentation sort, and no Python stage exists (pure HOFs)."""
+    df = QUERIES["embedding_quantize_int8"](spark, SF_DIR)
+    assert E.shuffle_count(df) <= 1, E.formatted_plan(df)
+    plan = E.formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mixture_weights_shuffles_tiny_keys_only(spark):
+    """Mixture weights: one partial+final agg pair on the language key,
+    a 1-row total broadcast back, and the 5-row output sort."""
+    df = QUERIES["corpus_mixture_weights"](spark, SF_DIR)
+    assert E.has_broadcast_join(df), "1-row total must broadcast"
+    assert E.shuffle_count(df) <= 5, E.formatted_plan(df)
