@@ -281,7 +281,18 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf100), so the join strategy is left to AQE, which broadcasts at
     fixture scale and shuffles at warehouse scale.  Hints are reserved
     for tables that stay small under scale-up (region/nation, filtered
-    part/supplier)."""
+    part/supplier).
+
+    The HAVING aggregate DOES carry a broadcast hint: ``> 300 units``
+    keeps ~0.3% of orders, so the aggregate is two orders of magnitude
+    smaller than either fact at every SF — and without the hint the
+    size-blind planner picks the WRONG build side (measured at 30x
+    sf0.1: the pruned orders scan estimates just under the broadcast
+    threshold, so Spark built a 4.5M-row hashed relation from orders
+    against the 14k-row aggregate probe — 2.9 s of the query's 4.5 s
+    wall).  Narrow (orderkey, qty) rows at 0.3% selectivity stay
+    broadcastable far past sf1000; beyond that, drop the hint and AQE
+    shuffles both sides."""
     li = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir)
     c = load_table(spark, "customer", sf_dir)
@@ -294,7 +305,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > 300)
     )
     return (
-        oq.join(o, F.col("l_orderkey") == o.o_orderkey)
+        F.broadcast(oq).join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",

@@ -211,9 +211,10 @@ def test_micros_fixed_point_equals_decimal_sum(values):
 
 
 def test_micros_spark_matches_dsum(spark):
-    """End-to-end on the engine: dsum (decimal buffer) and the
+    """End-to-end on the engine: dsum (split-limb long path) and the
     micros/from_micros long path produce identical doubles over a
-    sign-mixed fractional column."""
+    sign-mixed in-contract column (2-decimal money values — the
+    fixture's domain)."""
     from database_peak_streaming_spark.operators.common import (
         dsum,
         from_micros,
@@ -221,11 +222,57 @@ def test_micros_spark_matches_dsum(spark):
     )
 
     df = spark.range(10_000).select(
-        ((F.col("id") - 5000) * 0.123456 + 0.0000005).alias("x")
+        (((F.col("id") - 5000) * 37) / 100.0).alias("x")
     )
     a = df.agg(dsum("x", "s")).collect()[0].s
     b = df.agg(from_micros(F.sum(micros("x")), "s")).collect()[0].s
     assert a == b
+
+
+def test_micros_double_fast_path_equals_decimal_cast(spark):
+    """The micros contract: for <= 6-fractional-digit values inside the
+    magnitude bound, the pure-double floor(x*1e6 + 0.5) form equals the
+    DECIMAL(18,6) cast bit-for-bit — including negatives (HALF_UP is
+    away-from-zero) and the compound 6-digit money chain q1 uses."""
+    from database_peak_streaming_spark.operators.common import micros
+
+    base = spark.range(20_000).select(
+        (F.col("id") - 10_000).alias("k"),
+        # 2-digit money value
+        (((F.col("id") - 10_000) * 137) / 100.0).alias("price"),
+        # 2-digit rate in [-0.5, 0.5)
+        (((F.col("id") % 100) - 50) / 100.0).alias("rate"),
+    )
+    cases = {
+        "price": F.col("price"),
+        # 4- and 6-digit compounds (the q1 disc_price / charge shapes)
+        "disc": F.col("price") * (1 - F.col("rate")),
+        "charge": F.col("price") * (1 - F.col("rate")) * (1 + F.col("rate")),
+        # magnitude edge: near the 4e9 bound, still 2 digits
+        "big": F.col("k") * 399_999.99,
+    }
+    for name, c in cases.items():
+        mism = (
+            base.select(
+                micros(c).alias("fast"),
+                (c.cast("decimal(18,6)") * 1000000).cast("long").alias("ref"),
+            )
+            .where(F.col("fast") != F.col("ref"))
+            .count()
+        )
+        assert mism == 0, f"{name}: {mism} divergent rows"
+
+
+def test_micros_raises_beyond_magnitude_bound(spark):
+    """Inputs beyond the exact fast-path bound must raise, never
+    silently lose exactness."""
+    import pytest as _pytest
+
+    from database_peak_streaming_spark.operators.common import micros
+
+    df = spark.range(10).select((F.lit(5.0e9) + F.col("id")).alias("x"))
+    with _pytest.raises(Exception, match="micros"):
+        df.select(micros("x").alias("m")).collect()
 
 
 def test_dsum_bounded_raises_on_long_overflow(spark):
@@ -237,7 +284,9 @@ def test_dsum_bounded_raises_on_long_overflow(spark):
 
     from database_peak_streaming_spark.operators.common import dsum_bounded
 
-    df = spark.range(200).select(F.lit(1.0e11).alias("x"))
+    # 3000 rows of 3.9e9 stay inside the micros magnitude bound but
+    # their micro-unit sum (1.17e19) exceeds 2^63.
+    df = spark.range(3000).select(F.lit(3.9e9).alias("x"))
     with _pytest.raises(Exception, match="overflow"):
         df.agg(dsum_bounded("x", "s")).collect()
 
@@ -252,8 +301,8 @@ def test_merge_micros_checked_raises_on_overflowed_partial(spark):
         micros_partial,
     )
 
-    df = spark.range(400).select(
-        (F.col("id") % 2).alias("g"), F.lit(1.0e11).alias("x")
+    df = spark.range(6000).select(
+        (F.col("id") % 2).alias("g"), F.lit(3.9e9).alias("x")
     )
     part = df.groupBy("g").agg(micros_partial("x", "_m"))
     with _pytest.raises(Exception, match="overflow"):
