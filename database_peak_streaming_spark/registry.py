@@ -15,6 +15,7 @@ from database_peak_streaming_spark.operators import (
     arrays_json,
     behavior,
     checks,
+    chunking,
     curation,
     dedup,
     joins,
@@ -54,6 +55,7 @@ _MODULES = [
     sampling,
     curation,
     behavior,
+    chunking,
     skew,
     checks,
 ]
