@@ -420,8 +420,80 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram of events.value: 20 buckets of
+    width 25 over [0, 500), the top bucket absorbing the overflow tail.
+
+    One groupBy on a derived low-cardinality key — the shuffle carries
+    20 x partitions partial rows regardless of input volume, so this is
+    the cheapest possible profile of a 100 TB column.  (``width_bucket``
+    exists in both engines but disagrees on edge ownership; the explicit
+    floor-division form pins the semantics.)"""
+    e = load_table(spark, "events", sf_dir)
+    bucket = F.least(F.floor(F.col("value") / 25), F.lit(19)).cast("int")
+    return (
+        e.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(25.0)).alias("bucket_lo"),
+            ((F.col("bucket") + 1) * F.lit(25.0)).alias("bucket_hi"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("bucket")
+    )
+
+
+def winsorize_clip_p05_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip events.value to each event_type's exact
+    [p05, p95] band and report raw-vs-winsorized means plus clip counts
+    — the outlier-robust normalization step feature pipelines run before
+    training.
+
+    Two passes over the fact table sharing one grouping key: exact
+    per-group percentiles (value-count map state — at 100 TB swap in
+    ``percentile_approx``, the documented bounded-memory twin tested in
+    ``agg_approx_percentile``), broadcast the tiny per-group band back,
+    clip rowside, re-aggregate.  Clip comparisons are ulp-safe: an
+    interpolated percentile lies strictly between adjacent sorted data
+    values, so ``value < p05`` never compares equal floats."""
+    e = load_table(spark, "events", sf_dir)
+    pct = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05D)").alias("p05"),
+        F.expr("percentile(value, 0.95D)").alias("p95"),
+    )
+    clipped = e.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        "value",
+        F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("value"))).alias(
+            "wvalue"
+        ),
+        (F.col("value") < F.col("p05")).cast("long").alias("lo"),
+        (F.col("value") > F.col("p95")).cast("long").alias("hi"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("lo").alias("n_clipped_lo"),
+            F.sum("hi").alias("n_clipped_hi"),
+            F.round(F.avg("value"), 6).alias("mean_raw"),
+            F.round(F.avg("wvalue"), 6).alias("mean_winsorized"),
+            F.round(F.min("wvalue"), 6).alias("min_winsorized"),
+            F.round(F.max("wvalue"), 6).alias("max_winsorized"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "agg_histogram_fixed": agg_histogram_fixed,
+    "winsorize_clip_p05_p95": winsorize_clip_p05_p95,
     "agg_corr_covar": agg_corr_covar,
     "agg_global_no_group": agg_global_no_group,
     "agg_count_distinct": agg_count_distinct,
@@ -437,6 +509,42 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "agg_histogram_fixed": f"""
+        SELECT bucket,
+               bucket * 25.0 AS bucket_lo,
+               (bucket + 1) * 25.0 AS bucket_hi,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+        FROM (SELECT CAST(LEAST(FLOOR(value / 25), 19) AS INT) AS bucket,
+                     value
+              FROM events)
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    "winsorize_clip_p05_p95": """
+        WITH pct AS (
+            SELECT event_type,
+                   QUANTILE_CONT(value, 0.05) AS p05,
+                   QUANTILE_CONT(value, 0.95) AS p95
+            FROM events GROUP BY event_type),
+        clipped AS (
+            SELECT e.event_type, e.value,
+                   GREATEST(p.p05, LEAST(p.p95, e.value)) AS wvalue,
+                   CASE WHEN e.value < p.p05 THEN 1 ELSE 0 END AS lo,
+                   CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END AS hi
+            FROM events e JOIN pct p USING (event_type))
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(lo) AS BIGINT) AS n_clipped_lo,
+               CAST(SUM(hi) AS BIGINT) AS n_clipped_hi,
+               ROUND(AVG(value), 6) AS mean_raw,
+               ROUND(AVG(wvalue), 6) AS mean_winsorized,
+               ROUND(MIN(wvalue), 6) AS min_winsorized,
+               ROUND(MAX(wvalue), 6) AS max_winsorized
+        FROM clipped
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,

@@ -466,8 +466,64 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vocab_spelling_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spelling-variant pairs in the corpus vocabulary (edit distance
+    <= 2) via FastSS deletion-neighborhood blocking (Bocek et al. 2007),
+    then an exact ``levenshtein`` verify.
+
+    FastSS lemma: lev(a, b) <= k iff their delete-<=k neighborhoods
+    intersect, so joining tokens on shared delete-0/1/2 variants is a
+    COMPLETE candidate generator for distance <= 2 (the verify step then
+    removes false positives).  Work is vocabulary-sized, not
+    corpus-sized (Heaps' law: |vocab| << |corpus|): ~1 + L + L(L-1)/2
+    keys per distinct token, one equi-join on the variant key with
+    naturally tiny buckets — never an all-pairs comparison.  The
+    corpus-cleaning use: collapse OCR/typo variants before
+    frequency-based filtering."""
+    d = load_table(spark, "documents", sf_dir)
+    vocab = (
+        d.select(F.explode(_tokens()).alias("tok"))
+        .where(F.length("tok") >= 4)
+        .distinct()
+    )
+    # delete-one as a SQL lambda, applied to the token (d1) and again to
+    # every d1 string (d2); length >= 4 guards the inner sequence() from
+    # ever seeing an empty string.
+    d1 = (
+        "transform(sequence(1, length({0})),"
+        " i -> concat(substring({0}, 1, i - 1),"
+        "             substring({0}, i + 1, length({0}))))"
+    )
+    keys = vocab.select(
+        "tok",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("tok")),
+                    F.expr(d1.format("tok")),
+                    F.expr(
+                        f"flatten(transform({d1.format('tok')},"
+                        f" s -> {d1.format('s')}))"
+                    ),
+                )
+            )
+        ).alias("k"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    return (
+        a.join(b, "k")
+        .where(F.col("a.tok") < F.col("b.tok"))
+        .select(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .distinct()
+        .withColumn("lev", F.levenshtein("tok_a", "tok_b").cast("long"))
+        .where(F.col("lev") <= 2)
+        .orderBy("tok_a", "tok_b")
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "vocab_spelling_variants": vocab_spelling_variants,
     "text_repetition_score": text_repetition_score,
     "text_redact_scan": text_redact_scan,
     "text_unigram_logprob": text_unigram_logprob,
@@ -497,6 +553,33 @@ for _, _pat in REDACT_PATTERNS:
     _REDACTED_SQL = f"REGEXP_REPLACE({_REDACTED_SQL}, '{_pat}', '<MASK>', 'g')"
 
 ORACLE_SQL = {
+    "vocab_spelling_variants": """
+        WITH vocab AS (
+            SELECT DISTINCT UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents),
+        v AS (SELECT tok FROM vocab WHERE LEN(tok) >= 4),
+        d1 AS (
+            SELECT tok,
+                   LIST_TRANSFORM(RANGE(1, LEN(tok) + 1),
+                       i -> SUBSTR(tok, 1, i - 1)
+                            || SUBSTR(tok, i + 1, LEN(tok))) AS dels
+            FROM v),
+        keys AS (
+            SELECT tok,
+                   UNNEST(LIST_DISTINCT(LIST_CONCAT(LIST_CONCAT(
+                       [tok], dels),
+                       FLATTEN(LIST_TRANSFORM(dels,
+                           s -> LIST_TRANSFORM(RANGE(1, LEN(s) + 1),
+                               j -> SUBSTR(s, 1, j - 1)
+                                    || SUBSTR(s, j + 1, LEN(s)))))))) AS k
+            FROM d1)
+        SELECT tok_a, tok_b, CAST(LEVENSHTEIN(tok_a, tok_b) AS BIGINT) AS lev
+        FROM (SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+              FROM keys a JOIN keys b ON a.k = b.k
+              WHERE a.tok < b.tok)
+        WHERE LEVENSHTEIN(tok_a, tok_b) <= 2
+        ORDER BY tok_a, tok_b
+    """,
     "text_redact_scan": f"""
         SELECT doc_id,
                {_REDACT_COUNT_SQL},
