@@ -271,8 +271,74 @@ def sql_api_cte_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet dataset: an old writer produced
+    files WITHOUT ``c_acctbal``, a new writer adds the column; a
+    ``mergeSchema`` read unions the file schemas and back-fills NULL for
+    the missing column — the evolution contract every long-lived 100 TB
+    dataset depends on (readers must not break when a column lands
+    mid-dataset).
+
+    The aggregate proves value-level fidelity: per-nation row counts,
+    how many rows carry the evolved column, and its exact sum (old-file
+    rows contribute NULL, not 0)."""
+    c = load_table(spark, "customer", sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"dps_schema_evo_{os.getpid()}"
+    )
+    old = c.where(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    new = c.where(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    old.write.mode("overwrite").parquet(base + "/v1")
+    new.write.mode("overwrite").parquet(base + "/v2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        base + "/v1", base + "/v2"
+    )
+    return (
+        back.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("c_acctbal").alias("n_with_acctbal"),
+            dsum("c_acctbal", "sum_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition-pruned read: events land
+    partitioned by (event_type, hour); the re-read filters one type and
+    an hour band, which Catalyst satisfies by LISTING only matching
+    directories — at 100 TB the difference between touching 1/120th of
+    the files and all of them.  tests/test_plans.py pins the pruning
+    (the scan's partition count, not just the answer)."""
+    ev = load_table(spark, "events", sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"dps_part_prune_{os.getpid()}"
+    )
+    ev.withColumn("hour", F.hour("ts")).write.mode("overwrite").partitionBy(
+        "event_type", "hour"
+    ).parquet(base)
+    back = spark.read.parquet(base)
+    return (
+        back.where((F.col("event_type") == "purchase") & (F.col("hour") < 6))
+        .groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour")
+    )
+
+
 QUERIES = {
     "csv_roundtrip": csv_roundtrip,
+    "schema_evolution_merge": schema_evolution_merge,
+    "partitioned_write_prune": partitioned_write_prune,
     "sql_api_cte_lateral": sql_api_cte_lateral,
     "jsonl_roundtrip": jsonl_roundtrip,
     "orc_roundtrip": orc_roundtrip,
@@ -284,6 +350,28 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "schema_evolution_merge": """
+        SELECT c_nationkey,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_with_acctbal,
+               CAST(SUM(CASE WHEN c_custkey % 2 = 1
+                             THEN CAST(c_acctbal AS DECIMAL(28,6)) END)
+                    AS DOUBLE) AS sum_acctbal
+        FROM customer
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    "partitioned_write_prune": """
+        SELECT CAST(HOUR(ts) AS INT) AS hour,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE event_type = 'purchase' AND HOUR(ts) < 6
+        GROUP BY hour
+        ORDER BY hour
+    """,
     "sql_api_cte_lateral": """
         WITH toks AS (
             SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok

@@ -521,8 +521,44 @@ def vocab_spelling_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the batch half of BM25 retrieval): per
+    term, document frequency, total term frequency, and the head of the
+    sorted posting list.
+
+    One explode + hash aggregations on the term key.  The posting ARRAY
+    is capped BEFORE collection (row_number <= ``_POSTINGS_CAP`` per
+    term), so no aggregation buffer ever holds an unbounded list for
+    stop-word-like terms — at 100 TB full postings are written out as
+    (term-bucketed, doc-sorted) parquet ROWS, not arrays; the capped
+    head here is the index MANIFEST used for planning and hot-term
+    diagnostics."""
+    d = load_table(spark, "documents", sf_dir)
+    postings = d.select(
+        "doc_id", F.explode(_tokens()).alias("term")
+    ).groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").alias("tf_total"),
+    )
+    rn = Window.partitionBy("term").orderBy("doc_id")
+    head = (
+        postings.withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") <= _POSTINGS_CAP)
+        .groupBy("term")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("postings_head")
+        )
+    )
+    return stats.join(head, "term").orderBy("term")
+
+
+_POSTINGS_CAP = 20
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "build_inverted_index": build_inverted_index,
     "vocab_spelling_variants": vocab_spelling_variants,
     "text_repetition_score": text_repetition_score,
     "text_redact_scan": text_redact_scan,
@@ -553,6 +589,22 @@ for _, _pat in REDACT_PATTERNS:
     _REDACTED_SQL = f"REGEXP_REPLACE({_REDACTED_SQL}, '{_pat}', '<MASK>', 'g')"
 
 ORACLE_SQL = {
+    "build_inverted_index": f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+            FROM documents),
+        postings AS (
+            SELECT term, doc_id, COUNT(*) AS tf
+            FROM toks GROUP BY term, doc_id)
+        SELECT term,
+               COUNT(*) AS df,
+               CAST(SUM(tf) AS BIGINT) AS tf_total,
+               LIST_SLICE(LIST(doc_id ORDER BY doc_id), 1, {_POSTINGS_CAP})
+                   AS postings_head
+        FROM postings
+        GROUP BY term
+        ORDER BY term
+    """,
     "vocab_spelling_variants": """
         WITH vocab AS (
             SELECT DISTINCT UNNEST(STRING_SPLIT(text, ' ')) AS tok

@@ -198,7 +198,63 @@ def resample_gap_fill_locf_per_key(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+#: CUSUM constants: reference level (target + slack) in micro-units and
+#: the alarm threshold.  Mean event value is ~50, so drift pressure is
+#: negative on average and alarms fire only on genuine high-value bursts.
+CUSUM_REF_MICROS = 55_000_000
+CUSUM_H_MICROS = 200_000_000
+
+
+def cusum_drift_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per event_type — the classic
+    change-point monitor (Page 1954), usually written as the recursion
+    ``S_t = max(0, S_{t-1} + y_t)``.
+
+    The recursion IS window-expressible (so it stays declarative and
+    cross-engine checkable): with ``C_t = running sum of y``,
+    ``S_t = C_t - min(0, min_{i<=t} C_i)`` — two window expressions over
+    ONE sort, no recursion, no UDF.  Increments are exact long
+    micro-units, so the running sums are bit-identical across engines
+    and row orders.
+
+    Scale: per-key sequential scan is inherent to CUSUM; keys are the
+    parallelism unit (one window partition per event_type).  The
+    incremental streaming twin of this recursion is the
+    ``applyInPandasWithState`` pattern in streaming/stateful.py.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    y = (
+        F.signum("value")
+        * F.floor(F.abs(F.col("value")) * 1_000_000 + F.lit(0.5))
+    ).cast("long") - F.lit(CUSUM_REF_MICROS)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = ev.select("event_type", "ts", "event_id", y.alias("y")).withColumn(
+        "c", F.sum("y").over(w)
+    )
+    s = c.withColumn(
+        "s", F.col("c") - F.least(F.lit(0).cast("long"), F.min("c").over(w))
+    )
+    flagged = F.col("s") > CUSUM_H_MICROS
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(flagged.cast("long")).alias("n_flagged"),
+            F.round(F.max("s") / 1_000_000, 6).alias("max_cusum"),
+            F.min(F.when(flagged, F.col("ts"))).alias("first_flag_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "cusum_drift_flags": cusum_drift_flags,
     "resample_gap_fill_locf": resample_gap_fill_locf,
     "resample_gap_fill_locf_per_key": resample_gap_fill_locf_per_key,
     "window_tumbling_1h": window_tumbling_1h,
@@ -211,6 +267,35 @@ QUERIES = {
 _DEC = "DECIMAL(28,6)"
 
 ORACLE_SQL = {
+    "cusum_drift_flags": f"""
+        WITH y AS (
+            SELECT event_type, ts, event_id,
+                   CAST(ROUND(value * 1000000) AS BIGINT)
+                       - {CUSUM_REF_MICROS} AS y
+            FROM events),
+        c AS (
+            SELECT event_type, ts, event_id, y,
+                   SUM(y) OVER w AS c
+            FROM y
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        s AS (
+            SELECT event_type, ts,
+                   c - LEAST(0, MIN(c) OVER w) AS s
+            FROM c
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN s > {CUSUM_H_MICROS} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged,
+               ROUND(MAX(s) / 1000000.0, 6) AS max_cusum,
+               MIN(CASE WHEN s > {CUSUM_H_MICROS} THEN ts END)
+                   AS first_flag_ts
+        FROM s
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "resample_gap_fill_locf": """
         WITH axis AS (
             SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01 00:00:00',
