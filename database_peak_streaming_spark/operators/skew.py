@@ -105,9 +105,68 @@ def agg_salted_hot_key(spark, sf_dir: str):
     ).orderBy("l_returnflag")
 
 
-QUERIES = {"agg_salted_hot_key": agg_salted_hot_key}
+def join_salted_skew(spark, sf_dir: str):
+    """The skew-JOIN pattern as a driver-checked query: fact rows are
+    salted into ``DEFAULT_SALT`` sub-keys and the dim side is replicated
+    once per salt, so a hot join key (one part appearing in half the
+    lineitems at 100 TB) spreads over N tasks instead of one straggler.
+
+    ``shuffle_hash`` hint pins the demonstration to a shuffled join
+    (broadcast would hide the salting; AQE's skew-join split is the
+    engine-native alternative and is enabled in session.py — this is
+    the explicit form for when runtime splitting isn't available, e.g.
+    a skewed OUTER side).  Semantically transparent: the salt is an
+    arbitrary row-deterministic value, every fact row still meets
+    exactly its one dim row, so the plain join is a valid oracle."""
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    fact = li.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64("l_partkey", "l_quantity", "l_extendedprice"),
+            F.lit(DEFAULT_SALT),
+        ).cast("int"),
+    )
+    dim = p.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(DEFAULT_SALT - 1)))
+    )
+    joined = fact.join(
+        dim.hint("shuffle_hash"),
+        (fact["l_partkey"] == dim["p_partkey"])
+        & (fact["_salt"] == dim["_salt"]),
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select("p_brand", "n_items", F.round("total_price", 6).alias("total_price"))
+        .orderBy("p_brand")
+    )
+
+
+QUERIES = {
+    "agg_salted_hot_key": agg_salted_hot_key,
+    "join_salted_skew": join_salted_skew,
+}
 
 ORACLE_SQL = {
+    "join_salted_skew": """
+        SELECT p_brand,
+               COUNT(*) AS n_items,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
+                          AS DOUBLE), 6) AS total_price
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
     "agg_salted_hot_key": """
         SELECT l_returnflag,
                COUNT(l_quantity) AS n_items,

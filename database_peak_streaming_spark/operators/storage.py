@@ -335,10 +335,58 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed tables + co-located join: both sides written
+    ``bucketBy(8, orderkey).sortBy(orderkey)``, so the sort-merge join
+    reads bucket i against bucket i with NO exchange on either side —
+    at 100 TB this converts the nightly fact-fact join's dominant
+    shuffle into a free property of the storage layout (the write cost
+    is paid once, every downstream join reuses it).
+
+    The ``merge`` hint pins sort-merge (broadcast would hide the
+    layout's value at fixture scale); tests/test_plans.py asserts the
+    join itself is exchange-free.  The plain join is the oracle —
+    bucketing changes layout, never answers."""
+    import shutil
+    from urllib.parse import urlparse
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_quantity"
+    )
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    # idempotent across processes: a fresh session's in-memory catalog
+    # does not know about a previous process's managed-table location,
+    # so drop the catalog entry AND clear the warehouse directory.
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in ("dps_li_bucketed", "dps_ord_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("dps_li_bucketed")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("dps_ord_bucketed")
+    lb = spark.table("dps_li_bucketed")
+    ob = spark.table("dps_ord_bucketed").hint("merge")
+    return (
+        lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "csv_roundtrip": csv_roundtrip,
     "schema_evolution_merge": schema_evolution_merge,
     "partitioned_write_prune": partitioned_write_prune,
+    "join_bucketed_colocated": join_bucketed_colocated,
     "sql_api_cte_lateral": sql_api_cte_lateral,
     "jsonl_roundtrip": jsonl_roundtrip,
     "orc_roundtrip": orc_roundtrip,
@@ -361,6 +409,15 @@ ORACLE_SQL = {
         FROM customer
         GROUP BY c_nationkey
         ORDER BY c_nationkey
+    """,
+    "join_bucketed_colocated": """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
     """,
     "partitioned_write_prune": """
         SELECT CAST(HOUR(ts) AS INT) AS hour,

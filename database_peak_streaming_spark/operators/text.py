@@ -556,9 +556,52 @@ def build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _POSTINGS_CAP = 20
 
 
+def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring with the top-3 terms per document — the classic
+    retrieval/feature weighting (completes the index->BM25 family with
+    the document-side view).
+
+    idf = ln(N / df); N enters as a plan-side broadcast scalar (the
+    repo's no-driver-pull rule, same pattern as scans.py's scalar
+    subquery), df is one term-keyed aggregation over the (doc, term)
+    tf table.  Ties in the per-doc ranking are broken by term, so the
+    top-3 is total-ordered and engine-independent."""
+    d = load_table(spark, "documents", sf_dir)
+    n_docs = d.agg(F.count(F.lit(1)).alias("_n_docs"))
+    tf = (
+        d.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * F.log(F.col("_n_docs").cast("double") / F.col("dfq"))
+            ).alias("_tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "tf", F.round("_tfidf", 6).alias("tfidf"))
+        .orderBy("doc_id", "rnk")
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "build_inverted_index": build_inverted_index,
+    "tfidf_top_terms_per_doc": tfidf_top_terms_per_doc,
     "vocab_spelling_variants": vocab_spelling_variants,
     "text_repetition_score": text_repetition_score,
     "text_redact_scan": text_redact_scan,
@@ -589,6 +632,30 @@ for _, _pat in REDACT_PATTERNS:
     _REDACTED_SQL = f"REGEXP_REPLACE({_REDACTED_SQL}, '{_pat}', '<MASK>', 'g')"
 
 ORACLE_SQL = {
+    "tfidf_top_terms_per_doc": """
+        WITH tf AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+            FROM documents),
+        tfc AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM tf GROUP BY doc_id, term),
+        dfreq AS (
+            SELECT term, COUNT(*) AS dfq FROM tfc GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.term, t.tf,
+                   t.tf * LN(CAST(n.n_docs AS DOUBLE) / dfq) AS tfidf
+            FROM tfc t JOIN dfreq USING (term) CROSS JOIN n),
+        ranked AS (
+            SELECT doc_id, term, tf, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, term) AS rnk
+            FROM scored)
+        SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf,
+               ROUND(tfidf, 6) AS tfidf
+        FROM ranked WHERE rnk <= 3
+        ORDER BY doc_id, rnk
+    """,
     "build_inverted_index": f"""
         WITH toks AS (
             SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term

@@ -328,3 +328,34 @@ def test_mixture_weights_shuffles_tiny_keys_only(spark):
     df = QUERIES["corpus_mixture_weights"](spark, SF_DIR)
     assert E.has_broadcast_join(df), "1-row total must broadcast"
     assert E.shuffle_count(df) <= 5, E.formatted_plan(df)
+
+
+def test_bucketed_join_consumes_buckets_without_exchange(spark):
+    """join_bucketed_colocated: both scans must report Bucketed: true and
+    the SortMergeJoin must consume them directly — the only exchanges
+    allowed are the post-join aggregation and the output sort."""
+    df = QUERIES["join_bucketed_colocated"](spark, SF_DIR)
+    plan = E.formatted_plan(df)
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "SortMergeJoin" in plan
+    assert E.shuffle_count(df) <= 2, plan
+
+
+def test_salted_join_avoids_broadcast(spark):
+    """join_salted_skew demonstrates the shuffled salted join — a
+    broadcast would bypass the salting being demonstrated."""
+    df = QUERIES["join_salted_skew"](spark, SF_DIR)
+    assert not E.has_broadcast_join(df), E.formatted_plan(df)
+
+
+def test_chunking_is_map_only(spark):
+    """chunk_documents_overlap: scan -> explode -> project; the ONLY
+    exchange is the deterministic output sort."""
+    df = QUERIES["chunk_documents_overlap"](spark, SF_DIR)
+    assert E.shuffle_count(df) <= 1, E.formatted_plan(df)
+
+
+def test_tfidf_broadcasts_doc_count(spark):
+    """tfidf: N enters as a broadcast scalar, never a driver pull."""
+    df = QUERIES["tfidf_top_terms_per_doc"](spark, SF_DIR)
+    assert E.has_broadcast_join(df), E.formatted_plan(df)
