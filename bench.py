@@ -65,6 +65,11 @@ HEADLINE = [
     # python-kernel path, priced against its JVM twin
     "udf_zscore_by_segment",
     "win_zscore_by_segment",
+    # round-5 late additions (chunking/packing/monitoring/retrieval)
+    "chunk_documents_overlap",
+    "pack_sequences_greedy",
+    "cusum_drift_flags",
+    "tfidf_top_terms_per_doc",
 ]
 
 

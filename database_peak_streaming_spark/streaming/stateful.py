@@ -235,3 +235,80 @@ def stateful_ema(stream: DataFrame, watermark_delay: str = "10 minutes") -> Data
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# -- incremental CUSUM drift monitor -------------------------------------
+
+CUSUM_STATE_SCHEMA = T.StructType([T.StructField("s_micros", T.LongType())])
+
+
+def stateful_cusum(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    ref_micros: int = 55_000_000,
+    h_micros: int = 200_000_000,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Incremental one-sided CUSUM (Page recursion) per key, emitting
+    alarm rows (``S_t > h``) as they happen — the streaming twin of the
+    batch window form in operators/time_windows.cusum_drift_flags
+    (stream==batch equivalence is tested).
+
+    State per key: ONE long (the current CUSUM in exact micro-units), so
+    memory is O(keys) regardless of stream length; watermark timeout
+    evicts idle keys.  Increments use the same floor(|v|*1e6 + 0.5)
+    fixed-point rule as the batch form, making the recursion
+    bit-identical across the two execution modes.  Same cross-batch
+    ordering caveat as ``stateful_minute_first``: per-key event-time
+    order across micro-batches (replay provides it)."""
+    key_field = stream.schema[key_col]
+    out_schema = T.StructType(
+        [
+            key_field,
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cusum", T.DoubleType()),
+        ]
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (s,) = state.get if state.exists else (0,)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col])
+            for ts, eid, val in zip(pdf[ts_col], pdf[id_col], pdf[value_col]):
+                y = int(math.floor(abs(val) * 1_000_000 + 0.5)) - ref_micros
+                s = max(0, s + y)
+                if s > h_micros:
+                    out.append((key[0], ts, int(eid), s / 1_000_000))
+        state.update((s,))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        if out:
+            yield pd.DataFrame(out, columns=[key_col, ts_col, id_col, "cusum"])
+
+    from database_peak_streaming_spark.streaming.ops import as_event_time
+
+    return (
+        as_event_time(stream, ts_col)
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -209,3 +209,58 @@ def test_transform_with_state_ema_e2e(spark, tmpdir_):
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         cleanup_replay(replay_dir)
     assert len(rows) == ev.count()
+
+
+def test_stateful_cusum_matches_batch(spark, tmpdir_):
+    """The incremental CUSUM's alarm rows across micro-batch boundaries
+    must equal the textbook recursion replayed over the batch table
+    (same fixed-point rule as operators/time_windows.cusum_drift_flags,
+    which is itself oracle-checked)."""
+    import math
+
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+    from database_peak_streaming_spark.streaming.stateful import stateful_cusum
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_type", "ts", "event_id", "value"
+    )
+    stream, replay_dir = replay_dataframe(spark, ev, n_chunks=5, order_col="ts")
+
+    rows = []
+
+    def sink(batch_df, _):
+        rows.extend(batch_df.collect())
+
+    try:
+        q = (
+            stateful_cusum(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", f"{tmpdir_}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(420)
+        assert not q.isActive
+    finally:
+        cleanup_replay(replay_dir)
+
+    by_type: dict[str, list] = {}
+    for r in ev.collect():
+        by_type.setdefault(r["event_type"], []).append(r)
+    expect = {}
+    for et, evs in by_type.items():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        s = 0
+        for r in evs:
+            y = int(math.floor(abs(r["value"]) * 1_000_000 + 0.5)) - 55_000_000
+            s = max(0, s + y)
+            if s > 200_000_000:
+                expect[(et, r["event_id"])] = round(s / 1_000_000, 9)
+    got = {(r.event_type, r.event_id): round(r.cusum, 9) for r in rows}
+    assert got == expect
+    assert expect, "fixture should produce CUSUM alarms"
