@@ -104,3 +104,44 @@ def test_pack_bins_contiguous_and_filled(spark):
         for r in rows[:-1]:
             assert r["n_tokens"] > PACK_BUDGET - max_doc
             assert r["n_tokens"] < PACK_BUDGET + max_doc
+
+
+def test_chunk_geometry_property_random_docs(spark):
+    """Hypothesis-style geometry check over random token counts (driven
+    through the REAL Spark kernel once, not per-example — Spark startup
+    makes per-example @given runs impractical): for every token count
+    1..300, chunk count, starts, and sizes must satisfy the closed-form
+    geometry."""
+    import math
+
+    from pyspark.sql import types as T
+
+    docs = spark.createDataFrame(
+        [(n, " ".join("w%d" % i for i in range(n))) for n in range(1, 301)],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+    toks = F.split(F.col("text"), " ")
+    s = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size(toks) - 1, F.lit(CHUNK_STRIDE))
+        ).alias("chunk_start"),
+        F.size(toks).alias("n"),
+    )
+    rows = s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("chunk_start").alias("last_start"),
+        F.first("n").alias("n"),
+    ).collect()
+    assert len(rows) == 300
+    for r in rows:
+        n = r["doc_id"]  # doc_id IS the token count by construction
+        assert r["n"] == n
+        assert r["n_chunks"] == math.ceil(n / CHUNK_STRIDE)
+        assert r["last_start"] == (r["n_chunks"] - 1) * CHUNK_STRIDE
+        assert r["last_start"] < n  # last chunk is non-empty
