@@ -475,8 +475,37 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rag_retrieve_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval (the RAG read path): exact cosine top-k over
+    the embedding corpus, then the score list joins BACK to the
+    documents table to fetch the snippet a prompt builder splices in —
+    retrieval is only half a RAG query; the content fetch is the other
+    half, and it must stay a narrow keyed join, never a second scan of
+    document text into the similarity stage.
+
+    Plan shape: the top-k result is TOP_K x N_QUERIES rows, so the
+    content join broadcasts it against the documents scan; documents
+    without an embedding simply never surface (inner join) — partial
+    embedding coverage is the normal production state (sf0.1: 2000
+    vectors over 5000 docs)."""
+    topk = cosine_topk_bruteforce(spark, sf_dir)
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias(
+            "snippet"
+        ),
+        F.col("n_chars"),
+    )
+    return (
+        d.join(F.broadcast(topk), d["doc_id"] == topk["vec_id"])
+        .select("q_id", "rnk", "doc_id", "cosine", "snippet", "n_chars")
+        .orderBy("q_id", "rnk")
+    )
+
+
 QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
+    "rag_retrieve_snippets": rag_retrieve_snippets,
     "cosine_pairs_threshold": cosine_pairs_threshold,
     "ann_ivf_bucketed": ann_ivf_bucketed,
     "ann_ivf_kmeans": ann_ivf_kmeans,
@@ -525,6 +554,26 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 ORACLE_SQL = {
+    "rag_retrieve_snippets": f"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+                   WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT q.q_id, e.vec_id,
+                   ROUND({_cos_sql('q.q_emb', 'e.embedding')}, 6) AS cosine
+            FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+        ranked AS (
+            SELECT q_id, vec_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, vec_id) AS rnk
+            FROM scored),
+        topk AS (SELECT * FROM ranked WHERE rnk <= {TOP_K})
+        SELECT t.q_id, t.rnk, d.doc_id, t.cosine,
+               ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(d.text, ' '), 1, 12),
+                               ' ') AS snippet,
+               d.n_chars
+        FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+        ORDER BY q_id, rnk
+    """,
     "cosine_topk_bruteforce": f"""
         WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
                    WHERE vec_id < {N_QUERIES}),

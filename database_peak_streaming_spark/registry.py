@@ -169,6 +169,7 @@ ROTATION_POOL_NEXT_ROUND = [
     "join_bucketed_colocated",
     "tfidf_top_terms_per_doc",
     "user_state_latest",
+    "rag_retrieve_snippets",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
