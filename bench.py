@@ -281,7 +281,59 @@ def main() -> None:
             out["scaled_crossover"]["ratio_exec_total_deep"] = sc.get(
                 "deep", {}
             ).get("ratio_exec_total")
-    print(json.dumps(out))
+
+    # Full detail goes to a committed artifact; stdout gets ONE COMPACT
+    # line.  The driver that records BENCH_r{N}.json keeps only the last
+    # ~2000 chars of output and json-parses the final line — rounds 2/4
+    # produced a >2000-char line and were recorded as parsed:null.  The
+    # compact line carries the required contract keys (metric/value/unit/
+    # queries/sf) plus summary scalars; everything per-query beyond wall
+    # time lives in BENCH_DETAIL.json.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": {n: round(v, 3) for n, v in timings.items()},
+        "sf": sf,
+        "detail": "BENCH_DETAIL.json",
+    }
+    for k in (
+        "ratio_vs_oracle",
+        "ratio_vs_oracle_net",
+        "ratio_vs_oracle_exec",
+        "oracle_total",
+        "overhead_floor_sec",
+    ):
+        if k in out:
+            compact[k] = out[k]
+    if isinstance(out.get("streaming"), dict) and "error" not in out["streaming"]:
+        compact["streaming"] = {
+            "windows_per_sec": out["streaming"]["windows_per_sec"],
+            "rows_per_sec": out["streaming"]["rows_per_sec"],
+        }
+    sc_block = out.get("scaled_crossover")
+    if isinstance(sc_block, dict):
+        compact["scaled"] = {
+            k: sc_block.get(k)
+            for k in ("ratio_total_base", "ratio_total_scaled",
+                      "ratio_total_deep", "ratio_exec_total_deep")
+            if sc_block.get(k) is not None
+        }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never exceed the tail window
+        compact["queries"] = {
+            n: round(v, 2)
+            for n, v in sorted(
+                timings.items(), key=lambda kv: -kv[1]
+            )[:30]
+        }
+        compact["queries_truncated_see_detail"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 def _streaming_throughput(spark, sf_dir: str) -> dict:

@@ -490,8 +490,54 @@ def winsorize_clip_p05_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: per
+    event_type, flag values with |v - median| > 3 * 1.4826 * MAD (the
+    consistency-scaled MAD threshold — Iglewicz/Hoaglin).  Unlike
+    z-scores (udf/win_zscore twins), the MAD gate itself is immune to
+    the outliers it hunts.
+
+    Two grouped exact-median passes over the fact table (median, then
+    median of absolute deviations) with the tiny per-group stats
+    broadcast back between them — same two-scan + broadcast shape as
+    winsorize_clip_p05_p95; at 100 TB the exact percentile swaps for
+    ``percentile_approx`` with no plan change.  Output: per-type row
+    counts, median, scaled MAD, and outlier counts."""
+    e = load_table(spark, "events", sf_dir)
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad"),
+        F.min("med").alias("med"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    flagged = dev.select("event_type", "value").join(
+        F.broadcast(mad), "event_type"
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.min("n_events").alias("n_events"),
+            F.round(F.min("med"), 6).alias("median_value"),
+            F.round(F.min("mad") * 1.4826, 6).alias("scaled_mad"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "agg_mad_outliers": agg_mad_outliers,
     "agg_histogram_fixed": agg_histogram_fixed,
     "winsorize_clip_p05_p95": winsorize_clip_p05_p95,
     "agg_corr_covar": agg_corr_covar,
@@ -509,6 +555,30 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "agg_mad_outliers": """
+        WITH med AS (
+            SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+            FROM events GROUP BY event_type),
+        dev AS (
+            SELECT e.event_type, e.value, m.med,
+                   ABS(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)),
+        mad AS (
+            SELECT event_type,
+                   QUANTILE_CONT(adev, 0.5) AS mad,
+                   MIN(med) AS med,
+                   COUNT(*) AS n_events
+            FROM dev GROUP BY event_type)
+        SELECT d.event_type,
+               MIN(m.n_events) AS n_events,
+               ROUND(MIN(m.med), 6) AS median_value,
+               ROUND(MIN(m.mad) * 1.4826, 6) AS scaled_mad,
+               CAST(SUM(CASE WHEN ABS(d.value - m.med) > 3 * 1.4826 * m.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type
+        ORDER BY d.event_type
+    """,
     "agg_histogram_fixed": f"""
         SELECT bucket,
                bucket * 25.0 AS bucket_lo,

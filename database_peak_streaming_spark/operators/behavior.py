@@ -171,8 +171,74 @@ def user_state_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen ISO week,
+    counted as active per (cohort_week, week_offset) — the standard
+    growth-analytics rollup.
+
+    Plan: one groupBy for first-seen (min ts per user, then week
+    truncation), broadcast back onto per-event activity weeks, distinct
+    on (cohort, offset, user), final count — two shuffles on user_id
+    then one on the tiny (cohort, offset) key.  date_trunc('week') is
+    ISO Monday-start in both engines; offsets are whole-day diffs
+    floor-divided by 7 so no timezone or DST arithmetic is involved."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    cohort = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
+    ).distinct()
+    joined = active.join(F.broadcast(cohort), "user_id").select(
+        "cohort_week",
+        (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        "user_id",
+    )
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | prev_type) with raw transition counts —
+    the sequence-model summary behind next-action prediction and
+    anomalous-flow detection.
+
+    One shuffle on user_id for the lag window, then a groupBy on the
+    tiny (prev, next) key; the row-conditional probability is a window
+    sum over at most |event_types| rows.  Counts are exact longs, the
+    probability is a ratio of those longs — identical in any engine."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wt = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wt), 6
+        ).alias("prob"),
+    ).orderBy("prev_type", "next_type")
+
+
 QUERIES = {
     "events_funnel_ordered": events_funnel_ordered,
+    "events_retention_cohorts": events_retention_cohorts,
+    "events_markov_transitions": events_markov_transitions,
     "user_state_latest": user_state_latest,
     "sessionize_gap_ids": sessionize_gap_ids,
     "mode_event_type_per_user": mode_event_type_per_user,
@@ -180,6 +246,39 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_markov_transitions": """
+        WITH seq AS (
+            SELECT event_type AS next_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events),
+        t AS (
+            SELECT prev_type, next_type, COUNT(*) AS n_transitions
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2)
+        SELECT prev_type, next_type, n_transitions,
+               ROUND(n_transitions / SUM(n_transitions)
+                         OVER (PARTITION BY prev_type), 6) AS prob
+        FROM t
+        ORDER BY prev_type, next_type
+    """,
+    "events_retention_cohorts": """
+        WITH cohort AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id),
+        active AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS week
+            FROM events)
+        SELECT c.cohort_week,
+               CAST(date_diff('day', c.cohort_week, a.week) // 7 AS INT)
+                   AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_active_users
+        FROM active a JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "user_state_latest": """
         SELECT user_id,
                COUNT(*) AS n_events,

@@ -598,7 +598,43 @@ def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus frequency distribution: OLS slope
+    and intercept of ln(frequency) against ln(rank) over the top-500
+    terms — the one-number corpus health check (natural language sits
+    near slope -1; a big departure flags boilerplate floods or
+    synthetic/templated text before it poisons a training mix).
+
+    Scale shape: the regression runs on VOCABULARY-sized data — token
+    counts collapse corpus-size rows to distinct-term rows first, so
+    the global rank window orders thousands of rows, not the 100 TB
+    corpus (and only after a pushed-down top-500 cut it would use
+    ``orderBy().limit()`` for at scale).  regr_slope/regr_intercept are
+    single-pass algebraic aggregates in both engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = freq.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), "token"))
+        .alias("rank"),
+    ).where(F.col("rank") <= 500)
+    pts = ranked.select(
+        F.log("freq").alias("lf"), F.log("rank").alias("lr")
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope("lf", "lr"), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept("lf", "lr"), 6).alias("zipf_intercept"),
+    )
+
+
 QUERIES = {
+    "text_zipf_slope": text_zipf_slope,
     "text_token_stats": text_token_stats,
     "build_inverted_index": build_inverted_index,
     "tfidf_top_terms_per_doc": tfidf_top_terms_per_doc,
@@ -632,6 +668,22 @@ for _, _pat in REDACT_PATTERNS:
     _REDACTED_SQL = f"REGEXP_REPLACE({_REDACTED_SQL}, '{_pat}', '<MASK>', 'g')"
 
 ORACLE_SQL = {
+    "text_zipf_slope": """
+        WITH tok AS (
+            SELECT t.token AS token
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(token)),
+        freq AS (
+            SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+        ranked AS (
+            SELECT freq,
+                   ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+            FROM freq
+            QUALIFY rank <= 500)
+        SELECT COUNT(*) AS n_terms,
+               ROUND(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+               ROUND(regr_intercept(ln(freq), ln(rank)), 6) AS zipf_intercept
+        FROM ranked
+    """,
     "tfidf_top_terms_per_doc": """
         WITH tf AS (
             SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term

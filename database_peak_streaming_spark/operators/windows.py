@@ -172,6 +172,44 @@ def win_zscore_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+def win_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling sum per user via a RANGE frame on event
+    time (epoch seconds): every event sees the sum of its user's values
+    in the preceding 3600 s — the time-based frame ROWS windows can't
+    express when event spacing is irregular.
+
+    The frame key is ``floor(epoch(ts))`` so both engines bucket
+    fractional seconds identically, and the rolling sum runs in
+    DECIMAL(28,6) (the win_frames discipline) so the result is exact —
+    independent of the engine's within-frame float association order —
+    before the final cast.  One shuffle on user_id; the RANGE frame is
+    a single ordered pass per partition.  Output is re-aggregated per
+    user (peak trailing-hour load) to keep the result compact."""
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "value", F.unix_timestamp("ts").alias("sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    rolled = e.select(
+        "user_id",
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_1h"),
+    )
+    return (
+        rolled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("trailing_1h"), 6).alias("peak_trailing_1h"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by (argmin/argmax) aggregates: which order carries the
     group's extreme price."""
@@ -199,6 +237,7 @@ QUERIES = {
     "win_topk_per_group": win_topk_per_group,
     "win_strain_derivation": win_strain_derivation,
     "win_zscore_by_segment": win_zscore_by_segment,
+    "win_time_range_rolling": win_time_range_rolling,
 }
 
 ORACLE_SQL = {
@@ -270,6 +309,22 @@ ORACLE_SQL = {
                      / STDDEV_SAMP(c_acctbal) OVER (PARTITION BY c_mktsegment),
                      6) AS zscore
         FROM customer ORDER BY c_custkey
+    """,
+    "win_time_range_rolling": """
+        WITH rolled AS (
+            SELECT user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+                        PARTITION BY user_id
+                        ORDER BY CAST(FLOOR(date_part('epoch', ts)) AS BIGINT)
+                        RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS trailing_1h
+            FROM events)
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               ROUND(MAX(trailing_1h), 6) AS peak_trailing_1h
+        FROM rolled
+        GROUP BY user_id
+        ORDER BY user_id
     """,
     "win_strain_derivation": """
         SELECT user_id, event_id,

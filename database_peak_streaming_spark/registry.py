@@ -18,6 +18,7 @@ from database_peak_streaming_spark.operators import (
     chunking,
     curation,
     dedup,
+    graph,
     joins,
     multimodal_queries,
     pivots,
@@ -25,6 +26,7 @@ from database_peak_streaming_spark.operators import (
     scalars,
     scans,
     similarity,
+    sketches,
     skew,
     sorts_setops,
     storage,
@@ -57,6 +59,8 @@ _MODULES = [
     behavior,
     chunking,
     skew,
+    sketches,
+    graph,
     checks,
 ]
 
@@ -170,6 +174,19 @@ ROTATION_POOL_NEXT_ROUND = [
     "tfidf_top_terms_per_doc",
     "user_state_latest",
     "rag_retrieve_snippets",
+    # round-5 second batch (sketch/bit-level, graph, robust-stats,
+    # time-range frame, cohort, layout) — all with full DuckDB oracles:
+    "sketch_cms_heavy_hitters",
+    "agg_bitmap_exact_distinct",
+    "join_bloom_prefilter",
+    "graph_pagerank_bipartite",
+    "agg_mad_outliers",
+    "win_time_range_rolling",
+    "events_retention_cohorts",
+    "zorder_cluster_stats",
+    "graph_degree_histogram",
+    "events_markov_transitions",
+    "text_zipf_slope",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
