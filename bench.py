@@ -70,6 +70,12 @@ HEADLINE = [
     "pack_sequences_greedy",
     "cusum_drift_flags",
     "tfidf_top_terms_per_doc",
+    # round-5 second batch: sketch/graph/layout (the heaviest of the
+    # new full-oracle queries — iterative joins and grid aggregations)
+    "graph_pagerank_bipartite",
+    "sketch_cms_heavy_hitters",
+    "join_bloom_prefilter",
+    "win_time_range_rolling",
 ]
 
 
