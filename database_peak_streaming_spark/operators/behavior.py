@@ -235,10 +235,49 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("prev_type", "next_type")
 
 
+def events_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every user
+    whose history contains a 'purchase', find the first event type in
+    their history and the last event type strictly before their first
+    purchase, then count converting users per (first_touch, last_touch)
+    — the marketing-attribution rollup.
+
+    Strictly-before is ordered by (ts, event_id) so simultaneous
+    timestamps break ties identically in any engine.  Users whose first
+    event IS the purchase attribute to 'none'.  Plan: one groupBy for
+    the first conversion per user, a broadcast back, one more groupBy
+    for the per-user first/last pre-conversion touch (min_by/max_by on
+    the same composite key), and a final tiny-key count."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(okey).alias("conv_key"))
+    )
+    pre = ev.join(F.broadcast(conv), "user_id").where(okey < F.col("conv_key"))
+    att = pre.groupBy("user_id").agg(
+        F.min_by("event_type", okey).alias("first_touch"),
+        F.max_by("event_type", okey).alias("last_touch"),
+    )
+    return (
+        conv.join(att, "user_id", "left")
+        .groupBy(
+            F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("first_touch", "last_touch")
+    )
+
+
 QUERIES = {
     "events_funnel_ordered": events_funnel_ordered,
     "events_retention_cohorts": events_retention_cohorts,
     "events_markov_transitions": events_markov_transitions,
+    "events_attribution_first_last": events_attribution_first_last,
     "user_state_latest": user_state_latest,
     "sessionize_gap_ids": sessionize_gap_ids,
     "mode_event_type_per_user": mode_event_type_per_user,
@@ -246,6 +285,30 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_attribution_first_last": """
+        WITH conv AS (
+            SELECT user_id, ts AS cts, event_id AS cid
+            FROM (SELECT user_id, ts, event_id,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS rn
+                  FROM events WHERE event_type = 'purchase')
+            WHERE rn = 1),
+        pre AS (
+            SELECT e.user_id, e.event_type, e.ts, e.event_id
+            FROM events e JOIN conv c USING (user_id)
+            WHERE e.ts < c.cts OR (e.ts = c.cts AND e.event_id < c.cid)),
+        att AS (
+            SELECT user_id,
+                   FIRST(event_type ORDER BY ts, event_id) AS first_touch,
+                   LAST(event_type ORDER BY ts, event_id) AS last_touch
+            FROM pre GROUP BY user_id)
+        SELECT COALESCE(a.first_touch, 'none') AS first_touch,
+               COALESCE(a.last_touch, 'none') AS last_touch,
+               COUNT(*) AS n_users
+        FROM conv c LEFT JOIN att a USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "events_markov_transitions": """
         WITH seq AS (
             SELECT event_type AS next_type,

@@ -20,6 +20,7 @@ from database_peak_streaming_spark.operators import (
     dedup,
     graph,
     joins,
+    linkage,
     multimodal_queries,
     pivots,
     sampling,
@@ -61,6 +62,7 @@ _MODULES = [
     skew,
     sketches,
     graph,
+    linkage,
     checks,
 ]
 
@@ -187,6 +189,8 @@ ROTATION_POOL_NEXT_ROUND = [
     "graph_degree_histogram",
     "events_markov_transitions",
     "text_zipf_slope",
+    "linkage_blocked_levenshtein",
+    "events_attribution_first_last",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
