@@ -331,3 +331,36 @@ def test_merge_micros_checked_ok_within_bounds(spark):
     }
     want = {r.g: r.s for r in df.groupBy("g").agg(dsum("x", "s")).collect()}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_zorder_arithmetic_matches_bit_interleave(spark, pts):
+    """The arithmetic-only Morton expression (storage._zexpr — shared
+    verbatim with the DuckDB oracle) must equal true bit interleaving
+    for every 8-bit coordinate pair."""
+    from pyspark.sql import functions as SF
+
+    from database_peak_streaming_spark.operators.storage import _zexpr
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pts, "x: long, y: long").select(
+        "x", "y", SF.expr(_zexpr("x", "y", "DIV")).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == morton(r.x, r.y), (r.x, r.y, r.z)
