@@ -535,9 +535,97 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile-boundary) histogram per event type: the exact
+    p10..p90 cut points — the complement of agg_histogram_fixed's
+    equi-WIDTH buckets and the statistic range-partitioners and
+    CBO column stats are built from.
+
+    One grouped aggregate computing the whole decile array in a single
+    pass (percentile with a fraction array shares one value buffer
+    across all nine cuts); wide output keeps rows = |event types|.  At
+    100 TB swap ``percentile`` for ``percentile_approx`` — same plan,
+    bounded state (the documented trade measured in
+    agg_approx_percentile)."""
+    e = load_table(spark, "events", sf_dir)
+    fracs = ", ".join(f"0.{i}D" for i in range(1, 10))
+    q = e.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({fracs}))").alias("qs"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return q.select(
+        "event_type",
+        "n_events",
+        *[
+            F.round(F.col("qs").getItem(i - 1), 6).alias(f"p{i}0")
+            for i in range(1, 10)
+        ],
+    ).orderBy("event_type")
+
+
+#: (column, kind) spine for the single-pass profiler; kinds drive which
+#: stats are meaningful (numeric ranges vs string lengths).
+_PROFILE_COLS = [
+    ("c_custkey", "num"),
+    ("c_name", "str"),
+    ("c_nationkey", "num"),
+    ("c_acctbal", "num"),
+    ("c_mktsegment", "str"),
+]
+
+
+def profile_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (the ANALYZE TABLE / data-quality
+    dashboard computation): per column — null count, exact distinct,
+    numeric min/max or string length min/max.
+
+    ONE scan computes every measure as flat aggregate columns, then a
+    ``stack`` melt pivots them to a row per column — at 100 TB this is
+    one pass over the table instead of a scan per column, and each
+    measure is an algebraic/distinct aggregate Spark computes with
+    map-side partials (the distincts expand to one grouped pass each
+    under the hood; swap ``approx_count_distinct`` in for the bounded-
+    state form).  Numeric stats are NULL on string columns and vice
+    versa, keeping every output column single-typed for the oracle."""
+    c = load_table(spark, "customer", sf_dir)
+    aggs = []
+    for col, kind in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.col(col).isNull().cast("long")).alias(f"{col}__nulls")
+        )
+        aggs.append(F.countDistinct(col).alias(f"{col}__distinct"))
+        if kind == "num":
+            aggs.append(
+                F.round(F.min(F.col(col).cast("double")), 6).alias(f"{col}__lo")
+            )
+            aggs.append(
+                F.round(F.max(F.col(col).cast("double")), 6).alias(f"{col}__hi")
+            )
+        else:
+            aggs.append(
+                F.min(F.length(col)).cast("double").alias(f"{col}__lo")
+            )
+            aggs.append(
+                F.max(F.length(col)).cast("double").alias(f"{col}__hi")
+            )
+    wide = c.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__nulls, {col}__distinct, {col}__lo, {col}__hi"
+        for col, _ in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, stat_lo, stat_hi)"
+        )
+    ).orderBy("column_name")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "agg_mad_outliers": agg_mad_outliers,
+    "agg_equidepth_histogram": agg_equidepth_histogram,
+    "profile_table_summary": profile_table_summary,
     "agg_histogram_fixed": agg_histogram_fixed,
     "winsorize_clip_p05_p95": winsorize_clip_p05_p95,
     "agg_corr_covar": agg_corr_covar,
@@ -554,7 +642,44 @@ QUERIES = {
     "agg_collect_sorted": agg_collect_sorted,
 }
 
+def _profile_sql() -> str:
+    parts = []
+    for col, kind in _PROFILE_COLS:
+        if kind == "num":
+            lo = f"ROUND(MIN(CAST({col} AS DOUBLE)), 6)"
+            hi = f"ROUND(MAX(CAST({col} AS DOUBLE)), 6)"
+        else:
+            lo = f"CAST(MIN(LENGTH({col})) AS DOUBLE)"
+            hi = f"CAST(MAX(LENGTH({col})) AS DOUBLE)"
+        parts.append(f"""
+            SELECT '{col}' AS column_name,
+                   CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   COUNT(DISTINCT {col}) AS n_distinct,
+                   {lo} AS stat_lo,
+                   {hi} AS stat_hi
+            FROM customer""")
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
 ORACLE_SQL = {
+    "agg_equidepth_histogram": """
+        WITH q AS (
+            SELECT event_type,
+                   quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                         0.6, 0.7, 0.8, 0.9]) AS qs,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type)
+        SELECT event_type, n_events,
+               ROUND(qs[1], 6) AS p10, ROUND(qs[2], 6) AS p20,
+               ROUND(qs[3], 6) AS p30, ROUND(qs[4], 6) AS p40,
+               ROUND(qs[5], 6) AS p50, ROUND(qs[6], 6) AS p60,
+               ROUND(qs[7], 6) AS p70, ROUND(qs[8], 6) AS p80,
+               ROUND(qs[9], 6) AS p90
+        FROM q
+        ORDER BY event_type
+    """,
+    "profile_table_summary": _profile_sql(),
     "agg_mad_outliers": """
         WITH med AS (
             SELECT event_type, QUANTILE_CONT(value, 0.5) AS med

@@ -152,14 +152,81 @@ def udf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) — the one UDF family the
+    row/pandas/grouped/cogrouped queries don't cover: one input row
+    expands to N output rows INSIDE the SQL FROM clause via LATERAL,
+    the idiomatic shape for tokenizers/parsers that emit variable-count
+    records per document.
+
+    The splitting rule is deliberately trivial ('. ' boundaries, space-
+    trimmed, empties dropped) so a pure-SQL DuckDB oracle can mirror it
+    exactly — the query verifies the UDTF *mechanism* (row expansion,
+    LATERAL correlation, per-partition iterator lifecycle), not NLP.
+    Results aggregate per language so the output is compact.  Scale:
+    UDTFs stream Arrow batches through one Python worker per core like
+    any pandas UDF; state is one document at a time."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, sentence: string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            pos = 0
+            for part in text.split(". "):
+                part = part.strip(" ")
+                if part:
+                    yield pos, part
+                    pos += 1
+
+    spark.udtf.register("dps_sentence_split", SentenceSplit)
+    d = load_table(spark, "documents", sf_dir)
+    d.createOrReplaceTempView("dps_udtf_docs")
+    return spark.sql(
+        """
+        SELECT lang,
+               COUNT(*) AS n_sentences,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               ROUND(AVG(LENGTH(s.sentence)), 6) AS avg_sentence_len,
+               MAX(s.pos) AS max_pos
+        FROM dps_udtf_docs,
+             LATERAL dps_sentence_split(text) AS s
+        GROUP BY lang
+        ORDER BY lang
+        """
+    )
+
+
 QUERIES = {
     "udf_zscore_by_segment": udf_zscore_by_segment,
     "udf_pandas_log1p": udf_pandas_log1p,
     "binary_peaks_decode": binary_peaks_decode,
     "udf_cogroup_asof": udf_cogroup_asof,
+    "udtf_sentence_split": udtf_sentence_split,
 }
 
 ORACLE_SQL = {
+    "udtf_sentence_split": """
+        WITH raw AS (
+            SELECT doc_id, lang,
+                   unnest(string_split(text, '. ')) AS part,
+                   generate_subscripts(string_split(text, '. '), 1) AS i
+            FROM documents),
+        kept AS (
+            SELECT doc_id, lang, trim(part, ' ') AS sentence,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                       AS pos
+            FROM raw WHERE trim(part, ' ') <> '')
+        SELECT lang,
+               COUNT(*) AS n_sentences,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               ROUND(AVG(LENGTH(sentence)), 6) AS avg_sentence_len,
+               CAST(MAX(pos) AS INT) AS max_pos
+        FROM kept
+        GROUP BY lang
+        ORDER BY lang
+    """,
     "udf_cogroup_asof": """
         SELECT p.event_id, p.user_id, p.ts, MAX(c.click_ts) AS last_click_ts
         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p

@@ -191,6 +191,9 @@ ROTATION_POOL_NEXT_ROUND = [
     "text_zipf_slope",
     "linkage_blocked_levenshtein",
     "events_attribution_first_last",
+    "udtf_sentence_split",
+    "agg_equidepth_histogram",
+    "profile_table_summary",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
