@@ -312,3 +312,82 @@ def stateful_cusum(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# -- incremental Markov transition extraction -----------------------------
+
+TRANSITION_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_type", T.StringType())]
+)
+
+
+def stateful_transitions(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Per-key first-order transition extraction: emit one
+    (prev_type, next_type) row per event after the first — the
+    incremental feeder for the Markov matrix the batch query
+    ``operators/behavior.events_markov_transitions`` computes
+    (stream==batch equivalence is tested: streamed transition counts
+    equal the batch lag-window counts).
+
+    State per key: ONE string (the last event type seen), so memory is
+    O(keys) at any stream length; watermark timeout evicts idle users.
+    This is the online form of sequence featurization — downstream a
+    ``foreachBatch`` sink upserts (prev, next) count deltas, giving a
+    continuously-fresh transition matrix without re-scanning history.
+    Same cross-batch ordering caveat as ``stateful_minute_first``:
+    per-key event-time order across micro-batches (replay provides
+    it)."""
+    key_field = stream.schema[key_col]
+    out_schema = T.StructType(
+        [
+            key_field,
+            T.StructField("prev_type", T.StringType()),
+            T.StructField("next_type", T.StringType()),
+        ]
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (last,) = state.get if state.exists else (None,)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col])
+            for t in pdf[type_col]:
+                if last is not None:
+                    out.append((key[0], last, t))
+                last = t
+        if last is not None:
+            state.update((last,))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        if out:
+            yield pd.DataFrame(
+                out, columns=[key_col, "prev_type", "next_type"]
+            )
+
+    from database_peak_streaming_spark.streaming.ops import as_event_time
+
+    return (
+        as_event_time(stream, ts_col)
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=TRANSITION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

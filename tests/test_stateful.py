@@ -264,3 +264,59 @@ def test_stateful_cusum_matches_batch(spark, tmpdir_):
     got = {(r.event_type, r.event_id): round(r.cusum, 9) for r in rows}
     assert got == expect
     assert expect, "fixture should produce CUSUM alarms"
+
+
+def test_stateful_transitions_match_batch_markov(spark, tmpdir_):
+    """Streamed (prev, next) transition rows aggregated over the whole
+    replay must equal the batch lag-window Markov counts
+    (operators/behavior.events_markov_transitions, itself
+    oracle-checked) — the state (one string per user) carries sequence
+    continuity across micro-batch boundaries."""
+    from collections import Counter
+
+    from database_peak_streaming_spark.operators.behavior import (
+        events_markov_transitions,
+    )
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+    from database_peak_streaming_spark.streaming.stateful import (
+        stateful_transitions,
+    )
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    stream, replay_dir = replay_dataframe(spark, ev, n_chunks=5, order_col="ts")
+
+    rows = []
+
+    def sink(batch_df, _):
+        rows.extend(batch_df.collect())
+
+    try:
+        q = (
+            stateful_transitions(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", f"{tmpdir_}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(420)
+        assert not q.isActive
+    finally:
+        cleanup_replay(replay_dir)
+
+    streamed = Counter((r.prev_type, r.next_type) for r in rows)
+    batch = {
+        (r.prev_type, r.next_type): r.n_transitions
+        for r in events_markov_transitions(spark, SF_DIR).collect()
+    }
+    assert dict(streamed) == batch
+    # per-user conservation: every event after a user's first yields
+    # exactly one transition row
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(streamed.values()) == ev.count() - n_users
