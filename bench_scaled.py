@@ -86,6 +86,11 @@ QUERY_SET = [
     "text_quality_score",
     "cosine_topk_bruteforce",
     "curate_corpus_pipeline",
+    # round-5 additions with real data-volume work: iterative graph
+    # joins, the CMS grid fold, and the time-RANGE rolling frame
+    "graph_pagerank_bipartite",
+    "sketch_cms_heavy_hitters",
+    "win_time_range_rolling",
 ]
 
 #: the 10x stragglers (ratio > 2 in the committed 10x run) PLUS the two

@@ -271,6 +271,44 @@ def sql_api_cte_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE) generating a 90-day
+    calendar spine for 1995-Q1, left-joined against order activity to
+    count coverage gaps per month — the ANSI-portable form of the
+    date-dimension build behind every gap-fill/LOCF pipeline (the
+    engine's ``sequence()``-based twin is resample_gap_fill_locf; this
+    one exercises the SQL recursion surface itself).
+
+    Depth is bounded by construction (90 levels, under the engine's
+    100-level recursion guard), so the recursive union compiles to a
+    fixed iterative plan; the activity side aggregates orders to
+    distinct days BEFORE the join, so the spine join touches
+    |days| x 1 rows, not raw orders."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_sql")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(d) AS (
+            SELECT DATE '1995-01-01' AS d
+            UNION ALL
+            SELECT date_add(d, 1) FROM spine WHERE d < DATE '1995-03-31'
+        ),
+        activity AS (
+            SELECT DISTINCT CAST(o_orderdate AS DATE) AS od
+            FROM orders_sql
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1995-04-01'
+        )
+        SELECT month(d) AS month,
+               COUNT(*) AS n_days,
+               COUNT(od) AS n_days_with_orders,
+               COUNT(*) - COUNT(od) AS n_gap_days
+        FROM spine LEFT JOIN activity ON od = d
+        GROUP BY month(d)
+        ORDER BY month
+        """
+    )
+
+
 def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on a parquet dataset: an old writer produced
     files WITHOUT ``c_acctbal``, a new writer adds the column; a
@@ -446,6 +484,7 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "zorder_cluster_stats": zorder_cluster_stats,
+    "sql_recursive_date_spine": sql_recursive_date_spine,
     "csv_roundtrip": csv_roundtrip,
     "schema_evolution_merge": schema_evolution_merge,
     "partitioned_write_prune": partitioned_write_prune,
@@ -461,6 +500,26 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "sql_recursive_date_spine": """
+        WITH RECURSIVE spine(d) AS (
+            SELECT DATE '1995-01-01' AS d
+            UNION ALL
+            SELECT d + 1 FROM spine WHERE d < DATE '1995-03-31'
+        ),
+        activity AS (
+            SELECT DISTINCT CAST(o_orderdate AS DATE) AS od
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1995-04-01'
+        )
+        SELECT month(d) AS month,
+               COUNT(*) AS n_days,
+               COUNT(od) AS n_days_with_orders,
+               COUNT(*) - COUNT(od) AS n_gap_days
+        FROM spine LEFT JOIN activity ON od = d
+        GROUP BY month(d)
+        ORDER BY month
+    """,
     "zorder_cluster_stats": f"""
         WITH xy AS (
             SELECT CAST(o_custkey % 256 AS BIGINT) AS x,

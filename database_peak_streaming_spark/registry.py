@@ -194,6 +194,7 @@ ROTATION_POOL_NEXT_ROUND = [
     "udtf_sentence_split",
     "agg_equidepth_histogram",
     "profile_table_summary",
+    "sql_recursive_date_spine",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
