@@ -130,6 +130,36 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions — transform_keys / transform_values /
+    map_filter / map_concat — completing the HOF surface next to the
+    array family (array_transform_filter).  The map is built row-side
+    from customer columns, every HOF output is projected back to
+    scalars, so the whole query is one codegen stage and the oracle can
+    verify each HOF's value without a map type of its own."""
+    c = load_table(spark, "customer", sf_dir)
+    m = F.create_map(
+        F.lit("seg"), F.col("c_mktsegment"),
+        F.lit("nat"), F.col("c_nationkey").cast("string"),
+        F.lit("key"), F.col("c_custkey").cast("string"),
+    )
+    mv = F.transform_values(m, lambda k, v: F.upper(v))
+    mk = F.transform_keys(m, lambda k, v: F.concat(k, F.lit("_x")))
+    mf = F.map_filter(m, lambda k, v: F.length(v) > 5)
+    mc = F.map_concat(m, F.create_map(F.lit("extra"), F.lit("1")))
+    return (
+        c.select(
+            "c_custkey",
+            F.element_at(mv, "seg").alias("seg_upper"),
+            F.element_at(mk, "seg_x").alias("seg_renamed"),
+            F.size(mf).cast("long").alias("n_long_vals"),
+            F.size(mc).cast("long").alias("n_concat"),
+        )
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
 def json_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access via Spark 4's VARIANT type: ``props``
     parsed ONCE into the binary variant encoding, fields extracted with
@@ -165,9 +195,27 @@ QUERIES = {
     "array_transform_filter": array_transform_filter,
     "json_extract_events": json_extract_events,
     "json_variant_events": json_variant_events,
+    "map_hof_funcs": map_hof_funcs,
 }
 
 ORACLE_SQL = {
+    # Verifies the HOF VALUES with scalar expressions: the map entries
+    # are ('seg', mktsegment), ('nat', nationkey), ('key', custkey), so
+    # each output is directly computable without a map type.
+    "map_hof_funcs": """
+        SELECT c_custkey,
+               UPPER(c_mktsegment) AS seg_upper,
+               c_mktsegment AS seg_renamed,
+               CAST((CASE WHEN LENGTH(c_mktsegment) > 5 THEN 1 ELSE 0 END)
+                    + (CASE WHEN LENGTH(CAST(c_nationkey AS VARCHAR)) > 5
+                            THEN 1 ELSE 0 END)
+                    + (CASE WHEN LENGTH(CAST(c_custkey AS VARCHAR)) > 5
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_long_vals,
+               CAST(4 AS BIGINT) AS n_concat
+        FROM customer
+        ORDER BY c_custkey
+        LIMIT 100
+    """,
     "json_variant_events": """
         SELECT event_type,
                COUNT(*) AS n_events,

@@ -195,6 +195,7 @@ ROTATION_POOL_NEXT_ROUND = [
     "agg_equidepth_histogram",
     "profile_table_summary",
     "sql_recursive_date_spine",
+    "map_hof_funcs",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
