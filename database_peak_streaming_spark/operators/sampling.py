@@ -276,6 +276,64 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_novelty_vs_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-test-document n-gram NOVELTY against the train split: the
+    fraction of a doc's distinct word 8-grams that appear in NO train
+    document — the complement of decontaminate_test_overlap's collision
+    counts, and the metric eval-set curation actually thresholds on
+    (novelty 1.0 = clean held-out; low novelty = leaked/boilerplate).
+
+    Shape: the same per-doc distinct-gram explode, but the train side
+    collapses to a DISTINCT gram SET first and the membership test is a
+    left-SEMI join — the probe never multiplies by train-side document
+    frequency, so a boilerplate gram shared by a million train docs
+    costs one match, not a million rows (the decontaminate query keeps
+    the per-train-doc fan-out deliberately, for its evidence counts).
+    Zero-overlap docs are preserved by the left join (novelty 1.0)."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = DECON_NGRAM
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda j: F.concat_ws(" ", *[toks[j + i] for i in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    split = F.when(
+        F.substring(_md5_of("doc_id"), 1, 1).isin("0", "1"), F.lit("test")
+    ).otherwise(F.lit("train"))
+    e = d.select(
+        "doc_id",
+        split.alias("split"),
+        F.explode(F.array_distinct(grams)).alias("gram"),
+    )
+    test_g = e.filter(F.col("split") == "test").select("doc_id", "gram")
+    train_set = (
+        e.filter(F.col("split") == "train").select("gram").distinct()
+    )
+    seen = (
+        test_g.join(train_set, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_seen"))
+    )
+    totals = test_g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    return (
+        totals.join(seen, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_seen", F.lit(0)).alias("n_seen"),
+            F.round(
+                1.0 - F.coalesce("n_seen", F.lit(0)) / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "sample_systematic_mod": sample_systematic_mod,
     "sample_weighted_ares": sample_weighted_ares,
@@ -284,6 +342,7 @@ QUERIES = {
     "split_summary_md5": split_summary_md5,
     "balance_by_class_topk": balance_by_class_topk,
     "decontaminate_test_overlap": decontaminate_test_overlap,
+    "text_novelty_vs_train": text_novelty_vs_train,
     "corpus_mixture_weights": corpus_mixture_weights,
 }
 
@@ -299,7 +358,37 @@ _DECON_GRAM_SQL = " || ' ' || ".join(
     f"t[i + {k}]" for k in range(DECON_NGRAM)
 )
 
+
 ORACLE_SQL = {
+    "text_novelty_vs_train": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('0', '1')
+                        THEN 'test' ELSE 'train' END AS split,
+                   LIST_DISTINCT(
+                       CASE WHEN LEN(t) >= {DECON_NGRAM}
+                            THEN LIST_TRANSFORM(
+                                RANGE(1, LEN(t) - {DECON_NGRAM - 2}),
+                                i -> {_DECON_GRAM_SQL})
+                            ELSE [] END) AS grams
+            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+                  FROM documents)),
+        e AS (SELECT doc_id, split, UNNEST(grams) AS gram FROM g),
+        train_set AS (SELECT DISTINCT gram FROM e WHERE split = 'train'),
+        test_g AS (SELECT doc_id, gram FROM e WHERE split = 'test'),
+        seen AS (
+            SELECT doc_id, COUNT(*) AS n_seen
+            FROM test_g WHERE gram IN (SELECT gram FROM train_set)
+            GROUP BY doc_id),
+        totals AS (
+            SELECT doc_id, COUNT(*) AS n_grams FROM test_g GROUP BY doc_id)
+        SELECT t.doc_id, t.n_grams,
+               COALESCE(s.n_seen, 0) AS n_seen,
+               ROUND(1.0 - COALESCE(s.n_seen, 0) / t.n_grams, 6) AS novelty
+        FROM totals t LEFT JOIN seen s USING (doc_id)
+        ORDER BY t.doc_id
+    """,
     "decontaminate_test_overlap": f"""
         WITH g AS (
             SELECT doc_id,

@@ -196,6 +196,7 @@ ROTATION_POOL_NEXT_ROUND = [
     "profile_table_summary",
     "sql_recursive_date_spine",
     "map_hof_funcs",
+    "text_novelty_vs_train",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
