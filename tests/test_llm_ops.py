@@ -438,3 +438,27 @@ def test_mixture_weights_reshape_to_target(spark):
         achieved = r.sampling_weight * r.n_tokens / total
         assert abs(achieved - target[r.lang]) < 1e-5, r
         assert r.needs_oversample == (r.sampling_weight > 1.0)
+
+
+def test_novelty_complements_decontamination(spark):
+    """Cross-operator coherence: a test-split doc has novelty < 1 iff
+    decontaminate_test_overlap flags it (both derive from the same
+    8-gram/md5-split definitions), and every test doc long enough to
+    have grams appears exactly once in the novelty output."""
+    from database_peak_streaming_spark.operators.sampling import (
+        decontaminate_test_overlap,
+        text_novelty_vs_train,
+    )
+
+    nov = {
+        r.doc_id: r for r in text_novelty_vs_train(spark, SF_DIR).collect()
+    }
+    flagged = {
+        r.test_doc_id
+        for r in decontaminate_test_overlap(spark, SF_DIR).collect()
+    }
+    assert flagged <= set(nov), "flagged doc missing from novelty output"
+    for doc_id, r in nov.items():
+        assert (r.novelty < 1.0) == (doc_id in flagged), (doc_id, r)
+        assert 0.0 <= r.novelty <= 1.0
+        assert r.n_seen <= r.n_grams
