@@ -253,7 +253,57 @@ def cusum_drift_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: seasonal-naive forecast: train/evaluation split boundary (fixture
+#: events span all of 2024-01 at every SF, so the cut holds 9 days out).
+FORECAST_SPLIT = "2024-01-22"
+
+
+def forecast_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: the per-(event_type, hour-of-
+    day) mean over the TRAIN weeks predicts every holdout event's value;
+    the query reports per-type holdout MAE against that profile plus
+    the train profile's peak hour — the baseline every real forecaster
+    must beat, and the drift check (profile vs holdout error) a
+    monitoring pipeline alerts on.
+
+    Two passes over events split by a literal timestamp (both pushed to
+    the parquet scan): train collapses to a 120-cell profile (exact
+    decimal means) that broadcasts onto the holdout rows; unseen
+    (type, hour) cells drop their holdout rows by the inner join
+    (counted via n_eval).  The profile means are exact-decimal sums
+    divided as doubles (engine-identical); the final MAE is a plain
+    double mean rounded to 6dp — association-order noise is ~1e-12
+    against a 1e-6 rounding grid."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", "ts", "value", F.hour("ts").alias("hod")
+    )
+    cut = F.lit(FORECAST_SPLIT).cast("timestamp")
+    profile = (
+        ev.where(F.col("ts") < cut)
+        .groupBy("event_type", "hod")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("baseline")
+        )
+    )
+    holdout = ev.where(F.col("ts") >= cut)
+    scored = holdout.join(F.broadcast(profile), ["event_type", "hod"])
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.round(
+                F.avg(F.abs(F.col("value") - F.col("baseline"))), 6
+            ).alias("mae"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "forecast_seasonal_naive_mae": forecast_seasonal_naive_mae,
     "cusum_drift_flags": cusum_drift_flags,
     "resample_gap_fill_locf": resample_gap_fill_locf,
     "resample_gap_fill_locf_per_key": resample_gap_fill_locf_per_key,
@@ -267,6 +317,25 @@ QUERIES = {
 _DEC = "DECIMAL(28,6)"
 
 ORACLE_SQL = {
+    "forecast_seasonal_naive_mae": f"""
+        WITH profile AS (
+            SELECT event_type, hour(ts) AS hod,
+                   CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                       / COUNT(*) AS baseline
+            FROM events
+            WHERE ts < TIMESTAMP '{FORECAST_SPLIT}'
+            GROUP BY event_type, hour(ts)),
+        holdout AS (
+            SELECT event_type, hour(ts) AS hod, value
+            FROM events
+            WHERE ts >= TIMESTAMP '{FORECAST_SPLIT}')
+        SELECT h.event_type,
+               COUNT(*) AS n_eval,
+               ROUND(AVG(ABS(h.value - p.baseline)), 6) AS mae
+        FROM holdout h JOIN profile p USING (event_type, hod)
+        GROUP BY h.event_type
+        ORDER BY h.event_type
+    """,
     "cusum_drift_flags": f"""
         WITH y AS (
             SELECT event_type, ts, event_id,

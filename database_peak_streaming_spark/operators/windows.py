@@ -210,6 +210,55 @@ def win_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto analysis: parts ranked by revenue, classified A
+    (first 80% of cumulative revenue), B (next 15%), C (tail) — the
+    inventory-analytics rollup behind "20% of SKUs drive 80% of volume".
+
+    The fact table collapses to per-part revenue FIRST (one shuffle on
+    partkey, exact decimal sums), so the global cumulative window runs
+    over dimension-sized data — the same discipline as text_zipf_slope;
+    the grand total rides in as a broadcast scalar (scans.py:64
+    pattern).  Cumulative shares come from exact decimal partials
+    divided as doubles, so the A/B/C boundary comparison is
+    bit-identical in any engine and the classification is
+    deterministic."""
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).alias("rev")
+    )
+    total = rev.agg(F.sum("rev").alias("total"))
+    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    classed = (
+        rev.withColumn("cum", F.sum("rev").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "rev",
+            (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
+                "cum_share"
+            ),
+        )
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_share") <= 0.80, "A")
+            .when(F.col("cum_share") <= 0.95, "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("rev").cast("double"), 6).alias("class_revenue"),
+            F.round(F.max("cum_share"), 6).alias("cum_share_hi"),
+        )
+        .orderBy("abc_class")
+    )
+
+
 def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by (argmin/argmax) aggregates: which order carries the
     group's extreme price."""
@@ -238,6 +287,7 @@ QUERIES = {
     "win_strain_derivation": win_strain_derivation,
     "win_zscore_by_segment": win_zscore_by_segment,
     "win_time_range_rolling": win_time_range_rolling,
+    "abc_pareto_classification": abc_pareto_classification,
 }
 
 ORACLE_SQL = {
@@ -309,6 +359,28 @@ ORACLE_SQL = {
                      / STDDEV_SAMP(c_acctbal) OVER (PARTITION BY c_mktsegment),
                      6) AS zscore
         FROM customer ORDER BY c_custkey
+    """,
+    "abc_pareto_classification": """
+        WITH rev AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS rev
+            FROM lineitem GROUP BY l_partkey),
+        classed AS (
+            SELECT l_partkey, rev,
+                   CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS DOUBLE)
+                   / CAST((SELECT SUM(rev) FROM rev) AS DOUBLE) AS cum_share
+            FROM rev)
+        SELECT CASE WHEN cum_share <= 0.80 THEN 'A'
+                    WHEN cum_share <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               COUNT(*) AS n_parts,
+               ROUND(CAST(SUM(rev) AS DOUBLE), 6) AS class_revenue,
+               ROUND(MAX(cum_share), 6) AS cum_share_hi
+        FROM classed
+        GROUP BY 1
+        ORDER BY 1
     """,
     "win_time_range_rolling": """
         WITH rolled AS (

@@ -197,6 +197,8 @@ ROTATION_POOL_NEXT_ROUND = [
     "sql_recursive_date_spine",
     "map_hof_funcs",
     "text_novelty_vs_train",
+    "abc_pareto_classification",
+    "forecast_seasonal_naive_mae",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
