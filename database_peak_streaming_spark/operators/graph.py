@@ -40,7 +40,7 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     then 3x [join on src + groupBy dst] — the per-iteration shuffle is
     on the same key each time, so a real cluster reuses the exchange.
     N enters the plan as a broadcast scalar (crossJoin of a 1-row agg,
-    the scans.py:64 pattern — no driver-side .first() pull).  Output:
+    the scans.py:64 pattern — nothing pulled to the driver).  Output:
     top-20 nodes by rank rounded to 6dp (rounded BEFORE the sort so the
     order is reproducible across engines' float summation orders),
     tie-broken on node id."""

@@ -181,3 +181,69 @@ def test_kill_and_resume_from_checkpoint(spark, tmpdir_):
     assert got == oracle, (
         f"exactly-once violated: {len(got)} stored vs {len(oracle)} expected"
     )
+
+
+def test_stateful_transitions_kill_resume_exactly_once(spark, tmpdir_):
+    """Kill the stateful transition stream mid-replay and resume on the
+    same checkpoint into a transactional file sink: the final
+    (prev, next) counts must equal the oracle-checked batch Markov
+    query exactly — state-store recovery re-derives per-user continuity
+    and the sink's manifest commits each batch atomically (no loss, no
+    double-emits)."""
+    from collections import Counter
+
+    from database_peak_streaming_spark.operators.behavior import (
+        events_markov_transitions,
+    )
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+    from database_peak_streaming_spark.streaming.stateful import (
+        stateful_transitions,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    stream, replay_dir = replay_dataframe(spark, ev, n_chunks=8, order_col="ts")
+    out = f"{tmpdir_}/transitions_out"
+    ckpt = f"{tmpdir_}/transitions_ckpt"
+
+    def start(**trigger):
+        return (
+            stateful_transitions(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger)
+            .start()
+        )
+
+    try:
+        q = start(processingTime="300 milliseconds")
+        t0 = time.time()
+        while time.time() - t0 < 40 and (
+            q.lastProgress is None or q.lastProgress["batchId"] < 2
+        ):
+            time.sleep(0.2)
+        q.stop()
+
+        q2 = start(availableNow=True)
+        q2.awaitTermination(420)
+        assert not q2.isActive
+    finally:
+        cleanup_replay(replay_dir)
+
+    got = Counter(
+        (r.prev_type, r.next_type)
+        for r in spark.read.parquet(out).collect()
+    )
+    batch = {
+        (r.prev_type, r.next_type): r.n_transitions
+        for r in events_markov_transitions(spark, SF_DIR).collect()
+    }
+    assert dict(got) == batch
