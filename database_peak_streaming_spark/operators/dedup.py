@@ -913,7 +913,71 @@ def _semdedup_sql() -> str:
     """
 
 
+#: containment near-dup: blocking prefix width and acceptance threshold.
+CONT_PREFIX = 20
+CONT_THRESHOLD = 0.5
+
+
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection via n-gram containment
+    C(A,B) = |grams(A) n grams(B)| / |grams(A)| — the subset-duplicate
+    signal Jaccard dilutes: a short doc wholly embedded in a long one
+    has high containment but low Jaccard, so a Jaccard gate
+    (dedup_ngram_jaccard) misses exactly the quote/aggregation-page
+    duplication containment exists to catch.  Both directions are
+    reported; a pair matches when either exceeds the threshold.
+
+    Candidates come from an exact-prefix block equi-join (the
+    linkage.py discipline — bounded block occupancy, no cartesian); the
+    per-pair work is two array HOFs over ~doc-length gram lists,
+    row-local and JVM-side.  At 100 TB the block key upgrades to
+    MinHash bands (dedup.py's banded family) with the same verifier."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= SPAN_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - SPAN_N),
+                lambda j: F.concat_ws(" ", *[toks[j + i] for i in range(SPAN_N)]),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select(
+        "doc_id",
+        F.substring("text", 1, CONT_PREFIX).alias("block"),
+        grams.alias("grams"),
+    ).where(F.size("grams") > 0)
+    a = base.select(
+        "block",
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("grams_a"),
+    )
+    b = base.select(
+        "block",
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("grams_b"),
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    return (
+        a.join(b, "block")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_shared"),
+            F.round(inter / F.size("grams_a"), 6).alias("containment_ab"),
+            F.round(inter / F.size("grams_b"), 6).alias("containment_ba"),
+        )
+        .where(
+            F.greatest("containment_ab", "containment_ba") >= CONT_THRESHOLD
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES = {
+    "dedup_ngram_containment": dedup_ngram_containment,
     "dedup_exact_group": dedup_exact_group,
     "dedup_semdedup_kmeans": dedup_semdedup_kmeans,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -954,7 +1018,35 @@ def _emb_dedup_sql() -> str:
     """
 
 
+_CONT_GRAM_SQL = " || ' ' || ".join(f"t[i + {k}]" for k in range(SPAN_N))
+
 ORACLE_SQL = {
+    "dedup_ngram_containment": f"""
+        WITH base AS (
+            SELECT doc_id, substr(text, 1, {CONT_PREFIX}) AS block,
+                   LIST_DISTINCT(
+                       CASE WHEN LEN(t) >= {SPAN_N}
+                            THEN LIST_TRANSFORM(
+                                RANGE(1, LEN(t) - {SPAN_N - 2}),
+                                i -> {_CONT_GRAM_SQL})
+                            ELSE [] END) AS grams
+            FROM (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS t
+                  FROM documents)),
+        nz AS (SELECT * FROM base WHERE LEN(grams) > 0),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   LEN(list_intersect(a.grams, b.grams)) AS n_shared,
+                   LEN(a.grams) AS la, LEN(b.grams) AS lb
+            FROM nz a JOIN nz b
+              ON a.block = b.block AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(n_shared AS INT) AS n_shared,
+               ROUND(n_shared / la, 6) AS containment_ab,
+               ROUND(n_shared / lb, 6) AS containment_ba
+        FROM pairs
+        WHERE GREATEST(ROUND(n_shared / la, 6), ROUND(n_shared / lb, 6))
+              >= {CONT_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
     "dedup_embedding_cosine": _emb_dedup_sql(),
     "dedup_minhash_keepers_md5": _minhash_keepers_md5_sql(),
     "dedup_minhash_lsh_md5": _minhash_lsh_md5_sql(),

@@ -503,7 +503,51 @@ def rag_retrieve_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction scoring: the first ``N_QUERIES``
+    vectors act as one multi-vector query (its "token embeddings"); each
+    label group is a multi-vector document; score(doc) = sum over query
+    tokens of the MAX cosine against any of the doc's vectors — the
+    MaxSim operator behind late-interaction retrieval, which single-
+    vector cosine top-k (cosine_topk_bruteforce) cannot express.
+
+    Plan: query tokens broadcast; one scan of the corpus computes all
+    (query token, vector) cosines JVM-side; two tiny-key aggregations
+    (max per (label, token), then sum per label).  At 100 TB the
+    per-pair stage streams map-side against the broadcast tokens and
+    only |labels| x |tokens| rows ever shuffle.  Scores are rounded
+    BEFORE the final ordering so ranking is reproducible across
+    engines' float-sum orders."""
+    e = load_table(spark, "embeddings", sf_dir)
+    base = e.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("norm")
+    )
+    qtok = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_norm") * F.col("norm")
+    )
+    per_tok = (
+        base.crossJoin(F.broadcast(qtok))
+        .select("label", "q_id", cos.alias("c"))
+        .groupBy("label", "q_id")
+        .agg(F.max("c").alias("m"))
+    )
+    return (
+        per_tok.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_query_tokens"),
+            F.round(F.sum("m"), 6).alias("maxsim_score"),
+        )
+        .orderBy(F.desc("maxsim_score"), "label")
+    )
+
+
 QUERIES = {
+    "sim_maxsim_late_interaction": sim_maxsim_late_interaction,
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "rag_retrieve_snippets": rag_retrieve_snippets,
     "cosine_pairs_threshold": cosine_pairs_threshold,
@@ -554,6 +598,21 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 ORACLE_SQL = {
+    "sim_maxsim_late_interaction": f"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+                   WHERE vec_id < {N_QUERIES}),
+        cos AS (
+            SELECT e.label, q.q_id,
+                   {_cos_sql('q.q_emb', 'e.embedding')} AS c
+            FROM embeddings e CROSS JOIN q),
+        mx AS (SELECT label, q_id, MAX(c) AS m FROM cos GROUP BY 1, 2)
+        SELECT label,
+               COUNT(*) AS n_query_tokens,
+               ROUND(SUM(m), 6) AS maxsim_score
+        FROM mx
+        GROUP BY label
+        ORDER BY ROUND(SUM(m), 6) DESC, label
+    """,
     "rag_retrieve_snippets": f"""
         WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
                    WHERE vec_id < {N_QUERIES}),

@@ -199,6 +199,8 @@ ROTATION_POOL_NEXT_ROUND = [
     "text_novelty_vs_train",
     "abc_pareto_classification",
     "forecast_seasonal_naive_mae",
+    "sim_maxsim_late_interaction",
+    "dedup_ngram_containment",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
