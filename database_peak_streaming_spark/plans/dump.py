@@ -106,6 +106,14 @@ PICKS = {
         "both scans push the split-timestamp filter to parquet; the "
         "120-cell profile broadcasts onto the holdout"
     ),
+    "sim_maxsim_late_interaction": (
+        "query tokens broadcast; per-pair cosines map-side; only "
+        "|labels| x |tokens| max rows shuffle"
+    ),
+    "dedup_ngram_containment": (
+        "prefix-block equi-join bounds candidates; the containment "
+        "verifier is two row-local array HOFs, no gram explode"
+    ),
 }
 
 
