@@ -67,6 +67,68 @@ def multimodal_payload_fingerprint(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+#: frame-sampling geometry: fixed-width frames, every STRIDE-th kept.
+FRAME_LEN = 16
+FRAME_STRIDE = 4
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_sampled", T.LongType()),
+        T.StructField("sha", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling through the binary kernel path: the
+    payload is treated as a container of fixed ``FRAME_LEN``-byte
+    frames; every ``FRAME_STRIDE``-th frame is kept and the sampled
+    stream is fingerprinted — the exact plumbing shape of an ffmpeg
+    keyframe sampler (payload in, frame subset out, metadata row
+    emitted), with byte slicing standing in for the codec (the
+    documented functions/multimodal.py:57 sandbox boundary).
+
+    The kernel slices BYTES; the oracle slices CHARS and the fixture
+    corpus is ASCII, so the two agree — ``n_bytes`` is emitted beside
+    the frame stats so any future non-ASCII fixture surfaces as a loud
+    hash mismatch, not silent drift.  Payloads never shuffle: the map
+    emits fixed-width rows and the sort runs on those."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                raw = bytes(payload)
+                nf = (len(raw) + FRAME_LEN - 1) // FRAME_LEN
+                kept = range(0, nf, FRAME_STRIDE)
+                sampled = b"".join(
+                    raw[i * FRAME_LEN : (i + 1) * FRAME_LEN] for i in kept
+                )
+                out.append(
+                    (
+                        item_id,
+                        nf,
+                        len(kept),
+                        hashlib.sha256(sampled).hexdigest(),
+                        len(raw),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["item_id", "n_frames", "n_sampled", "sha", "n_bytes"],
+            )
+
+    d = load_table(spark, "documents", sf_dir)
+    items = d.select(
+        F.col("doc_id").alias("item_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return items.mapInPandas(_sample, schema=_FRAME_SCHEMA).orderBy("item_id")
+
+
 def multimodal_meta_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only pruning stats — the scan pattern that lets a 100 TB
     media table skip payload IO: derive typed metadata (media_type from a
@@ -98,9 +160,30 @@ def multimodal_meta_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "multimodal_payload_fingerprint": multimodal_payload_fingerprint,
     "multimodal_meta_filter_stats": multimodal_meta_filter_stats,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLE_SQL = {
+    "multimodal_frame_sample": f"""
+        WITH s AS (
+            SELECT doc_id AS item_id, text,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+                   CAST(CEIL(length(text) / {FRAME_LEN}.0) AS BIGINT) AS nf
+            FROM documents)
+        SELECT item_id,
+               nf AS n_frames,
+               CAST(CEIL(nf / {FRAME_STRIDE}.0) AS BIGINT) AS n_sampled,
+               sha256(list_reduce(
+                   LIST_TRANSFORM(
+                       RANGE(0, CAST(nf AS INT), {FRAME_STRIDE}),
+                       i -> substring(text,
+                                      CAST(i * {FRAME_LEN} + 1 AS BIGINT),
+                                      {FRAME_LEN})),
+                   (x, y) -> x || y)) AS sha,
+               nb AS n_bytes
+        FROM s
+        ORDER BY item_id
+    """,
     "multimodal_payload_fingerprint": """
         SELECT doc_id AS item_id,
                SHA256(text) AS sha,

@@ -201,6 +201,7 @@ ROTATION_POOL_NEXT_ROUND = [
     "forecast_seasonal_naive_mae",
     "sim_maxsim_late_interaction",
     "dedup_ngram_containment",
+    "multimodal_frame_sample",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
