@@ -123,6 +123,23 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the labeled
+    ``lang`` column — the evaluation rollup a pipeline publishes before
+    trusting a classifier as a corpus filter (which cells leak which
+    languages into which buckets, and how much lands in 'und').
+
+    One extra tiny-key groupBy over the classifier's per-doc output;
+    the oracle wraps the classifier's own oracle, so the two stay in
+    lockstep by construction."""
+    pred = text_langid_heuristic(spark, sf_dir)
+    return (
+        pred.groupBy(F.col("lang").alias("actual_lang"), "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual_lang", "lang_guess")
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set — the
     canonical-content hash used for fuzzy-exact dedup (case/word-order
@@ -635,6 +652,7 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_zipf_slope": text_zipf_slope,
+    "text_langid_confusion": text_langid_confusion,
     "text_token_stats": text_token_stats,
     "build_inverted_index": build_inverted_index,
     "tfidf_top_terms_per_doc": tfidf_top_terms_per_doc,
@@ -959,3 +977,12 @@ ORACLE_SQL = {
         ),
     ),
 }
+
+# Confusion-matrix oracle wraps the classifier's own oracle, so the two
+# can never drift apart.
+ORACLE_SQL["text_langid_confusion"] = f"""
+    SELECT lang AS actual_lang, lang_guess, COUNT(*) AS n_docs
+    FROM ({ORACLE_SQL["text_langid_heuristic"]})
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
