@@ -202,6 +202,7 @@ ROTATION_POOL_NEXT_ROUND = [
     "sim_maxsim_late_interaction",
     "dedup_ngram_containment",
     "multimodal_frame_sample",
+    "text_langid_confusion",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
