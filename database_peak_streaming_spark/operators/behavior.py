@@ -273,8 +273,61 @@ def events_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer Recency (days since last
+    order, against the corpus max date), Frequency (order count) and
+    Monetary (exact-decimal spend) quartiled into 4x4x4 segments — the
+    classic CRM rollup, with every ordering fully tie-broken on the
+    customer key so the ntile assignment is identical in any engine or
+    partitioning.
+
+    Plan: one groupBy collapses orders to a customer-sized table; the
+    reference date rides as a broadcast scalar; three ntile windows run
+    over that dimension-sized data (at 100 TB: range-partitioned global
+    sort, same as any ranking); the final segment rollup is a 64-key
+    groupBy."""
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("spend"),
+    )
+    ref = o.agg(F.max(F.to_date("o_orderdate")).alias("ref_date"))
+    scored = (
+        per_cust.crossJoin(F.broadcast(ref))
+        .withColumn(
+            "recency_days", F.datediff("ref_date", "last_order")
+        )
+        .withColumn(
+            "r_score",
+            F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(4).over(
+                Window.orderBy(F.desc("n_orders"), "o_custkey")
+            ),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(4).over(Window.orderBy(F.desc("spend"), "o_custkey")),
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                (F.sum("spend").cast("double") / F.count(F.lit(1))), 6
+            ).alias("avg_spend"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
 QUERIES = {
     "events_funnel_ordered": events_funnel_ordered,
+    "orders_rfm_segmentation": orders_rfm_segmentation,
     "events_retention_cohorts": events_retention_cohorts,
     "events_markov_transitions": events_markov_transitions,
     "events_attribution_first_last": events_attribution_first_last,
@@ -285,6 +338,35 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "orders_rfm_segmentation": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   MAX(CAST(o_orderdate AS DATE)) AS last_order,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS spend
+            FROM orders GROUP BY o_custkey),
+        rec AS (
+            SELECT o_custkey, n_orders, spend,
+                   date_diff('day', last_order,
+                             (SELECT MAX(CAST(o_orderdate AS DATE))
+                              FROM orders)) AS recency_days
+            FROM per_cust),
+        scored AS (
+            SELECT o_custkey, n_orders, spend,
+                   NTILE(4) OVER (ORDER BY recency_days, o_custkey)
+                       AS r_score,
+                   NTILE(4) OVER (ORDER BY n_orders DESC, o_custkey)
+                       AS f_score,
+                   NTILE(4) OVER (ORDER BY spend DESC, o_custkey)
+                       AS m_score
+            FROM rec)
+        SELECT r_score, f_score, m_score,
+               COUNT(*) AS n_customers,
+               ROUND(CAST(SUM(spend) AS DOUBLE) / COUNT(*), 6) AS avg_spend
+        FROM scored
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
     "events_attribution_first_last": """
         WITH conv AS (
             SELECT user_id, ts AS cts, event_id AS cid

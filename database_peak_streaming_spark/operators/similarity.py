@@ -546,8 +546,55 @@ def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dimension) min-max feature scaling of the embedding
+    columns — the normalization step feature pipelines run before any
+    distance-based model, verified by its defining invariants (each
+    scaled dimension spans exactly [0, 1] within its group and the
+    group mean is preserved under the affine map).
+
+    Plan: posexplode to narrow (label, dim, value) rows — at 100 TB
+    this is the columnar long-form a feature store keeps anyway — one
+    groupBy for the per-(label, dim) band, broadcast back, re-aggregate
+    the scaled stats.  Constant dimensions (max == min) are reported
+    with NULL scaled stats rather than a divide-by-zero.  Sums run in
+    DECIMAL so the verification stats are association-order-exact."""
+    e = load_table(spark, "embeddings", sf_dir)
+    long = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    band = long.groupBy("label", "dim").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    scaled = long.join(F.broadcast(band), ["label", "dim"]).select(
+        "label",
+        "dim",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            (F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")),
+        ).alias("s"),
+    )
+    return (
+        scaled.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("s"), 6).alias("s_min"),
+            F.round(F.max("s"), 6).alias("s_max"),
+            F.round(
+                (
+                    F.sum(F.col("s").cast("decimal(28,12)")).cast("double")
+                    / F.count("s")
+                ),
+                6,
+            ).alias("s_mean"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
 QUERIES = {
     "sim_maxsim_late_interaction": sim_maxsim_late_interaction,
+    "feature_minmax_scale": feature_minmax_scale,
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "rag_retrieve_snippets": rag_retrieve_snippets,
     "cosine_pairs_threshold": cosine_pairs_threshold,
@@ -598,6 +645,30 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 ORACLE_SQL = {
+    "feature_minmax_scale": """
+        WITH long AS (
+            SELECT vec_id, label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings),
+        band AS (
+            SELECT label, dim, MIN(v) AS lo, MAX(v) AS hi
+            FROM long GROUP BY 1, 2),
+        scaled AS (
+            SELECT l.label, l.dim,
+                   CASE WHEN b.hi > b.lo
+                        THEN (l.v - b.lo) / (b.hi - b.lo) END AS s
+            FROM long l JOIN band b USING (label, dim))
+        SELECT label, dim,
+               COUNT(*) AS n,
+               ROUND(MIN(s), 6) AS s_min,
+               ROUND(MAX(s), 6) AS s_max,
+               ROUND(CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE)
+                     / COUNT(s), 6) AS s_mean
+        FROM scaled
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "sim_maxsim_late_interaction": f"""
         WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
                    WHERE vec_id < {N_QUERIES}),

@@ -203,6 +203,8 @@ ROTATION_POOL_NEXT_ROUND = [
     "dedup_ngram_containment",
     "multimodal_frame_sample",
     "text_langid_confusion",
+    "feature_minmax_scale",
+    "orders_rfm_segmentation",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
