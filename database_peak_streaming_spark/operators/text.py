@@ -140,6 +140,56 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between language sub-corpora — the
+    corpus-insight matrix that surfaces mislabeled languages (two langs
+    sharing most of their vocabulary) and code-switching pollution
+    before language-split training mixes are trusted.
+
+    Vocabulary per language collapses the corpus to |lang| x |vocab|
+    rows first; the pairwise stage is a token equi-join between
+    vocabulary-sized sides (never corpus-sized), and set sizes join
+    back for the |A u B| denominator — all exact longs, so the Jaccard
+    is engine-identical before rounding."""
+    d = load_table(spark, "documents", sf_dir)
+    vocab = (
+        d.select("lang", F.explode(F.array_distinct(_tokens())).alias("token"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("lang").agg(F.count(F.lit(1)).alias("n_vocab"))
+    a = vocab.select(F.col("lang").alias("lang_a"), "token")
+    b = vocab.select(F.col("lang").alias("lang_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("lang", "lang_a")
+                        .withColumnRenamed("n_vocab", "na")),
+            "lang_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("lang", "lang_b")
+                        .withColumnRenamed("n_vocab", "nb")),
+            "lang_b",
+        )
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set — the
     canonical-content hash used for fuzzy-exact dedup (case/word-order
@@ -653,6 +703,7 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_zipf_slope": text_zipf_slope,
     "text_langid_confusion": text_langid_confusion,
+    "text_lang_vocab_overlap": text_lang_vocab_overlap,
     "text_token_stats": text_token_stats,
     "build_inverted_index": build_inverted_index,
     "tfidf_top_terms_per_doc": tfidf_top_terms_per_doc,
@@ -985,4 +1036,23 @@ ORACLE_SQL["text_langid_confusion"] = f"""
     FROM ({ORACLE_SQL["text_langid_heuristic"]})
     GROUP BY 1, 2
     ORDER BY 1, 2
+"""
+
+ORACLE_SQL["text_lang_vocab_overlap"] = """
+    WITH vocab AS (
+        SELECT DISTINCT lang, t.token AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(token)),
+    sizes AS (SELECT lang, COUNT(*) AS n_vocab FROM vocab GROUP BY lang),
+    inter AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_shared
+        FROM vocab a JOIN vocab b
+          ON a.token = b.token AND a.lang < b.lang
+        GROUP BY 1, 2)
+    SELECT i.lang_a, i.lang_b, i.n_shared,
+           ROUND(i.n_shared / (sa.n_vocab + sb.n_vocab - i.n_shared), 6)
+               AS vocab_jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.lang = i.lang_a
+    JOIN sizes sb ON sb.lang = i.lang_b
+    ORDER BY i.lang_a, i.lang_b
 """

@@ -302,8 +302,44 @@ def forecast_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_hourly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events per (tumbling hour, event type) — the event-time
+    window x ranking composition (leaderboards, per-window extremes)
+    that neither family shows alone.  The tumbling bucket comes from
+    ``window()`` (the same streaming-compatible assignment as
+    window_tumbling_1h, so the query lifts to Structured Streaming by
+    swapping the source); ranking is a per-(bucket, type) row_number
+    with an event_id tie-break.  One shuffle on the composite key; rank
+    state is O(k) per group under the filter."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    bucketed = ev.select(
+        F.window("ts", "1 hour").start.alias("hour_start"),
+        "event_type",
+        "event_id",
+        "value",
+    )
+    w = W.partitionBy("hour_start", "event_type").orderBy(
+        F.desc("value"), "event_id"
+    )
+    return (
+        bucketed.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "hour_start",
+            "event_type",
+            "rnk",
+            "event_id",
+            F.round("value", 6).alias("value"),
+        )
+        .orderBy("hour_start", "event_type", "rnk")
+    )
+
+
 QUERIES = {
     "forecast_seasonal_naive_mae": forecast_seasonal_naive_mae,
+    "window_hourly_topk": window_hourly_topk,
     "cusum_drift_flags": cusum_drift_flags,
     "resample_gap_fill_locf": resample_gap_fill_locf,
     "resample_gap_fill_locf_per_key": resample_gap_fill_locf_per_key,
@@ -317,6 +353,20 @@ QUERIES = {
 _DEC = "DECIMAL(28,6)"
 
 ORACLE_SQL = {
+    "window_hourly_topk": """
+        WITH ranked AS (
+            SELECT date_trunc('hour', ts) AS hour_start,
+                   event_type, event_id, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY date_trunc('hour', ts), event_type
+                       ORDER BY value DESC, event_id) AS rnk
+            FROM events)
+        SELECT hour_start, event_type, CAST(rnk AS INT) AS rnk,
+               event_id, ROUND(value, 6) AS value
+        FROM ranked
+        WHERE rnk <= 3
+        ORDER BY hour_start, event_type, rnk
+    """,
     "forecast_seasonal_naive_mae": f"""
         WITH profile AS (
             SELECT event_type, hour(ts) AS hod,

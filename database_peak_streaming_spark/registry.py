@@ -205,6 +205,8 @@ ROTATION_POOL_NEXT_ROUND = [
     "text_langid_confusion",
     "feature_minmax_scale",
     "orders_rfm_segmentation",
+    "window_hourly_topk",
+    "text_lang_vocab_overlap",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
