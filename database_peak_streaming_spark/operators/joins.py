@@ -160,6 +160,52 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each purchase, the EARLIEST click by the
+    same user strictly after the purchase — the "next action after
+    conversion" lookup (post-purchase behavior, time-to-next-touch),
+    mirror-image of the backward form below and built the same
+    merge-sorted way: union both sides, one window per user, but with
+    an unbounded-FOLLOWING frame taking ``first(click_ts,
+    ignorenulls)``.  Purchases sort BEFORE clicks on timestamp ties, so
+    a click at the exact purchase instant counts as the next click —
+    the inclusive mirror of the backward form's tie rule.  Same scale
+    shape as the backward form: one shuffle, O(events) work, one value
+    of running state per user."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    ts_type = ev.schema["ts"].dataType
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast(ts_type).alias("click_ts"),
+        F.lit(0).alias("side"),  # purchase first on ties -> strict after
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast(ev.schema["event_id"].dataType).alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        purchases.unionByName(clicks)
+        .withColumn(
+            "next_click_ts", F.first("click_ts", ignorenulls=True).over(w)
+        )
+        .filter(F.col("side") == 0)
+        .select("event_id", "user_id", "ts", "next_click_ts")
+        .orderBy("event_id")
+    )
+
+
 def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase event, the most recent click by the
     same user at or before the purchase time (SURVEY.md §2B as-of row —
@@ -217,6 +263,7 @@ QUERIES = {
     "join_cross": join_cross,
     "join_range_theta": join_range_theta,
     "join_asof_purchase_click": join_asof_purchase_click,
+    "join_asof_forward": join_asof_forward,
 }
 
 ORACLE_SQL = {
@@ -274,6 +321,16 @@ ORACLE_SQL = {
         FROM customer JOIN supplier
           ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100
         GROUP BY s_suppkey ORDER BY s_suppkey
+    """,
+    "join_asof_forward": """
+        SELECT p.event_id, p.user_id, p.ts, MIN(c.cts) AS next_click_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id AS cu, ts AS cts FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.cu AND c.cts >= p.ts
+        GROUP BY p.event_id, p.user_id, p.ts
+        ORDER BY p.event_id
     """,
     "join_asof_purchase_click": """
         SELECT p.event_id, p.user_id, p.ts, MAX(c.click_ts) AS last_click_ts

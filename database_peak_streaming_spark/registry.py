@@ -207,6 +207,7 @@ ROTATION_POOL_NEXT_ROUND = [
     "orders_rfm_segmentation",
     "window_hourly_topk",
     "text_lang_vocab_overlap",
+    "join_asof_forward",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
