@@ -161,6 +161,12 @@ _PRIORITY = [
 #: until the round-6 window picks them up.  tests/test_registry.py pins
 #: that the never-checked overflow is EXACTLY this list, so any new
 #: query must either enter the window or be added here deliberately.
+#:
+#: ROUND-6 ACTION (first thing next session): move these 44 names into
+#: _PRIORITY (they fit the 50-slot window with ~6 re-check slots to
+#: spare), derive the re-check picks from CORRECTNESS_r05.json, and
+#: seed a fresh pool for round-6 additions — that completes driver-hash
+#: coverage of every query registered through round 5.
 ROTATION_POOL_NEXT_ROUND = [
     "chunk_documents_overlap",
     "pack_sequences_greedy",
