@@ -325,9 +325,57 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user whose first click
+    precedes their first purchase, the click->purchase latency,
+    summarized per first-click hour-of-day (n converters, exact median
+    and p90 seconds) — the funnel-latency rollup growth teams watch.
+
+    Two tiny per-user aggregates (first click, first purchase) join on
+    user_id; latencies are exact BIGINT epoch-second differences, so
+    the percentile interpolation is over integers and engine-identical.
+    One shuffle on user_id, then a 24-key rollup."""
+    ev = load_table(spark, "events", sf_dir)
+    first_by_type = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    clicks = first_by_type.where(F.col("event_type") == "click").select(
+        "user_id", F.col("first_ts").alias("first_click")
+    )
+    buys = first_by_type.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("first_ts").alias("first_buy")
+    )
+    conv = (
+        clicks.join(buys, "user_id")
+        .where(F.col("first_buy") > F.col("first_click"))
+        .select(
+            F.hour("first_click").alias("click_hour"),
+            (
+                F.unix_timestamp("first_buy") - F.unix_timestamp("first_click")
+            ).alias("latency_s"),
+        )
+    )
+    return (
+        conv.groupBy("click_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_converters"),
+            F.round(F.expr("percentile(latency_s, 0.5D)"), 6).alias(
+                "median_latency_s"
+            ),
+            F.round(F.expr("percentile(latency_s, 0.9D)"), 6).alias(
+                "p90_latency_s"
+            ),
+        )
+        .orderBy("click_hour")
+    )
+
+
 QUERIES = {
     "events_funnel_ordered": events_funnel_ordered,
     "orders_rfm_segmentation": orders_rfm_segmentation,
+    "events_time_to_convert": events_time_to_convert,
     "events_retention_cohorts": events_retention_cohorts,
     "events_markov_transitions": events_markov_transitions,
     "events_attribution_first_last": events_attribution_first_last,
@@ -338,6 +386,28 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_time_to_convert": """
+        WITH fc AS (
+            SELECT user_id, MIN(ts) AS first_click FROM events
+            WHERE event_type = 'click' GROUP BY user_id),
+        fb AS (
+            SELECT user_id, MIN(ts) AS first_buy FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id),
+        conv AS (
+            SELECT hour(first_click) AS click_hour,
+                   CAST(FLOOR(date_part('epoch', first_buy)) AS BIGINT)
+                   - CAST(FLOOR(date_part('epoch', first_click)) AS BIGINT)
+                       AS latency_s
+            FROM fc JOIN fb USING (user_id)
+            WHERE first_buy > first_click)
+        SELECT click_hour,
+               COUNT(*) AS n_converters,
+               ROUND(QUANTILE_CONT(latency_s, 0.5), 6) AS median_latency_s,
+               ROUND(QUANTILE_CONT(latency_s, 0.9), 6) AS p90_latency_s
+        FROM conv
+        GROUP BY click_hour
+        ORDER BY click_hour
+    """,
     "orders_rfm_segmentation": """
         WITH per_cust AS (
             SELECT o_custkey,

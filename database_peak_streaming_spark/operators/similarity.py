@@ -592,9 +592,50 @@ def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_label_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cluster compactness: the label centroid (exact decimal
+    per-dimension means) and the mean/max L2 distance of members to it
+    — the intra-class dispersion diagnostic that predicts whether
+    label-bucketed semantic dedup (dedup_semdedup_kmeans) will find
+    anything, and the first quality gate on any labeled embedding set.
+
+    Plan: long-form posexplode (the feature-store layout), one groupBy
+    for the per-(label, dim) centroid with DECIMAL sums (means are
+    engine-exact), broadcast back, per-(vec, label) squared-error fold,
+    then the per-label rollup.  Distances are doubles rounded to 6dp;
+    the decimal centroid keeps the only accumulation that spans many
+    rows exact."""
+    e = load_table(spark, "embeddings", sf_dir)
+    long = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    centroid = long.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    sq = (
+        long.join(F.broadcast(centroid), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("sq"))
+        .select("label", F.sqrt("sq").alias("dist"))
+    )
+    return (
+        sq.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("dist"), 6).alias("mean_dist"),
+            F.round(F.max("dist"), 6).alias("max_dist"),
+        )
+        .orderBy("label")
+    )
+
+
 QUERIES = {
     "sim_maxsim_late_interaction": sim_maxsim_late_interaction,
     "feature_minmax_scale": feature_minmax_scale,
+    "embedding_label_dispersion": embedding_label_dispersion,
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "rag_retrieve_snippets": rag_retrieve_snippets,
     "cosine_pairs_threshold": cosine_pairs_threshold,
@@ -645,6 +686,30 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 ORACLE_SQL = {
+    "embedding_label_dispersion": """
+        WITH long AS (
+            SELECT vec_id, label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings),
+        centroid AS (
+            SELECT label, dim,
+                   CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*) AS c
+            FROM long GROUP BY 1, 2),
+        sq AS (
+            SELECT l.vec_id, l.label,
+                   SQRT(SUM((l.v - ct.c) * (l.v - ct.c))) AS dist
+            FROM long l JOIN centroid ct USING (label, dim)
+            GROUP BY 1, 2)
+        SELECT label,
+               COUNT(*) AS n_vectors,
+               ROUND(AVG(dist), 6) AS mean_dist,
+               ROUND(MAX(dist), 6) AS max_dist
+        FROM sq
+        GROUP BY label
+        ORDER BY label
+    """,
     "feature_minmax_scale": """
         WITH long AS (
             SELECT vec_id, label,

@@ -214,6 +214,8 @@ ROTATION_POOL_NEXT_ROUND = [
     "window_hourly_topk",
     "text_lang_vocab_overlap",
     "join_asof_forward",
+    "events_time_to_convert",
+    "embedding_label_dispersion",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
