@@ -160,6 +160,66 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: part pairs co-occurring in the
+    same order, with support, confidence and lift — the frequent-
+    itemset family (Apriori's pair level) none of the other join/agg
+    shapes cover.
+
+    The pair generation is a self-equi-join on the ORDER key, so the
+    fan-out is sum of k^2 over baskets — bounded by the max basket size
+    (7 lineitems in this schema), never corpus-quadratic; at 100 TB
+    this is the standard one-shuffle co-occurrence count.  Part
+    supports broadcast back onto the pair counts; probabilities are
+    ratios of exact longs over the exact basket total, so lift is
+    engine-identical before rounding.  Output: the 20 highest-support
+    pairs (ties broken on the pair keys)."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    part_n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(part_n.withColumnRenamed("l_partkey", "part_a")
+                        .withColumnRenamed("n_part", "na")),
+            "part_a",
+        )
+        .join(
+            F.broadcast(part_n.withColumnRenamed("l_partkey", "part_b")
+                        .withColumnRenamed("n_part", "nb")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return (
+        enriched.select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n_baskets"), 6).alias("support"),
+            F.round(F.col("n_both") / F.col("na"), 6).alias("confidence_a_b"),
+            F.round(
+                (F.col("n_both") * F.col("n_baskets"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join: for each purchase, the EARLIEST click by the
     same user strictly after the purchase — the "next action after
@@ -264,6 +324,7 @@ QUERIES = {
     "join_range_theta": join_range_theta,
     "join_asof_purchase_click": join_asof_purchase_click,
     "join_asof_forward": join_asof_forward,
+    "orders_market_basket_lift": orders_market_basket_lift,
 }
 
 ORACLE_SQL = {
@@ -321,6 +382,29 @@ ORACLE_SQL = {
         FROM customer JOIN supplier
           ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100
         GROUP BY s_suppkey ORDER BY s_suppkey
+    """,
+    "orders_market_basket_lift": """
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li),
+        pn AS (SELECT l_partkey, COUNT(*) AS n_part FROM li GROUP BY 1),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS n_both
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2)
+        SELECT p.part_a, p.part_b, p.n_both,
+               ROUND(p.n_both / (SELECT n_baskets FROM n), 6) AS support,
+               ROUND(p.n_both / pa.n_part, 6) AS confidence_a_b,
+               ROUND((p.n_both * (SELECT n_baskets FROM n))
+                     / (pa.n_part * pb.n_part), 6) AS lift
+        FROM pairs p
+        JOIN pn pa ON pa.l_partkey = p.part_a
+        JOIN pn pb ON pb.l_partkey = p.part_b
+        ORDER BY p.n_both DESC, p.part_a, p.part_b
+        LIMIT 20
     """,
     "join_asof_forward": """
         SELECT p.event_id, p.user_id, p.ts, MIN(c.cts) AS next_click_ts

@@ -216,6 +216,7 @@ ROTATION_POOL_NEXT_ROUND = [
     "join_asof_forward",
     "events_time_to_convert",
     "embedding_label_dispersion",
+    "orders_market_basket_lift",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
