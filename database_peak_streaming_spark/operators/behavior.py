@@ -372,10 +372,55 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU: distinct active users per day, trailing 7 days
+    and trailing 30 days, plus the WAU stickiness ratio — the growth
+    dashboard every product pipeline materializes.
+
+    The corpus collapses to distinct (day, user) FIRST (the only
+    corpus-sized shuffle), then a day-spine range join fans each
+    activity row onto the ≤30 spine days it supports, and conditional
+    COUNT(DISTINCT CASE...) produces all three horizons in ONE
+    aggregation pass.  At 100 TB the exact trailing distincts swap for
+    the engine's mergeable sketches (agg_hll_sketch_merge) — daily HLL
+    partials OR-merge into any horizon without re-touching events;
+    this exact form is the oracle for that path."""
+    ev = load_table(spark, "events", sf_dir)
+    day_user = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    spine = day_user.select(F.col("d").alias("spine_d")).distinct()
+    j = spine.join(
+        day_user,
+        (F.col("d") <= F.col("spine_d"))
+        & (F.col("d") >= F.date_sub("spine_d", 29)),
+    )
+    out = j.groupBy("spine_d").agg(
+        F.countDistinct(
+            F.when(F.col("d") == F.col("spine_d"), F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct(
+            F.when(F.col("d") >= F.date_sub("spine_d", 6), F.col("user_id"))
+        ).alias("wau"),
+        F.countDistinct("user_id").alias("mau"),
+    )
+    return (
+        out.select(
+            F.col("spine_d").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("dau_wau_ratio"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "events_funnel_ordered": events_funnel_ordered,
     "orders_rfm_segmentation": orders_rfm_segmentation,
     "events_time_to_convert": events_time_to_convert,
+    "events_dau_wau_mau": events_dau_wau_mau,
     "events_retention_cohorts": events_retention_cohorts,
     "events_markov_transitions": events_markov_transitions,
     "events_attribution_first_last": events_attribution_first_last,
@@ -386,6 +431,27 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_dau_wau_mau": """
+        WITH day_user AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        spine AS (SELECT DISTINCT d AS spine_d FROM day_user),
+        j AS (
+            SELECT s.spine_d, du.d, du.user_id
+            FROM spine s JOIN day_user du
+              ON du.d <= s.spine_d AND du.d >= s.spine_d - 29)
+        SELECT spine_d AS day,
+               COUNT(DISTINCT CASE WHEN d = spine_d THEN user_id END) AS dau,
+               COUNT(DISTINCT CASE WHEN d >= spine_d - 6 THEN user_id END)
+                   AS wau,
+               COUNT(DISTINCT user_id) AS mau,
+               ROUND(COUNT(DISTINCT CASE WHEN d = spine_d THEN user_id END)
+                     / COUNT(DISTINCT CASE WHEN d >= spine_d - 6
+                                           THEN user_id END),
+                     6) AS dau_wau_ratio
+        FROM j
+        GROUP BY spine_d
+        ORDER BY spine_d
+    """,
     "events_time_to_convert": """
         WITH fc AS (
             SELECT user_id, MIN(ts) AS first_click FROM events

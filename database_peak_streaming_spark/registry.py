@@ -217,6 +217,7 @@ ROTATION_POOL_NEXT_ROUND = [
     "events_time_to_convert",
     "embedding_label_dispersion",
     "orders_market_basket_lift",
+    "events_dau_wau_mau",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
