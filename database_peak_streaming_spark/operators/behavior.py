@@ -416,8 +416,98 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ab_test_lift_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with a two-proportion z-test: users are
+    assigned to arms by the deterministic hash bucketing real
+    experiment platforms use (here ``user_id % 2``), the metric is
+    user-level purchase conversion, and the output is the full
+    readout — arm sizes, conversion rates, relative lift, pooled-
+    variance z statistic and the |z| > 1.96 significance flag.
+
+    Everything derives from four exact long counts, so rates, lift and
+    z are bit-identical in any engine (pure double arithmetic on the
+    same integers).  One shuffle to the per-user flag, one 2-key
+    rollup, then scalar algebra on a single row."""
+    ev = load_table(spark, "events", sf_dir)
+    # conversion = a high-value purchase (max purchase value > 99): the
+    # fixture's every-user-buys density makes raw "any purchase" a
+    # degenerate 100% metric (z-test denominator 0); the value gate
+    # yields mid-range rates at every fixture SF.
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") > 99)
+            ).cast("int")
+        ).alias("converted")
+    )
+    arms = (
+        per_user.groupBy((F.col("user_id") % 2).alias("arm"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("converted").alias("conv"),
+        )
+    )
+    a = arms.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = arms.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    joined = a.crossJoin(F.broadcast(b))
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        p_pool * (1 - p_pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    z = (p_b - p_a) / se
+    return joined.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round((p_b - p_a) / p_a, 6).alias("relative_lift"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral (Shannon) entropy over event types — the
+    information-theoretic diversity score bot/anomaly detection ranks
+    on (near-zero entropy = single-action scripts; maximal entropy =
+    uniform random traffic).
+
+    Two shuffles on user-sized keys: type counts per user, then the
+    -sum(p ln p) fold.  The probabilities are exact long ratios, ln is
+    applied identically on both engines, and the ~5-term per-user sum
+    is rounded to 6dp — association noise is ~1e-15 against the grid.
+    Output: per-user entropy with its type count, ordered by user."""
+    ev = load_table(spark, "events", sf_dir)
+    tc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = tc.groupBy("user_id").agg(F.sum("n").alias("n_total"))
+    p = tc.join(tot, "user_id").select(
+        "user_id",
+        (F.col("n") / F.col("n_total")).alias("p"),
+    )
+    return (
+        p.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy_nats"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "events_funnel_ordered": events_funnel_ordered,
+    "ab_test_lift_ztest": ab_test_lift_ztest,
+    "events_user_entropy": events_user_entropy,
     "orders_rfm_segmentation": orders_rfm_segmentation,
     "events_time_to_convert": events_time_to_convert,
     "events_dau_wau_mau": events_dau_wau_mau,
@@ -431,6 +521,53 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "ab_test_lift_ztest": """
+        WITH per_user AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase' AND value > 99
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY user_id),
+        arms AS (
+            SELECT user_id % 2 AS arm, COUNT(*) AS n,
+                   CAST(SUM(converted) AS BIGINT) AS conv
+            FROM per_user GROUP BY 1),
+        w AS (
+            SELECT
+                (SELECT n FROM arms WHERE arm = 0) AS n_a,
+                (SELECT n FROM arms WHERE arm = 1) AS n_b,
+                (SELECT conv FROM arms WHERE arm = 0) AS conv_a,
+                (SELECT conv FROM arms WHERE arm = 1) AS conv_b)
+        SELECT n_a, n_b, conv_a, conv_b,
+               ROUND(conv_a / n_a, 6) AS rate_a,
+               ROUND(conv_b / n_b, 6) AS rate_b,
+               ROUND((conv_b / n_b - conv_a / n_a) / (conv_a / n_a), 6)
+                   AS relative_lift,
+               ROUND((conv_b / n_b - conv_a / n_a)
+                     / SQRT(((conv_a + conv_b) / (n_a + n_b))
+                            * (1 - (conv_a + conv_b) / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score,
+               ABS((conv_b / n_b - conv_a / n_a)
+                   / SQRT(((conv_a + conv_b) / (n_a + n_b))
+                          * (1 - (conv_a + conv_b) / (n_a + n_b))
+                          * (1.0 / n_a + 1.0 / n_b))) > 1.96
+                   AS significant_95
+        FROM w
+    """,
+    "events_user_entropy": """
+        WITH tc AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        tot AS (SELECT user_id, SUM(n) AS n_total FROM tc GROUP BY 1),
+        p AS (
+            SELECT tc.user_id, tc.n / tot.n_total AS p
+            FROM tc JOIN tot USING (user_id))
+        SELECT user_id,
+               COUNT(*) AS n_types,
+               ROUND(-SUM(p * LN(p)), 6) AS entropy_nats
+        FROM p
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
     "events_dau_wau_mau": """
         WITH day_user AS (
             SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),

@@ -218,6 +218,8 @@ ROTATION_POOL_NEXT_ROUND = [
     "embedding_label_dispersion",
     "orders_market_basket_lift",
     "events_dau_wau_mau",
+    "ab_test_lift_ztest",
+    "events_user_entropy",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
