@@ -976,8 +976,41 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate contamination rate per ingest source — the
+    monitoring rollup a curation pipeline publishes per feed (a source
+    whose dup rate spikes is re-crawling or mirroring content).
+    Composes ``dedup_ngram_jaccard`` (its verified pairs are the
+    contamination evidence) with a per-source census; the oracle wraps
+    the pair query's own oracle, so the two stay in lockstep."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    involved = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    flagged = d.join(involved, "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_dup_docs")
+    )
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tot.join(flagged, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_dup_docs", F.lit(0)).alias("n_dup_docs"),
+            F.round(
+                F.coalesce("n_dup_docs", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "dedup_ngram_containment": dedup_ngram_containment,
+    "dedup_rate_by_source": dedup_rate_by_source,
     "dedup_exact_group": dedup_exact_group,
     "dedup_semdedup_kmeans": dedup_semdedup_kmeans,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1152,3 +1185,24 @@ ORACLE_SQL = {
         FROM reach GROUP BY src ORDER BY doc_id
     """,
 }
+
+# dup-rate oracle wraps the pair query's own oracle (lockstep by
+# construction, like text.ORACLE_SQL["text_langid_confusion"]).
+ORACLE_SQL["dedup_rate_by_source"] = f"""
+    WITH pairs AS ({ORACLE_SQL["dedup_ngram_jaccard"]}),
+    involved AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION ALL
+            SELECT doc_b AS doc_id FROM pairs)),
+    tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    fl AS (
+        SELECT d.source, COUNT(*) AS n_dup_docs
+        FROM documents d JOIN involved USING (doc_id)
+        GROUP BY 1)
+    SELECT t.source, t.n_docs,
+           COALESCE(f.n_dup_docs, 0) AS n_dup_docs,
+           ROUND(COALESCE(f.n_dup_docs, 0) / t.n_docs, 6) AS dup_rate
+    FROM tot t LEFT JOIN fl f USING (source)
+    ORDER BY t.source
+"""

@@ -337,9 +337,39 @@ def window_hourly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_minute_load_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-load profile: events-per-minute distribution per event
+    type (active-minute count, p50/p95 and max rate) — the capacity
+    numbers a streaming deployment sizes its triggers and state stores
+    against (BASELINE.md's windows/s envelope is exactly this figure's
+    production twin).
+
+    Two aggregations: corpus -> per-(type, minute) counts (one shuffle,
+    uniform keys), then a |types|-key percentile rollup over
+    minute-counts — integer inputs, so the interpolated percentiles
+    are engine-identical.  Minutes with zero events are absent by
+    construction (the profile is over ACTIVE minutes; the gap-fill twin
+    is resample_gap_fill_locf)."""
+    ev = load_table(spark, "events", sf_dir)
+    per_min = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_min.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_minutes"),
+            F.round(F.expr("percentile(n, 0.5D)"), 6).alias("p50_per_min"),
+            F.round(F.expr("percentile(n, 0.95D)"), 6).alias("p95_per_min"),
+            F.max("n").alias("max_per_min"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "forecast_seasonal_naive_mae": forecast_seasonal_naive_mae,
     "window_hourly_topk": window_hourly_topk,
+    "events_minute_load_percentiles": events_minute_load_percentiles,
     "cusum_drift_flags": cusum_drift_flags,
     "resample_gap_fill_locf": resample_gap_fill_locf,
     "resample_gap_fill_locf_per_key": resample_gap_fill_locf_per_key,
@@ -353,6 +383,20 @@ QUERIES = {
 _DEC = "DECIMAL(28,6)"
 
 ORACLE_SQL = {
+    "events_minute_load_percentiles": """
+        WITH per_min AS (
+            SELECT event_type, date_trunc('minute', ts) AS minute,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2)
+        SELECT event_type,
+               COUNT(*) AS n_active_minutes,
+               ROUND(QUANTILE_CONT(n, 0.5), 6) AS p50_per_min,
+               ROUND(QUANTILE_CONT(n, 0.95), 6) AS p95_per_min,
+               MAX(n) AS max_per_min
+        FROM per_min
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "window_hourly_topk": """
         WITH ranked AS (
             SELECT date_trunc('hour', ts) AS hour_start,

@@ -220,6 +220,8 @@ ROTATION_POOL_NEXT_ROUND = [
     "events_dau_wau_mau",
     "ab_test_lift_ztest",
     "events_user_entropy",
+    "dedup_rate_by_source",
+    "events_minute_load_percentiles",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
