@@ -621,9 +621,51 @@ def profile_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column_name")
 
 
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue series with year-over-year growth: the
+    BI staple that needs BOTH a calendar rollup and a 12-step lag on
+    the resulting series.  Revenue aggregates in exact decimals (the
+    q1 discipline) so the series is bit-stable; the YoY comparison is
+    a SELF-JOIN on (year-1, month) — immune to gap months, unlike a
+    12-row lag — and the growth ratio is double arithmetic on the two
+    exact sums (NULL where no prior-year month exists).  The join runs
+    over the months series — at most a few hundred rows at any corpus
+    size — after the single fact-table shuffle."""
+    o = load_table(spark, "orders", sf_dir)
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("rev"),
+    )
+    prior = monthly.select(
+        (F.col("yr") + 1).alias("yr"),
+        F.col("mo").alias("mo"),
+        F.col("rev").alias("rev_prior_year"),
+    )
+    return (
+        monthly.join(prior, ["yr", "mo"], "left")
+        .select(
+            "yr",
+            "mo",
+            "n_orders",
+            F.round("rev", 6).alias("revenue"),
+            F.round(
+                (F.col("rev") - F.col("rev_prior_year"))
+                / F.col("rev_prior_year"),
+                6,
+            ).alias("yoy_growth"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "agg_mad_outliers": agg_mad_outliers,
+    "orders_yoy_growth": orders_yoy_growth,
     "agg_equidepth_histogram": agg_equidepth_histogram,
     "profile_table_summary": profile_table_summary,
     "agg_histogram_fixed": agg_histogram_fixed,
@@ -663,6 +705,20 @@ def _profile_sql() -> str:
 
 
 ORACLE_SQL = {
+    "orders_yoy_growth": """
+        WITH monthly AS (
+            SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                        AS DOUBLE) AS rev
+            FROM orders GROUP BY 1, 2)
+        SELECT m.yr, m.mo, m.n_orders,
+               ROUND(m.rev, 6) AS revenue,
+               ROUND((m.rev - p.rev) / p.rev, 6) AS yoy_growth
+        FROM monthly m
+        LEFT JOIN monthly p ON p.yr = m.yr - 1 AND p.mo = m.mo
+        ORDER BY m.yr, m.mo
+    """,
     "agg_equidepth_histogram": """
         WITH q AS (
             SELECT event_type,

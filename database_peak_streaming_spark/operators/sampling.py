@@ -334,7 +334,56 @@ def text_novelty_vs_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_lang_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of each source's language mix against
+    the corpus-wide distribution — the drift detector a multi-feed
+    ingest pipeline alarms on (a source whose chi2 jumps started
+    sending different-language content).
+
+    Expected cell counts need the FULL source x lang grid (a language a
+    source never emits still contributes its expected mass), so the
+    grid is a crossJoin of the two tiny dimension tables with observed
+    counts left-joined on.  Every input is an exact long; chi2 is a
+    5-term double fold per source, rounded to 6dp.  Output: per-source
+    doc count, degrees of freedom, and the statistic."""
+    d = load_table(spark, "documents", sf_dir).select("source", "lang")
+    n_total = d.agg(F.count(F.lit(1)).cast("double").alias("n_corpus"))
+    lang_n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    src_n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    obs = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_obs"))
+    grid = (
+        src_n.crossJoin(F.broadcast(lang_n))
+        .crossJoin(F.broadcast(n_total))
+        .join(obs, ["source", "lang"], "left")
+        .select(
+            "source",
+            "n_src",
+            (
+                (F.col("n_src") * F.col("n_lang")) / F.col("n_corpus")
+            ).alias("expected"),
+            F.coalesce("n_obs", F.lit(0)).alias("observed"),
+        )
+    )
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.min("n_src").alias("n_docs"),
+            (F.count(F.lit(1)) - 1).cast("int").alias("df"),
+            F.round(
+                F.sum(
+                    (F.col("observed") - F.col("expected"))
+                    * (F.col("observed") - F.col("expected"))
+                    / F.col("expected")
+                ),
+                6,
+            ).alias("chi2"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "source_lang_drift_chi2": source_lang_drift_chi2,
     "sample_systematic_mod": sample_systematic_mod,
     "sample_weighted_ares": sample_weighted_ares,
     "sample_stratified_fraction": sample_stratified_fraction,
@@ -360,6 +409,29 @@ _DECON_GRAM_SQL = " || ' ' || ".join(
 
 
 ORACLE_SQL = {
+    "source_lang_drift_chi2": """
+        WITH d AS (SELECT source, lang FROM documents),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_corpus FROM d),
+        ln_ AS (SELECT lang, COUNT(*) AS n_lang FROM d GROUP BY lang),
+        sn AS (SELECT source, COUNT(*) AS n_src FROM d GROUP BY source),
+        obs AS (SELECT source, lang, COUNT(*) AS n_obs
+                FROM d GROUP BY source, lang),
+        grid AS (
+            SELECT sn.source, sn.n_src,
+                   (sn.n_src * ln_.n_lang) / (SELECT n_corpus FROM n)
+                       AS expected,
+                   COALESCE(o.n_obs, 0) AS observed
+            FROM sn CROSS JOIN ln_
+            LEFT JOIN obs o ON o.source = sn.source AND o.lang = ln_.lang)
+        SELECT source,
+               MIN(n_src) AS n_docs,
+               CAST(COUNT(*) - 1 AS INT) AS df,
+               ROUND(SUM((observed - expected) * (observed - expected)
+                         / expected), 6) AS chi2
+        FROM grid
+        GROUP BY source
+        ORDER BY source
+    """,
     "text_novelty_vs_train": f"""
         WITH g AS (
             SELECT doc_id,

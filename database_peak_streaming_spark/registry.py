@@ -222,6 +222,8 @@ ROTATION_POOL_NEXT_ROUND = [
     "events_user_entropy",
     "dedup_rate_by_source",
     "events_minute_load_percentiles",
+    "orders_yoy_growth",
+    "source_lang_drift_chi2",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
