@@ -1056,3 +1056,4 @@ ORACLE_SQL["text_lang_vocab_overlap"] = """
     JOIN sizes sb ON sb.lang = i.lang_b
     ORDER BY i.lang_a, i.lang_b
 """
+
