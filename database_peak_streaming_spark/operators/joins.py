@@ -160,6 +160,55 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a TOLERANCE bound (pandas
+    ``merge_asof(tolerance=...)`` semantics): the most recent click at
+    or before each purchase, but only if it happened within the last
+    hour — older context is attributed as NULL, the staleness rule
+    real attribution windows impose.
+
+    Built on the same merge-sorted union/window as the unbounded form
+    (one shuffle, O(events), single-value running state) with the
+    tolerance applied as a post-window predicate — the match is still
+    found in O(1) per row; it is only *aged out* afterwards, so the
+    plan shape is identical to join_asof_purchase_click."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    ts_type = ev.schema["ts"].dataType
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast(ts_type).alias("click_ts"),
+        F.lit(1).alias("is_purchase"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast(ev.schema["event_id"].dataType).alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("is_purchase"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_click = F.last("click_ts", ignorenulls=True).over(w)
+    aged = F.when(
+        F.unix_timestamp("ts") - F.unix_timestamp(last_click) <= 3600,
+        last_click,
+    )
+    return (
+        purchases.unionByName(clicks)
+        .withColumn("last_click_1h", aged)
+        .filter(F.col("is_purchase") == 1)
+        .select("event_id", "user_id", "ts", "last_click_1h")
+        .orderBy("event_id")
+    )
+
+
 def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association mining: part pairs co-occurring in the
     same order, with support, confidence and lift — the frequent-
@@ -324,6 +373,7 @@ QUERIES = {
     "join_range_theta": join_range_theta,
     "join_asof_purchase_click": join_asof_purchase_click,
     "join_asof_forward": join_asof_forward,
+    "join_asof_tolerance": join_asof_tolerance,
     "orders_market_basket_lift": orders_market_basket_lift,
 }
 
@@ -382,6 +432,24 @@ ORACLE_SQL = {
         FROM customer JOIN supplier
           ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100
         GROUP BY s_suppkey ORDER BY s_suppkey
+    """,
+    "join_asof_tolerance": """
+        WITH j AS (
+            SELECT p.event_id, p.user_id, p.ts,
+                   MAX(c.click_ts) AS last_click
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT user_id AS cu, ts AS click_ts FROM events
+                       WHERE event_type = 'click') c
+              ON p.user_id = c.cu AND c.click_ts <= p.ts
+            GROUP BY p.event_id, p.user_id, p.ts)
+        SELECT event_id, user_id, ts,
+               CASE WHEN CAST(FLOOR(date_part('epoch', ts)) AS BIGINT)
+                         - CAST(FLOOR(date_part('epoch', last_click))
+                                AS BIGINT) <= 3600
+                    THEN last_click END AS last_click_1h
+        FROM j
+        ORDER BY event_id
     """,
     "orders_market_basket_lift": """
         WITH li AS (

@@ -224,6 +224,7 @@ ROTATION_POOL_NEXT_ROUND = [
     "events_minute_load_percentiles",
     "orders_yoy_growth",
     "source_lang_drift_chi2",
+    "join_asof_tolerance",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
