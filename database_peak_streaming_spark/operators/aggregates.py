@@ -662,10 +662,55 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates — BIT_AND / BIT_OR / BIT_XOR over a key per
+    group — completing the aggregate surface next to the bitmap
+    machinery (sketches.agg_bitmap_exact_distinct uses BIT_OR as its
+    merge).  XOR doubles as the order-independent parity checksum
+    replication checks use: any dropped or duplicated row flips it.
+    Exact integer semantics, identical in any engine."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and("user_id").alias("uid_bit_and"),
+            F.bit_or("user_id").alias("uid_bit_or"),
+            F.bit_xor("user_id").alias("uid_bit_xor"),
+            F.bit_xor("event_id").alias("eid_parity_checksum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric vs arithmetic mean per group via the exp-of-mean-log
+    identity — the multiplicative-average the ratio/latency world needs
+    (a single 100x spike distorts the arithmetic mean ~20x more than
+    the geometric).  Valid because events.value is strictly positive
+    (pinned by the in-query n_nonpositive column: a zero or negative
+    value would make the count nonzero and fail the hash against the
+    oracle's identical count).  Single grouped pass; ln/exp apply
+    pointwise identically in both engines and the mean-of-logs noise
+    (~1e-15 relative) vanishes under 6dp rounding."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") <= 0).cast("long")).alias("n_nonpositive"),
+            F.round(F.exp(F.avg(F.log("value"))), 6).alias("geo_mean"),
+            F.round(F.avg("value"), 6).alias("arith_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "agg_mad_outliers": agg_mad_outliers,
     "orders_yoy_growth": orders_yoy_growth,
+    "agg_bitwise_funcs": agg_bitwise_funcs,
+    "agg_geometric_mean": agg_geometric_mean,
     "agg_equidepth_histogram": agg_equidepth_histogram,
     "profile_table_summary": profile_table_summary,
     "agg_histogram_fixed": agg_histogram_fixed,
@@ -705,6 +750,27 @@ def _profile_sql() -> str:
 
 
 ORACLE_SQL = {
+    "agg_bitwise_funcs": """
+        SELECT event_type,
+               BIT_AND(user_id) AS uid_bit_and,
+               BIT_OR(user_id) AS uid_bit_or,
+               BIT_XOR(user_id) AS uid_bit_xor,
+               BIT_XOR(event_id) AS eid_parity_checksum
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "agg_geometric_mean": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nonpositive,
+               ROUND(EXP(AVG(LN(value))), 6) AS geo_mean,
+               ROUND(AVG(value), 6) AS arith_mean
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "orders_yoy_growth": """
         WITH monthly AS (
             SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,

@@ -225,6 +225,8 @@ ROTATION_POOL_NEXT_ROUND = [
     "orders_yoy_growth",
     "source_lang_drift_chi2",
     "join_asof_tolerance",
+    "agg_bitwise_funcs",
+    "agg_geometric_mean",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
