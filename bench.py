@@ -43,7 +43,6 @@ HEADLINE = [
     "window_session_30m",
     # LLM-data pipeline ops
     "dedup_exact_hash",
-    "dedup_minhash_keepers",
     "dedup_minhash_keepers_md5",
     "cosine_topk_bruteforce",
     "text_quality_score",
@@ -76,6 +75,43 @@ HEADLINE = [
     "sketch_cms_heavy_hitters",
     "join_bloom_prefilter",
     "win_time_range_rolling",
+]
+
+#: Size-stable cross-round comparison set (round-5 VERDICT task 6): the
+#: round-4 headline queries still registered today.  The full-suite
+#: ratio moves when the HEADLINE grows (each added query pays the
+#: measured ~0.3-0.6 s local-mode floor), so BENCH also reports the
+#: ratio over this FIXED subset — that number is comparable across
+#: rounds even as the suite widens.
+R4_COMPARABLE_SUBSET = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
+    "agg_count_distinct",
+    "agg_stats",
+    "agg_rollup",
+    "filter_predicates",
+    "join_inner_3way",
+    "join_broadcast_dim",
+    "join_range_theta",
+    "join_asof_purchase_click",
+    "win_frames",
+    "win_topk_per_group",
+    "setop_union_all",
+    "json_extract_events",
+    "pivot_wide",
+    "sql_api_q1",
+    "window_tumbling_1h",
+    "window_session_30m",
+    "dedup_exact_hash",
+    "dedup_minhash_keepers_md5",
+    "cosine_topk_bruteforce",
+    "text_quality_score",
+    "text_repetition_score",
+    "udf_zscore_by_segment",
+    "curate_corpus_pipeline",
 ]
 
 
@@ -232,6 +268,16 @@ def main() -> None:
         out["queries_net"] = net
         out["comparable_net_total"] = round(comparable_net, 4)
         out["ratio_vs_oracle_net"] = round(comparable_net / oracle_total, 2)
+        # Size-stable cross-round number (see R4_COMPARABLE_SUBSET).
+        r4 = [n for n in R4_COMPARABLE_SUBSET if n in oracle_timings]
+        r4_spark = sum(timings[n] for n in r4)
+        r4_oracle = sum(oracle_timings[n] for n in r4)
+        out["r4_subset_names"] = r4
+        out["r4_subset_total"] = round(r4_spark, 4)
+        out["r4_subset_oracle_total"] = round(r4_oracle, 4)
+        out["ratio_vs_oracle_r4_subset"] = round(
+            r4_spark / max(r4_oracle, 1e-9), 2
+        )
         if oracle_exec:
             exec_names = [n for n in oracle_exec if n in exec_timings]
             comp_exec = sum(exec_timings[n] for n in exec_names)
@@ -311,6 +357,7 @@ def main() -> None:
         "ratio_vs_oracle",
         "ratio_vs_oracle_net",
         "ratio_vs_oracle_exec",
+        "ratio_vs_oracle_r4_subset",
         "oracle_total",
         "overhead_floor_sec",
     ):

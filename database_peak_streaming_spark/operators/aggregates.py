@@ -420,6 +420,37 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend line via the SQL-standard
+    ``REGR_*`` aggregate family (slope, intercept, R², sample count) —
+    the one-pass distributed regression every metrics warehouse runs
+    for "is this KPI drifting?" panels.  Completes the aggregate
+    surface: ``agg_corr_covar`` above covers the co-moment pair; this
+    adds the fitted-line layer both Spark and DuckDB expose as
+    built-ins (one partial-aggregable shuffle, no iteration).
+
+    x is DAYS since the fixture epoch (exact integer seconds / 86400),
+    so slope is "value units per day" — numerically tame for the 6dp
+    round; both engines fold the same co-moments."""
+    ev = load_table(spark, "events", sf_dir)
+    x = (
+        (F.unix_timestamp("ts") - F.lit(1_704_067_200)) / F.lit(86_400.0)
+    ).alias("x_days")
+    base = ev.select("event_type", F.col("value").alias("y"), x)
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.regr_count("y", "x_days").alias("n_pairs"),
+            r6(F.regr_slope("y", "x_days"), "slope_per_day"),
+            r6(F.regr_intercept("y", "x_days"), "intercept"),
+            r6(F.regr_r2("y", "x_days"), "r2"),
+            r6(F.regr_avgx("y", "x_days"), "mean_x"),
+            r6(F.regr_avgy("y", "x_days"), "mean_y"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width numeric histogram of events.value: 20 buckets of
     width 25 over [0, 500), the top bucket absorbing the overflow tail.
@@ -716,6 +747,7 @@ QUERIES = {
     "agg_histogram_fixed": agg_histogram_fixed,
     "winsorize_clip_p05_p95": winsorize_clip_p05_p95,
     "agg_corr_covar": agg_corr_covar,
+    "agg_regression_by_group": agg_regression_by_group,
     "agg_global_no_group": agg_global_no_group,
     "agg_count_distinct": agg_count_distinct,
     "agg_approx_distinct": agg_approx_distinct,
@@ -891,6 +923,20 @@ ORACLE_SQL = {
                COUNT(DISTINCT l_suppkey) AS distinct_supps,
                COUNT(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "agg_regression_by_group": """
+        WITH base AS (
+            SELECT event_type, value AS y,
+                   (FLOOR(epoch(ts)) - 1704067200) / 86400.0 AS x_days
+            FROM events)
+        SELECT event_type,
+               REGR_COUNT(y, x_days) AS n_pairs,
+               ROUND(REGR_SLOPE(y, x_days), 6) AS slope_per_day,
+               ROUND(REGR_INTERCEPT(y, x_days), 6) AS intercept,
+               ROUND(REGR_R2(y, x_days), 6) AS r2,
+               ROUND(REGR_AVGX(y, x_days), 6) AS mean_x,
+               ROUND(REGR_AVGY(y, x_days), 6) AS mean_y
+        FROM base GROUP BY event_type ORDER BY event_type
     """,
     "agg_corr_covar": """
         SELECT l_linestatus,

@@ -219,7 +219,8 @@ ORACLE_SQL = {
     "json_variant_events": """
         SELECT event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT))
+                   AS BIGINT) AS sum_k,
                MIN(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS min_k,
                MAX(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS max_k,
                COUNT(CAST(JSON_EXTRACT(props, '$.missing') AS BIGINT))

@@ -447,13 +447,17 @@ def ab_test_lift_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("converted").alias("conv"),
         )
     )
-    a = arms.where(F.col("arm") == 0).select(
-        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    # Single-row conditional rollup rather than a crossJoin of two
+    # filtered arms (round-5 ADVICE): an inner crossJoin returns 0 rows
+    # when either arm is empty while the oracle's scalar subqueries
+    # return 1 row of NULLs — the conditional sums produce exactly that
+    # NULL row on a degenerate corpus, so query and oracle agree.
+    joined = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv"))).alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv"))).alias("conv_b"),
     )
-    b = arms.where(F.col("arm") == 1).select(
-        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
-    )
-    joined = a.crossJoin(F.broadcast(b))
     p_a = F.col("conv_a") / F.col("n_a")
     p_b = F.col("conv_b") / F.col("n_b")
     p_pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))

@@ -109,15 +109,17 @@ def curate_corpus_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel-level invariant the tests pin: the exact pipeline's keeper
     set is a SUBSET of this one's, so LSH trades a few extra near-dup
     survivors for cheaper candidates — it never drops a document the
-    exact pipeline keeps.  No SQL oracle (hash-dependent edges);
-    rows-only driver check + the subset invariant test."""
+    exact pipeline keeps.
+    Library function only (NOT driver-registered): the LSH edges are
+    xxhash64-seeded so no portable SQL oracle exists — the subset
+    invariant test + ``check_curate_corpus_pipeline_lsh``
+    (operators/checks.py) gate it instead (round-5 VERDICT #3)."""
     clusters = dedup_clusters_cc_lsh(spark, sf_dir)
     return _funnel_summary(spark, sf_dir, clusters)
 
 
 QUERIES = {
     "curate_corpus_pipeline": curate_corpus_pipeline,
-    "curate_corpus_pipeline_lsh": curate_corpus_pipeline_lsh,
 }
 
 ORACLE_SQL = {

@@ -91,6 +91,85 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the supplier co-occurrence graph (an edge
+    links two suppliers that filled the same order) — the clustering /
+    community-density primitive the bipartite modules above can't have
+    (bipartite graphs are triangle-free by construction).
+
+    Algorithm: degree-ordered edge orientation (the standard
+    distributed-triangle design, cf. Suri & Vassilvitskii "Counting
+    triangles and the curse of the last reducer", WWW'11): orient every
+    undirected edge from its (degree, id)-smaller endpoint to the
+    larger, enumerate wedges from each node's out-neighbors, and close
+    them against the undirected edge set.  Orientation bounds every
+    node's out-degree by O(sqrt(m)) regardless of how skewed the raw
+    degree distribution is — the wedge explosion a hub node causes in
+    the naive a<b<c formulation cannot happen, which is exactly the
+    100 TB concern.  Three narrow shuffles (edges, degrees, wedge
+    join) + the closing equi-join; nothing all-pairs.
+
+    The ORACLE counts the same triangles with the naive id-ordered
+    a<b<c SQL (triangle count is orientation-invariant, so the simple
+    form is the right cross-engine check even though its worst-case
+    shuffle volume is worse)."""
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("v"))
+    und = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    ranked = und.join(du, "u").join(dv, "v")
+    # total order on nodes: (degree, id); orient small -> large
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias(
+            "dst_deg"
+        ),
+    )
+    e1 = oriented.select("src", F.col("dst").alias("b"), F.col("dst_deg").alias("deg_b"))
+    e2 = oriented.select("src", F.col("dst").alias("c"), F.col("dst_deg").alias("deg_c"))
+    wedges = (
+        e1.join(e2, "src")
+        .where(
+            (F.col("deg_b") < F.col("deg_c"))
+            | ((F.col("deg_b") == F.col("deg_c")) & (F.col("b") < F.col("c")))
+        )
+        .select(
+            F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v")
+        )
+    )
+    tri = wedges.join(und, ["u", "v"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    total = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        tri.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(stats))
+        .select("n_triangles", "n_nodes", "n_edges")
+    )
+
+
 def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full (node, rank) table after ITERATIONS power steps — exposed
     separately so tests can assert the global invariants (rank mass sums
@@ -174,9 +253,30 @@ def _pagerank_sql() -> str:
 QUERIES = {
     "graph_pagerank_bipartite": graph_pagerank_bipartite,
     "graph_degree_histogram": graph_degree_histogram,
+    "graph_triangle_count": graph_triangle_count,
 }
 ORACLE_SQL = {
     "graph_pagerank_bipartite": _pagerank_sql(),
+    "graph_triangle_count": """
+        WITH und AS (
+            SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+            FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+            JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM und e1
+            JOIN und e2 ON e1.v = e2.u
+            JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        nodes AS (
+            SELECT COUNT(*) AS n_nodes FROM (
+                SELECT u AS node FROM und UNION SELECT v FROM und)),
+        edges AS (SELECT COUNT(*) AS n_edges FROM und)
+        SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+               CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(n_edges AS BIGINT) AS n_edges
+        FROM tri, nodes, edges
+    """,
     "graph_degree_histogram": """
         WITH pairs AS (
             SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS cnode,

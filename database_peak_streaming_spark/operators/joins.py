@@ -218,8 +218,12 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pair generation is a self-equi-join on the ORDER key, so the
     fan-out is sum of k^2 over baskets — bounded by the max basket size
     (7 lineitems in this schema), never corpus-quadratic; at 100 TB
-    this is the standard one-shuffle co-occurrence count.  Part
-    supports broadcast back onto the pair counts; probabilities are
+    this is the standard one-shuffle co-occurrence count.  The
+    per-part support table is VOCABULARY-sized (one row per distinct
+    part — billions at 100 TB), so it is joined back onto the pair
+    counts with plain shuffle equi-joins and the pick is left to AQE
+    (round-5 VERDICT #4: a forced ``broadcast()`` here OOMs at scale);
+    only the 1-row basket-total scalar is broadcast.  Probabilities are
     ratios of exact longs over the exact basket total, so lift is
     engine-identical before rounding.  Output: the 20 highest-support
     pairs (ties broken on the pair keys)."""
@@ -240,13 +244,13 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enriched = (
         pairs.join(
-            F.broadcast(part_n.withColumnRenamed("l_partkey", "part_a")
-                        .withColumnRenamed("n_part", "na")),
+            part_n.withColumnRenamed("l_partkey", "part_a")
+            .withColumnRenamed("n_part", "na"),
             "part_a",
         )
         .join(
-            F.broadcast(part_n.withColumnRenamed("l_partkey", "part_b")
-                        .withColumnRenamed("n_part", "nb")),
+            part_n.withColumnRenamed("l_partkey", "part_b")
+            .withColumnRenamed("n_part", "nb"),
             "part_b",
         )
         .crossJoin(F.broadcast(n_orders))
@@ -267,6 +271,83 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_both"), "part_a", "part_b")
         .limit(20)
     )
+
+
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join via GRID BINNING: each customer's
+    orders become 14-day activity intervals, and the query finds every
+    overlapping interval pair per customer (concurrent-order detection
+    — the temporal-overlap primitive behind double-booking checks,
+    session-concurrency audits, and conflict-of-interest scans).
+
+    The naive form is a theta join (``a.start < b.end AND b.start <
+    a.end``) — a nested-loop at scale.  The Spark-first design turns it
+    into an EQUI-join: every interval is exploded onto the month cells
+    it touches (a 14-day interval touches at most 2), the join keys on
+    (customer, cell) — hash-shuffleable, AQE-skew-handleable — and the
+    exact overlap predicate then filters the candidates; ``distinct``
+    removes the dual-cell duplicates.  Candidates are superset-exact:
+    two intervals can only overlap if they share a touched cell, so
+    binning loses nothing (cell size >= interval length guarantees it).
+    This is the standard interval-bucketing trick (cf. Spark's own
+    range-join hints in Databricks runtime / the DE-9IM grid family).
+
+    The ORACLE uses the naive theta form — same answer, engine-checkable.
+
+    Scale: shuffle volume is 2x rows on uniform keys; no nested-loop
+    anywhere (the plan test pins no CartesianProduct)."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("start_d"),
+    )
+    iv = o.withColumn("end_d", F.date_add("start_d", 14))
+    binned = iv.select(
+        "o_orderkey",
+        "o_custkey",
+        "start_d",
+        "end_d",
+        F.explode(
+            F.sequence(
+                F.trunc("start_d", "month"),
+                # end_d is EXCLUSIVE: the last touched cell is the month
+                # of end_d - 1 day
+                F.trunc(F.date_sub("end_d", 1), "month"),
+            )
+        ).alias("cell"),
+    )
+    a = binned.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("cell"),
+        F.col("o_orderkey").alias("okey_a"),
+        F.col("start_d").alias("start_a"),
+        F.col("end_d").alias("end_a"),
+    )
+    b = binned.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("cell"),
+        F.col("o_orderkey").alias("okey_b"),
+        F.col("start_d").alias("start_b"),
+        F.col("end_d").alias("end_b"),
+    )
+    pairs = (
+        a.join(b, ["custkey", "cell"])
+        .where(
+            (F.col("okey_a") < F.col("okey_b"))
+            & (F.col("start_a") < F.col("end_b"))
+            & (F.col("start_b") < F.col("end_a"))
+        )
+        .select(
+            "custkey",
+            "okey_a",
+            "okey_b",
+            F.datediff(
+                F.least("end_a", "end_b"), F.greatest("start_a", "start_b")
+            ).alias("overlap_days"),
+        )
+        .distinct()
+    )
+    return pairs.orderBy("custkey", "okey_a", "okey_b")
 
 
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,9 +456,28 @@ QUERIES = {
     "join_asof_forward": join_asof_forward,
     "join_asof_tolerance": join_asof_tolerance,
     "orders_market_basket_lift": orders_market_basket_lift,
+    "join_interval_binned": join_interval_binned,
 }
 
 ORACLE_SQL = {
+    "join_interval_binned": """
+        WITH iv AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(o_orderdate AS DATE) AS start_d,
+                   CAST(o_orderdate AS DATE) + 14 AS end_d
+            FROM orders)
+        SELECT a.o_custkey AS custkey,
+               a.o_orderkey AS okey_a,
+               b.o_orderkey AS okey_b,
+               CAST(date_diff('day',
+                    GREATEST(a.start_d, b.start_d),
+                    LEAST(a.end_d, b.end_d)) AS INT) AS overlap_days
+        FROM iv a JOIN iv b
+          ON a.o_custkey = b.o_custkey
+         AND a.o_orderkey < b.o_orderkey
+         AND a.start_d < b.end_d AND b.start_d < a.end_d
+        ORDER BY custkey, okey_a, okey_b
+    """,
     "join_inner_3way": """
         SELECT n_name,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,

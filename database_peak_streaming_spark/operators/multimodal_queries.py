@@ -173,13 +173,17 @@ ORACLE_SQL = {
         SELECT item_id,
                nf AS n_frames,
                CAST(CEIL(nf / {FRAME_STRIDE}.0) AS BIGINT) AS n_sampled,
-               sha256(list_reduce(
-                   LIST_TRANSFORM(
-                       RANGE(0, CAST(nf AS INT), {FRAME_STRIDE}),
-                       i -> substring(text,
-                                      CAST(i * {FRAME_LEN} + 1 AS BIGINT),
-                                      {FRAME_LEN})),
-                   (x, y) -> x || y)) AS sha,
+               -- nf = 0 guard (round-5 ADVICE): list_reduce raises on an
+               -- empty frame list; the kernel hashes the empty string, so
+               -- the oracle must stay total over any corpus.
+               CASE WHEN nf = 0 THEN sha256('')
+                    ELSE sha256(list_reduce(
+                        LIST_TRANSFORM(
+                            RANGE(0, CAST(nf AS INT), {FRAME_STRIDE}),
+                            i -> substring(text,
+                                           CAST(i * {FRAME_LEN} + 1 AS BIGINT),
+                                           {FRAME_LEN})),
+                        (x, y) -> x || y)) END AS sha,
                nb AS n_bytes
         FROM s
         ORDER BY item_id

@@ -373,6 +373,50 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def partition_prune_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning (DPP): the static form above prunes on
+    literal predicates; this one prunes the partitioned fact by the
+    RESULT OF A JOIN — the star-schema pattern ("this quarter's
+    dimension rows select which fact partitions exist at plan time
+    only as a subquery").  Catalyst inserts a
+    ``dynamicpruningexpression`` on the fact scan: at runtime the
+    filtered dim side is evaluated first and only the surviving
+    ``event_type=`` directories are listed/read — at 100 TB the
+    difference between scanning 2/5 of the table and all of it,
+    decided without any literal in the query.  tests/test_plans.py
+    pins the dynamicpruning subquery in the scan.
+
+    The dim's filter is on a NON-KEY column (a stored label), so
+    static predicate pushdown cannot see through it — only DPP can
+    prune here."""
+    ev = load_table(spark, "events", sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"dps_dpp_{os.getpid()}")
+    fact_dir = os.path.join(base, "fact")
+    dim_dir = os.path.join(base, "dim")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(fact_dir)
+    (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .withColumn("label", F.substring("event_type", 1, 1))
+        .write.mode("overwrite")
+        .parquet(dim_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).where(
+        F.col("label").isin("p", "s")  # purchase, signup
+    )
+    return (
+        fact.join(dim.select("event_type"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed tables + co-located join: both sides written
     ``bucketBy(8, orderkey).sortBy(orderkey)``, so the sort-merge join
@@ -482,12 +526,75 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Compaction target: one output file per this many input bytes.  128
+#: MiB is the production number (HDFS-block-ish, the small-file sweet
+#: spot for parquet scans); fixtures compact to a single file.
+COMPACT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every
+    streaming sink needs (per-epoch appends leave thousands of KB-sized
+    parquet files; metadata listing and per-file open costs then
+    dominate scans).  Simulates the problem by writing events as 64
+    fragments, then compacts: size the output file count from the
+    measured input bytes (``ceil(bytes / 128 MiB)``, min 1) and rewrite
+    with ``repartitionByRange(event_type, ts)`` so the compacted files
+    are also RANGE-CLUSTERED — scans filtered on type/time then skip
+    whole files via parquet min/max, the same reason the z-order query
+    above clusters.  This is exactly what Delta/Iceberg ``OPTIMIZE``
+    does, expressed with stock Spark.
+
+    Output = the lossless-compaction audit: exact row count and
+    checksums recomputed FROM THE COMPACTED FILES (equal to the
+    source's by the oracle) plus the two file-layout invariants as
+    booleans.  File counts come from a driver-side directory listing —
+    metadata at maintenance time, not data-plane work."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    base = os.path.join(tempfile.gettempdir(), f"dps_compact_{os.getpid()}")
+    small_dir = os.path.join(base, "small")
+    compact_dir = os.path.join(base, "compacted")
+    ev.repartition(64).write.mode("overwrite").parquet(small_dir)
+
+    def _parts(d: str) -> list[str]:
+        return [f for f in os.listdir(d) if f.startswith("part-")]
+
+    small_parts = _parts(small_dir)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(small_dir, f)) for f in small_parts
+    )
+    n_target = max(1, -(-total_bytes // COMPACT_TARGET_BYTES))
+    (
+        spark.read.parquet(small_dir)
+        .repartitionByRange(n_target, "event_type", "ts")
+        .write.mode("overwrite")
+        .parquet(compact_dir)
+    )
+    n_small, n_comp = len(small_parts), len(_parts(compact_dir))
+    comp = spark.read.parquet(compact_dir)
+    return comp.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("id_checksum"),
+        dsum("value", "value_checksum"),
+    ).select(
+        "n_rows",
+        "id_checksum",
+        "value_checksum",
+        F.lit(n_comp < n_small).alias("files_reduced"),
+        F.lit(n_comp <= n_target).alias("target_respected"),
+    )
+
+
 QUERIES = {
     "zorder_cluster_stats": zorder_cluster_stats,
+    "compact_small_files": compact_small_files,
     "sql_recursive_date_spine": sql_recursive_date_spine,
     "csv_roundtrip": csv_roundtrip,
     "schema_evolution_merge": schema_evolution_merge,
     "partitioned_write_prune": partitioned_write_prune,
+    "partition_prune_dynamic": partition_prune_dynamic,
     "join_bucketed_colocated": join_bucketed_colocated,
     "sql_api_cte_lateral": sql_api_cte_lateral,
     "jsonl_roundtrip": jsonl_roundtrip,
@@ -500,6 +607,26 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "partition_prune_dynamic": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sum_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE SUBSTRING(event_type, 1, 1) IN ('p', 's')
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "compact_small_files": """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   AS value_checksum,
+               TRUE AS files_reduced,
+               TRUE AS target_respected
+        FROM events
+    """,
     "sql_recursive_date_spine": """
         WITH RECURSIVE spine(d) AS (
             SELECT DATE '1995-01-01' AS d
@@ -622,7 +749,8 @@ ORACLE_SQL = {
         SELECT c_mktsegment,
                COUNT(*) AS n_rows,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_acctbal,
-               SUM(CASE WHEN from_batch THEN 1 ELSE 0 END) AS n_from_batch
+               CAST(SUM(CASE WHEN from_batch THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_from_batch
         FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     "orc_roundtrip": """

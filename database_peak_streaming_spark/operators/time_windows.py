@@ -366,8 +366,134 @@ def events_minute_load_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+#: EMA smoothing factor — matches streaming/stateful.EMA_ALPHA so the
+#: batch fold below is the driver-verifiable twin of the streaming op.
+EMA_FOLD_ALPHA = 0.2
+
+
+def ema_batch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key exponential moving average as a BATCH declarative fold —
+    the oracle-checkable twin of the streaming ``stateful_ema``
+    operator (streaming/stateful.py; same recurrence
+    ``ema_t = a*v_t + (1-a)*ema_{t-1}``, seeded ``ema_0 = v_0``).
+
+    A sequential recurrence has no window-algebra form (unlike CUSUM's
+    prefix-min trick above), but it IS a left fold — so the declarative
+    plan is collect_list -> array_sort -> ``F.aggregate`` (JVM
+    higher-order function, no Python).  Both engines fold the same
+    ts-ordered values with the same double arithmetic in the same
+    order, so the result is bit-identical before the 6dp rounding
+    (DuckDB's ``list_reduce`` seeds from the first element exactly like
+    the slice-init here).
+
+    Scale: one shuffle; per-key state is the key's full value list, so
+    keys are the parallelism unit and per-key cardinality the memory
+    bound — same contract as any per-key sequential scan (CUSUM above).
+    For unbounded keys the streaming stateful form (O(1) state per key)
+    is the production path; this batch form is the audit/backfill
+    path."""
+    ev = load_table(spark, "events", sf_dir)
+    a = F.lit(EMA_FOLD_ALPHA)
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    vals = F.transform(F.col("arr"), lambda s: s["value"])
+    ema = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(arr.alias("arr"))
+        .select(
+            "event_type",
+            F.size("arr").cast("long").alias("n_events"),
+            F.round(ema, 6).alias("final_ema"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inactivity-gap detection: emit every pair of
+    consecutive events more than 24 h apart — the monitoring primitive
+    behind churn alerts, sensor-dropout detection, and SLA "no data
+    since" pages (the dual of sessionization: the GAPS are the signal,
+    not the islands).
+
+    One shuffle on user_id feeding a lag window; the gap predicate is
+    row-local after that.  Gap length is exact integer epoch-second
+    arithmetic, so the filter and output are engine-identical."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).withColumn(
+        "gap_sec",
+        F.unix_timestamp("ts") - F.unix_timestamp("prev_ts"),
+    )
+    return (
+        gaps.filter(F.col("gap_sec") > 24 * 3600)
+        .select(
+            "user_id",
+            "prev_ts",
+            F.col("ts").alias("resumed_ts"),
+            "gap_sec",
+        )
+        .orderBy("user_id", "resumed_ts")
+    )
+
+
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 50-event Pearson correlation between value and
+    event-time per event type — the windowed trend detector (corr
+    against time ~ normalized slope direction) that drift monitors
+    threshold on; completes the window-function surface with a
+    BIVARIATE aggregate over a moving frame (everything else in the
+    windows pack is univariate).
+
+    One shuffle per key feeding one window sort; corr is a one-pass
+    co-moment fold in both engines, and the output keeps only FULL
+    50-row frames (rn >= 50), so no small-frame NULL/NaN edge where
+    engines disagree."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.unix_timestamp("ts").cast("double").alias("tsec"),
+    )
+    order = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    frame = order.rowsBetween(-49, Window.currentRow)
+    return (
+        base.withColumn("rn", F.row_number().over(order))
+        .withColumn("roll_corr", F.corr("value", "tsec").over(frame))
+        .filter(F.col("rn") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.round(F.min("roll_corr"), 6).alias("min_corr"),
+            F.round(F.max("roll_corr"), 6).alias("max_corr"),
+            F.sum((F.abs(F.col("roll_corr")) > 0.3).cast("long")).alias(
+                "n_trending"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "forecast_seasonal_naive_mae": forecast_seasonal_naive_mae,
+    "ema_batch_fold": ema_batch_fold,
+    "events_gap_detection": events_gap_detection,
+    "win_rolling_corr": win_rolling_corr,
     "window_hourly_topk": window_hourly_topk,
     "events_minute_load_percentiles": events_minute_load_percentiles,
     "cusum_drift_flags": cusum_drift_flags,
@@ -383,6 +509,60 @@ QUERIES = {
 _DEC = "DECIMAL(28,6)"
 
 ORACLE_SQL = {
+    "ema_batch_fold": f"""
+        WITH ordered AS (
+            SELECT event_type,
+                   LIST(value ORDER BY ts, event_id) AS vals
+            FROM events GROUP BY event_type)
+        SELECT event_type,
+               CAST(LEN(vals) AS BIGINT) AS n_events,
+               ROUND(LIST_REDUCE(vals,
+                     (acc, x) -> {EMA_FOLD_ALPHA} * x
+                                 + (1.0 - {EMA_FOLD_ALPHA}) * acc), 6)
+                   AS final_ema
+        FROM ordered
+        ORDER BY event_type
+    """,
+    "events_gap_detection": """
+        WITH g AS (
+            SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events)
+        SELECT user_id, prev_ts, ts AS resumed_ts,
+               -- FLOOR: Spark's unix_timestamp truncates to whole
+               -- seconds; DuckDB's epoch() keeps the fraction
+               CAST(FLOOR(epoch(ts)) - FLOOR(epoch(prev_ts)) AS BIGINT)
+                   AS gap_sec
+        FROM g
+        WHERE FLOOR(epoch(ts)) - FLOOR(epoch(prev_ts)) > 24 * 3600
+        ORDER BY user_id, resumed_ts
+    """,
+    "win_rolling_corr": """
+        WITH base AS (
+            SELECT event_type, ts, event_id, value,
+                   CAST(FLOOR(epoch(ts)) AS DOUBLE) AS tsec
+            FROM events),
+        rolled AS (
+            SELECT event_type,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS rn,
+                   CORR(value, tsec) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+                       AS roll_corr
+            FROM base)
+        SELECT event_type,
+               COUNT(*) AS n_frames,
+               ROUND(MIN(roll_corr), 6) AS min_corr,
+               ROUND(MAX(roll_corr), 6) AS max_corr,
+               CAST(SUM(CASE WHEN ABS(roll_corr) > 0.3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_trending
+        FROM rolled
+        WHERE rn >= 50
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "events_minute_load_percentiles": """
         WITH per_min AS (
             SELECT event_type, date_trunc('minute', ts) AS minute,

@@ -79,95 +79,21 @@ _MODULES = [
 #: (round 2 rotated in the multimodal binary-payload kernel and the S4
 #: binary peaks codec in place of two of the five scalar packs).
 _PRIORITY = [
-    # Round-5 rotation: COMPLETES driver coverage.  Slots 1-32 are the
-    # final 32 queries never hash-checked in rounds 1-4 (computed from
-    # the committed CORRECTNESS_r0*.json artifacts — see
-    # tests/test_registry.py, which derives the historical windows from
-    # those files rather than a hand-maintained copy).  Next come this
-    # round's NEW queries (never checked by construction).  The
-    # remaining slots are regression re-checks: the three TPC-H shapes
-    # whose scalar
-    # subqueries moved from driver-pull to plan-side broadcast this
-    # round (q11/q15/q22 — plans changed, so their green rows must be
-    # re-earned), plus a spread across every operator family that has
-    # been green in an earlier round's window.
+    # Round-6 rotation.  Slots 1-48 are drawn from the round-5
+    # ROTATION_POOL (the queries never driver-hash-checked through
+    # round 5 — see tests/test_registry.py, which derives the historical
+    # windows from the committed CORRECTNESS_r0*.json artifacts).  The
+    # last 2 slots re-earn the two round-5 red rows whose DuckDB oracles
+    # produced a HUGEINT column the driver canonicalizer renders
+    # differently from BIGINT (round-5 VERDICT "What's wrong" #1/#2 —
+    # both oracles now CAST back to BIGINT, and
+    # tests/test_oracle_types.py forbids the type class repo-wide).
+    # Window composition follows the VERDICT's ordering guidance: the 13
+    # §2B survey rows resting on the local gate first, then the
+    # algorithmically risky second-batch queries, then the remaining
+    # pool; 9 low-risk scalar rollups spill to ROTATION_POOL_NEXT_ROUND.
     #
-    # never driver-checked after r1+r2+r4 (32):
-    "sort_nulls_ordering",
-    "limit_offset_page",
-    "str_funcs_extra",
-    "date_funcs_extra",
-    "math_funcs",
-    "cond_funcs",
-    "json_variant_events",
-    "window_stride_downsample",
-    "text_repetition_score",
-    "text_redact_scan",
-    "text_unigram_logprob",
-    "text_top_terms",
-    "text_top_bigrams",
-    "text_token_count_bpe_ish",
-    "text_fingerprint",
-    "text_keyword_search",
-    "dedup_semdedup_kmeans",
-    "dedup_clusters_cc_lsh",
-    "dedup_minhash_lsh",
-    "dedup_minhash_keepers",
-    "dedup_minhash_keepers_md5",
-    "dedup_simhash",
-    "ann_ivf_kmeans",
-    "ann_rp_lsh",
-    "embedding_norms",
-    "udf_pandas_log1p",
-    "udf_cogroup_asof",
-    "multimodal_meta_filter_stats",
-    "split_summary_md5",
-    "decontaminate_test_overlap",
-    "curate_corpus_pipeline_lsh",
-    "scd2_user_state_history",
-    # new this round (never checked by construction):
-    "win_zscore_by_segment",
-    "dedup_minhash_lsh_md5",
-    "dedup_substring_spans",
-    "agg_hll_sketch_merge",
-    "orc_roundtrip",
-    "sample_weighted_ares",
-    "sample_stratified_fraction",
-    "agg_theta_sketch_sets",
-    "agg_kll_quantile_sketch",
-    "text_winnowing_fingerprint",
-    "delete_rewrite_gdpr",
-    "merge_upsert_scd1",
-    "text_bm25_topk",
-    "embedding_quantize_int8",
-    "corpus_mixture_weights",
-    # regression re-checks — the three TPC-H shapes whose plans changed
-    # this round (scalar subqueries moved from driver-pull to plan-side
-    # broadcast), so their green rows must be re-earned.  Representative
-    # re-checks of unchanged families (q1/q18/curate, green in r1/r2/r4)
-    # gave up their slots to the three new round-5 queries above — the
-    # window must contain every never-driver-checked name for the union
-    # to cover the registry (tests/test_registry.py pins this).
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q22_dormant_customers",
-]
-
-#: Queries added AFTER the round-5 window filled (the window must hold
-#: every name never checked in rounds 1-4, which consumes 47 of its 50
-#: slots; the remaining 3 re-earn the TPC-H shapes whose plans changed).
-#: These are therefore next round's rotation pool — each is local-gated
-#: (tests/test_differential.py, full DuckDB oracle except where noted)
-#: until the round-6 window picks them up.  tests/test_registry.py pins
-#: that the never-checked overflow is EXACTLY this list, so any new
-#: query must either enter the window or be added here deliberately.
-#:
-#: ROUND-6 ACTION (first thing next session): move these 44 names into
-#: _PRIORITY (they fit the 50-slot window with ~6 re-check slots to
-#: spare), derive the re-check picks from CORRECTNESS_r05.json, and
-#: seed a fresh pool for round-6 additions — that completes driver-hash
-#: coverage of every query registered through round 5.
-ROTATION_POOL_NEXT_ROUND = [
+    # §2B survey rows previously local-gate-only (14):
     "chunk_documents_overlap",
     "pack_sequences_greedy",
     "agg_histogram_fixed",
@@ -182,20 +108,19 @@ ROTATION_POOL_NEXT_ROUND = [
     "tfidf_top_terms_per_doc",
     "user_state_latest",
     "rag_retrieve_snippets",
-    # round-5 second batch (sketch/bit-level, graph, robust-stats,
-    # time-range frame, cohort, layout) — all with full DuckDB oracles:
+    # algorithmically risky second-batch queries (VERDICT task 5):
     "sketch_cms_heavy_hitters",
-    "agg_bitmap_exact_distinct",
-    "join_bloom_prefilter",
     "graph_pagerank_bipartite",
+    "join_bloom_prefilter",
+    "linkage_blocked_levenshtein",
+    "events_markov_transitions",
+    "agg_bitmap_exact_distinct",
     "agg_mad_outliers",
     "win_time_range_rolling",
     "events_retention_cohorts",
     "zorder_cluster_stats",
     "graph_degree_histogram",
-    "events_markov_transitions",
     "text_zipf_slope",
-    "linkage_blocked_levenshtein",
     "events_attribution_first_last",
     "udtf_sentence_split",
     "agg_equidepth_histogram",
@@ -203,30 +128,54 @@ ROTATION_POOL_NEXT_ROUND = [
     "sql_recursive_date_spine",
     "map_hof_funcs",
     "text_novelty_vs_train",
-    "abc_pareto_classification",
     "forecast_seasonal_naive_mae",
     "sim_maxsim_late_interaction",
     "dedup_ngram_containment",
     "multimodal_frame_sample",
     "text_langid_confusion",
-    "feature_minmax_scale",
     "orders_rfm_segmentation",
-    "window_hourly_topk",
     "text_lang_vocab_overlap",
     "join_asof_forward",
+    "join_asof_tolerance",
     "events_time_to_convert",
     "embedding_label_dispersion",
     "orders_market_basket_lift",
-    "events_dau_wau_mau",
     "ab_test_lift_ztest",
-    "events_user_entropy",
     "dedup_rate_by_source",
+    "source_lang_drift_chi2",
+    # round-5 red-row re-earns (oracle HUGEINT casts fixed this round):
+    "json_variant_events",
+    "merge_upsert_scd1",
+]
+
+#: The round-7 rotation pool: the 9 low-risk scalar rollups the round-6
+#: window could not fit (57-name round-5 pool, 48 slots after the two
+#: red-row re-earns), plus any query added during round 6 (new queries
+#: append here deliberately).  Each is local-gated
+#: (tests/test_differential.py, full DuckDB oracle) until the round-7
+#: window picks it up.  tests/test_registry.py pins that the
+#: never-driver-checked overflow is EXACTLY this list, so any new query
+#: must either enter the window or be added here.
+ROTATION_POOL_NEXT_ROUND = [
+    # round-5 second-batch spillover (simple scalar/rollup shapes):
+    "abc_pareto_classification",
+    "feature_minmax_scale",
+    "window_hourly_topk",
+    "events_dau_wau_mau",
+    "events_user_entropy",
     "events_minute_load_percentiles",
     "orders_yoy_growth",
-    "source_lang_drift_chi2",
-    "join_asof_tolerance",
     "agg_bitwise_funcs",
     "agg_geometric_mean",
+    # round-6 additions (full DuckDB oracles, local-gated):
+    "ema_batch_fold",
+    "events_gap_detection",
+    "win_rolling_corr",
+    "agg_regression_by_group",
+    "graph_triangle_count",
+    "join_interval_binned",
+    "compact_small_files",
+    "partition_prune_dynamic",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

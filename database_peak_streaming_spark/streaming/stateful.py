@@ -33,6 +33,26 @@ except ImportError:  # pragma: no cover - older Spark
 
 STATE_SCHEMA = T.StructType([T.StructField("last_minute_epoch", T.LongType())])
 
+#: Idle horizon before a key's state is evicted (event-time).
+IDLE_TIMEOUT_MS = 3_600_000
+
+
+def _idle_timeout_ts(state: GroupState, batch_max_ts) -> int:
+    """Event-time eviction timestamp for a key that was just processed.
+
+    Normally ``watermark + 1h``.  In the FIRST micro-batch, however,
+    ``getCurrentWatermarkMs()`` is still 0 (the watermark only advances
+    AFTER a batch completes), so ``0 + 1h`` = epoch+1h — any key absent
+    from the second batch would be evicted immediately regardless of
+    real idleness, silently dropping one cross-batch transition
+    (round-5 ADVICE).  When the watermark has not advanced yet, derive
+    the base from the batch's own max event time (session tz is pinned
+    UTC, so the naive pandas timestamp IS epoch-UTC)."""
+    wm = state.getCurrentWatermarkMs()
+    if wm <= 0 and batch_max_ts is not None:
+        wm = int(pd.Timestamp(batch_max_ts).value // 1_000_000)
+    return wm + IDLE_TIMEOUT_MS
+
 
 def minute_first_output_schema(key_field: T.StructField) -> T.StructType:
     return T.StructType(
@@ -78,8 +98,11 @@ def stateful_minute_first(
             return
         (last_minute,) = state.get if state.exists else (-1,)
         out = []
+        batch_max = None
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
+            mx = pdf[ts_col].max()
+            batch_max = mx if batch_max is None else max(batch_max, mx)
             minutes = pdf[ts_col].dt.floor("60s")
             for ts, minute, value in zip(pdf[ts_col], minutes, pdf[value_col]):
                 epoch_min = int(minute.timestamp())
@@ -87,7 +110,7 @@ def stateful_minute_first(
                     out.append((key[0], minute, ts, float(value)))
                     last_minute = epoch_min
         state.update((last_minute,))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        state.setTimeoutTimestamp(_idle_timeout_ts(state, batch_max))
         if out:
             yield pd.DataFrame(
                 out, columns=[key_col, "minute_start", ts_col, value_col]
@@ -211,7 +234,7 @@ def stateful_ema(stream: DataFrame, watermark_delay: str = "10 minutes") -> Data
             out_ema.append(ema)
         if out_ema:
             state.update((float(ema),))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        state.setTimeoutTimestamp(_idle_timeout_ts(state, pdf["ts"].max()))
         yield pd.DataFrame(
             {
                 "channel": pdf["channel"].astype("int64"),
@@ -286,15 +309,18 @@ def stateful_cusum(
             return
         (s,) = state.get if state.exists else (0,)
         out = []
+        batch_max = None
         for pdf in pdfs:
             pdf = pdf.sort_values([ts_col, id_col])
+            mx = pdf[ts_col].max()
+            batch_max = mx if batch_max is None else max(batch_max, mx)
             for ts, eid, val in zip(pdf[ts_col], pdf[id_col], pdf[value_col]):
                 y = int(math.floor(abs(val) * 1_000_000 + 0.5)) - ref_micros
                 s = max(0, s + y)
                 if s > h_micros:
                     out.append((key[0], ts, int(eid), s / 1_000_000))
         state.update((s,))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        state.setTimeoutTimestamp(_idle_timeout_ts(state, batch_max))
         if out:
             yield pd.DataFrame(out, columns=[key_col, ts_col, id_col, "cusum"])
 
@@ -363,15 +389,18 @@ def stateful_transitions(
             return
         (last,) = state.get if state.exists else (None,)
         out = []
+        batch_max = None
         for pdf in pdfs:
             pdf = pdf.sort_values([ts_col, id_col])
+            mx = pdf[ts_col].max()
+            batch_max = mx if batch_max is None else max(batch_max, mx)
             for t in pdf[type_col]:
                 if last is not None:
                     out.append((key[0], last, t))
                 last = t
         if last is not None:
             state.update((last,))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        state.setTimeoutTimestamp(_idle_timeout_ts(state, batch_max))
         if out:
             yield pd.DataFrame(
                 out, columns=[key_col, "prev_type", "next_type"]

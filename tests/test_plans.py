@@ -184,7 +184,18 @@ def test_dedup_pair_generation_is_equi_join(spark):
     """Every near-dup candidate generator must plan its pair stage as an
     EQUI-join (prefix-token / LSH-band / RP-band keys) — a
     CartesianProduct or nested-loop join in any of these plans means the
-    sub-quadratic candidate design regressed to all-pairs."""
+    sub-quadratic candidate design regressed to all-pairs.  The raw
+    xxhash64 LSH forms left the driver registry in round 6 (no portable
+    oracle) but remain library functions — they stay plan-audited here."""
+    from database_peak_streaming_spark.operators.dedup import (
+        dedup_clusters_cc_lsh,
+        dedup_minhash_lsh,
+    )
+
+    lib_fns = {
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_clusters_cc_lsh": dedup_clusters_cc_lsh,
+    }
     for name in (
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
@@ -192,7 +203,8 @@ def test_dedup_pair_generation_is_equi_join(spark):
         "cosine_pairs_threshold",
         "dedup_embedding_cosine",
     ):
-        plan = E.formatted_plan(QUERIES[name](spark, SF_DIR))
+        fn = QUERIES.get(name) or lib_fns[name]
+        plan = E.formatted_plan(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans a nested-loop join"
@@ -359,3 +371,72 @@ def test_tfidf_broadcasts_doc_count(spark):
     """tfidf: N enters as a broadcast scalar, never a driver pull."""
     df = QUERIES["tfidf_top_terms_per_doc"](spark, SF_DIR)
     assert E.has_broadcast_join(df), E.formatted_plan(df)
+
+
+def test_forced_broadcasts_are_bounded_cardinality():
+    """Round-5 VERDICT task 4: a hand-forced ``F.broadcast(x)`` is a
+    hard promise that ``x`` stays executor-memory-sized at 100 TB.
+    This source-level gate extracts every ``F.broadcast(<arg>)`` call
+    site under operators/ and requires the argument's leading
+    identifier to be on the reviewed allowlist below — a new forced
+    broadcast must be consciously added here with a boundedness
+    argument, and an unbounded one (the round-5 offender was the
+    vocabulary-sized ``part_n`` support table in the market-basket
+    query) can never silently return.  AQE still broadcasts
+    small-at-runtime sides on its own; this gate only polices the
+    FORCED hints."""
+    import pathlib
+    import re
+
+    ops_dir = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "database_peak_streaming_spark"
+        / "operators"
+    )
+    # Reviewed bounded inputs: 1-row aggregates / scalar stats (total,
+    # n_total, n_df, n_orders, threshold, max_rev, est, merged,
+    # global_*, stats, ref, pos, oq, remaining, n_docs), per-group
+    # constant-cardinality rollups (pct, med, mad, profile, sizes,
+    # lang_n, band, centroid, filt, keys), genuine dim tables or
+    # filter-reduced sides of the TPC-H shapes (n, n1, n2, r, cn, sn,
+    # p, s, eu_supp, bad, dominant, conv, cohort), and fixed-size
+    # query/probe sets (queries, qtok, topk).
+    allowed = {
+        "total", "n_total", "n_df", "n_orders", "threshold", "max_rev",
+        "est", "merged", "global_exact", "global_bounds", "stats",
+        "ref", "pos", "oq", "remaining", "n_docs", "pct", "med", "mad",
+        "profile", "sizes", "lang_n", "band", "centroid", "filt",
+        "keys", "n", "n1", "n2", "r", "cn", "sn", "p", "s", "eu_supp",
+        "bad", "dominant", "conv", "cohort", "queries", "qtok", "topk",
+    }
+    pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
+    offenders = []
+    for f in sorted(ops_dir.glob("*.py")):
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            for m in pat.finditer(line):
+                if m.group(1) not in allowed:
+                    offenders.append(f"{f.name}:{i} F.broadcast({m.group(1)}...)")
+    assert not offenders, (
+        "forced broadcast on an un-reviewed input (is it bounded at "
+        f"100 TB? if so, add it to the allowlist): {offenders}"
+    )
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """join_interval_binned's whole point is turning the interval-
+    overlap theta join into a (customer, month-cell) equi-join — a
+    CartesianProduct or nested-loop in its plan means the binning
+    regressed to all-pairs."""
+    df = QUERIES["join_interval_binned"](spark, SF_DIR)
+    plan = E.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """partition_prune_dynamic must carry a dynamicpruning subquery on
+    the partitioned fact scan — without it the join reads all 5
+    event_type partitions and the operator's premise is gone."""
+    df = QUERIES["partition_prune_dynamic"](spark, SF_DIR)
+    plan = E.formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan

@@ -21,17 +21,19 @@ CHECK_WINDOW = 50
 
 _ROOT = pathlib.Path(__file__).resolve().parents[1]
 
-#: Queries whose output is seeded by an engine-specific hash
-#: (xxhash64 minhash signatures / random-permutation band ids) and so
-#: cannot be value-hash-compared with a DuckDB recompute.  Each is
-#: rows-gated by the driver AND hash-gated through its paired
-#: ``check_*`` invariant query (operators/checks.py), which IS fully
-#: oracled and driver-green.
-ROWS_ONLY_WITH_CHECK_GATE = {
-    "dedup_minhash_lsh": "check_dedup_minhash_lsh",
-    "dedup_minhash_keepers": "check_dedup_minhash_keepers",
-    "dedup_clusters_cc_lsh": "check_dedup_clusters_cc_lsh",
-    "curate_corpus_pipeline_lsh": "check_curate_corpus_pipeline_lsh",
+#: Queries deliberately REMOVED from the driver-facing registry in
+#: round 6 (round-5 VERDICT "What's wrong" #3): their minhash
+#: permutations are seeded by Spark's xxhash64, so no portable SQL
+#: oracle can exist and a driver slot can only report ``err:
+#: no_oracle``.  Each survives as a library function with pytest
+#: recall/invariant coverage plus a driver-green ``check_*`` gate or
+#: md5-portable twin; they appear in CORRECTNESS_r05.json keys, which
+#: is why the union math below must exclude them.
+REMOVED_FROM_DRIVER_SURFACE = {
+    "dedup_minhash_lsh",
+    "dedup_minhash_keepers",
+    "dedup_clusters_cc_lsh",
+    "curate_corpus_pipeline_lsh",
 }
 
 
@@ -54,12 +56,11 @@ def test_priority_names_unique():
 
 
 def test_window_completes_driver_coverage():
-    """Round-5 contract: the current prefix must contain EVERY query the
-    driver had never checked as of round 4 — the window's 50 slots are
-    consumed by those 47 names + 3 plan-changed re-checks, so queries
-    ADDED after the window filled overflow into the pinned
-    ``ROTATION_POOL_NEXT_ROUND`` (each local-gated until round 6).  Any
-    other overflow is a coverage regression."""
+    """Round-6 contract: every registered query the driver has never
+    hash-checked must sit either in the current 50-slot prefix or in
+    the pinned ``ROTATION_POOL_NEXT_ROUND`` (9 low-risk spillover
+    rollups + round-6 additions).  Any other overflow is a coverage
+    regression."""
     union = _driver_checked_union()
     window = set(list(registry.QUERIES)[:CHECK_WINDOW])
     never = {n for n in registry._ALL_QUERIES if n not in union}
@@ -77,8 +78,7 @@ def test_window_completes_driver_coverage():
 def test_every_category_represented_in_checked_union():
     """Union-coverage: every module has a representative in SOME
     driver-verified window, the current prefix, or the pinned next-round
-    rotation pool (operators/chunking.py exists only in the pool until
-    the round-6 window picks it up)."""
+    rotation pool."""
     union = (
         _driver_checked_union()
         | set(list(registry.QUERIES)[:CHECK_WINDOW])
@@ -93,26 +93,34 @@ def test_every_category_represented_in_checked_union():
 
 
 def test_previously_checked_names_still_registered():
-    """Rotation must not silently drop previously-verified queries."""
-    missing = [n for n in _driver_checked_union() if n not in registry.QUERIES]
+    """Rotation must not silently drop previously-verified queries —
+    only the four documented no-oracle removals may vanish."""
+    missing = [
+        n
+        for n in _driver_checked_union()
+        if n not in registry.QUERIES and n not in REMOVED_FROM_DRIVER_SURFACE
+    ]
     assert not missing, f"driver-verified queries vanished: {missing}"
 
 
-def test_check_window_is_oracled_or_check_gated():
-    """Every slot in the bounded check window must carry a SQL oracle,
-    except the documented hash-seeded ops — each of those must have its
-    paired ``check_*`` invariant query registered, oracled, and already
-    driver-green (CORRECTNESS_r04)."""
-    r04 = json.load(open(_ROOT / "CORRECTNESS_r04.json"))
-    for name in list(registry.QUERIES)[:CHECK_WINDOW]:
-        if name in registry.ORACLE_SQL:
-            continue
-        gate = ROWS_ONLY_WITH_CHECK_GATE.get(name)
-        assert gate is not None, f"{name} has no oracle and no check gate"
-        assert gate in registry.ORACLE_SQL, f"{gate} lost its oracle"
-        assert r04.get(gate, {}).get("hash_match"), (
-            f"{name}'s gate {gate} is not driver-green"
-        )
+def test_removed_names_stay_removed_but_alive():
+    """The no-oracle removals must NOT re-enter the driver surface (a
+    re-registration re-creates guaranteed ``err`` rows) and must still
+    exist as library functions."""
+    from database_peak_streaming_spark.operators import curation, dedup
+
+    assert not REMOVED_FROM_DRIVER_SURFACE & set(registry._ALL_QUERIES)
+    for name in REMOVED_FROM_DRIVER_SURFACE:
+        mod = curation if name.startswith("curate") else dedup
+        assert callable(getattr(mod, name))
+
+
+def test_every_registered_query_has_an_oracle():
+    """Round-6 contract (VERDICT task 2): zero ``err: no_oracle`` rows
+    possible by construction — EVERY name in queries() carries an
+    oracle_sql() entry, not just the bounded window."""
+    missing = [n for n in registry.QUERIES if n not in registry.ORACLE_SQL]
+    assert not missing, f"registered queries without an oracle: {missing}"
 
 
 def test_registry_complete():

@@ -320,3 +320,66 @@ def test_stateful_transitions_match_batch_markov(spark, tmpdir_):
     # exactly one transition row
     n_users = ev.select("user_id").distinct().count()
     assert sum(streamed.values()) == ev.count() - n_users
+
+
+def test_transitions_state_survives_absent_middle_batch(spark, tmpdir_):
+    """Round-5 ADVICE regression guard: in the FIRST micro-batch the
+    watermark is still 0, so an event-time timeout derived from
+    ``getCurrentWatermarkMs() + 1h`` is epoch+1h — any key absent from
+    the second batch would be evicted immediately and its cross-batch
+    transition silently lost.  The fix derives the first-batch timeout
+    from the batch's max event time; this test pins it with a user who
+    skips the middle micro-batch but returns within the 1 h idle
+    horizon."""
+    import datetime as dt
+
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+    from database_peak_streaming_spark.streaming.stateful import (
+        stateful_transitions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, user, minutes, typ):
+        return (user, t0 + dt.timedelta(minutes=minutes), eid, typ)
+
+    rows = [
+        ev(1, 100, 0, "click"),      # chunk 1: A present
+        ev(2, 200, 1, "view"),       # chunk 1
+        ev(3, 200, 10, "click"),     # chunk 2: A ABSENT
+        ev(4, 200, 20, "purchase"),  # chunk 2
+        ev(5, 100, 30, "purchase"),  # chunk 3: A returns (30 min < 1 h)
+        ev(6, 200, 31, "view"),      # chunk 3
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    stream, replay_dir = replay_dataframe(spark, df, n_chunks=3, order_col="ts")
+
+    out = []
+
+    def sink(batch_df, _):
+        out.extend(batch_df.collect())
+
+    try:
+        q = (
+            stateful_transitions(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", f"{tmpdir_}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert not q.isActive
+    finally:
+        cleanup_replay(replay_dir)
+
+    got = {(r.user_id, r.prev_type, r.next_type) for r in out}
+    # the cross-batch transition for the user who skipped a batch:
+    assert (100, "click", "purchase") in got, got
+    # conservation: one transition per event after each user's first
+    assert len(out) == len(rows) - 2
