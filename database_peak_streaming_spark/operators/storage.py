@@ -193,6 +193,86 @@ def merge_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a daily rollup kept
+    current by MERGING a late-arrival delta batch into the stored
+    aggregate — the algebra every streaming ``foreachBatch`` upsert sink
+    relies on (counts and decimal sums are commutative monoids, so
+    ``merge(rollup(on_time), rollup(late)) == rollup(all)`` — which is
+    exactly what the oracle recomputes from scratch).
+
+    The split is deterministic (``event_id % 10 == 0`` plays the late
+    cohort); both sides roll up independently, then one full-outer join
+    on the (day, type) grain coalesces and ADDS the partials.  At 100 TB
+    the base side is the stored MV (grain-sized, not event-sized) and
+    only the delta touches raw events — re-aggregating history is the
+    thing this pattern exists to avoid.  ``n_late`` audits how many rows
+    the delta contributed to each grain."""
+    ev = load_table(spark, "events", sf_dir)
+    grain = [F.to_date("ts").alias("day"), F.col("event_type")]
+
+    def _rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(*grain).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(T.DecimalType(28, 6))).alias("_dsum"),
+        )
+
+    base = _rollup(ev.where(F.col("event_id") % 10 != 0))
+    delta = _rollup(ev.where(F.col("event_id") % 10 == 0))
+    merged = (
+        base.alias("b")
+        .join(
+            delta.alias("d"),
+            (F.col("b.day") == F.col("d.day"))
+            & (F.col("b.event_type") == F.col("d.event_type")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("b.day"), F.col("d.day")).alias("day"),
+            F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias(
+                "event_type"
+            ),
+            (
+                F.coalesce(F.col("b.n_events"), F.lit(0))
+                + F.coalesce(F.col("d.n_events"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(
+                    F.col("b._dsum"), F.lit(0).cast(T.DecimalType(28, 6))
+                )
+                + F.coalesce(
+                    F.col("d._dsum"), F.lit(0).cast(T.DecimalType(28, 6))
+                )
+            )
+            .cast("double")
+            .alias("sum_value"),
+            F.coalesce(F.col("d.n_events"), F.lit(0)).alias("n_late"),
+        )
+    )
+    return merged.orderBy("day", "event_type")
+
+
+def stat_crosstab_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrame stat API surface (``df.stat.crosstab``): exact
+    contingency table of event_type x user cohort — the categorical
+    co-occurrence matrix behind chi-square drift checks (the long-form
+    chi-square query computes its own cells; this is the engine's
+    built-in wide form).  crosstab is one hash aggregation + pivot
+    under the hood; cohort cardinality (4) bounds the width, so the
+    wide row stays executor-safe at any event count."""
+    ev = load_table(spark, "events", sf_dir)
+    ct = (
+        ev.withColumn("cohort", F.concat(F.lit("c"), F.col("user_id") % 4))
+        .stat.crosstab("event_type", "cohort")
+    )
+    # crosstab's first column is the literal "event_type_cohort"; cell
+    # columns arrive in data order — normalize both for the contract
+    cols = sorted(c for c in ct.columns if c != "event_type_cohort")
+    return ct.select(
+        F.col("event_type_cohort").alias("event_type"), *cols
+    ).orderBy("event_type")
+
+
 def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS beyond rollup/cube: exactly the sets asked for,
     via the SQL surface (the DataFrame API has no direct equivalent)."""
@@ -590,6 +670,8 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "zorder_cluster_stats": zorder_cluster_stats,
     "compact_small_files": compact_small_files,
+    "incremental_rollup_merge": incremental_rollup_merge,
+    "stat_crosstab_types": stat_crosstab_types,
     "sql_recursive_date_spine": sql_recursive_date_spine,
     "csv_roundtrip": csv_roundtrip,
     "schema_evolution_merge": schema_evolution_merge,
@@ -615,6 +697,32 @@ ORACLE_SQL = {
                COUNT(DISTINCT user_id) AS n_users
         FROM events
         WHERE SUBSTRING(event_type, 1, 1) IN ('p', 's')
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "incremental_rollup_merge": """
+        SELECT CAST(ts AS DATE) AS day,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sum_value,
+               CAST(SUM(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_late
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY day, event_type
+    """,
+    "stat_crosstab_types": """
+        SELECT event_type,
+               CAST(SUM(CASE WHEN user_id % 4 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN user_id % 4 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN user_id % 4 = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2,
+               CAST(SUM(CASE WHEN user_id % 4 = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c3
+        FROM events
         GROUP BY event_type
         ORDER BY event_type
     """,

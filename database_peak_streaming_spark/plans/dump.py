@@ -114,6 +114,25 @@ PICKS = {
         "prefix-block equi-join bounds candidates; the containment "
         "verifier is two row-local array HOFs, no gram explode"
     ),
+    "graph_triangle_count": (
+        "degree-ordered orientation: wedges enumerated from O(sqrt(m))-"
+        "bounded out-neighbor lists, closed by one equi-join on the "
+        "undirected edge set — no cartesian at any skew"
+    ),
+    "join_interval_binned": (
+        "interval-overlap theta join rewritten as a (customer, month-"
+        "cell) equi-join; the exact overlap predicate filters candidates "
+        "post-join"
+    ),
+    "partition_prune_dynamic": (
+        "dynamicpruningexpression on the fact scan: the filtered dim "
+        "side selects which event_type directories are read at runtime"
+    ),
+    "ema_batch_fold": (
+        "sequential recurrence as a declarative fold: one shuffle to "
+        "per-key sorted arrays, then a JVM aggregate HOF — no Python, "
+        "no iteration"
+    ),
 }
 
 
@@ -133,8 +152,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         "pushdown, pruning, broadcast strategy, shuffle budgets, codegen spans.",
         "",
     ]
+    # the raw xxhash64 LSH form left the driver registry in round 6 but
+    # stays plan-documented as a library function
+    from database_peak_streaming_spark.operators.dedup import dedup_minhash_lsh
+
+    lib_fns = {"dedup_minhash_lsh": dedup_minhash_lsh}
     for name, note in PICKS.items():
-        tree = E.formatted_plan(QUERIES[name](spark, sf_dir)).split("\n\n")[0]
+        fn = QUERIES.get(name) or lib_fns[name]
+        tree = E.formatted_plan(fn(spark, sf_dir)).split("\n\n")[0]
         out += [f"## {name}", "", f"*{note}*", "", "```", tree, "```", ""]
     Path(__file__).parents[2].joinpath("PLANS.md").write_text("\n".join(out))
 

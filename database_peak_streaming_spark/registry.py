@@ -176,6 +176,8 @@ ROTATION_POOL_NEXT_ROUND = [
     "join_interval_binned",
     "compact_small_files",
     "partition_prune_dynamic",
+    "incremental_rollup_merge",
+    "stat_crosstab_types",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -170,3 +170,77 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def merge_rollup_delta(mv: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Monoid merge of a (day, event_type) rollup delta into the stored
+    materialized view — the per-batch step of the streaming MV sink
+    (the batch-checkable algebra is ``operators/storage.
+    incremental_rollup_merge``: counts and decimal sums add, so
+    merging per-batch rollups equals re-aggregating from scratch).
+    ``mv`` is None on the first batch."""
+    if mv is None:
+        return delta
+    from pyspark.sql import types as T
+
+    zero = F.lit(0).cast(T.DecimalType(28, 6))
+    return (
+        mv.alias("m")
+        .join(
+            delta.alias("d"),
+            (F.col("m.day") == F.col("d.day"))
+            & (F.col("m.event_type") == F.col("d.event_type")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("m.day"), F.col("d.day")).alias("day"),
+            F.coalesce(F.col("m.event_type"), F.col("d.event_type")).alias(
+                "event_type"
+            ),
+            (
+                F.coalesce(F.col("m.n_events"), F.lit(0))
+                + F.coalesce(F.col("d.n_events"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(F.col("m._dsum"), zero)
+                + F.coalesce(F.col("d._dsum"), zero)
+            ).alias("_dsum"),
+        )
+    )
+
+
+def rollup_mv_sink(spark, mv_dir: str):
+    """``foreachBatch`` sink maintaining a (day, event_type) rollup MV
+    on parquet: each micro-batch is rolled up to the grain (delta is
+    grain-sized, never event-sized) and monoid-merged into the stored
+    view — the streaming materialized-view pattern whose correctness
+    the batch query ``incremental_rollup_merge`` proves declaratively
+    (stream==batch equality is pinned in tests/test_streaming.py).
+
+    Scale: per batch this reads/writes the MV (grain-sized); the raw
+    history is never re-aggregated — the point of incremental
+    maintenance.  For exactly-once under retries compose with
+    ``streaming/upsert.KeyedUpsertStore``; this sink is the
+    minimal-algebra form for at-most-once replay drives."""
+    import os
+
+    def _sink(batch_df: DataFrame, _epoch: int) -> None:
+        delta = batch_df.groupBy(
+            F.to_date("ts").alias("day"), F.col("event_type")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("_dsum"),
+        )
+        mv = spark.read.parquet(mv_dir) if os.path.exists(mv_dir) else None
+        merged = merge_rollup_delta(mv, delta)
+        # copy-on-write: the merge READS mv_dir, so write the new
+        # version beside it and swap — no driver-side materialization,
+        # grain-sized IO only (the KeyedUpsertStore pattern, minimal)
+        import shutil
+
+        nxt = mv_dir + ".next"
+        merged.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(mv_dir, ignore_errors=True)
+        os.replace(nxt, mv_dir)
+
+    return _sink

@@ -871,3 +871,50 @@ def test_stream_distinct_users_sketch_bounded(spark, tmpdir_):
         assert abs(est - ex) / ex <= 0.05, (w, est, ex)
         # incremental merge == single-pass sketch (determinism)
         assert est == batch_est, (w, est, batch_est)
+
+
+def test_rollup_mv_stream_matches_batch(spark, tmpdir_):
+    """Streaming materialized-view maintenance: replaying events through
+    the foreachBatch rollup-MV sink must leave the stored view EQUAL to
+    the one-shot batch rollup — the monoid-merge algebra the batch
+    query `incremental_rollup_merge` proves declaratively, here pinned
+    across micro-batch boundaries."""
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.ops import rollup_mv_sink
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    stream, replay_dir = replay_dataframe(spark, ev, n_chunks=4, order_col="ts")
+    mv_dir = f"{tmpdir_}/rollup_mv"
+    try:
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(rollup_mv_sink(spark, mv_dir))
+            .option("checkpointLocation", f"{tmpdir_}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert not q.isActive
+    finally:
+        cleanup_replay(replay_dir)
+
+    got = {
+        (r.day, r.event_type): (r.n_events, r._dsum)
+        for r in spark.read.parquet(mv_dir).collect()
+    }
+    want = {
+        (r.day, r.event_type): (r.n_events, r._dsum)
+        for r in ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("_dsum"),
+        )
+        .collect()
+    }
+    assert got == want
