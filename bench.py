@@ -75,6 +75,15 @@ HEADLINE = [
     "sketch_cms_heavy_hitters",
     "join_bloom_prefilter",
     "win_time_range_rolling",
+    # round-6 additions (the heaviest stay out: graph_triangle_count's
+    # wedge volume at sf0.1 belongs in the scaled tier, not the
+    # per-round loop)
+    "ema_batch_fold",
+    "events_gap_detection",
+    "join_interval_binned",
+    "incremental_rollup_merge",
+    "agg_regression_by_group",
+    "text_feature_hashing",
 ]
 
 #: Size-stable cross-round comparison set (round-5 VERDICT task 6): the

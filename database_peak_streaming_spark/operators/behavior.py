@@ -235,6 +235,102 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("prev_type", "next_type")
 
 
+def events_top_action_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining at the 3-gram level: the 20 most
+    frequent ordered action triples across all per-user event
+    sequences, with the share of all trigrams each captures — the
+    order-aware step past the Markov pair matrix above (A->B->C flows
+    that pair counts factor away), and the workhorse query behind
+    journey mining / funnel discovery.
+
+    Same shape as the Markov query: ONE shuffle on user_id feeds two
+    lag exprs over one window sort, then a groupBy on the tiny
+    (t1,t2,t3) key (|types|^3 max).  Counts are exact longs; the
+    share divides by the exact global trigram total (broadcast
+    scalar).  Top-20 tie-broken on the full triple."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).where(F.col("t1").isNotNull())
+    grams = seq.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = grams.agg(F.sum("n").alias("n_total"))
+    return (
+        grams.crossJoin(F.broadcast(total))
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "n",
+            F.round(F.col("n") / F.col("n_total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(20)
+    )
+
+
+def orders_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order revenue within each
+    nation — the inequality/concentration measure behind "is our
+    revenue dangerously whale-dependent?" panels (0 = uniform, ->1 =
+    one customer is the book).  Uses the exact rank formula
+    ``G = 2*sum(i*x_i) / (n*sum(x)) - (n+1)/n`` over revenue sorted
+    ascending, fully tie-broken on (revenue, custkey) so ranks are
+    engine-independent.
+
+    Plan: fact collapses to per-customer revenue (one shuffle), nation
+    broadcast onto customer, one rank window per nation, then a
+    |nations|-key rollup.  Revenue and the i*x products are exact
+    decimal sums — the division is the only float step."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("rev")
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "o_custkey", "rev")
+    )
+    w = Window.partitionBy("n_name").orderBy("rev", "o_custkey")
+    ranked = per_cust.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev").cast("double").alias("total_rev"),
+            (
+                (
+                    F.lit(2.0)
+                    * F.sum(F.col("i") * F.col("rev")).cast("double")
+                )
+                / (
+                    F.count(F.lit(1))
+                    * F.sum("rev").cast("double")
+                )
+                - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1))
+            ).alias("_g"),
+        )
+        .select(
+            "n_name",
+            "n_customers",
+            F.round("total_rev", 2).alias("total_rev"),
+            F.round("_g", 6).alias("gini"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def events_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch / last-touch conversion attribution: for every user
     whose history contains a 'purchase', find the first event type in
@@ -510,6 +606,8 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "events_funnel_ordered": events_funnel_ordered,
+    "events_top_action_trigrams": events_top_action_trigrams,
+    "orders_revenue_gini": orders_revenue_gini,
     "ab_test_lift_ztest": ab_test_lift_ztest,
     "events_user_entropy": events_user_entropy,
     "orders_rfm_segmentation": orders_rfm_segmentation,
@@ -525,6 +623,48 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_top_action_trigrams": """
+        WITH seq AS (
+            SELECT LAG(event_type, 2) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS t1,
+                   LAG(event_type, 1) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS t2,
+                   event_type AS t3
+            FROM events),
+        grams AS (
+            SELECT t1, t2, t3, COUNT(*) AS n
+            FROM seq WHERE t1 IS NOT NULL
+            GROUP BY t1, t2, t3),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM grams)
+        SELECT t1, t2, t3, n,
+               ROUND(n / n_total, 6) AS share
+        FROM grams, tot
+        ORDER BY n DESC, t1, t2, t3
+        LIMIT 20
+    """,
+    "orders_revenue_gini": """
+        WITH per_cust AS (
+            SELECT n_name, o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name, o_custkey),
+        ranked AS (
+            SELECT n_name, rev,
+                   ROW_NUMBER() OVER (PARTITION BY n_name
+                       ORDER BY rev, o_custkey) AS i
+            FROM per_cust)
+        SELECT n_name,
+               COUNT(*) AS n_customers,
+               ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS total_rev,
+               ROUND((2.0 * CAST(SUM(i * rev) AS DOUBLE))
+                         / (COUNT(*) * CAST(SUM(rev) AS DOUBLE))
+                     - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+        FROM ranked
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
     "ab_test_lift_ztest": """
         WITH per_user AS (
             SELECT user_id,

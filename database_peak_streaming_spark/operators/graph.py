@@ -92,10 +92,14 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting on the supplier co-occurrence graph (an edge
-    links two suppliers that filled the same order) — the clustering /
+    """Triangle counting on the PART co-occurrence graph (an edge links
+    two parts bought in the same order) — the clustering /
     community-density primitive the bipartite modules above can't have
-    (bipartite graphs are triangle-free by construction).
+    (bipartite graphs are triangle-free by construction).  Parts, not
+    suppliers, because the part key space is large enough that the
+    graph stays sparse (~0.1% density at sf0.1) — the supplier
+    co-occurrence graph saturates to near-complete, where triangle
+    counting degenerates to C(n,3).
 
     Algorithm: degree-ordered edge orientation (the standard
     distributed-triangle design, cf. Suri & Vassilvitskii "Counting
@@ -116,10 +120,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_peak_streaming_spark.sources.batch import load_table
 
     li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_suppkey"
+        "l_orderkey", "l_partkey"
     ).distinct()
-    a = li.select("l_orderkey", F.col("l_suppkey").alias("u"))
-    b = li.select("l_orderkey", F.col("l_suppkey").alias("v"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
     und = (
         a.join(b, "l_orderkey")
         .where(F.col("u") < F.col("v"))
@@ -259,10 +263,10 @@ ORACLE_SQL = {
     "graph_pagerank_bipartite": _pagerank_sql(),
     "graph_triangle_count": """
         WITH und AS (
-            SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-            FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
-            JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
-              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+            JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
         tri AS (
             SELECT COUNT(*) AS n_triangles
             FROM und e1

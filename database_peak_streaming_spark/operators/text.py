@@ -700,7 +700,48 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: feature-hashing dimensionality (the "hashing trick" bucket count)
+HASH_FEATURES = 64
+
+
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML'09): tokens mapped to
+    a FIXED 64-bucket feature space by hashing — the vocabulary-free
+    featurizer behind `HashingTF` / scalable bag-of-words, and the only
+    tokenizer-to-vector path whose memory is O(buckets) regardless of
+    vocabulary growth (no dictionary to build, broadcast, or keep in
+    sync across a 1000-executor fleet — the reason it exists at
+    100 TB).  Bucket = first-two-hex-digits of md5(token) mod 64, so
+    assignment is engine-portable (same rule the md5-minhash family
+    uses) and the oracle recomputes it digit-by-digit.
+
+    Output: the 64-row corpus bucket profile (occurrences, distinct
+    tokens, docs touched) — collision structure made visible; the
+    per-doc vector is the same explode one groupBy earlier.  Plan:
+    explode -> md5 -> two tiny-key aggregations, nothing
+    vocabulary-sized survives past the distinct."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(_tokens()).alias("tok")
+    ).where(F.col("tok") != "")
+    bucketed = tok.select(
+        "doc_id",
+        "tok",
+        (F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10).cast("long") % HASH_FEATURES).alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("tok").alias("n_distinct_tokens"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
+    "text_feature_hashing": text_feature_hashing,
     "text_zipf_slope": text_zipf_slope,
     "text_langid_confusion": text_langid_confusion,
     "text_lang_vocab_overlap": text_lang_vocab_overlap,
@@ -737,6 +778,27 @@ for _, _pat in REDACT_PATTERNS:
     _REDACTED_SQL = f"REGEXP_REPLACE({_REDACTED_SQL}, '{_pat}', '<MASK>', 'g')"
 
 ORACLE_SQL = {
+    "text_feature_hashing": f"""
+        WITH tok AS (
+            SELECT doc_id, t.token AS tok
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+            WHERE t.token <> ''),
+        bucketed AS (
+            SELECT doc_id, tok,
+                   ((STRPOS('0123456789abcdef',
+                            SUBSTRING(md5(tok), 1, 1)) - 1) * 16
+                    + (STRPOS('0123456789abcdef',
+                              SUBSTRING(md5(tok), 2, 1)) - 1))
+                   % {HASH_FEATURES} AS bucket
+            FROM tok)
+        SELECT bucket,
+               COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT tok) AS n_distinct_tokens,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM bucketed
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
     "text_zipf_slope": """
         WITH tok AS (
             SELECT t.token AS token

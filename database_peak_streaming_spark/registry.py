@@ -178,6 +178,9 @@ ROTATION_POOL_NEXT_ROUND = [
     "partition_prune_dynamic",
     "incremental_rollup_merge",
     "stat_crosstab_types",
+    "events_top_action_trigrams",
+    "orders_revenue_gini",
+    "text_feature_hashing",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
