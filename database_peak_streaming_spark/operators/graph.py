@@ -129,12 +129,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
+        # edge list is consumed FOUR times (degrees, both orientation
+        # joins, the closing join) — materialize once and cut lineage,
+        # exactly the pagerank_ranks pattern, or the static plan
+        # repeats the order-pair build under every consumer
+        .localCheckpoint()
     )
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))

@@ -273,6 +273,64 @@ def stat_crosstab_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def table_diff_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two table versions: row-level
+    INSERT/UPDATE/DELETE classification by full-outer-joining the
+    versions on the primary key and comparing attribute fingerprints —
+    what Delta's CDF / Iceberg's changelog scan computes, expressed
+    with stock Spark (and the audit every blue/green migration runs
+    before cutover).
+
+    v1 derives deterministically from the fixture (every 50th customer
+    re-priced, every 250th spawning a new key, every 97th-shifted key
+    dropped), so the oracle recomputes the diff declaratively.  One
+    shuffle on the key; the change-type predicate is row-local.
+    Output: every changed key with its type and old/new balance,
+    ordered — unchanged rows never leave the join."""
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    v1 = (
+        c.where(F.col("c_custkey") % 97 != 3)  # deletes
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 50 == 0, F.col("c_acctbal") + 1000.0
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 250 == 0).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                "c_mktsegment",
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    diff = (
+        c.alias("o")
+        .join(
+            v1.alias("n"),
+            F.col("o.c_custkey") == F.col("n.c_custkey"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias(
+                "c_custkey"
+            ),
+            F.when(F.col("o.c_custkey").isNull(), "insert")
+            .when(F.col("n.c_custkey").isNull(), "delete")
+            .when(
+                F.col("o.c_acctbal") != F.col("n.c_acctbal"), "update"
+            )
+            .alias("change_type"),
+            F.round(F.col("o.c_acctbal"), 2).alias("old_acctbal"),
+            F.round(F.col("n.c_acctbal"), 2).alias("new_acctbal"),
+        )
+        .where(F.col("change_type").isNotNull())
+    )
+    return diff.orderBy("change_type", "c_custkey")
+
+
 def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS beyond rollup/cube: exactly the sets asked for,
     via the SQL surface (the DataFrame API has no direct equivalent)."""
@@ -671,6 +729,7 @@ QUERIES = {
     "zorder_cluster_stats": zorder_cluster_stats,
     "compact_small_files": compact_small_files,
     "incremental_rollup_merge": incremental_rollup_merge,
+    "table_diff_cdf": table_diff_cdf,
     "stat_crosstab_types": stat_crosstab_types,
     "sql_recursive_date_spine": sql_recursive_date_spine,
     "csv_roundtrip": csv_roundtrip,
@@ -699,6 +758,29 @@ ORACLE_SQL = {
         WHERE SUBSTRING(event_type, 1, 1) IN ('p', 's')
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "table_diff_cdf": """
+        WITH v1 AS (
+            SELECT c_custkey, c_mktsegment,
+                   CASE WHEN c_custkey % 50 = 0 THEN c_acctbal + 1000.0
+                        ELSE c_acctbal END AS c_acctbal
+            FROM customer WHERE c_custkey % 97 <> 3
+            UNION ALL
+            SELECT c_custkey + 10000000, c_mktsegment, 0.0
+            FROM customer WHERE c_custkey % 250 = 0),
+        diff AS (
+            SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+                   CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                        WHEN n.c_custkey IS NULL THEN 'delete'
+                        WHEN o.c_acctbal <> n.c_acctbal THEN 'update'
+                   END AS change_type,
+                   ROUND(o.c_acctbal, 2) AS old_acctbal,
+                   ROUND(n.c_acctbal, 2) AS new_acctbal
+            FROM customer o FULL OUTER JOIN v1 n
+              ON o.c_custkey = n.c_custkey)
+        SELECT * FROM diff
+        WHERE change_type IS NOT NULL
+        ORDER BY change_type, c_custkey
     """,
     "incremental_rollup_merge": """
         SELECT CAST(ts AS DATE) AS day,

@@ -181,6 +181,7 @@ ROTATION_POOL_NEXT_ROUND = [
     "events_top_action_trigrams",
     "orders_revenue_gini",
     "text_feature_hashing",
+    "table_diff_cdf",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
