@@ -105,6 +105,37 @@ def stream_stream_interval_join_left(
     return lw.join(rw, cond, "leftOuter")
 
 
+def stream_stream_interval_join_full(
+    left: DataFrame,
+    right: DataFrame,
+    key_l: str,
+    key_r: str,
+    ts_l: str,
+    ts_r: str,
+    delay: str,
+    upper: str,
+) -> DataFrame:
+    """FULL OUTER form of the interval join (Spark >= 3.1): matched
+    pairs emit like the inner form; unmatched rows from EITHER side
+    emit null-padded once the watermark proves no partner can still
+    arrive.  Completes the stream-stream join family (inner / left /
+    full) — the reconciliation shape ("every click AND every purchase
+    accounted for, matched where possible") that audit pipelines run
+    continuously.  Same physical plan as the other two: both streams
+    hash-shuffle on the equality key with watermark-bounded buffers;
+    the right side's unmatched state is held ``delay`` and the left's
+    ``delay + upper``, exactly the left-outer bounds plus the mirrored
+    right-side eviction."""
+    lw = as_event_time(left, ts_l).withWatermark(ts_l, delay)
+    rw = as_event_time(right, ts_r).withWatermark(ts_r, delay)
+    cond = (
+        (F.col(key_l) == F.col(key_r))
+        & (F.col(ts_r) >= F.col(ts_l))
+        & (F.col(ts_r) <= F.col(ts_l) + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, "fullOuter")
+
+
 def tumbling_counts(
     stream: DataFrame, ts_col: str, length: str, delay: str
 ) -> DataFrame:

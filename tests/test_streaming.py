@@ -918,3 +918,102 @@ def test_rollup_mv_stream_matches_batch(spark, tmpdir_):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_full_outer_join_matches_batch(spark, tmpdir_):
+    """FULL OUTER interval join: matched pairs equal the batch join and
+    UNMATCHED rows from BOTH sides emit null-padded after their state
+    expires — compared against the batch full join on the
+    watermark-closed prefix (sentinels push the final watermark past
+    every real row)."""
+    import datetime as dt
+
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.ops import (
+        stream_stream_interval_join_full,
+    )
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+
+    ev = load_table(spark, "events", SF_DIR)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    # signups join clicks-within-30min: both sides have unmatched rows
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("signup_user"),
+        F.col("ts").alias("signup_ts"),
+    )
+    max_ts = max(r.ts for r in ev.select(F.max("ts").alias("ts")).collect())
+    far = max_ts + dt.timedelta(days=2)
+    cs, c_dir = replay_dataframe(
+        spark, clicks, n_chunks=3, order_col="click_ts",
+        sentinel_row={"click_id": -1, "click_user": -1, "click_ts": far},
+    )
+    ss, s_dir = replay_dataframe(
+        spark, signups, n_chunks=3, order_col="signup_ts",
+        sentinel_row={"signup_id": -1, "signup_user": -2, "signup_ts": far},
+    )
+    try:
+        got = _collect_stream(
+            spark,
+            stream_stream_interval_join_full(
+                cs, ss, "click_user", "signup_user",
+                "click_ts", "signup_ts", "2 hours", "30 MINUTES",
+            ),
+            f"{tmpdir_}/ckpt",
+            timeout_s=180,
+        )
+    finally:
+        cleanup_replay(c_dir)
+        cleanup_replay(s_dir)
+    got = [
+        r
+        for r in got
+        if (r.click_id is None or r.click_id >= 0)
+        and (r.signup_id is None or r.signup_id >= 0)
+    ]
+    closed_before = far - dt.timedelta(hours=3, minutes=30)
+    batch = (
+        clicks.join(
+            signups,
+            (F.col("click_user") == F.col("signup_user"))
+            & (F.col("signup_ts") >= F.col("click_ts"))
+            & (
+                F.col("signup_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+            "full",
+        )
+        .filter(
+            (F.col("click_ts").isNull() | (F.col("click_ts") < F.lit(closed_before)))
+            & (F.col("signup_ts").isNull() | (F.col("signup_ts") < F.lit(closed_before)))
+        )
+        .select("click_id", "signup_id")
+        .collect()
+    )
+
+    def _closed(r) -> bool:
+        for c in ("click_ts", "signup_ts"):
+            v = getattr(r, c)
+            if v is not None and v.replace(tzinfo=None) >= closed_before:
+                return False
+        return True
+
+    def _key(p):
+        return (p[0] is None, p[0] or 0, p[1] is None, p[1] or 0)
+
+    got_pairs = sorted(
+        ((r.click_id, r.signup_id) for r in got if _closed(r)), key=_key
+    )
+    batch_pairs = sorted(
+        ((r.click_id, r.signup_id) for r in batch), key=_key
+    )
+    assert any(s is None for _, s in batch_pairs), "no unmatched clicks"
+    assert any(c is None for c, _ in batch_pairs), "no unmatched signups"
+    assert got_pairs == batch_pairs
