@@ -420,3 +420,94 @@ def stateful_transitions(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# -- incremental weighted reservoir (A-Res) --------------------------------
+
+RESERVOIR_K = 10
+
+RESERVOIR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.DoubleType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("weights", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def stateful_weighted_reservoir(
+    stream: DataFrame,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    k: int = RESERVOIR_K,
+) -> DataFrame:
+    """Per-key incremental weighted reservoir (A-Res, Efraimidis &
+    Spirakis 2006) over a stream: keep the k rows with the smallest
+    ``-ln(u)/w`` where u derives from md5 of the row id — the SAME
+    content-keyed rule as the batch ``sample_weighted_ares``
+    (operators/sampling.py), so the streamed reservoir after any
+    replay equals the batch sample exactly (A-Res top-k is an
+    associative merge; content-derived uniforms remove the RNG).
+
+    This is the streaming form of sample-proportional-to-volume corpus
+    mixing: a training-blend sampler that stays exact while documents
+    arrive continuously.  State per key: the k-row reservoir (three
+    parallel arrays) — O(k) regardless of stream length; no timeout
+    (the reservoir is the durable artifact, not a window).  Emits the
+    CURRENT reservoir each micro-batch (update semantics; the last
+    emission per key is the final sample)."""
+    import hashlib
+    import math
+
+    m = float(16**13)
+    key_field = stream.schema[key_col]
+    out_schema = T.StructType(
+        [
+            key_field,
+            T.StructField(id_col, T.LongType()),
+            T.StructField(weight_col, T.LongType()),
+            T.StructField("ares_key", T.DoubleType()),
+        ]
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            keys, ids, weights = state.get
+            cur = list(zip(keys, ids, weights))
+        else:
+            cur = []
+        for pdf in pdfs:
+            for i, w in zip(pdf[id_col], pdf[weight_col]):
+                hx = hashlib.md5(str(int(i)).encode()).hexdigest()[:13]
+                u = (float(int(hx, 16)) + 1.0) / (m + 1.0)
+                cur.append((-math.log(u) / float(w), int(i), int(w)))
+        cur.sort(key=lambda t: (t[0], t[1]))
+        cur = cur[:k]
+        state.update(
+            (
+                [t[0] for t in cur],
+                [t[1] for t in cur],
+                [t[2] for t in cur],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(cur),
+                id_col: [t[1] for t in cur],
+                weight_col: [t[2] for t in cur],
+                "ares_key": [t[0] for t in cur],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=RESERVOIR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -383,3 +383,80 @@ def test_transitions_state_survives_absent_middle_batch(spark, tmpdir_):
     assert (100, "click", "purchase") in got, got
     # conservation: one transition per event after each user's first
     assert len(out) == len(rows) - 2
+
+
+def test_weighted_reservoir_stream_matches_batch(spark, tmpdir_):
+    """The streamed per-language A-Res reservoir after a chunked replay
+    must equal the batch top-k computed with the SAME content-keyed
+    rule (sample_weighted_ares's md5 uniforms, partitioned by lang) —
+    A-Res top-k merge is associative, so chunking must not matter."""
+    from pyspark.sql import Window
+
+    from database_peak_streaming_spark.operators.sampling import (
+        ARES_BITS_M,
+        _md5_of,
+    )
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+    from database_peak_streaming_spark.streaming.stateful import (
+        RESERVOIR_K,
+        stateful_weighted_reservoir,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR).select(
+        "lang", "doc_id", "n_chars"
+    )
+    stream, replay_dir = replay_dataframe(
+        spark, docs, n_chunks=4, order_col="doc_id"
+    )
+    last_emission: dict[str, list] = {}
+
+    def sink(batch_df, _):
+        pdf = batch_df.toPandas()
+        for lang, grp in pdf.groupby("lang"):
+            last_emission[lang] = sorted(
+                (r.ares_key, r.doc_id, r.n_chars) for r in grp.itertuples()
+            )
+
+    try:
+        q = (
+            stateful_weighted_reservoir(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", f"{tmpdir_}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert not q.isActive
+    finally:
+        cleanup_replay(replay_dir)
+
+    u = (
+        F.conv(F.substring(_md5_of("doc_id"), 1, 13), 16, 10).cast("double")
+        + 1.0
+    ) / (ARES_BITS_M + 1.0)
+    key = -F.log(u) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("lang").orderBy(F.col("k").asc(), "doc_id")
+    want_rows = (
+        docs.select("lang", "doc_id", "n_chars", key.alias("k"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= RESERVOIR_K)
+        .collect()
+    )
+    want: dict[str, list] = {}
+    for r in want_rows:
+        want.setdefault(r.lang, []).append((r.k, r.doc_id, r.n_chars))
+    for lang in want:
+        want[lang].sort()
+    assert set(last_emission) == set(want)
+    for lang in want:
+        got = last_emission[lang]
+        exp = want[lang]
+        assert [g[1] for g in got] == [e[1] for e in exp], lang
+        for g, e in zip(got, exp):
+            assert abs(g[0] - e[0]) < 1e-12
+            assert g[2] == e[2]
