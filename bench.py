@@ -260,6 +260,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Round-5 VERDICT task 8 (executor-warm plan reuse), resolved:
+        # the min-of-3 protocol below already measures WARM-EXECUTOR /
+        # COLD-PLAN numbers — each timed run builds a fresh plan (no
+        # shuffle-file reuse) inside a JIT-warmed JVM with a spawned
+        # Python-worker pool.  A separate same-DataFrame "warm reuse"
+        # column would time shuffle-file reuse, which the round-4
+        # retraction showed understates execution; deliberately not
+        # reported.
+        "protocol": "min-of-3, fresh plan per run, warmed JVM+workers",
     }
 
     if oracle_timings:

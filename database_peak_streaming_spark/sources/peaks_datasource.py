@@ -32,8 +32,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from database_peak_streaming_spark.sources.binary import (
@@ -197,3 +199,103 @@ class PeaksBinaryDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return PeaksBinarySimpleStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "PeaksBinaryWriter":
+        if overwrite:
+            path = self.options.get("path")
+            if path and os.path.isdir(path):
+                for f in os.listdir(path):
+                    if f.endswith(".peaks"):
+                        os.remove(os.path.join(path, f))
+        return PeaksBinaryWriter(
+            self.options, int(self.options.get("num_channels", "4"))
+        )
+
+
+class _PeaksCommitMessage(WriterCommitMessage):
+    def __init__(self, path: str, n_frames: int):
+        self.path = path
+        self.n_frames = n_frames
+
+
+class PeaksBinaryWriter(DataSourceWriter):
+    """Sink half of the ``peaksbin`` format: re-encode decoded long rows
+    back into length-prefixed binary frames — the write path that makes
+    the custom DataSource a full ROUND-TRIP format (read -> transform ->
+    write -> read equality is pinned in tests/test_peaks_datasource.py).
+
+    Each task writes its partition's frames to one ``part-<id>.peaks``
+    under a task-unique name (no cross-task coordination), and commit
+    messages carry the written paths — the same
+    task-commit/driver-commit protocol Spark's file sinks use, so a
+    failed task leaves only an orphan file that overwrite-cleanup
+    removes.  Rows are grouped per (serial_number, ts) into frames; the
+    per-frame channel layout is reconstructed from the max channel
+    index (counts vector), wavelengths concatenated in (channel,
+    peak_idx) order — the exact inverse of ``_decode_one``."""
+
+    def __init__(self, options: dict, num_channels: int):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("peaksbin: .save(path) is required")
+        self.num_channels = num_channels
+
+    def write(self, rows) -> _PeaksCommitMessage:
+        import os
+        import uuid
+
+        from database_peak_streaming_spark.sources.binary import (
+            encode_peaks_frame,
+        )
+
+        os.makedirs(self.path, exist_ok=True)
+        # group this partition's rows by (serial, ts) preserving order
+        frames: dict[tuple, dict[int, list[tuple[int, float]]]] = {}
+        for row in rows:
+            key = (row.serial_number, row.ts)
+            frames.setdefault(key, {}).setdefault(row.channel, []).append(
+                (row.peak_idx, row.wavelength)
+            )
+        encoded = []
+        for (serial, ts), by_ch in sorted(frames.items()):
+            counts = [0] * self.num_channels
+            wavelengths: list[float] = []
+            # channels are 1-based in the decoded long form
+            # (hyperion.py:442-453 numbering; _decode_one enumerates
+            # from 1) — matrix row i holds channel i+1
+            for ch in range(1, self.num_channels + 1):
+                peaks = sorted(by_ch.get(ch, []))
+                counts[ch - 1] = len(peaks)
+                wavelengths.extend(wl for _, wl in peaks)
+            if hasattr(ts, "value"):  # pandas Timestamp: exact ns
+                epoch_ns = int(ts.value)
+            else:  # datetime: exact integer micros (float .timestamp()
+                # has ~238 ns ulp at 2023 epochs and truncates)
+                import datetime as _dt
+
+                epoch_us = (
+                    ts - _dt.datetime(1970, 1, 1, tzinfo=ts.tzinfo)
+                ) // _dt.timedelta(microseconds=1)
+                epoch_ns = epoch_us * 1000
+            encoded.append(
+                encode_peaks_frame(
+                    serial_number=int(serial),
+                    timestamp_int=epoch_ns // 1_000_000_000,
+                    timestamp_frac=epoch_ns % 1_000_000_000,
+                    counts=counts,
+                    wavelengths=wavelengths,
+                )
+            )
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.peaks")
+        write_peaks_file(out, encoded)
+        return _PeaksCommitMessage(out, len(encoded))
+
+    def commit(self, messages) -> None:
+        # driver-side commit: nothing to finalize for plain files; the
+        # messages exist so abort() can distinguish committed parts
+        return None
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)

@@ -153,3 +153,59 @@ def test_datasource_stream_matches_batch(spark, tmpdir_):
         if r.serial_number in {1000, 1001, 1002}
     ]
     assert len(replay) == len(batch_a)
+
+
+def test_datasource_write_read_roundtrip(spark, tmpdir_):
+    """Full custom-format round-trip through the DataSourceWriter: read
+    .peaks -> filter -> write .peaks via df.write.format('peaksbin')
+    -> read back; the surviving rows must be value-identical and the
+    dropped channel absent."""
+    import os
+
+    from database_peak_streaming_spark.sources.peaks_datasource import (
+        PeaksBinaryDataSource,
+        write_peaks_file,
+    )
+
+    spark.dataSource.register(PeaksBinaryDataSource)
+    src = f"{tmpdir_}/src"
+    os.makedirs(src)
+    write_peaks_file(f"{src}/a.peaks", _fixture_frames(6))
+    write_peaks_file(f"{src}/b.peaks", _fixture_frames(5))
+
+    df = (
+        spark.read.format("peaksbin")
+        .option("num_channels", "4")
+        .load(src)
+    )
+    kept = df.where("channel <> 2")
+    dst = f"{tmpdir_}/dst"
+    (
+        kept.write.format("peaksbin")
+        .option("num_channels", "4")
+        .mode("overwrite")
+        .save(dst)
+    )
+    assert any(f.endswith(".peaks") for f in os.listdir(dst))
+    back = (
+        spark.read.format("peaksbin")
+        .option("num_channels", "4")
+        .load(dst)
+    )
+    key = lambda r: (r.serial_number, r.ts, r.channel, r.peak_idx)
+    want = sorted(kept.collect(), key=key)
+    got = sorted(back.collect(), key=key)
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert key(g) == key(w)
+        assert abs(g.wavelength - w.wavelength) < 1e-12
+    assert back.where("channel = 2").count() == 0
+    # overwrite mode really replaces: a second write leaves only its
+    # own parts
+    kept.limit(0).write.format("peaksbin").option("num_channels", "4").mode(
+        "overwrite"
+    ).save(dst)
+    back2 = (
+        spark.read.format("peaksbin").option("num_channels", "4").load(dst)
+    )
+    assert back2.count() == 0
