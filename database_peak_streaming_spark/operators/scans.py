@@ -82,7 +82,53 @@ def catalog_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,) for n in names], "table_name string")
 
 
+#: primary-key column per fixture table (manifest checksum basis)
+_PK = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_linenumber",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version manifest: one row per fixture table with its row
+    count, column count, and an exact key checksum — the snapshot
+    fingerprint a data-versioning layer (DVC / Delta snapshot / lakeFS
+    commit) records so "did anything change since the last run?" is one
+    tiny table compare instead of a 100 TB diff.  The checksum bases on
+    the integer key column (engine-portable exact arithmetic; content
+    hashing of float/text columns would hang cross-engine equality on
+    value FORMATTING, which is exactly what the differential harness
+    exists to avoid).
+
+    Ten independent tiny aggregates unioned — each is one scan of only
+    its key column (column pruning leaves every other byte unread), so
+    the manifest costs key-column IO, not table IO."""
+    parts = []
+    for t in sorted(_PK):
+        pk = _PK[t]
+        parts.append(
+            load_table(spark, t, sf_dir).agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(pk).cast("long")).alias("key_checksum"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
 QUERIES = {
+    "dataset_manifest": dataset_manifest,
     "scan_project_rename": scan_project_rename,
     "filter_predicates": filter_predicates,
     "filter_scalar_subquery": filter_scalar_subquery,
@@ -90,6 +136,48 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dataset_manifest": """
+            SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(c_custkey AS BIGINT)) AS BIGINT)
+                       AS key_checksum FROM customer
+            UNION ALL
+            SELECT 'documents' AS table_name, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(doc_id AS BIGINT)) AS BIGINT)
+                       AS key_checksum FROM documents
+            UNION ALL
+            SELECT 'embeddings' AS table_name, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(vec_id AS BIGINT)) AS BIGINT)
+                       AS key_checksum FROM embeddings
+            UNION ALL
+            SELECT 'events' AS table_name, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(event_id AS BIGINT)) AS BIGINT)
+                       AS key_checksum FROM events
+            UNION ALL
+            SELECT 'lineitem' AS table_name, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT)
+                       AS key_checksum FROM lineitem
+            UNION ALL
+            SELECT 'nation' AS table_name, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(n_nationkey AS BIGINT)) AS BIGINT)
+                       AS key_checksum FROM nation
+            UNION ALL
+            SELECT 'orders' AS table_name, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT)
+                       AS key_checksum FROM orders
+            UNION ALL
+            SELECT 'part' AS table_name, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(p_partkey AS BIGINT)) AS BIGINT)
+                       AS key_checksum FROM part
+            UNION ALL
+            SELECT 'region' AS table_name, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(r_regionkey AS BIGINT)) AS BIGINT)
+                       AS key_checksum FROM region
+            UNION ALL
+            SELECT 'supplier' AS table_name, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(s_suppkey AS BIGINT)) AS BIGINT)
+                       AS key_checksum FROM supplier
+        ORDER BY table_name
+    """,
     "scan_project_rename": """
         SELECT p_partkey AS part_id, p_name AS part_name,
                p_retailprice AS price, p_size AS size,

@@ -182,6 +182,7 @@ ROTATION_POOL_NEXT_ROUND = [
     "orders_revenue_gini",
     "text_feature_hashing",
     "table_diff_cdf",
+    "dataset_manifest",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
