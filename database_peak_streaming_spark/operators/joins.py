@@ -285,12 +285,15 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     into an EQUI-join: every interval is exploded onto the month cells
     it touches (a 14-day interval touches at most 2), the join keys on
     (customer, cell) — hash-shuffleable, AQE-skew-handleable — and the
-    exact overlap predicate then filters the candidates; ``distinct``
-    removes the dual-cell duplicates.  Candidates are superset-exact:
-    two intervals can only overlap if they share a touched cell, so
-    binning loses nothing (cell size >= interval length guarantees it).
-    This is the standard interval-bucketing trick (cf. Spark's own
-    range-join hints in Databricks runtime / the DE-9IM grid family).
+    exact overlap predicate then filters the candidates.  Candidates
+    are superset-exact: two intervals can only overlap if they share a
+    touched cell, so binning loses nothing (cell size >= interval
+    length guarantees it).  Dual-cell duplicates are eliminated by
+    CELL OWNERSHIP, not a distinct: a pair is emitted only in the cell
+    that contains max(start_a, start_b) — exactly one cell owns every
+    overlapping pair, so no dedup shuffle exists in the plan at all
+    (the standard reporting trick of grid spatial joins; cf. the
+    DE-9IM grid family / Spark range-join binning).
 
     The ORACLE uses the naive theta form — same answer, engine-checkable.
 
@@ -336,6 +339,12 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("okey_a") < F.col("okey_b"))
             & (F.col("start_a") < F.col("end_b"))
             & (F.col("start_b") < F.col("end_a"))
+            # cell ownership: only the cell of the later start reports
+            # the pair — exactly-once without any dedup shuffle
+            & (
+                F.col("cell")
+                == F.trunc(F.greatest("start_a", "start_b"), "month")
+            )
         )
         .select(
             "custkey",
@@ -345,7 +354,6 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least("end_a", "end_b"), F.greatest("start_a", "start_b")
             ).alias("overlap_days"),
         )
-        .distinct()
     )
     return pairs.orderBy("custkey", "okey_a", "okey_b")
 
