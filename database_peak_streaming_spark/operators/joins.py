@@ -333,8 +333,14 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_d").alias("start_b"),
         F.col("end_d").alias("end_b"),
     )
+    # the binned side is DATA-sized (rows x cells-touched), so a
+    # broadcast would be scale-wrong even where AQE's size estimate
+    # allows it at fixture scale; the merge hint pins a shuffle join —
+    # and because both sides are the SAME generated subtree, AQE
+    # dedupes the two exchanges into one (ReusedExchange): the whole
+    # candidate stage costs a single shuffle of the binned rows
     pairs = (
-        a.join(b, ["custkey", "cell"])
+        a.join(b.hint("merge"), ["custkey", "cell"])
         .where(
             (F.col("okey_a") < F.col("okey_b"))
             & (F.col("start_a") < F.col("end_b"))

@@ -440,3 +440,15 @@ def test_dynamic_partition_pruning_fires(spark):
     df = QUERIES["partition_prune_dynamic"](spark, SF_DIR)
     plan = E.formatted_plan(df)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_interval_join_reuses_one_exchange(spark):
+    """The self-join's two sides are the same generated subtree; the
+    merge hint + AQE must execute them as ONE shuffle (ReusedExchange),
+    never a broadcast of the data-sized binned side."""
+    df = QUERIES["join_interval_binned"](spark, SF_DIR)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in ep, ep
+    assert "ReusedExchange" in ep, ep
+    assert "BroadcastHashJoin" not in ep, ep
