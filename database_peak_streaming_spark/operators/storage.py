@@ -273,6 +273,57 @@ def stat_crosstab_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def sql_script_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed median via bisection, written in Spark 4 SQL
+    SCRIPTING (``BEGIN … WHILE … END``) — two surfaces in one: the
+    procedural-SQL control flow new in Spark 4, and the classic
+    exact-quantile-at-scale algorithm (a sort-free median: ~40
+    count-predicate scans instead of one global sort, the textbook
+    trade when 100 TB makes sorting the column prohibitive but scans
+    are cheap and cacheable).
+
+    The loop narrows [lo, hi] on "count(value <= mid) >= ceil(n/2)";
+    after 40 halvings the bracket is ~1e-9 wide, so exactly ONE data
+    value sits in (lo, hi] and a final MIN lookup returns the exact
+    lower-median ELEMENT — which is what the oracle's QUANTILE_DISC
+    recomputes, so the check is exact equality, not tolerance.
+
+    Each iteration is one distributed aggregate; the scripting runtime
+    owns the loop (no Python between scans beyond the sql() call)."""
+    from database_peak_streaming_spark.sources.batch import register_tables
+
+    register_tables(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE lo DOUBLE DEFAULT 0.0;
+          DECLARE hi DOUBLE DEFAULT 1000000.0;
+          DECLARE mid DOUBLE;
+          DECLARE c BIGINT;
+          DECLARE n BIGINT;
+          DECLARE target BIGINT;
+          DECLARE i INT DEFAULT 0;
+          SET n = (SELECT COUNT(*) FROM events);
+          SET target = CAST(CEIL(n / 2.0) AS BIGINT);
+          WHILE i < 40 DO
+            SET mid = (lo + hi) / 2.0;
+            SET c = (SELECT COUNT(*) FROM events WHERE value <= mid);
+            IF c >= target THEN
+              SET hi = mid;
+            ELSE
+              SET lo = mid;
+            END IF;
+            SET i = i + 1;
+          END WHILE;
+          SELECT (SELECT MIN(value) FROM events WHERE value > lo)
+                     AS median_disc,
+                 n AS n_rows;
+        END
+        """
+    )
+
+
 def table_diff_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed between two table versions: row-level
     INSERT/UPDATE/DELETE classification by full-outer-joining the
@@ -730,6 +781,7 @@ QUERIES = {
     "compact_small_files": compact_small_files,
     "incremental_rollup_merge": incremental_rollup_merge,
     "table_diff_cdf": table_diff_cdf,
+    "sql_script_median_bisect": sql_script_median_bisect,
     "stat_crosstab_types": stat_crosstab_types,
     "sql_recursive_date_spine": sql_recursive_date_spine,
     "csv_roundtrip": csv_roundtrip,
@@ -758,6 +810,11 @@ ORACLE_SQL = {
         WHERE SUBSTRING(event_type, 1, 1) IN ('p', 's')
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "sql_script_median_bisect": """
+        SELECT QUANTILE_DISC(value, 0.5) AS median_disc,
+               COUNT(*) AS n_rows
+        FROM events
     """,
     "table_diff_cdf": """
         WITH v1 AS (

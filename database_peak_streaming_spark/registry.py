@@ -183,6 +183,7 @@ ROTATION_POOL_NEXT_ROUND = [
     "text_feature_hashing",
     "table_diff_cdf",
     "dataset_manifest",
+    "sql_script_median_bisect",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
