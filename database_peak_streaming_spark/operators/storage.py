@@ -96,6 +96,50 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML write + schema-given read round-trip (supplier) — the fourth
+    format surface (parquet/ORC columnar, CSV/JSON-lines text, XML
+    nested-markup; Spark 4 ships the former spark-xml as a built-in
+    source).  Same discipline as the other round-trips: explicit schema
+    on re-read, and the aggregate runs on the RE-READ rows so the
+    parquet-sourced oracle proves the format preserved values."""
+    s = load_table(spark, "supplier", sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), f"dps_xml_roundtrip_{os.getpid()}"
+    )
+    (
+        s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.format("xml")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .mode("overwrite")
+        .save(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(schema)
+        .load(path)
+    )
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dsum("s_acctbal", "sum_acctbal"),
+            F.min("s_name").alias("first_name"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
 def delete_rewrite_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level delete on an immutable columnar store, the
     copy-on-write way (what DELETE means on parquet without a table
@@ -782,6 +826,7 @@ QUERIES = {
     "incremental_rollup_merge": incremental_rollup_merge,
     "table_diff_cdf": table_diff_cdf,
     "sql_script_median_bisect": sql_script_median_bisect,
+    "xml_roundtrip": xml_roundtrip,
     "stat_crosstab_types": stat_crosstab_types,
     "sql_recursive_date_spine": sql_recursive_date_spine,
     "csv_roundtrip": csv_roundtrip,
@@ -810,6 +855,16 @@ ORACLE_SQL = {
         WHERE SUBSTRING(event_type, 1, 1) IN ('p', 's')
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "xml_roundtrip": """
+        SELECT s_nationkey,
+               COUNT(*) AS n_suppliers,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sum_acctbal,
+               MIN(s_name) AS first_name
+        FROM supplier
+        GROUP BY s_nationkey
+        ORDER BY s_nationkey
     """,
     "sql_script_median_bisect": """
         SELECT QUANTILE_DISC(value, 0.5) AS median_disc,

@@ -184,6 +184,7 @@ ROTATION_POOL_NEXT_ROUND = [
     "table_diff_cdf",
     "dataset_manifest",
     "sql_script_median_bisect",
+    "xml_roundtrip",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
