@@ -292,6 +292,166 @@ def check_curate_corpus_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+#: embedding dimensionality the fixture contracts (embeddings.parquet)
+DQ_EMB_DIM = 64
+
+
+def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (the Great-Expectations /
+    dbt-tests pattern as ONE query): schema-level contracts —
+    primary-key uniqueness, non-null measures, categorical domains,
+    timestamp ranges, referential integrity across tables, text
+    non-emptiness, embedding dimensionality — each emitted as a row
+    (expectation, observed violation count, passed).  The observed
+    counts are exact and engine-portable, so unlike the all-true
+    ``check_*`` gates the oracle here recomputes the COUNTS too — a
+    regression shows the violation volume, not just a flipped flag.
+
+    One narrow aggregate per expectation (anti-joins for the FK
+    contracts — broadcast-able key sets at any fact scale); the union
+    is rows = |expectations|, the cheapest possible publication of a
+    nightly contract run."""
+    ev = load_table(spark, "events", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    d = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    def expect(name: str, observed: DataFrame) -> DataFrame:
+        return observed.select(
+            F.lit(name).alias("expectation"),
+            F.col("observed").cast("long").alias("observed"),
+            (F.col("observed") == 0).alias("passed"),
+        )
+
+    parts = [
+        expect(
+            "events_pk_unique",
+            ev.agg(
+                (F.count(F.lit(1)) - F.count_distinct("event_id")).alias(
+                    "observed"
+                )
+            ),
+        ),
+        expect(
+            "events_value_nonnull",
+            ev.agg(F.sum(F.col("value").isNull().cast("long")).alias("observed")),
+        ),
+        expect(
+            "events_type_in_domain",
+            ev.agg(
+                F.sum(
+                    (~F.col("event_type").isin(
+                        "click", "error", "purchase", "signup", "view"
+                    )).cast("long")
+                ).alias("observed")
+            ),
+        ),
+        expect(
+            "events_ts_in_month",
+            ev.agg(
+                F.sum(
+                    (
+                        (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+                        | (F.col("ts") >= F.lit("2024-02-01").cast("timestamp"))
+                    ).cast("long")
+                ).alias("observed")
+            ),
+        ),
+        expect(
+            "orders_fk_customer",
+            o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti").agg(
+                F.count(F.lit(1)).alias("observed")
+            ),
+        ),
+        expect(
+            "lineitem_fk_orders",
+            li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti").agg(
+                F.count(F.lit(1)).alias("observed")
+            ),
+        ),
+        expect(
+            "documents_text_nonempty",
+            d.agg(
+                F.sum((F.length("text") == 0).cast("long")).alias("observed")
+            ),
+        ),
+        expect(
+            "embeddings_dim_consistent",
+            emb.agg(
+                F.sum(
+                    (F.size("embedding") != DQ_EMB_DIM).cast("long")
+                ).alias("observed")
+            ),
+        ),
+    ]
+    return _stack_dq(parts)
+
+
+def _stack_dq(parts: list[DataFrame]) -> DataFrame:
+    return reduce(DataFrame.unionAll, parts).orderBy("expectation")
+
+
+def _dq_sql() -> str:
+    return f"""
+        SELECT * FROM (
+          SELECT 'documents_text_nonempty' AS expectation,
+                 CAST(SUM(CASE WHEN LENGTH(text) = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS observed,
+                 SUM(CASE WHEN LENGTH(text) = 0 THEN 1 ELSE 0 END) = 0
+                     AS passed
+          FROM documents
+          UNION ALL
+          SELECT 'embeddings_dim_consistent',
+                 CAST(SUM(CASE WHEN LEN(embedding) <> {DQ_EMB_DIM}
+                          THEN 1 ELSE 0 END) AS BIGINT),
+                 SUM(CASE WHEN LEN(embedding) <> {DQ_EMB_DIM}
+                     THEN 1 ELSE 0 END) = 0
+          FROM embeddings
+          UNION ALL
+          SELECT 'events_pk_unique',
+                 CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT),
+                 COUNT(*) = COUNT(DISTINCT event_id)
+          FROM events
+          UNION ALL
+          SELECT 'events_ts_in_month',
+                 CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                               OR ts >= TIMESTAMP '2024-02-01'
+                          THEN 1 ELSE 0 END) AS BIGINT),
+                 SUM(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                          OR ts >= TIMESTAMP '2024-02-01'
+                     THEN 1 ELSE 0 END) = 0
+          FROM events
+          UNION ALL
+          SELECT 'events_type_in_domain',
+                 CAST(SUM(CASE WHEN event_type NOT IN
+                          ('click','error','purchase','signup','view')
+                          THEN 1 ELSE 0 END) AS BIGINT),
+                 SUM(CASE WHEN event_type NOT IN
+                     ('click','error','purchase','signup','view')
+                     THEN 1 ELSE 0 END) = 0
+          FROM events
+          UNION ALL
+          SELECT 'events_value_nonnull',
+                 CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT),
+                 SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0
+          FROM events
+          UNION ALL
+          SELECT 'lineitem_fk_orders',
+                 CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT),
+                 COUNT(*) FILTER (WHERE o_orderkey IS NULL) = 0
+          FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+          UNION ALL
+          SELECT 'orders_fk_customer',
+                 CAST(COUNT(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT),
+                 COUNT(*) FILTER (WHERE c_custkey IS NULL) = 0
+          FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        ) ORDER BY expectation
+    """
+
+
 def _all_true_sql(names: list[str]) -> str:
     rows = " UNION ALL ".join(
         f"SELECT '{n}' AS invariant, TRUE AS ok" for n in sorted(names)
@@ -300,6 +460,7 @@ def _all_true_sql(names: list[str]) -> str:
 
 
 QUERIES = {
+    "dq_expectation_suite": dq_expectation_suite,
     "check_dedup_minhash_lsh": check_dedup_minhash_lsh,
     "check_dedup_simhash": check_dedup_simhash,
     "check_dedup_clusters_cc_lsh": check_dedup_clusters_cc_lsh,
@@ -308,6 +469,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dq_expectation_suite": _dq_sql(),
     "check_dedup_minhash_lsh": _all_true_sql(
         ["exact_dup_pairs_covered", "nonempty", "pairs_ordered_verified"]
     ),

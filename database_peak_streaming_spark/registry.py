@@ -185,6 +185,7 @@ ROTATION_POOL_NEXT_ROUND = [
     "dataset_manifest",
     "sql_script_median_bisect",
     "xml_roundtrip",
+    "dq_expectation_suite",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
