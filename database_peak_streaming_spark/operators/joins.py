@@ -160,6 +160,48 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LARGE x LARGE form of ``join_range_theta``: same semantics
+    (customers within ±100 of a supplier's balance) but built for two
+    big sides — the band trick that docstring promises.  Each supplier
+    hashes to its width-100 balance band; each customer explodes to its
+    band and both neighbors (any |Δ|<=100 partner lies in one of
+    those three), the join is a plain EQUI-join on the band key, and
+    the exact predicate filters the candidates.  Every qualifying pair
+    meets in EXACTLY one band cell (the supplier's own), so no dedup
+    stage exists.
+
+    Scale: no broadcast, no nested loop — shuffle volume is 3x one side
+    + 1x the other on uniform band keys, AQE-skew-handleable like any
+    hash join.  Same oracle as the theta form: banding is pure plan
+    strategy, never answers."""
+    s = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        "s_acctbal",
+        F.floor(F.col("s_acctbal") / 100).cast("long").alias("band"),
+    )
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_acctbal",
+        F.explode(
+            F.array(
+                F.floor(F.col("c_acctbal") / 100).cast("long") - 1,
+                F.floor(F.col("c_acctbal") / 100).cast("long"),
+                F.floor(F.col("c_acctbal") / 100).cast("long") + 1,
+            )
+        ).alias("band"),
+    )
+    return (
+        s.join(c.hint("shuffle_hash"), "band")
+        .where(
+            (F.col("c_acctbal") >= F.col("s_acctbal") - 100)
+            & (F.col("c_acctbal") <= F.col("s_acctbal") + 100)
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_cust_in_band"))
+        .orderBy("s_suppkey")
+    )
+
+
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join with a TOLERANCE bound (pandas
     ``merge_asof(tolerance=...)`` semantics): the most recent click at
@@ -466,6 +508,7 @@ QUERIES = {
     "join_broadcast_dim": join_broadcast_dim,
     "join_cross": join_cross,
     "join_range_theta": join_range_theta,
+    "join_range_banded": join_range_banded,
     "join_asof_purchase_click": join_asof_purchase_click,
     "join_asof_forward": join_asof_forward,
     "join_asof_tolerance": join_asof_tolerance,
@@ -474,6 +517,12 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "join_range_banded": """
+        SELECT s_suppkey, COUNT(*) AS n_cust_in_band
+        FROM customer JOIN supplier
+          ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100
+        GROUP BY s_suppkey ORDER BY s_suppkey
+    """,
     "join_interval_binned": """
         WITH iv AS (
             SELECT o_orderkey, o_custkey,

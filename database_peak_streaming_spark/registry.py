@@ -186,6 +186,7 @@ ROTATION_POOL_NEXT_ROUND = [
     "sql_script_median_bisect",
     "xml_roundtrip",
     "dq_expectation_suite",
+    "join_range_banded",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

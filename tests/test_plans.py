@@ -452,3 +452,14 @@ def test_interval_join_reuses_one_exchange(spark):
     assert "SortMergeJoin" in ep, ep
     assert "ReusedExchange" in ep, ep
     assert "BroadcastHashJoin" not in ep, ep
+
+
+def test_banded_range_join_is_hash_equi(spark):
+    """join_range_banded must plan a ShuffledHashJoin on the band key —
+    a BroadcastNestedLoopJoin means the banding regressed to the theta
+    form it exists to replace."""
+    df = QUERIES["join_range_banded"](spark, SF_DIR)
+    plan = E.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
