@@ -24,7 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from database_peak_streaming_spark.operators.common import dsum
 from database_peak_streaming_spark.sources.batch import load_table
 
 

@@ -248,29 +248,51 @@ def rollup_mv_sink(spark, mv_dir: str):
     the batch query ``incremental_rollup_merge`` proves declaratively
     (stream==batch equality is pinned in tests/test_streaming.py).
 
+    EXACTLY-ONCE under re-delivery: foreachBatch is at-least-once (a
+    crash between sink completion and checkpoint commit re-delivers
+    the epoch), and a re-merged delta would DOUBLE-COUNT.  The sink
+    therefore writes the last-applied epoch id INSIDE the new snapshot
+    before the atomic directory swap — data and epoch marker commit
+    together, so a re-delivered epoch is detected and skipped (the
+    KeyedUpsertStore pattern, minimal; crash-injection tested in
+    tests/test_fault_tolerance.py).
+
     Scale: per batch this reads/writes the MV (grain-sized); the raw
     history is never re-aggregated — the point of incremental
-    maintenance.  For exactly-once under retries compose with
-    ``streaming/upsert.KeyedUpsertStore``; this sink is the
-    minimal-algebra form for at-most-once replay drives."""
+    maintenance."""
     import os
 
-    def _sink(batch_df: DataFrame, _epoch: int) -> None:
+    def _last_epoch() -> int:
+        marker = os.path.join(mv_dir, "_epoch")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                return int(f.read().strip())
+        return -1
+
+    def _sink(batch_df: DataFrame, epoch: int) -> None:
+        if epoch <= _last_epoch():
+            return  # re-delivered epoch: already merged, skip
         delta = batch_df.groupBy(
             F.to_date("ts").alias("day"), F.col("event_type")
         ).agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(28,6)")).alias("_dsum"),
         )
-        mv = spark.read.parquet(mv_dir) if os.path.exists(mv_dir) else None
+        mv = (
+            spark.read.option("pathGlobFilter", "*.parquet").parquet(mv_dir)
+            if os.path.exists(mv_dir)
+            else None
+        )
         merged = merge_rollup_delta(mv, delta)
         # copy-on-write: the merge READS mv_dir, so write the new
-        # version beside it and swap — no driver-side materialization,
-        # grain-sized IO only (the KeyedUpsertStore pattern, minimal)
+        # version beside it, stamp the epoch inside it, then swap —
+        # data + marker commit atomically, grain-sized IO only
         import shutil
 
         nxt = mv_dir + ".next"
         merged.write.mode("overwrite").parquet(nxt)
+        with open(os.path.join(nxt, "_epoch"), "w") as f:
+            f.write(str(epoch))
         shutil.rmtree(mv_dir, ignore_errors=True)
         os.replace(nxt, mv_dir)
 

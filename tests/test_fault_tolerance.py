@@ -247,3 +247,48 @@ def test_stateful_transitions_kill_resume_exactly_once(spark, tmpdir_):
         for r in events_markov_transitions(spark, SF_DIR).collect()
     }
     assert dict(got) == batch
+
+
+def test_rollup_mv_sink_redelivery_exactly_once(spark, tmpdir_):
+    """foreachBatch is at-least-once: a re-delivered epoch must NOT
+    double-merge into the rollup MV (the epoch marker commits
+    atomically with the snapshot swap), while a new epoch must."""
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.ops import rollup_mv_sink
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    half1 = ev.where(F.col("event_id") % 2 == 0)
+    half2 = ev.where(F.col("event_id") % 2 == 1)
+    mv_dir = f"{tmpdir_}/mv"
+    sink = rollup_mv_sink(spark, mv_dir)
+
+    sink(half1, 0)
+    n_after_0 = {
+        (r.day, r.event_type): r.n_events
+        for r in spark.read.parquet(mv_dir).collect()
+    }
+    # crash window: epoch 0 re-delivered -> must be a no-op
+    sink(half1, 0)
+    again = {
+        (r.day, r.event_type): r.n_events
+        for r in spark.read.parquet(mv_dir).collect()
+    }
+    assert again == n_after_0, "re-delivered epoch double-merged"
+    # new epoch merges; final MV equals the one-shot batch rollup
+    sink(half2, 1)
+    got = {
+        (r.day, r.event_type): (r.n_events, r._dsum)
+        for r in spark.read.parquet(mv_dir).collect()
+    }
+    want = {
+        (r.day, r.event_type): (r.n_events, r._dsum)
+        for r in ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("_dsum"),
+        )
+        .collect()
+    }
+    assert got == want
