@@ -232,3 +232,54 @@ def test_regression_slope_consistent_with_corr(spark):
         assert abs(r.r2 - round(c * c, 6)) < 2e-6, etype
         if abs(c) > 1e-3:
             assert (r.slope_per_day > 0) == (c > 0), etype
+
+
+def test_banded_join_equals_theta_join(spark):
+    """Banding is pure plan strategy: join_range_banded must return
+    exactly join_range_theta's rows."""
+    from database_peak_streaming_spark.operators.joins import (
+        join_range_banded,
+        join_range_theta,
+    )
+
+    banded = {
+        (r.s_suppkey, r.n_cust_in_band)
+        for r in join_range_banded(spark, SF_DIR).collect()
+    }
+    theta = {
+        (r.s_suppkey, r.n_cust_in_band)
+        for r in join_range_theta(spark, SF_DIR).collect()
+    }
+    assert banded == theta and len(theta) > 0
+
+
+def test_dq_suite_all_pass_on_fixture(spark):
+    """The fixture satisfies every expectation (violation counts 0) —
+    a failing row here means the fixture or an expectation drifted."""
+    from database_peak_streaming_spark.operators.checks import (
+        dq_expectation_suite,
+    )
+
+    rows = dq_expectation_suite(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.passed and r.observed == 0, r
+
+
+def test_sql_script_median_equals_builtin(spark):
+    """The bisected lower-median element must equal Spark's own
+    percentile(value, 0.5) lower element computed via sort."""
+    from database_peak_streaming_spark.operators.storage import (
+        sql_script_median_bisect,
+    )
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    got = sql_script_median_bisect(spark, SF_DIR).collect()[0]
+    ev = load_table(spark, "events", SF_DIR)
+    n = ev.count()
+    target = (n + 1) // 2
+    want = (
+        ev.orderBy("value").limit(target).orderBy(F.desc("value")).limit(1)
+    ).collect()[0].value
+    assert got.n_rows == n
+    assert abs(got.median_disc - want) < 1e-12
