@@ -47,6 +47,37 @@ def udf_pandas_log1p(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udf_arrow_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE iterator UDF (``mapInArrow``): per-document token
+    count computed entirely with ``pyarrow.compute`` kernels — no
+    pandas objects anywhere, the zero-copy fast path that completes
+    the Python-function matrix (row UDF, vectorized pandas scalar,
+    grouped/cogrouped applyInPandas, UDTF, mapInPandas, and now the
+    RecordBatch-level Arrow form).  Splitting and list-length run in
+    Arrow's C++ kernels; Python only orchestrates batches, so the
+    per-row cost matches the JVM expression this mirrors (the oracle
+    recomputes the same counts declaratively)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def count_tokens(batches):
+        for batch in batches:
+            toks = pc.split_pattern(batch.column(1), " ")
+            # list_value_length counts ALL split pieces — the same
+            # whitespace-split the oracle's string_split performs
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pc.list_value_length(toks).cast(pa.int64())],
+                names=["doc_id", "n_tokens"],
+            )
+
+    return (
+        d.mapInArrow(count_tokens, schema="doc_id long, n_tokens long")
+        .orderBy("doc_id")
+    )
+
+
 _FRAME_COUNTS = [2, 0, 3, 1, 0, 0, 0, 0]
 _FRAME_WLS = [1500.1, 1500.2, 1510.1, 1510.2, 1510.3, 1520.5]
 _N_SCANS = 4
@@ -200,6 +231,7 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "udf_zscore_by_segment": udf_zscore_by_segment,
+    "udf_arrow_token_count": udf_arrow_token_count,
     "udf_pandas_log1p": udf_pandas_log1p,
     "binary_peaks_decode": binary_peaks_decode,
     "udf_cogroup_asof": udf_cogroup_asof,
@@ -207,6 +239,12 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "udf_arrow_token_count": """
+        SELECT doc_id,
+               CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+        ORDER BY doc_id
+    """,
     "udtf_sentence_split": """
         WITH raw AS (
             SELECT doc_id, lang,

@@ -187,6 +187,7 @@ ROTATION_POOL_NEXT_ROUND = [
     "xml_roundtrip",
     "dq_expectation_suite",
     "join_range_banded",
+    "udf_arrow_token_count",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
