@@ -84,6 +84,12 @@ HEADLINE = [
     "incremental_rollup_merge",
     "agg_regression_by_group",
     "text_feature_hashing",
+    "join_range_banded",
+    "events_top_action_trigrams",
+    "orders_revenue_gini",
+    "table_diff_cdf",
+    "dq_expectation_suite",
+    "udf_arrow_token_count",
 ]
 
 #: Size-stable cross-round comparison set (round-5 VERDICT task 6): the
