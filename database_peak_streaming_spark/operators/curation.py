@@ -118,11 +118,208 @@ def curate_corpus_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _funnel_summary(spark, sf_dir, clusters)
 
 
+
+
+#: training-row token budget for the packing stage (matches
+#: chunking.pack_sequences_greedy's sequence length)
+BUILD_SEQ_LEN = 256
+
+
+def training_data_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-data build as one declarative plan — the
+    superset of the curation funnel with the two stages a frontier-lab
+    pipeline adds on top: benchmark decontamination and the packing
+    budget.
+
+      1. quality gate (the shared C4/Gopher heuristic,
+         ``quality_score_col``);
+      2. exact-canonical dedup — md5 over the sorted distinct token
+         set (the ``text_fingerprint`` rule: case-/word-order-
+         insensitive), min-id keeper per fingerprint;
+      3. md5-stable train/test split (content-keyed);
+      4. DECONTAMINATION — any TRAIN doc sharing a distinct word
+         8-gram with any TEST doc is dropped (GPT-3/PaLM rule,
+         ``decontaminate_test_overlap``'s join INSIDE the pipeline,
+         so contamination is removed, not just reported);
+      5. packing budget — per-language surviving-train token volume
+         and the 256-token training-row count it packs into.
+
+    One Catalyst plan end to end: the gate prunes before the
+    fingerprint shuffle, only keepers reach the gram explode, and the
+    decontamination anti-join keys on the gram hash — every stage is
+    an already-oracled operator, re-verified here as a composition.
+    Scale shape matches the pieces: narrow projections, two hash
+    shuffles (fingerprint, gram), one anti-join, a tiny-key summary."""
+    d = load_table(spark, "documents", sf_dir)
+    gated = d.filter(quality_score_col() > QUALITY_CUTOFF).select(
+        "doc_id", "lang", "text"
+    )
+    canon = F.array_join(F.array_sort(F.array_distinct(_tokens())), " ")
+    w = Window.partitionBy("fp")
+    keepers = (
+        gated.withColumn("fp", F.md5(canon))
+        .withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "lang", "text")
+    )
+    split = F.when(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+        ).isin("0", "1"),
+        F.lit("test"),
+    ).otherwise(F.lit("train"))
+    keepers = keepers.withColumn("split", split)
+
+    toks = _tokens()
+    n = 8  # DECON_NGRAM
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda j: F.concat_ws(" ", *[toks[j + i] for i in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    e = keepers.select(
+        "doc_id", "split", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    test_grams = (
+        e.filter(F.col("split") == "test").select("gram").distinct()
+    )
+    contaminated = (
+        e.filter(F.col("split") == "train")
+        .join(test_grams, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean_train = keepers.filter(F.col("split") == "train").join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+    train_rows = clean_train.select(
+        "doc_id", "lang", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    n_dropped = (
+        keepers.filter(F.col("split") == "train")
+        .join(contaminated, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_train_contaminated"))
+    )
+    n_test = (
+        keepers.filter(F.col("split") == "test")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_test_docs"))
+    )
+    summary = (
+        train_rows.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum("n_tokens").alias("train_tokens"),
+            F.floor(F.sum("n_tokens") / BUILD_SEQ_LEN).alias(
+                "n_train_sequences"
+            ),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .join(n_dropped, "lang", "left")
+        .join(n_test, "lang", "left")
+        .select(
+            "lang",
+            "n_train_docs",
+            F.coalesce("n_train_contaminated", F.lit(0)).alias(
+                "n_train_contaminated"
+            ),
+            F.coalesce("n_test_docs", F.lit(0)).alias("n_test_docs"),
+            "train_tokens",
+            "n_train_sequences",
+            "id_checksum",
+        )
+    )
+    return summary.orderBy("lang")
+
+
 QUERIES = {
     "curate_corpus_pipeline": curate_corpus_pipeline,
+    "training_data_build": training_data_build,
 }
 
+
+#: decontamination gram constants mirrored from operators/sampling.py
+_DECON_N = 8
+_DECON_GRAM = " || ' ' || ".join(f"t[i + {k}]" for k in range(_DECON_N))
+
 ORACLE_SQL = {
+    "training_data_build": f"""
+        WITH quality AS (
+            SELECT doc_id, lang, text
+            FROM (
+                SELECT doc_id, lang, text,
+                       LEN(STRING_SPLIT(text, ' ')) AS n_tok,
+                       LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                           x -> x IN {_STOP_SQL})) AS stop_hits,
+                       CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                           / LEN(STRING_SPLIT(text, ' ')) AS mean_wl
+                FROM documents)
+            WHERE (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+                + (CASE WHEN mean_wl BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+                + (CASE WHEN CAST(stop_hits AS DOUBLE) / n_tok > 0.01
+                        THEN 0.3 ELSE 0.0 END) > {QUALITY_CUTOFF}),
+        keepers AS (
+            SELECT doc_id, lang, text,
+                   CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('0', '1')
+                        THEN 'test' ELSE 'train' END AS split
+            FROM (
+                SELECT q.*,
+                       MD5(LIST_AGGREGATE(
+                           LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))),
+                           'string_agg', ' ')) AS fp
+                FROM quality q)
+            QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)),
+        g AS (
+            SELECT doc_id, split,
+                   LIST_DISTINCT(
+                       CASE WHEN LEN(t) >= {_DECON_N}
+                            THEN LIST_TRANSFORM(
+                                RANGE(1, LEN(t) - {_DECON_N - 2}),
+                                i -> {_DECON_GRAM})
+                            ELSE [] END) AS grams
+            FROM (SELECT doc_id, split, STRING_SPLIT(text, ' ') AS t
+                  FROM keepers)),
+        e AS (SELECT doc_id, split, UNNEST(grams) AS gram FROM g),
+        contaminated AS (
+            SELECT DISTINCT tr.doc_id
+            FROM e tr JOIN e te ON tr.gram = te.gram
+            WHERE tr.split = 'train' AND te.split = 'test'),
+        clean_train AS (
+            SELECT k.doc_id, k.lang,
+                   CAST(LEN(STRING_SPLIT(k.text, ' ')) AS BIGINT) AS n_tokens
+            FROM keepers k
+            WHERE k.split = 'train'
+              AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        dropped AS (
+            SELECT k.lang, COUNT(*) AS n_train_contaminated
+            FROM keepers k
+            WHERE k.split = 'train'
+              AND k.doc_id IN (SELECT doc_id FROM contaminated)
+            GROUP BY k.lang),
+        tests AS (
+            SELECT lang, COUNT(*) AS n_test_docs
+            FROM keepers WHERE split = 'test' GROUP BY lang)
+        SELECT c.lang,
+               COUNT(*) AS n_train_docs,
+               CAST(COALESCE(MAX(d.n_train_contaminated), 0) AS BIGINT)
+                   AS n_train_contaminated,
+               CAST(COALESCE(MAX(t.n_test_docs), 0) AS BIGINT)
+                   AS n_test_docs,
+               CAST(SUM(c.n_tokens) AS BIGINT) AS train_tokens,
+               CAST(FLOOR(SUM(c.n_tokens) / {BUILD_SEQ_LEN}) AS BIGINT)
+                   AS n_train_sequences,
+               CAST(SUM(c.doc_id) AS BIGINT) AS id_checksum
+        FROM clean_train c
+        LEFT JOIN dropped d ON c.lang = d.lang
+        LEFT JOIN tests t ON c.lang = t.lang
+        GROUP BY c.lang
+        ORDER BY c.lang
+    """,
     "curate_corpus_pipeline": f"""
         WITH RECURSIVE tok AS (
             SELECT doc_id, source, lang,

@@ -188,6 +188,7 @@ ROTATION_POOL_NEXT_ROUND = [
     "dq_expectation_suite",
     "join_range_banded",
     "udf_arrow_token_count",
+    "training_data_build",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
