@@ -90,6 +90,7 @@ HEADLINE = [
     "table_diff_cdf",
     "dq_expectation_suite",
     "udf_arrow_token_count",
+    "training_data_build",
 ]
 
 #: Size-stable cross-round comparison set (round-5 VERDICT task 6): the
