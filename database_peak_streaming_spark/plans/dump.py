@@ -133,6 +133,20 @@ PICKS = {
         "per-key sorted arrays, then a JVM aggregate HOF — no Python, "
         "no iteration"
     ),
+    "join_range_banded": (
+        "large x large range join as a band-bucket equi-join: 3-cell "
+        "explode on one side, shuffle-hash on the band key, exact "
+        "predicate post-filter — no nested loop, no broadcast"
+    ),
+    "training_data_build": (
+        "gate -> fingerprint dedup -> split -> 8-gram decontamination "
+        "-> packing budget in ONE plan; gram table lineage-cut at the "
+        "join boundary (codegen-heavy stages stay live)"
+    ),
+    "dq_expectation_suite": (
+        "eight schema contracts as one union of narrow aggregates; FK "
+        "expectations are anti-joins with broadcast-able key sets"
+    ),
 }
 
 
