@@ -489,8 +489,36 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_dow_hod_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap — the usage grid
+    behind "when are our users active" dashboards and the capacity
+    planner's weekly shape.  One tiny-key (<=168 cells) aggregation;
+    exact counts, decimal-exact value sums.  ISO day numbering
+    (1=Monday) on both engines."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow_sun1"),
+            F.hour("ts").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg("value", "avg_value"),
+        )
+        .select(
+            # normalize Spark's Sunday=1 to ISO Monday=1
+            (((F.col("dow_sun1") + 5) % 7) + 1).alias("iso_dow"),
+            "hod",
+            "n_events",
+            "avg_value",
+        )
+        .orderBy("iso_dow", "hod")
+    )
+
+
 QUERIES = {
     "forecast_seasonal_naive_mae": forecast_seasonal_naive_mae,
+    "events_dow_hod_heatmap": events_dow_hod_heatmap,
     "ema_batch_fold": ema_batch_fold,
     "events_gap_detection": events_gap_detection,
     "win_rolling_corr": win_rolling_corr,
@@ -509,6 +537,16 @@ QUERIES = {
 _DEC = "DECIMAL(28,6)"
 
 ORACLE_SQL = {
+    "events_dow_hod_heatmap": """
+        SELECT CAST(isodow(ts) AS INT) AS iso_dow,
+               CAST(hour(ts) AS INT) AS hod,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY iso_dow, hod
+    """,
     "ema_batch_fold": f"""
         WITH ordered AS (
             SELECT event_type,

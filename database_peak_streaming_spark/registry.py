@@ -189,6 +189,7 @@ ROTATION_POOL_NEXT_ROUND = [
     "join_range_banded",
     "udf_arrow_token_count",
     "training_data_build",
+    "events_dow_hod_heatmap",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
