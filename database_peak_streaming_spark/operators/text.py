@@ -599,7 +599,13 @@ def build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-word-like terms — at 100 TB full postings are written out as
     (term-bucketed, doc-sorted) parquet ROWS, not arrays; the capped
     head here is the index MANIFEST used for planning and hot-term
-    diagnostics."""
+    diagnostics.
+
+    The head is returned as a comma-joined STRING, not an ARRAY: the
+    repo-wide result-type convention (tests/test_oracle_types.py) bans
+    LIST/STRUCT/MAP result columns because driver canonicalizers sort
+    result rows with pandas, where list cells are unhashable (the
+    round-6 red row)."""
     d = load_table(spark, "documents", sf_dir)
     postings = d.select(
         "doc_id", F.explode(_tokens()).alias("term")
@@ -614,7 +620,13 @@ def build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _POSTINGS_CAP)
         .groupBy("term")
         .agg(
-            F.sort_array(F.collect_list("doc_id")).alias("postings_head")
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head")
         )
     )
     return stats.join(head, "term").orderBy("term")
@@ -849,8 +861,12 @@ ORACLE_SQL = {
         SELECT term,
                COUNT(*) AS df,
                CAST(SUM(tf) AS BIGINT) AS tf_total,
-               LIST_SLICE(LIST(doc_id ORDER BY doc_id), 1, {_POSTINGS_CAP})
-                   AS postings_head
+               LIST_AGGREGATE(
+                   LIST_TRANSFORM(
+                       LIST_SLICE(LIST(doc_id ORDER BY doc_id),
+                                  1, {_POSTINGS_CAP}),
+                       x -> CAST(x AS VARCHAR)),
+                   'string_agg', ',') AS postings_head
         FROM postings
         GROUP BY term
         ORDER BY term

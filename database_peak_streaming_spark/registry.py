@@ -79,85 +79,20 @@ _MODULES = [
 #: (round 2 rotated in the multimodal binary-payload kernel and the S4
 #: binary peaks codec in place of two of the five scalar packs).
 _PRIORITY = [
-    # Round-6 rotation.  Slots 1-48 are drawn from the round-5
-    # ROTATION_POOL (the queries never driver-hash-checked through
-    # round 5 — see tests/test_registry.py, which derives the historical
-    # windows from the committed CORRECTNESS_r0*.json artifacts).  The
-    # last 2 slots re-earn the two round-5 red rows whose DuckDB oracles
-    # produced a HUGEINT column the driver canonicalizer renders
-    # differently from BIGINT (round-5 VERDICT "What's wrong" #1/#2 —
-    # both oracles now CAST back to BIGINT, and
-    # tests/test_oracle_types.py forbids the type class repo-wide).
-    # Window composition follows the VERDICT's ordering guidance: the 13
-    # §2B survey rows resting on the local gate first, then the
-    # algorithmically risky second-batch queries, then the remaining
-    # pool; 9 low-risk scalar rollups spill to ROTATION_POOL_NEXT_ROUND.
+    # Round-7 rotation (round-6 VERDICT "Next round" #2).  Slots 1-31
+    # drain the ENTIRE round-6 ROTATION_POOL — after this window every
+    # registered query has been driver-hash-checked at least once
+    # (union coverage 230/230).  Slot 32 re-earns the round-6 red row
+    # (``build_inverted_index`` — LIST-typed result column, now
+    # stringified; tests/test_oracle_types.py bans the class).  The 18
+    # remaining slots are risky RE-checks: queries whose plans change
+    # this round (training_data_build is in the pool; pagerank gets the
+    # exchange-reuse work; curation/dedup share the gram machinery) plus
+    # the algorithmically heaviest round-2-era queries not hash-checked
+    # since (iterative CC, prefix-filter Jaccard, as-of merge, LOCF,
+    # binary codec, ANN) — exactly the VERDICT's fill guidance.
     #
-    # §2B survey rows previously local-gate-only (14):
-    "chunk_documents_overlap",
-    "pack_sequences_greedy",
-    "agg_histogram_fixed",
-    "winsorize_clip_p05_p95",
-    "vocab_spelling_variants",
-    "cusum_drift_flags",
-    "schema_evolution_merge",
-    "partitioned_write_prune",
-    "build_inverted_index",
-    "join_salted_skew",
-    "join_bucketed_colocated",
-    "tfidf_top_terms_per_doc",
-    "user_state_latest",
-    "rag_retrieve_snippets",
-    # algorithmically risky second-batch queries (VERDICT task 5):
-    "sketch_cms_heavy_hitters",
-    "graph_pagerank_bipartite",
-    "join_bloom_prefilter",
-    "linkage_blocked_levenshtein",
-    "events_markov_transitions",
-    "agg_bitmap_exact_distinct",
-    "agg_mad_outliers",
-    "win_time_range_rolling",
-    "events_retention_cohorts",
-    "zorder_cluster_stats",
-    "graph_degree_histogram",
-    "text_zipf_slope",
-    "events_attribution_first_last",
-    "udtf_sentence_split",
-    "agg_equidepth_histogram",
-    "profile_table_summary",
-    "sql_recursive_date_spine",
-    "map_hof_funcs",
-    "text_novelty_vs_train",
-    "forecast_seasonal_naive_mae",
-    "sim_maxsim_late_interaction",
-    "dedup_ngram_containment",
-    "multimodal_frame_sample",
-    "text_langid_confusion",
-    "orders_rfm_segmentation",
-    "text_lang_vocab_overlap",
-    "join_asof_forward",
-    "join_asof_tolerance",
-    "events_time_to_convert",
-    "embedding_label_dispersion",
-    "orders_market_basket_lift",
-    "ab_test_lift_ztest",
-    "dedup_rate_by_source",
-    "source_lang_drift_chi2",
-    # round-5 red-row re-earns (oracle HUGEINT casts fixed this round):
-    "json_variant_events",
-    "merge_upsert_scd1",
-]
-
-#: The round-7 rotation pool: the 9 low-risk scalar rollups the round-6
-#: window could not fit (57-name round-5 pool, 48 slots after the two
-#: red-row re-earns), plus any query added during round 6 (new queries
-#: append here deliberately).  Each is local-gated
-#: (tests/test_differential.py, full DuckDB oracle) until the round-7
-#: window picks it up.  tests/test_registry.py pins that the
-#: never-driver-checked overflow is EXACTLY this list, so any new query
-#: must either enter the window or be added here.
-ROTATION_POOL_NEXT_ROUND = [
-    # round-5 second-batch spillover (simple scalar/rollup shapes):
+    # Round-6 rotation pool, drained in full (31):
     "abc_pareto_classification",
     "feature_minmax_scale",
     "window_hourly_topk",
@@ -167,7 +102,6 @@ ROTATION_POOL_NEXT_ROUND = [
     "orders_yoy_growth",
     "agg_bitwise_funcs",
     "agg_geometric_mean",
-    # round-6 additions (full DuckDB oracles, local-gated):
     "ema_batch_fold",
     "events_gap_detection",
     "win_rolling_corr",
@@ -190,7 +124,39 @@ ROTATION_POOL_NEXT_ROUND = [
     "udf_arrow_token_count",
     "training_data_build",
     "events_dow_hod_heatmap",
+    # round-6 red-row re-earn (LIST column stringified this round):
+    "build_inverted_index",
+    # risky re-checks (18): plan-changed this round first, then the
+    # heaviest round-2-era algorithms whose last hash check is 5 rounds
+    # old.
+    "curate_corpus_pipeline",
+    "dedup_minhash_keepers_md5",
+    "dedup_minhash_lsh_md5",
+    "graph_pagerank_bipartite",
+    "decontaminate_test_overlap",
+    "dedup_clusters_cc",
+    "dedup_ngram_jaccard",
+    "dedup_substring_spans",
+    "dedup_exact_hash",
+    "dedup_embedding_cosine",
+    "cosine_topk_bruteforce",
+    "ann_ivf_bucketed",
+    "join_asof_purchase_click",
+    "resample_gap_fill_locf_per_key",
+    "sessionize_gap_ids",
+    "binary_peaks_decode",
+    "multimodal_payload_fingerprint",
+    "q1_pricing_summary",
 ]
+
+#: The round-8 rotation pool.  EMPTY at round-7 start: the round-7
+#: window drains the whole round-6 pool, closing union driver coverage
+#: at 230/230.  Queries ADDED during round 7 append here (each is
+#: local-gated by tests/test_differential.py's full DuckDB oracle until
+#: a future window picks it up).  tests/test_registry.py pins that the
+#: never-driver-checked overflow is EXACTLY this list, so any new query
+#: must either enter the window or be added here.
+ROTATION_POOL_NEXT_ROUND: list[str] = []
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
