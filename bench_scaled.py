@@ -91,6 +91,12 @@ QUERY_SET = [
     "graph_pagerank_bipartite",
     "sketch_cms_heavy_hitters",
     "win_time_range_rolling",
+    # round-6 VERDICT task 5: the two banded/binned join shapes were
+    # 20x-vs-oracle at sf0.1 (candidate fan-out against a tiny base);
+    # carry them through the scaled tiers so the crossover is measured,
+    # not asserted
+    "join_interval_binned",
+    "join_range_banded",
 ]
 
 #: the 10x stragglers (ratio > 2 in the committed 10x run) PLUS the two
@@ -107,6 +113,8 @@ STRAGGLER_SET = [
     "cosine_topk_bruteforce",
     "dedup_ngram_jaccard",
     "curate_corpus_pipeline",
+    "join_interval_binned",
+    "join_range_banded",
 ]
 
 

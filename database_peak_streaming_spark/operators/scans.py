@@ -82,7 +82,14 @@ def catalog_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,) for n in names], "table_name string")
 
 
-#: primary-key column per fixture table (manifest checksum basis)
+#: primary-key EXPRESSION per fixture table (manifest checksum basis).
+#: lineitem's key is COMPOSITE — (l_orderkey, l_linenumber) — so its
+#: checksum folds both columns (l_linenumber alone ranges 1-7 and its
+#: sum is a near-constant that misses most row changes, e.g. a line
+#: moving between orders; round-6 ADVICE).  The ``* 8`` keeps the fold
+#: injective (l_linenumber < 8) and exact in BIGINT.  Expressions are
+#: ANSI-portable: the same string runs in Spark SQL and the DuckDB
+#: oracle.
 _PK = {
     "region": "r_regionkey",
     "nation": "n_nationkey",
@@ -90,7 +97,7 @@ _PK = {
     "supplier": "s_suppkey",
     "part": "p_partkey",
     "orders": "o_orderkey",
-    "lineitem": "l_linenumber",
+    "lineitem": "CAST(l_orderkey AS BIGINT) * 8 + l_linenumber",
     "events": "event_id",
     "documents": "doc_id",
     "embeddings": "vec_id",
@@ -118,7 +125,7 @@ def dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, t, sf_dir).agg(
                 F.lit(t).alias("table_name"),
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.col(pk).cast("long")).alias("key_checksum"),
+                F.sum(F.expr(pk).cast("long")).alias("key_checksum"),
             )
         )
     out = parts[0]
@@ -154,7 +161,8 @@ ORACLE_SQL = {
                        AS key_checksum FROM events
             UNION ALL
             SELECT 'lineitem' AS table_name, COUNT(*) AS n_rows,
-                   CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT)
+                   CAST(SUM(CAST(l_orderkey AS BIGINT) * 8 + l_linenumber)
+                        AS BIGINT)
                        AS key_checksum FROM lineitem
             UNION ALL
             SELECT 'nation' AS table_name, COUNT(*) AS n_rows,

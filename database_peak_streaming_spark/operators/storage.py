@@ -326,11 +326,18 @@ def sql_script_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade when 100 TB makes sorting the column prohibitive but scans
     are cheap and cacheable).
 
-    The loop narrows [lo, hi] on "count(value <= mid) >= ceil(n/2)";
-    after 40 halvings the bracket is ~1e-9 wide, so exactly ONE data
-    value sits in (lo, hi] and a final MIN lookup returns the exact
-    lower-median ELEMENT — which is what the oracle's QUANTILE_DISC
-    recomputes, so the check is exact equality, not tolerance.
+    The loop narrows [lo, hi] on "count(value <= mid) >= ceil(n/2)".
+    The bracket is SEEDED FROM THE DATA (lo = min - epsilon, hi = max —
+    round-6 ADVICE: a hard-coded [0, 1e6] silently mis-bisects any
+    corpus outside it), so the invariant count(<=lo) < target <=
+    count(<=hi) holds for every input, and 60 halvings shrink the
+    bracket to range/2^60 — below one ulp of the data's magnitude, so
+    at most one representable double survives in (lo, hi] and the
+    final MIN lookup returns the exact lower-median ELEMENT (once the
+    bracket endpoints become adjacent doubles the loop stalls
+    HARMLESSLY: mid rounds onto lo or hi and the invariant keeps both
+    updates no-ops).  The oracle's QUANTILE_DISC recomputes the same
+    element, so the check is exact equality, not tolerance.
 
     Each iteration is one distributed aggregate; the scripting runtime
     owns the loop (no Python between scans beyond the sql() call)."""
@@ -341,8 +348,8 @@ def sql_script_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         BEGIN
-          DECLARE lo DOUBLE DEFAULT 0.0;
-          DECLARE hi DOUBLE DEFAULT 1000000.0;
+          DECLARE lo DOUBLE;
+          DECLARE hi DOUBLE;
           DECLARE mid DOUBLE;
           DECLARE c BIGINT;
           DECLARE n BIGINT;
@@ -350,7 +357,12 @@ def sql_script_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
           DECLARE i INT DEFAULT 0;
           SET n = (SELECT COUNT(*) FROM events);
           SET target = CAST(CEIL(n / 2.0) AS BIGINT);
-          WHILE i < 40 DO
+          SET lo = (SELECT MIN(value) FROM events);
+          SET hi = (SELECT MAX(value) FROM events);
+          -- strictly below the minimum so "value > lo" can return it;
+          -- epsilon is RELATIVE to the data's magnitude
+          SET lo = lo - GREATEST(ABS(lo) * 1e-9, 1e-9);
+          WHILE i < 60 DO
             SET mid = (lo + hi) / 2.0;
             SET c = (SELECT COUNT(*) FROM events WHERE value <= mid);
             IF c >= target THEN

@@ -232,7 +232,16 @@ class PeaksBinaryWriter(DataSourceWriter):
     removes.  Rows are grouped per (serial_number, ts) into frames; the
     per-frame channel layout is reconstructed from the max channel
     index (counts vector), wavelengths concatenated in (channel,
-    peak_idx) order — the exact inverse of ``_decode_one``."""
+    peak_idx) order — the exact inverse of ``_decode_one``.
+
+    INVARIANT (enforced, not assumed): each (serial_number, ts) frame's
+    rows must arrive complete within ONE partition, with peak_idx
+    exactly 0..n-1 per channel — ``_decode_one`` emits frames whole, so
+    any read->transform->write pipeline satisfies this unless a
+    repartition split a frame or a join duplicated rows.  A violation
+    used to re-encode silently with wrong counts and renumbered
+    peak_idx (round-6 ADVICE); ``write()`` now fails loudly with the
+    repartition-by-(serial_number, ts) remedy in the message."""
 
     def __init__(self, options: dict, num_channels: int):
         self.path = options.get("path")
@@ -265,6 +274,17 @@ class PeaksBinaryWriter(DataSourceWriter):
             # from 1) — matrix row i holds channel i+1
             for ch in range(1, self.num_channels + 1):
                 peaks = sorted(by_ch.get(ch, []))
+                if [pk for pk, _ in peaks] != list(range(len(peaks))):
+                    raise ValueError(
+                        f"peaksbin write: frame (serial={serial}, "
+                        f"ts={ts}) channel {ch} has peak_idx "
+                        f"{[pk for pk, _ in peaks]}, expected contiguous "
+                        f"0..{len(peaks) - 1} — the frame's rows were "
+                        "split across partitions or duplicated; "
+                        "repartition by (serial_number, ts) (and "
+                        "dropDuplicates on (serial_number, ts, channel, "
+                        "peak_idx)) before .save()"
+                    )
                 counts[ch - 1] = len(peaks)
                 wavelengths.extend(wl for _, wl in peaks)
             if hasattr(ts, "value"):  # pandas Timestamp: exact ns

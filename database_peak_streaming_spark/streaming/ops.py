@@ -252,15 +252,36 @@ def rollup_mv_sink(spark, mv_dir: str):
     crash between sink completion and checkpoint commit re-delivers
     the epoch), and a re-merged delta would DOUBLE-COUNT.  The sink
     therefore writes the last-applied epoch id INSIDE the new snapshot
-    before the atomic directory swap — data and epoch marker commit
-    together, so a re-delivered epoch is detected and skipped (the
-    KeyedUpsertStore pattern, minimal; crash-injection tested in
-    tests/test_fault_tolerance.py).
+    before the directory swap — a snapshot is COMMITTED exactly when
+    its ``_epoch`` marker exists (the KeyedUpsertStore pattern,
+    minimal; crash-injection tested in tests/test_fault_tolerance.py).
+
+    The swap itself is two steps (rmtree old, rename new into place),
+    so every sink entry begins with RECOVERY: a ``.next`` snapshot
+    bearing a complete ``_epoch`` marker is always at least as new as
+    ``mv_dir`` and is adopted (this heals a crash in the rmtree/rename
+    window, where mv_dir is gone but the finished snapshot survives —
+    without it the next restart would silently rebuild from an empty
+    MV); a ``.next`` without the marker is an aborted write and is
+    discarded.
 
     Scale: per batch this reads/writes the MV (grain-sized); the raw
     history is never re-aggregated — the point of incremental
     maintenance."""
     import os
+    import shutil
+
+    nxt = mv_dir + ".next"
+
+    def _recover() -> None:
+        if os.path.exists(os.path.join(nxt, "_epoch")):
+            # complete, committed snapshot: adopt it (epoch inside is
+            # >= any epoch mv_dir could carry)
+            shutil.rmtree(mv_dir, ignore_errors=True)
+            os.replace(nxt, mv_dir)
+        else:
+            # partial write (crash before the marker): roll back
+            shutil.rmtree(nxt, ignore_errors=True)
 
     def _last_epoch() -> int:
         marker = os.path.join(mv_dir, "_epoch")
@@ -270,6 +291,7 @@ def rollup_mv_sink(spark, mv_dir: str):
         return -1
 
     def _sink(batch_df: DataFrame, epoch: int) -> None:
+        _recover()
         if epoch <= _last_epoch():
             return  # re-delivered epoch: already merged, skip
         delta = batch_df.groupBy(
@@ -286,10 +308,7 @@ def rollup_mv_sink(spark, mv_dir: str):
         merged = merge_rollup_delta(mv, delta)
         # copy-on-write: the merge READS mv_dir, so write the new
         # version beside it, stamp the epoch inside it, then swap —
-        # data + marker commit atomically, grain-sized IO only
-        import shutil
-
-        nxt = mv_dir + ".next"
+        # any crash from here to the rename is healed by _recover()
         merged.write.mode("overwrite").parquet(nxt)
         with open(os.path.join(nxt, "_epoch"), "w") as f:
             f.write(str(epoch))

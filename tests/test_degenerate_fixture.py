@@ -1,0 +1,90 @@
+"""Degenerate-corpus regression tests (round-6 VERDICT task 7).
+
+Round 5 fixed two fixture-shape hazards — the multimodal oracle's
+``list_reduce`` raising on an nf=0 (empty-payload) document, and
+``ab_test_lift_ztest``'s arm crossJoin returning 0 rows when an arm is
+empty — but no test would catch either regressing on a future fixture.
+These tests BUILD the degenerate fixture: a documents table containing
+an empty-text doc and an events table whose users all land in one arm,
+then run query and oracle side-by-side on it.  Reverting either
+round-5 fix makes the corresponding test fail (the oracle raises /
+the row counts diverge), which is the red-bar the VERDICT asked for.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_peak_streaming_spark.harness.diff import (
+    diff_query,
+    oracle_connection,
+)
+from database_peak_streaming_spark.sources.batch import TABLES, load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def degenerate_dir(spark, tmp_path_factory):
+    """sf0.001 with documents ∪ {empty-text doc} and events restricted
+    to arm-0 users (user_id % 2 == 0); every other table symlinked."""
+    d = tmp_path_factory.mktemp("degenerate-fixture")
+    for t in TABLES:
+        if t in ("documents", "events"):
+            continue
+        os.symlink(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+
+    docs = load_table(spark, "documents", SF_DIR)
+    empty_doc = docs.agg(
+        *[
+            (F.max("doc_id") + 1).alias("doc_id")
+            if f.name == "doc_id"
+            else (
+                F.lit("").alias("text")
+                if f.name == "text"
+                else F.first(f.name, ignorenulls=True).alias(f.name)
+            )
+            for f in docs.schema.fields
+        ]
+    ).select(*docs.columns)
+    docs.unionByName(empty_doc).coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    ev = load_table(spark, "events", SF_DIR)
+    ev.where(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(
+        str(d / "events.parquet")
+    )
+    return str(d)
+
+
+def _check(spark, degenerate_dir, name):
+    from database_peak_streaming_spark.registry import ORACLE_SQL, QUERIES
+
+    con = oracle_connection(degenerate_dir)
+    res = diff_query(
+        name, QUERIES[name](spark, degenerate_dir), ORACLE_SQL[name], con
+    )
+    assert res.ok, res.describe()
+    return res
+
+
+def test_multimodal_frame_sample_handles_empty_payload(
+    spark, degenerate_dir
+):
+    """nf = 0 guard: the empty-text doc must flow through both the
+    Spark kernel (hash of b'') and the oracle's CASE guard — without
+    the guard DuckDB's list_reduce raises on the empty frame list."""
+    res = _check(spark, degenerate_dir, "multimodal_frame_sample")
+    # the degenerate doc is actually present and exercised
+    assert res.engine_rows == res.oracle_rows > 1
+
+
+def test_ab_test_single_arm_yields_null_row(spark, degenerate_dir):
+    """Single-arm corpus: the conditional rollup must return ONE row
+    with NULL B-arm stats, exactly like the oracle's scalar subqueries
+    — the pre-fix crossJoin of two filtered arms returned 0 rows."""
+    res = _check(spark, degenerate_dir, "ab_test_lift_ztest")
+    assert res.engine_rows == res.oracle_rows == 1

@@ -292,3 +292,76 @@ def test_rollup_mv_sink_redelivery_exactly_once(spark, tmpdir_):
         .collect()
     }
     assert got == want
+
+
+def test_rollup_mv_sink_swap_window_crash_recovery(spark, tmpdir_):
+    """The snapshot swap is rmtree + rename; a crash BETWEEN them
+    leaves no mv_dir but a complete committed ``.next``.  Before the
+    round-7 recovery step the next sink entry saw epoch -1, merged the
+    re-delivered batch into an EMPTY view, and the whole MV history
+    was silently lost (round-6 ADVICE, medium).  This drives both
+    crash windows:
+
+    * committed ``.next`` + missing mv_dir -> adopted, epoch preserved,
+      re-delivery skipped, nothing lost;
+    * uncommitted ``.next`` (no ``_epoch`` marker — crash mid-write)
+      -> discarded, the live mv_dir stays authoritative.
+    """
+    import os
+    import shutil
+
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.ops import rollup_mv_sink
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    half1 = ev.where(F.col("event_id") % 2 == 0)
+    half2 = ev.where(F.col("event_id") % 2 == 1)
+    mv_dir = f"{tmpdir_}/mv"
+    sink = rollup_mv_sink(spark, mv_dir)
+    sink(half1, 0)
+    committed = {
+        (r.day, r.event_type): (r.n_events, r._dsum)
+        for r in spark.read.option("pathGlobFilter", "*.parquet")
+        .parquet(mv_dir)
+        .collect()
+    }
+
+    # crash window 1: epoch 0's swap completed the copy but died between
+    # rmtree(mv_dir) and os.replace — simulate by moving the committed
+    # snapshot to .next and re-delivering epoch 0
+    os.replace(mv_dir, mv_dir + ".next")
+    sink(half1, 0)  # re-delivery after the crash
+    healed = {
+        (r.day, r.event_type): (r.n_events, r._dsum)
+        for r in spark.read.option("pathGlobFilter", "*.parquet")
+        .parquet(mv_dir)
+        .collect()
+    }
+    assert healed == committed, "committed .next snapshot was not adopted"
+    assert not os.path.exists(mv_dir + ".next")
+
+    # crash window 2: a later write died BEFORE the _epoch marker —
+    # the partial .next must be rolled back, not adopted
+    os.makedirs(mv_dir + ".next")
+    with open(f"{mv_dir}.next/part-zzz.parquet", "w") as f:
+        f.write("garbage — no _epoch marker, must be discarded")
+    sink(half2, 1)
+    assert not os.path.exists(f"{mv_dir}.next/part-zzz.parquet")
+    got = {
+        (r.day, r.event_type): (r.n_events, r._dsum)
+        for r in spark.read.option("pathGlobFilter", "*.parquet")
+        .parquet(mv_dir)
+        .collect()
+    }
+    want = {
+        (r.day, r.event_type): (r.n_events, r._dsum)
+        for r in ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("_dsum"),
+        )
+        .collect()
+    }
+    assert got == want

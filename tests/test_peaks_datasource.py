@@ -209,3 +209,51 @@ def test_datasource_write_read_roundtrip(spark, tmpdir_):
         spark.read.format("peaksbin").option("num_channels", "4").load(dst)
     )
     assert back2.count() == 0
+
+
+def test_write_rejects_split_or_duplicated_frames(spark, tmpdir_):
+    """The writer's frame-integrity invariant (round-6 ADVICE): rows of
+    one (serial_number, ts) frame scattered across partitions, or
+    duplicated (serial, ts, channel, peak_idx) rows, must FAIL the
+    write loudly — before the guard they re-encoded silently with wrong
+    counts and renumbered peak_idx, corrupting the round-trip."""
+    import os
+
+    import pytest
+
+    from database_peak_streaming_spark.sources.peaks_datasource import (
+        PeaksBinaryDataSource,
+        write_peaks_file,
+    )
+
+    spark.dataSource.register(PeaksBinaryDataSource)
+    src = f"{tmpdir_}/src"
+    os.makedirs(src)
+    write_peaks_file(f"{src}/a.peaks", _fixture_frames(6))
+    df = (
+        spark.read.format("peaksbin").option("num_channels", "4").load(src)
+    )
+
+    # frames split across partitions: round-robin repartition scatters a
+    # frame's rows, so some partition sees a non-contiguous peak_idx run
+    with pytest.raises(Exception, match="peak_idx"):
+        df.repartition(8).write.format("peaksbin").option(
+            "num_channels", "4"
+        ).mode("overwrite").save(f"{tmpdir_}/bad1")
+
+    # duplicated rows inside one partition: same loud failure
+    with pytest.raises(Exception, match="peak_idx"):
+        df.unionAll(df).coalesce(1).write.format("peaksbin").option(
+            "num_channels", "4"
+        ).mode("overwrite").save(f"{tmpdir_}/bad2")
+
+    # the documented remedy makes the same data writable again:
+    # repartition by the frame key restores frame-local completeness
+    dst = f"{tmpdir_}/good"
+    df.repartition("serial_number", "ts").write.format("peaksbin").option(
+        "num_channels", "4"
+    ).mode("overwrite").save(dst)
+    back = (
+        spark.read.format("peaksbin").option("num_channels", "4").load(dst)
+    )
+    assert back.count() == df.count()
