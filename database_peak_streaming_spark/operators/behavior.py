@@ -93,6 +93,62 @@ def sessionize_gap_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: dynamic sessionization gaps: a purchase buys a longer inactivity
+#: grace before the session closes (checkout/payment detours), any
+#: other event keeps the standard 30 min.
+SESSION_GAP_AFTER_PURCHASE_S = 7200
+
+
+def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a DATA-DEPENDENT gap: the inactivity
+    threshold that closes a session depends on the PREVIOUS event's
+    type (purchase -> 2 h grace, else 30 min) — the dynamic-gap session
+    semantics Spark's streaming ``session_window(ts, gap_expr)``
+    supports and fixed-gap SQL sessionization can't express.  This is
+    its batch twin with joinable session ids, same shape as
+    ``sessionize_gap_ids`` (lag -> boundary flag -> running sum), the
+    threshold just rides the lagged row.
+
+    One shuffle on user_id; both window passes share the partitioning.
+    Tie-break (ts, event_id) makes the lag total-ordered, so the
+    session ids are engine-exact."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w_user)
+    prev_type = F.lag("event_type").over(w_user)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+    allowed = F.when(
+        prev_type == "purchase", F.lit(SESSION_GAP_AFTER_PURCHASE_S)
+    ).otherwise(F.lit(SESSION_GAP_S))
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > allowed), F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_id = flagged.withColumn(
+        "session_idx",
+        F.sum("new_sess")
+        .over(w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    from database_peak_streaming_spark.operators.common import dsum_bounded
+
+    return (
+        with_id.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("n_purchases"),
+            dsum_bounded("value", "total_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
 def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-user modal event type: count per (user, type),
     rank by (count desc, type asc) — the explicit tie-break is the point
@@ -618,6 +674,7 @@ QUERIES = {
     "events_attribution_first_last": events_attribution_first_last,
     "user_state_latest": user_state_latest,
     "sessionize_gap_ids": sessionize_gap_ids,
+    "sessionize_dynamic_gap": sessionize_dynamic_gap,
     "mode_event_type_per_user": mode_event_type_per_user,
     "scd2_user_state_history": scd2_user_state_history,
 }
@@ -893,6 +950,37 @@ ORACLE_SQL = {
         UNION ALL SELECT '3_click', COUNT(*) FROM t3
         UNION ALL SELECT '4_purchase', COUNT(*) FROM t4
         ORDER BY stage
+    """,
+    "sessionize_dynamic_gap": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                                - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT)
+                                > (CASE WHEN LAG(event_type) OVER w = 'purchase'
+                                        THEN {SESSION_GAP_AFTER_PURCHASE_S}
+                                        ELSE {SESSION_GAP_S} END)
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        with_id AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   CAST(SUM(new_sess) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_idx
+            FROM flagged)
+        SELECT user_id, session_idx,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28, 6))) AS DOUBLE), 6)
+                   AS total_value
+        FROM with_id
+        GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx
     """,
     "sessionize_gap_ids": f"""
         WITH flagged AS (

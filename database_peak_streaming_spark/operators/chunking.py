@@ -123,12 +123,95 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shard count for the training-layout manifest (production: O(10^4)
+#: shards so each is one worker's streaming read).
+LAYOUT_SHARDS = 16
+
+
+def training_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE + sharding — the step between a
+    curated corpus and the trainer's data loader: every epoch must read
+    the docs in a fixed pseudo-random order, resumable from any step,
+    identical no matter how the corpus was partitioned when written.
+
+    Content-stable layout: shard = md5(doc_id) bucket (NOT doc_id % k —
+    consecutive ids land together and training order would correlate
+    with crawl order), position within shard = rank of a SECOND
+    independent md5.  Both keys derive from content ids, so re-running
+    on a re-partitioned copy of the corpus yields byte-identical
+    shards — the reproducibility property checkpoint-resume needs.
+
+    Output is the per-shard MANIFEST (row counts, token volume, the
+    layout fingerprint): shard assignment is map-only, the intra-shard
+    rank is a shard-local window (parallel across shards), and only
+    manifest rows leave the shuffle — the full (doc -> position) table
+    is written as shard-partitioned parquet at production scale, never
+    collected."""
+    d = load_table(spark, "documents", sf_dir)
+    shard_key = F.md5(F.concat(F.lit("shard#"), F.col("doc_id").cast("string")))
+    pos_key = F.md5(F.concat(F.lit("pos#"), F.col("doc_id").cast("string")))
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (
+            F.conv(F.substring(shard_key, 1, 13), 16, 10).cast("bigint")
+            % LAYOUT_SHARDS
+        ).cast("int").alias("shard_id"),
+        pos_key.alias("pos_key"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("pos_key", "doc_id")
+    placed = t.withColumn("position", F.row_number().over(w).cast("long"))
+    return (
+        placed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("doc_id").alias("id_checksum"),
+            # order-sensitive fingerprint: md5 of the position-ordered
+            # doc-id stream — equal iff the LAYOUT (not just membership)
+            # is reproduced
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("position", "doc_id"))
+                        ),
+                        lambda s: s["doc_id"].cast("string"),
+                    ),
+                )
+            ).alias("layout_fp"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 QUERIES = {
     "chunk_documents_overlap": chunk_documents_overlap,
     "pack_sequences_greedy": pack_sequences_greedy,
+    "training_shard_layout": training_shard_layout,
 }
 
 ORACLE_SQL = {
+    "training_shard_layout": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(('0x' || SUBSTR(MD5('shard#' ||
+                        CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                        % {LAYOUT_SHARDS} AS INT) AS shard_id,
+                   MD5('pos#' || CAST(doc_id AS VARCHAR)) AS pos_key
+            FROM documents)
+        SELECT shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+               MD5(STRING_AGG(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY pos_key, doc_id)) AS layout_fp
+        FROM t
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
     # DuckDB lists are 1-indexed and list_slice's end is inclusive;
     # range(0, n, s) matches Spark's sequence(0, n-1, s) for n >= 1
     # (split(' ') never yields an empty list, so n >= 1 always).

@@ -381,7 +381,108 @@ def source_lang_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Poisson(1) bootstrap: replicate count and the inverse-CDF ladder
+#: (cumulative e^-1 / k! partial sums as exact double literals — both
+#: engines compare the SAME uniform against the SAME thresholds, so the
+#: replicate weights are bit-identical).  40 reps puts the 2.5%/97.5%
+#: order statistics at clean ranks (2 and 39).
+BOOT_REPS = 40
+_POISSON_CDF = [
+    0.36787944117144233,  # P(X <= 0)
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,  # P(X <= 5); tail mass 5.9e-4 -> w = 6
+]
+
+
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order value —
+    THE distributed bootstrap (Chamandy et al., "Estimating uncertainty
+    for massive data streams", Google 2012; resampling n rows with
+    replacement is impossible at 100 TB, but Binomial(n, 1/n) ->
+    Poisson(1) per-row replicate weights stream in one pass).
+
+    Every (row, replicate) weight derives from md5(rep#key) through the
+    Poisson inverse-CDF ladder — content-keyed like every sampler here,
+    so the interval is identical on any engine/partitioning and the
+    oracle recomputes it exactly.  Replicate sums use exact decimal
+    accumulation (the operators/common.py float discipline); the final
+    mean is ONE double division of identical numerator/denominator, so
+    no cross-engine float drift exists anywhere.
+
+    Plan: one fan-out of REPS rows per order (map-side), one 40-key
+    aggregation, a 40-row sort for the order statistics — the heavy
+    part is embarrassingly parallel and the state is O(REPS)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(28,6)").alias("x")
+    )
+    r = o.select(
+        "o_orderkey",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("rep"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot#"),
+                        F.col("rep").cast("string"),
+                        F.lit("#"),
+                        F.col("o_orderkey").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / ARES_BITS_M
+    )
+    w = F.lit(len(_POISSON_CDF))
+    for k in range(len(_POISSON_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON_CDF[k]), F.lit(k)).otherwise(w)
+    means = (
+        r.withColumn("w", w.cast("long"))
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            "rep", (F.col("swx").cast("double") / F.col("sw")).alias("m")
+        )
+    )
+    ranked = means.withColumn(
+        "rn", F.row_number().over(Window.orderBy("m", "rep"))
+    )
+    ci = ranked.agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.round(F.sum(F.when(F.col("rn") == 2, F.col("m"))), 6).alias(
+            "ci_lo"
+        ),
+        F.round(
+            F.sum(F.when(F.col("rn") == BOOT_REPS - 1, F.col("m"))), 6
+        ).alias("ci_hi"),
+    )
+    full = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum("x").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_full"),
+    )
+    return full.crossJoin(F.broadcast(ci)).select(
+        "n_rows", "mean_full", "n_reps", "ci_lo", "ci_hi"
+    )
+
+
 QUERIES = {
+    "bootstrap_ci_mean": bootstrap_ci_mean,
     "source_lang_drift_chi2": source_lang_drift_chi2,
     "sample_systematic_mod": sample_systematic_mod,
     "sample_weighted_ares": sample_weighted_ares,
@@ -406,8 +507,54 @@ _DECON_GRAM_SQL = " || ' ' || ".join(
     f"t[i + {k}]" for k in range(DECON_NGRAM)
 )
 
+#: Poisson inverse-CDF ladder rendered as SQL (same double literals the
+#: Spark plan compares against, so weights match bit-for-bit).
+_POISSON_LADDER_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_POISSON_CDF)
+    )
+    + f" ELSE {len(_POISSON_CDF)} END"
+)
+
 
 ORACLE_SQL = {
+    "bootstrap_ci_mean": f"""
+        WITH r AS (
+            SELECT o_orderkey,
+                   CAST(o_totalprice AS DECIMAL(28,6)) AS x,
+                   UNNEST(RANGE(0, {BOOT_REPS})) AS rep
+            FROM orders),
+        wtd AS (
+            SELECT rep, x,
+                   {_POISSON_LADDER_SQL} AS w
+            FROM (
+                SELECT rep, x,
+                       ('0x' || SUBSTR(MD5('boot#' || CAST(rep AS VARCHAR)
+                            || '#' || CAST(o_orderkey AS VARCHAR)), 1, 13)
+                       )::BIGINT / 4503599627370496.0 AS u
+                FROM r)),
+        means AS (
+            SELECT rep,
+                   CAST(SUM(w * x) AS DOUBLE) / SUM(w) AS m
+            FROM wtd GROUP BY rep),
+        ranked AS (
+            SELECT m, ROW_NUMBER() OVER (ORDER BY m, rep) AS rn
+            FROM means),
+        ci AS (
+            SELECT COUNT(*) AS n_reps,
+                   ROUND(SUM(CASE WHEN rn = 2 THEN m END), 6) AS ci_lo,
+                   ROUND(SUM(CASE WHEN rn = {BOOT_REPS - 1} THEN m END), 6)
+                       AS ci_hi
+            FROM ranked),
+        whole AS (
+            SELECT COUNT(*) AS n_rows,
+                   ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                              AS DOUBLE) / COUNT(*), 6) AS mean_full
+            FROM orders)
+        SELECT n_rows, mean_full, n_reps, ci_lo, ci_hi
+        FROM whole CROSS JOIN ci
+    """,
     "source_lang_drift_chi2": """
         WITH d AS (SELECT source, lang FROM documents),
         n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_corpus FROM d),

@@ -215,8 +215,87 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Misra-Gries capacity: guarantees every token with global frequency
+#: > N/MG_K survives candidate generation (small on purpose at fixture
+#: scale so the summaries actually evict; production k ~ 10^5 keeps the
+#: per-partition dict in L2 while bounding the candidate set).
+MG_K = 50
+
+
+def sketch_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (all tokens with frequency > N/k) via the
+    two-pass Misra-Gries design — the other classic frequency sketch
+    beside the CMS above, and the one whose answer is exact, not an
+    over-estimate.
+
+    Pass 1 (candidates): each partition folds its token stream through
+    a k-counter Misra-Gries summary inside ONE ``mapInPandas`` iterator
+    — state lives across the partition's Arrow batches, output is
+    <= k rows per partition no matter the vocabulary.  The averaging
+    argument makes the union of partition summaries a SUPERSET of every
+    global heavy hitter: count(t) > N/k implies count_p(t) > N_p/k on
+    at least one partition, and a locally-(>N_p/k)-frequent token always
+    survives local MG.  This is one of the few operators where Python
+    state is the right tool: MG's decrement step is inherently
+    imperative, and the Arrow batching keeps it off the row-at-a-time
+    path.
+
+    Pass 2 (exact): candidates (tiny) broadcast back and the token
+    stream is re-counted ONLY for them, then filtered by the exact
+    threshold ``count * k > N`` — so partitioning never shows in the
+    answer and the DuckDB oracle is a plain GROUP BY/HAVING.
+
+    Scale: pass-1 state is O(k) per task and its output O(k x tasks);
+    pass 2 shuffles only candidate-token rows.  The vocabulary-sized
+    groupBy the naive form needs never happens."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for token in pdf["token"]:
+                if token in counters:
+                    counters[token] += 1
+                elif len(counters) < MG_K:
+                    counters[token] = 1
+                else:  # decrement-all step (lazy: drop zeros)
+                    dead = []
+                    for t in counters:
+                        counters[t] -= 1
+                        if counters[t] == 0:
+                            dead.append(t)
+                    for t in dead:
+                        del counters[t]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    candidates = (
+        tok.mapInPandas(_mg, schema="token string").distinct()
+    )
+    n_df = tok.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        tok.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .crossJoin(F.broadcast(n_df))
+        .where(F.col("exact_count") * MG_K > F.col("_n"))
+        .select(
+            "token",
+            "exact_count",
+            F.col("_n").alias("n_tokens_total"),
+        )
+        .orderBy(F.desc("exact_count"), "token")
+    )
+
+
 QUERIES = {
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+    "sketch_mg_heavy_hitters": sketch_mg_heavy_hitters,
     "agg_bitmap_exact_distinct": agg_bitmap_exact_distinct,
     "join_bloom_prefilter": join_bloom_prefilter,
 }
@@ -227,6 +306,20 @@ _CMS_CELL = (
 )
 
 ORACLE_SQL = {
+    "sketch_mg_heavy_hitters": f"""
+        WITH tok AS (
+            SELECT t.token AS token
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+        ),
+        n AS (SELECT COUNT(*) AS n FROM tok)
+        SELECT token,
+               COUNT(*) AS exact_count,
+               CAST(MAX(n.n) AS BIGINT) AS n_tokens_total
+        FROM tok, n
+        GROUP BY token
+        HAVING COUNT(*) * {MG_K} > MAX(n.n)
+        ORDER BY exact_count DESC, token
+    """,
     "sketch_cms_heavy_hitters": f"""
         WITH tok AS (
             SELECT t.token AS token

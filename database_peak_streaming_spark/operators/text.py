@@ -752,7 +752,50 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document, lowest-20 —
+    the cheap anomaly probe that catches what token-level quality
+    scores miss: base64/hex blobs, repeated-character padding, and
+    binary-pasted-as-text all sit at the entropy extremes while looking
+    token-plausible (the heuristic FineWeb/CCNet-class cleaners run
+    beside length/stopword gates).
+
+    H = ln(n) - (1/n) * sum c_i * ln(c_i) over per-char counts — one
+    char explode + (doc, char) count + per-doc fold, all codegen.
+    Entropy is rounded to 6dp BEFORE the sort (the pagerank rounding
+    discipline) so the cross-engine order is exact; ties break on
+    doc_id.  Empty documents are excluded on BOTH sides (Spark's
+    split('') yields [] where DuckDB yields [''] — the one divergent
+    input).  Scale: fan-out is n_chars per doc (linear), shuffle keys
+    are (doc_id, char) — scan-speed at 100 TB."""
+    d = load_table(spark, "documents", sf_dir).where(F.length("text") > 0)
+    per_char = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = per_char.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("_clogc"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_chars",
+            "n_distinct_chars",
+            F.round(
+                F.log(F.col("n_chars")) - F.col("_clogc") / F.col("n_chars"),
+                6,
+            ).alias("entropy_nats"),
+        )
+        .orderBy("entropy_nats", "doc_id")
+        .limit(20)
+    )
+
+
 QUERIES = {
+    "text_char_entropy": text_char_entropy,
     "text_feature_hashing": text_feature_hashing,
     "text_zipf_slope": text_zipf_slope,
     "text_langid_confusion": text_langid_confusion,
@@ -790,6 +833,24 @@ for _, _pat in REDACT_PATTERNS:
     _REDACTED_SQL = f"REGEXP_REPLACE({_REDACTED_SQL}, '{_pat}', '<MASK>', 'g')"
 
 ORACLE_SQL = {
+    "text_char_entropy": """
+        WITH per_char AS (
+            SELECT doc_id, c.ch AS ch, COUNT(*) AS c
+            FROM documents, UNNEST(STRING_SPLIT(text, '')) AS c(ch)
+            WHERE LENGTH(text) > 0
+            GROUP BY doc_id, c.ch),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_chars,
+                   COUNT(*) AS n_distinct_chars,
+                   SUM(c * LN(c)) AS clogc
+            FROM per_char GROUP BY doc_id)
+        SELECT doc_id, n_chars, n_distinct_chars,
+               ROUND(LN(n_chars) - clogc / n_chars, 6) AS entropy_nats
+        FROM per_doc
+        ORDER BY entropy_nats, doc_id
+        LIMIT 20
+    """,
     "text_feature_hashing": f"""
         WITH tok AS (
             SELECT doc_id, t.token AS tok

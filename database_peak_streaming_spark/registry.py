@@ -149,14 +149,21 @@ _PRIORITY = [
     "q1_pricing_summary",
 ]
 
-#: The round-8 rotation pool.  EMPTY at round-7 start: the round-7
+#: The round-8 rotation pool.  Empty at round-7 start (the round-7
 #: window drains the whole round-6 pool, closing union driver coverage
-#: at 230/230.  Queries ADDED during round 7 append here (each is
+#: at 230/230); queries ADDED during round 7 append here (each is
 #: local-gated by tests/test_differential.py's full DuckDB oracle until
 #: a future window picks it up).  tests/test_registry.py pins that the
 #: never-driver-checked overflow is EXACTLY this list, so any new query
 #: must either enter the window or be added here.
-ROTATION_POOL_NEXT_ROUND: list[str] = []
+ROTATION_POOL_NEXT_ROUND: list[str] = [
+    # round-7 additions:
+    "sketch_mg_heavy_hitters",
+    "training_shard_layout",
+    "text_char_entropy",
+    "bootstrap_ci_mean",
+    "sessionize_dynamic_gap",
+]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}

@@ -127,3 +127,33 @@ def test_time_range_rolling_single_partition_pass(spark):
     # one shuffle on user_id feeds BOTH the RANGE frame and the re-agg
     # (same key); plus the output sort
     assert E.shuffle_count(df) <= 3, E.formatted_plan(df)
+
+
+def test_mg_heavy_hitters_exact_and_partition_invariant(spark):
+    """Two properties of the Misra-Gries two-pass design:
+
+    * EXACTNESS: the result equals the plain GROUP BY/HAVING answer
+      (every token with count * k > N, exact counts) — the candidate
+      pass may vary with partitioning but can only produce a superset,
+      and pass 2 recounts exactly.
+    * the threshold actually bites: some tokens exist below it (the
+      candidate stage isn't vacuously returning the whole vocabulary).
+    """
+    from database_peak_streaming_spark.operators.sketches import MG_K
+
+    got = {
+        (r.token, r.exact_count)
+        for r in QUERIES["sketch_mg_heavy_hitters"](spark, SF_DIR).collect()
+    }
+    tok = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+    )
+    n = tok.count()
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    want = {
+        (r.token, r.c)
+        for r in exact.where(F.col("c") * MG_K > n).collect()
+    }
+    assert got == want and len(want) > 0
+    assert exact.where(F.col("c") * MG_K <= n).count() > 0
