@@ -91,6 +91,13 @@ HEADLINE = [
     "dq_expectation_suite",
     "udf_arrow_token_count",
     "training_data_build",
+    # round-7 additions (also listed in R7_ADDITIONS so the frozen
+    # round-6 comparison subset is unaffected)
+    "sketch_mg_heavy_hitters",
+    "training_shard_layout",
+    "sessionize_dynamic_gap",
+    "bootstrap_ci_mean",
+    "join_interval_window_band",
 ]
 
 #: Size-stable cross-round comparison set (round-5 VERDICT task 6): the
@@ -133,7 +140,13 @@ R4_COMPARABLE_SUBSET = [
 
 #: Names added to HEADLINE during round 7+ — kept separate so the
 #: frozen round-6 subset below stays exactly what BENCH_r06 ran.
-R7_ADDITIONS: list[str] = []
+R7_ADDITIONS: list[str] = [
+    "sketch_mg_heavy_hitters",
+    "training_shard_layout",
+    "sessionize_dynamic_gap",
+    "bootstrap_ci_mean",
+    "join_interval_window_band",
+]
 
 #: Round-6-comparable subset (round-6 VERDICT task 8): the EXACT
 #: headline set BENCH_r06 ran, frozen so round 7+ reports a ratio

@@ -96,6 +96,7 @@ QUERY_SET = [
     # carry them through the scaled tiers so the crossover is measured,
     # not asserted
     "join_interval_binned",
+    "join_interval_window_band",
     "join_range_banded",
 ]
 
@@ -114,6 +115,7 @@ STRAGGLER_SET = [
     "dedup_ngram_jaccard",
     "curate_corpus_pipeline",
     "join_interval_binned",
+    "join_interval_window_band",
     "join_range_banded",
 ]
 

@@ -377,12 +377,15 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the binned side is DATA-sized (rows x cells-touched), so a
     # broadcast would be scale-wrong even where AQE's size estimate
-    # allows it at fixture scale; the merge hint pins a shuffle join —
-    # and because both sides are the SAME generated subtree, AQE
-    # dedupes the two exchanges into one (ReusedExchange): the whole
-    # candidate stage costs a single shuffle of the binned rows
+    # allows it at fixture scale; the shuffle_hash hint pins a shuffled
+    # HASH join — and because both sides are the SAME generated
+    # subtree, AQE dedupes the two exchanges into one (ReusedExchange):
+    # the whole candidate stage costs a single shuffle of the binned
+    # rows.  (Round 7: was hint("merge"); the hash join skips both
+    # sort passes over the ~8x candidate fan-out — measured 5.75 s ->
+    # 3.93 s at 30x sf0.1, same executed-plan reuse properties.)
     pairs = (
-        a.join(b.hint("merge"), ["custkey", "cell"])
+        a.join(b.hint("shuffle_hash"), ["custkey", "cell"])
         .where(
             (F.col("okey_a") < F.col("okey_b"))
             & (F.col("start_a") < F.col("end_b"))
@@ -400,6 +403,70 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "okey_b",
             F.datediff(
                 F.least("end_a", "end_b"), F.greatest("start_a", "start_b")
+            ).alias("overlap_days"),
+        )
+    )
+    return pairs.orderBy("custkey", "okey_a", "okey_b")
+
+
+def join_interval_window_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIXED-LENGTH specialization of ``join_interval_binned`` —
+    same answer, no join at all.  When every interval has the same
+    length L (here 14 days), two intervals of one customer overlap iff
+    their starts differ by < L — so the overlap self-join collapses to
+    a per-customer time-RANGE window: each order collects its
+    predecessors within L-1 days and explodes the pairs.  Candidate
+    volume equals the OUTPUT volume (no superset, no post-filter
+    discard) and the whole plan is one shuffle on the customer key —
+    measured 4.7x faster than the grid-binned general form at 30x sf0.1
+    (1.23 s vs 5.75 s), which is why a pipeline with constant-width
+    windows (sessions, SLAs, retention horizons) should prefer this
+    shape and fall back to the grid only for mixed-length intervals.
+
+    Pair-once discipline: the (start, okey)-LATER endpoint reports the
+    pair (the window's frame makes it the collector), mirroring the
+    grid form's cell-ownership rule; output is canonicalized to
+    okey_a < okey_b, so the ORACLE is byte-identical to the binned
+    form's (same naive theta SQL)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("start_d"),
+    )
+    iv = o.withColumn("end_d", F.date_add("start_d", 14))
+    t = iv.withColumn(
+        "sd", F.datediff("start_d", F.lit("1970-01-01").cast("date"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("sd").rangeBetween(-13, 0)
+    lst = t.withColumn(
+        "preds",
+        F.collect_list(F.struct("sd", "o_orderkey", "start_d", "end_d")).over(
+            w
+        ),
+    )
+    e = lst.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("start_d").alias("s1"),
+        F.col("end_d").alias("e1"),
+        F.explode("preds").alias("p"),
+    )
+    later = (F.col("p.start_d") < F.col("s1")) | (
+        (F.col("p.start_d") == F.col("s1"))
+        & (F.col("p.o_orderkey") < F.col("k1"))
+    )
+    pairs = (
+        e.where(F.col("p.o_orderkey") != F.col("k1"))
+        .where(later)
+        .select(
+            "custkey",
+            F.least(F.col("k1"), F.col("p.o_orderkey")).alias("okey_a"),
+            F.greatest(F.col("k1"), F.col("p.o_orderkey")).alias("okey_b"),
+            F.datediff(
+                F.least(F.col("e1"), F.col("p.end_d")),
+                F.greatest(F.col("s1"), F.col("p.start_d")),
             ).alias("overlap_days"),
         )
     )
@@ -514,6 +581,7 @@ QUERIES = {
     "join_asof_tolerance": join_asof_tolerance,
     "orders_market_basket_lift": orders_market_basket_lift,
     "join_interval_binned": join_interval_binned,
+    "join_interval_window_band": join_interval_window_band,
 }
 
 ORACLE_SQL = {
@@ -657,3 +725,5 @@ ORACLE_SQL = {
         ORDER BY p.event_id
     """,
 }
+
+ORACLE_SQL["join_interval_window_band"] = ORACLE_SQL["join_interval_binned"]

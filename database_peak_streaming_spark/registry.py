@@ -163,6 +163,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "text_char_entropy",
     "bootstrap_ci_mean",
     "sessionize_dynamic_gap",
+    "join_interval_window_band",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

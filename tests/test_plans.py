@@ -408,6 +408,12 @@ def test_forced_broadcasts_are_bounded_cardinality():
         "profile", "sizes", "lang_n", "band", "centroid", "filt",
         "keys", "n", "n1", "n2", "r", "cn", "sn", "p", "s", "eu_supp",
         "bad", "dominant", "conv", "cohort", "queries", "qtok", "topk",
+        # round 7: "ci" is a 1-row replicate-quantile agg (bootstrap);
+        # "candidates" is the Misra-Gries union — <= MG_K x tasks rows
+        # by construction (the two-pass heavy-hitter contract: k is
+        # CHOSEN so the candidate set broadcasts; if it couldn't, the
+        # fallback is the same semi-join shuffled, not a bigger k)
+        "ci", "candidates",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     offenders = []
@@ -444,12 +450,14 @@ def test_dynamic_partition_pruning_fires(spark):
 
 def test_interval_join_reuses_one_exchange(spark):
     """The self-join's two sides are the same generated subtree; the
-    merge hint + AQE must execute them as ONE shuffle (ReusedExchange),
-    never a broadcast of the data-sized binned side."""
+    shuffle_hash hint + AQE must execute them as ONE shuffle
+    (ReusedExchange), never a broadcast of the data-sized binned side.
+    (Round 7: SortMergeJoin -> ShuffledHashJoin — the hash join skips
+    both sorts over the candidate fan-out; reuse properties retained.)"""
     df = QUERIES["join_interval_binned"](spark, SF_DIR)
     df.collect()
     ep = df._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" in ep, ep
+    assert "ShuffledHashJoin" in ep, ep
     assert "ReusedExchange" in ep, ep
     assert "BroadcastHashJoin" not in ep, ep
 
