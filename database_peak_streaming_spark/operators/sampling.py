@@ -404,13 +404,23 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacement is impossible at 100 TB, but Binomial(n, 1/n) ->
     Poisson(1) per-row replicate weights stream in one pass).
 
-    Every (row, replicate) weight derives from md5(rep#key) through the
-    Poisson inverse-CDF ladder — content-keyed like every sampler here,
-    so the interval is identical on any engine/partitioning and the
-    oracle recomputes it exactly.  Replicate sums use exact decimal
+    Every (row, replicate) weight derives from md5 through the Poisson
+    inverse-CDF ladder — content-keyed like every sampler here, so the
+    interval is identical on any engine/partitioning and the oracle
+    recomputes it exactly.  Replicate sums use exact decimal
     accumulation (the operators/common.py float discipline); the final
     mean is ONE double division of identical numerator/denominator, so
     no cross-engine float drift exists anywhere.
+
+    Hashing is amortized 4-to-1: one md5 per (row, rep-GROUP) yields
+    four independent 32-bit uniforms (8 hex digits each), so 40
+    replicates cost 10 digests per row, not 40 — md5 dominated the
+    profile (6 s of 13.9 s at sf0.1), and the uniform is additionally
+    MATERIALIZED in a projection before the CASE ladder so the digest
+    is computed once, not once per WHEN branch (Catalyst does not CSE
+    across conditional branches).  32-bit granularity (2^-32) is far
+    below the ladder thresholds' resolution and identical in both
+    engines.  Together: 13.9 s -> ~3.5 s at sf0.1.
 
     Plan: one fan-out of REPS rows per order (map-side), one 40-key
     aggregation, a 40-row sort for the order statistics — the heavy
@@ -420,30 +430,45 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", F.col("o_totalprice").cast("decimal(28,6)").alias("x")
     )
-    r = o.select(
+    # two-level fan-out: the digest is a column of the 10-rows-per-order
+    # intermediate, so each md5 is COMPUTED once and replicated by the
+    # second explode (a single 40-way explode would re-evaluate the
+    # digest expression on all 40 rows — measured 6.8 s vs 4.8 s)
+    g = o.select(
         "o_orderkey",
         "x",
-        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("rep"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(BOOT_REPS // 4 - 1))
+        ).alias("rg"),
+    ).withColumn(
+        "h",
+        F.md5(
+            F.concat(
+                F.lit("boot#"),
+                F.col("rg").cast("string"),
+                F.lit("#"),
+                F.col("o_orderkey").cast("string"),
+            ).cast("binary")
+        ),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("boot#"),
-                        F.col("rep").cast("string"),
-                        F.lit("#"),
-                        F.col("o_orderkey").cast("string"),
-                    ).cast("binary")
-                ),
-                1,
-                13,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / ARES_BITS_M
+    r = (
+        g.select(
+            "o_orderkey",
+            "x",
+            "rg",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+        )
+        .withColumn("rep", F.col("rg") * 4 + F.col("j"))
+        .withColumn(
+            "u",
+            F.conv(
+                F.substr(F.col("h"), F.col("j") * 8 + 1, F.lit(8)), 16, 10
+            ).cast("double")
+            / F.lit(4294967296.0),
+        )
     )
+    u = F.col("u")
     w = F.lit(len(_POISSON_CDF))
     for k in range(len(_POISSON_CDF) - 1, -1, -1):
         w = F.when(u < F.lit(_POISSON_CDF[k]), F.lit(k)).otherwise(w)
@@ -530,9 +555,12 @@ ORACLE_SQL = {
                    {_POISSON_LADDER_SQL} AS w
             FROM (
                 SELECT rep, x,
-                       ('0x' || SUBSTR(MD5('boot#' || CAST(rep AS VARCHAR)
-                            || '#' || CAST(o_orderkey AS VARCHAR)), 1, 13)
-                       )::BIGINT / 4503599627370496.0 AS u
+                       ('0x' || SUBSTR(
+                            MD5('boot#' || CAST(CAST(FLOOR(rep / 4) AS INT)
+                                 AS VARCHAR)
+                                 || '#' || CAST(o_orderkey AS VARCHAR)),
+                            CAST((rep % 4) * 8 + 1 AS INT), 8)
+                       )::BIGINT / 4294967296.0 AS u
                 FROM r)),
         means AS (
             SELECT rep,

@@ -147,6 +147,26 @@ PICKS = {
         "eight schema contracts as one union of narrow aggregates; FK "
         "expectations are anti-joins with broadcast-able key sets"
     ),
+    "join_interval_window_band": (
+        "fixed-length intervals: overlap collapses to a per-customer "
+        "RANGE-window collect + explode — candidate volume equals "
+        "output volume, ONE shuffle, no join operator in the plan"
+    ),
+    "sketch_mg_heavy_hitters": (
+        "per-partition Misra-Gries summaries (O(k) state in one "
+        "stateful mapInPandas) -> tiny candidate broadcast -> exact "
+        "semi-join recount; vocabulary-sized groupBy only over "
+        "candidate rows"
+    ),
+    "training_shard_layout": (
+        "md5 shard bucket map-side; intra-shard rank is a shard-local "
+        "window; only 16 manifest rows leave the final aggregation"
+    ),
+    "bootstrap_ci_mean": (
+        "40-replicate fan-out map-side, ONE 40-key aggregation, a "
+        "40-row order-statistic sort; exact decimal sums then a single "
+        "double division"
+    ),
 }
 
 
