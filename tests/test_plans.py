@@ -471,3 +471,15 @@ def test_banded_range_join_is_hash_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_interval_window_band_has_no_join(spark):
+    """join_interval_window_band's point is that fixed-length overlap
+    needs NO join operator — one exchange feeds a RANGE window and the
+    pair explode.  Any *Join node means the specialization regressed to
+    the general grid form."""
+    df = QUERIES["join_interval_window_band"](spark, SF_DIR)
+    plan = E.formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+    assert "Generate" in plan, plan
