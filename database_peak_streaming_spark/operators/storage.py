@@ -491,6 +491,32 @@ def sql_api_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4 / the SIGMOD'24 "pipe-syntax-in-SQL"
+    proposal, also in GoogleSQL): the flagship pricing rollup written as
+    a ``FROM ... |> WHERE ... |> AGGREGATE ... |> ORDER BY`` chain —
+    the operator-ordered SQL dialect the DataFrame API's fluency maps
+    to.  Parses to the exact same Catalyst plan family as
+    ``sql_api_q1``; the oracle is plain ANSI SQL, proving pipe syntax
+    is pure surface, never semantics."""
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView(
+        "lineitem_pipe"
+    )
+    return spark.sql(
+        """
+        FROM lineitem_pipe
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |> AGGREGATE
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sum_qty,
+               ROUND(AVG(l_extendedprice), 6) AS avg_price,
+               COUNT(*) AS count_order
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
 def sql_api_cte_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-dialect breadth: CTE + LATERAL VIEW explode + two-level
     aggregation through the SQL-string surface — the HiveQL-style
@@ -854,6 +880,7 @@ QUERIES = {
     "grouping_sets_explicit": grouping_sets_explicit,
     "map_funcs": map_funcs,
     "sql_api_q1": sql_api_q1,
+    "sql_pipe_syntax_pricing": sql_pipe_syntax_pricing,
 }
 
 ORACLE_SQL = {
@@ -1089,6 +1116,17 @@ ORACLE_SQL = {
                r_name AS name_via_map,
                CAST(2 AS BIGINT) AS n_vals
         FROM region ORDER BY r_regionkey
+    """,
+    "sql_pipe_syntax_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sum_qty,
+               ROUND(AVG(l_extendedprice), 6) AS avg_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
     """,
     "sql_api_q1": """
         SELECT l_returnflag, l_linestatus,

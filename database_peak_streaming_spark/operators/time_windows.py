@@ -516,7 +516,81 @@ def events_dow_hod_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: centered moving-average half-width for the decomposition trend
+#: (25 hourly points — the classic odd-window MA for a daily cycle).
+_MA_HALF = 12
+
+
+def ts_seasonal_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the per-type hourly value
+    series (the moving-average half of STL): trend = centered 25-point
+    MA over the hourly means, seasonal index = per-(type, hour-of-day)
+    mean of the detrended series — the decomposition a capacity planner
+    or anomaly detector runs before alerting on raw values.
+
+    ENGINE-EXACT BY INTEGER ARITHMETIC: every stage stays in long
+    micro-units (the operators/common.py ``micros`` contract) with
+    explicit FLOOR at each division, so the 3-stage float pipeline
+    (mean -> MA -> detrended mean) that would otherwise accumulate
+    engine-specific roundoff is instead bit-identical anywhere.  The MA
+    is ROWS-based over the hourly series (standard for a regular grid;
+    the fixture's traffic has no empty hours), and only FULL 25-point
+    frames contribute, so edges don't bias the seasonal fit.
+
+    Plan: one (type, hour)-key aggregation, one per-type window sort
+    shared by the MA sum and count, one 120-cell rollup — at 100 TB the
+    hourly series is ~9 K rows per type-year, so everything after the
+    first aggregation is dashboard-sized."""
+    from pyspark.sql import Window
+
+    from database_peak_streaming_spark.operators.common import micros
+
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hb")
+    ).agg(
+        F.sum(micros("value")).alias("t"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    m = hourly.withColumn(
+        "m", F.floor(F.col("t") / F.col("c")).cast("long")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hb")
+        .rowsBetween(-_MA_HALF, _MA_HALF)
+    )
+    trended = (
+        m.withColumn("ma_sum", F.sum("m").over(w))
+        .withColumn("ma_n", F.count(F.lit(1)).over(w))
+        .where(F.col("ma_n") == 2 * _MA_HALF + 1)
+        .withColumn(
+            "trend",
+            F.floor(F.col("ma_sum") / (2 * _MA_HALF + 1)).cast("long"),
+        )
+    )
+    return (
+        trended.groupBy("event_type", F.hour("hb").alias("hod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.floor(
+                F.sum(F.col("m") - F.col("trend")) / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("_sm"),
+        )
+        .select(
+            "event_type",
+            "hod",
+            "n_hours",
+            F.round(F.col("_sm") / 1e6, 6).alias("seasonal_value"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
 QUERIES = {
+    "ts_seasonal_decompose_ma": ts_seasonal_decompose_ma,
     "forecast_seasonal_naive_mae": forecast_seasonal_naive_mae,
     "events_dow_hod_heatmap": events_dow_hod_heatmap,
     "ema_batch_fold": ema_batch_fold,
@@ -537,6 +611,39 @@ QUERIES = {
 _DEC = "DECIMAL(28,6)"
 
 ORACLE_SQL = {
+    "ts_seasonal_decompose_ma": f"""
+        WITH hourly AS (
+            SELECT event_type, DATE_TRUNC('hour', ts) AS hb,
+                   SUM(CAST(SIGN(value) * FLOOR(ABS(value) * 1e6 + 0.5)
+                            AS BIGINT)) AS t,
+                   COUNT(*) AS c
+            FROM events GROUP BY 1, 2),
+        m AS (
+            SELECT event_type, hb,
+                   CAST(FLOOR(t / c) AS BIGINT) AS m
+            FROM hourly),
+        trended AS (
+            SELECT event_type, hb, m,
+                   CAST(FLOOR(ma_sum / {2 * _MA_HALF + 1}) AS BIGINT)
+                       AS trend
+            FROM (
+                SELECT event_type, hb, m,
+                       SUM(m) OVER w AS ma_sum,
+                       COUNT(*) OVER w AS ma_n
+                FROM m
+                WINDOW w AS (PARTITION BY event_type ORDER BY hb
+                             ROWS BETWEEN {_MA_HALF} PRECEDING
+                                  AND {_MA_HALF} FOLLOWING))
+            WHERE ma_n = {2 * _MA_HALF + 1})
+        SELECT event_type,
+               CAST(HOUR(hb) AS INT) AS hod,
+               COUNT(*) AS n_hours,
+               ROUND(CAST(FLOOR(SUM(m - trend) / COUNT(*)) AS BIGINT)
+                     / 1e6, 6) AS seasonal_value
+        FROM trended
+        GROUP BY event_type, HOUR(hb)
+        ORDER BY event_type, hod
+    """,
     "events_dow_hod_heatmap": """
         SELECT CAST(isodow(ts) AS INT) AS iso_dow,
                CAST(hour(ts) AS INT) AS hod,

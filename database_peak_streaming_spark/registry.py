@@ -164,6 +164,8 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "bootstrap_ci_mean",
     "sessionize_dynamic_gap",
     "join_interval_window_band",
+    "ts_seasonal_decompose_ma",
+    "sql_pipe_syntax_pricing",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -203,6 +203,41 @@ def session_counts(
     )
 
 
+def session_counts_dynamic(
+    stream: DataFrame, ts_col: str, key: str, delay: str
+) -> DataFrame:
+    """Per-key session windows whose inactivity gap is an EXPRESSION of
+    the row — Spark 4's dynamic-gap ``session_window(ts, gap_expr)``:
+    here a purchase extends its session's life by 2 h, anything else by
+    30 min (the same rule as the batch
+    ``operators/behavior.sessionize_dynamic_gap``, which from the next
+    event's perspective reads "the allowed gap depends on the PREVIOUS
+    event's type").  Works identically on a stream (state-store session
+    merge under the watermark) and in batch mode — the stream==batch
+    equality is pinned in tests/test_streaming.py."""
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("2 hours")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        as_event_time(stream, ts_col)
+        .withWatermark(ts_col, delay)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("n_purchases"),
+        )
+        .select(
+            F.col(key),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "n_purchases",
+        )
+    )
+
+
 def merge_rollup_delta(mv: DataFrame | None, delta: DataFrame) -> DataFrame:
     """Monoid merge of a (day, event_type) rollup delta into the stored
     materialized view — the per-batch step of the streaming MV sink

