@@ -73,6 +73,58 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training (the DPR /
+    Contriever recipe): for one anchor per label, the top-5 most
+    similar vectors with a DIFFERENT label — maximally confusable
+    negatives, the pairs that actually move an embedding model (random
+    negatives are trivially separable).
+
+    Same exact-bruteforce shape as ``cosine_topk_bruteforce`` (tiny
+    broadcast anchor set, corpus streams through the scan, rounded-
+    cosine + id rank so ordering is engine-exact); the label filter is
+    the only difference — at production scale the anchor set is still
+    small per batch and the corpus side would swap in the IVF/LSH
+    bucketed probe exactly as the ANN family does."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "embeddings", sf_dir)
+    base = e.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("norm")
+    )
+    w0 = Window.partitionBy("label").orderBy("vec_id")
+    anchors = (
+        base.withColumn("rn", F.row_number().over(w0))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_norm") * F.col("norm")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id")
+    )
+    return (
+        base.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .orderBy("q_label", "rnk")
+    )
+
+
 def _rp_banded_base(e: DataFrame) -> DataFrame:
     """(vec_id, label, embedding, norm, b1, b2): the per-vector state every
     banded pairwise query starts from — norms and band signatures computed
@@ -637,6 +689,7 @@ QUERIES = {
     "feature_minmax_scale": feature_minmax_scale,
     "embedding_label_dispersion": embedding_label_dispersion,
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
+    "ann_hard_negatives": ann_hard_negatives,
     "rag_retrieve_snippets": rag_retrieve_snippets,
     "cosine_pairs_threshold": cosine_pairs_threshold,
     "ann_ivf_bucketed": ann_ivf_bucketed,
@@ -768,6 +821,27 @@ ORACLE_SQL = {
                d.n_chars
         FROM topk t JOIN documents d ON d.doc_id = t.vec_id
         ORDER BY q_id, rnk
+    """,
+    "ann_hard_negatives": f"""
+        WITH anchors AS (
+            SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+            FROM embeddings
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY label
+                                       ORDER BY vec_id) = 1),
+        scored AS (
+            SELECT a.q_id, a.q_label, e.vec_id AS neg_id,
+                   e.label AS neg_label,
+                   ROUND({_cos_sql('a.q_emb', 'e.embedding')}, 6) AS cosine
+            FROM anchors a CROSS JOIN embeddings e
+            WHERE e.label <> a.q_label),
+        ranked AS (
+            SELECT q_id, q_label, neg_id, neg_label, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, neg_id) AS rnk
+            FROM scored)
+        SELECT q_id, q_label, neg_id, neg_label, cosine, rnk
+        FROM ranked WHERE rnk <= {TOP_K}
+        ORDER BY q_label, rnk
     """,
     "cosine_topk_bruteforce": f"""
         WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings

@@ -166,6 +166,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "join_interval_window_band",
     "ts_seasonal_decompose_ma",
     "sql_pipe_syntax_pricing",
+    "ann_hard_negatives",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

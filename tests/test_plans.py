@@ -414,6 +414,10 @@ def test_forced_broadcasts_are_bounded_cardinality():
         # CHOSEN so the candidate set broadcasts; if it couldn't, the
         # fallback is the same semi-join shuffled, not a bigger k)
         "ci", "candidates",
+        # round 7: "anchors" is one row per label (|labels| = 10 in the
+        # fixture; bounded by the label vocabulary at any corpus size —
+        # the per-batch anchor set of a contrastive miner)
+        "anchors",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     offenders = []
