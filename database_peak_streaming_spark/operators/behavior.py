@@ -425,6 +425,57 @@ def events_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) conversion attribution: the
+    multi-touch refinement of `events_attribution_first_last`.  For
+    every user's pre-conversion touch sequence, credit 0.4 to the first
+    and last touch and split the remaining 0.2 evenly across the
+    middles (1 touch -> 1.0, 2 touches -> 0.5 each), then roll credit
+    up per channel (event_type).
+
+    Determinism: the touch order is the same (ts, event_id) composite
+    key as first/last attribution, and the per-channel credit sum goes
+    through `dsum` (exact fixed-point micro-units), so the total is
+    independent of partitioning and row order — summing 0.2/(n-2)
+    doubles in arbitrary order would otherwise wobble at the 1e-6
+    rounding boundary between engines.
+
+    Scale: one user-keyed window over the pre-conversion slice (same
+    shuffle key as the conversion groupBy), then a tiny channel-keyed
+    rollup — no step widens with anything but the events table."""
+    from database_peak_streaming_spark.operators.common import dsum
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(okey).alias("conv_key"))
+    )
+    pre = ev.join(F.broadcast(conv), "user_id").where(okey < F.col("conv_key"))
+    w = Window.partitionBy("user_id")
+    seq = pre.select(
+        "event_type",
+        F.row_number().over(w.orderBy("ts", "event_id")).alias("pos"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    n = F.col("n")
+    credit = F.when(n == 1, F.lit(1.0)).when(n == 2, F.lit(0.5)).when(
+        (F.col("pos") == 1) | (F.col("pos") == n), F.lit(0.4)
+    ).otherwise(F.lit(0.2) / (n - F.lit(2)))
+    return (
+        seq.select(F.col("event_type").alias("channel"), credit.alias("w"))
+        .groupBy("channel")
+        .agg(
+            dsum("w", "total_credit"),
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+        )
+        .orderBy("channel")
+    )
+
+
 def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per-customer Recency (days since last
     order, against the corpus max date), Frequency (order count) and
@@ -672,6 +723,7 @@ QUERIES = {
     "events_retention_cohorts": events_retention_cohorts,
     "events_markov_transitions": events_markov_transitions,
     "events_attribution_first_last": events_attribution_first_last,
+    "events_attribution_position": events_attribution_position,
     "user_state_latest": user_state_latest,
     "sessionize_gap_ids": sessionize_gap_ids,
     "sessionize_dynamic_gap": sessionize_dynamic_gap,
@@ -864,6 +916,36 @@ ORACLE_SQL = {
         FROM conv c LEFT JOIN att a USING (user_id)
         GROUP BY 1, 2
         ORDER BY 1, 2
+    """,
+    "events_attribution_position": """
+        WITH conv AS (
+            SELECT user_id, ts AS cts, event_id AS cid
+            FROM (SELECT user_id, ts, event_id,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS rn
+                  FROM events WHERE event_type = 'purchase')
+            WHERE rn = 1),
+        pre AS (
+            SELECT e.user_id, e.event_type,
+                   ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts, e.event_id) AS pos,
+                   COUNT(*) OVER (PARTITION BY e.user_id) AS n
+            FROM events e JOIN conv c USING (user_id)
+            WHERE e.ts < c.cts OR (e.ts = c.cts AND e.event_id < c.cid)),
+        credit AS (
+            SELECT event_type,
+                   CASE WHEN n = 1 THEN 1.0
+                        WHEN n = 2 THEN 0.5
+                        WHEN pos = 1 OR pos = n THEN 0.4
+                        ELSE 0.2 / (n - 2) END AS w
+            FROM pre)
+        SELECT event_type AS channel,
+               ROUND(CAST(SUM(CAST(w AS DECIMAL(28, 6))) AS DOUBLE), 6)
+                   AS total_credit,
+               COUNT(*) AS n_touches
+        FROM credit
+        GROUP BY channel
+        ORDER BY channel
     """,
     "events_markov_transitions": """
         WITH seq AS (

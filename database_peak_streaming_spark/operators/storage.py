@@ -517,6 +517,29 @@ def sql_pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-dialect breadth: ``GROUP BY ALL`` + ``ORDER BY ALL`` (the
+    DuckDB-originated shorthand, in Spark since 3.4) — every
+    non-aggregate select item becomes a grouping key and the output
+    orders by all columns left-to-right.  Pure parser surface over the
+    same Catalyst aggregate; the oracle is the explicit ANSI form,
+    pinning that the shorthand resolves to exactly the written-out
+    grouping."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_gba")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS total_price,
+               ROUND(AVG(o_totalprice), 6) AS avg_price
+        FROM orders_gba
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
 def sql_api_cte_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-dialect breadth: CTE + LATERAL VIEW explode + two-level
     aggregation through the SQL-string surface — the HiveQL-style
@@ -881,6 +904,7 @@ QUERIES = {
     "map_funcs": map_funcs,
     "sql_api_q1": sql_api_q1,
     "sql_pipe_syntax_pricing": sql_pipe_syntax_pricing,
+    "sql_group_by_all": sql_group_by_all,
 }
 
 ORACLE_SQL = {
@@ -1127,6 +1151,16 @@ ORACLE_SQL = {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
+    """,
+    "sql_group_by_all": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS total_price,
+               ROUND(AVG(o_totalprice), 6) AS avg_price
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY o_orderstatus, o_orderpriority
     """,
     "sql_api_q1": """
         SELECT l_returnflag, l_linestatus,

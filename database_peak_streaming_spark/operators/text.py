@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from database_peak_streaming_spark.operators.common import davg
 from database_peak_streaming_spark.sources.batch import load_table
 
 #: Marker stopwords per language for the n-gram/stopword language-ID
@@ -449,6 +450,54 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score with add-one (Laplace)
+    smoothing: each document scored by its mean conditional surprisal
+    -ln P(w_i | w_{i-1}) with P = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V)
+    — the next rung up from `text_unigram_logprob` on the cheap-LM
+    corpus-filter ladder: repeated boilerplate scores low (its bigrams
+    are frequent), shuffled/gibberish text scores high even when its
+    unigrams are common.
+
+    Scale design: bigram FORMATION is scan-side (zip_with over two
+    slices of the token array — no self-join, no shuffle), so the only
+    shuffles are the two count aggregations (bigram -> count,
+    token -> count) and the final doc_id regroup.  The vocabulary-count
+    scalar broadcasts via the 1-row crossJoin pattern; the frequency
+    joins are plain hash joins on uniform-ish keys that AQE broadcasts
+    while the vocab is small.  Docs with fewer than 2 tokens carry no
+    bigram and are excluded (both engines agree: Spark splits '' to []
+    and the length guard removes the 1-token rows either way)."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = _tokens()
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = d.where(n >= 2).select("doc_id", F.explode(bigrams).alias("bigram"))
+    uni = d.select(F.explode(toks).alias("token"))
+    uf = uni.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = uf.agg(F.count(F.lit(1)).alias("vocab"))
+    bf = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    prev_tok = F.split(F.col("bigram"), " ").getItem(0)
+    return (
+        bg.join(bf, "bigram")
+        .join(uf, prev_tok == F.col("token"))
+        .crossJoin(vocab)
+        .groupBy("doc_id")
+        .agg(
+            davg(
+                -F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("vocab"))),
+                "mean_bigram_surprisal",
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: Fixed query-term set for the BM25 ranking query (terms present in the
 #: fixture vocabulary).  A production search path would parameterize
 #: these; pinning them keeps the query fully oracle-able.
@@ -807,6 +856,7 @@ QUERIES = {
     "text_repetition_score": text_repetition_score,
     "text_redact_scan": text_redact_scan,
     "text_unigram_logprob": text_unigram_logprob,
+    "text_bigram_surprisal": text_bigram_surprisal,
     "text_top_terms": text_top_terms,
     "text_top_bigrams": text_top_bigrams,
     "text_token_count_bpe_ish": text_token_count_bpe_ish,
@@ -978,6 +1028,29 @@ ORACLE_SQL = {
         FROM toks t JOIN freq f USING (token) CROSS JOIN tot
         GROUP BY t.doc_id
         ORDER BY t.doc_id
+    """,
+    "text_bigram_surprisal": """
+        WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        toks AS (SELECT doc_id, UNNEST(tk) AS token FROM t),
+        uf AS (SELECT token, COUNT(*) AS cu FROM toks GROUP BY token),
+        v AS (SELECT COUNT(*) AS vocab FROM uf),
+        bg AS (
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                                         i -> tk[i] || ' ' || tk[i + 1]))
+                       AS bigram
+            FROM t WHERE LEN(tk) >= 2),
+        bf AS (SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY bigram)
+        SELECT g.doc_id,
+               ROUND(AVG(-LN((bf.cb + 1.0) / (uf.cu + v.vocab))), 6)
+                   AS mean_bigram_surprisal,
+               COUNT(*) AS n_bigrams
+        FROM bg g
+        JOIN bf USING (bigram)
+        JOIN uf ON uf.token = STRING_SPLIT(g.bigram, ' ')[1]
+        CROSS JOIN v
+        GROUP BY g.doc_id
+        ORDER BY g.doc_id
     """,
     "text_repetition_score": """
         WITH t AS (

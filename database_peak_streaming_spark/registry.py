@@ -167,6 +167,9 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "ts_seasonal_decompose_ma",
     "sql_pipe_syntax_pricing",
     "ann_hard_negatives",
+    "text_bigram_surprisal",
+    "events_attribution_position",
+    "sql_group_by_all",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
