@@ -170,6 +170,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "text_bigram_surprisal",
     "events_attribution_position",
     "sql_group_by_all",
+    "graph_kcore_peel",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
