@@ -476,6 +476,84 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Event-type domain for the KS drift test (the fixture's full
+#: vocabulary; a type outside this set still counts toward the pooled
+#: ECDF on both engines identically).
+KS_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def stats_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift statistic per event
+    type: D_t = sup_x |F_t(x) - F_pool(x)| of the `value` distribution
+    against the pooled corpus — the CONTINUOUS-distribution drift
+    alarm beside the categorical chi-square
+    (`source_lang_drift_chi2`).
+
+    Scale design: the ECDF support is the DISTINCT value set, which is
+    domain-bounded (2-decimal readings in a fixed range — ~18k points
+    at sf0.1, capped by the value domain, NOT growing with the table),
+    so the plan is: one groupBy(value) that reduces the table to the
+    support with per-type counts pivoted as columns, one ordered
+    cumulative window over that bounded support, a 5-way stack back to
+    rows, and a tiny per-type max.  The single-task window is over the
+    bounded support only — for a genuinely unbounded value domain the
+    same query runs on bucketized values (the equi-depth histogram
+    path) or a two-phase prefix sum.  All counts stay exact longs
+    until the final division; the sup over identical doubles is
+    deterministic."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    ev = ev.where(F.col("value").isNotNull())
+    g = ev.groupBy("value").agg(
+        *[
+            F.sum(
+                F.when(F.col("event_type") == t, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"c_{t}")
+            for t in KS_EVENT_TYPES
+        ],
+        F.count(F.lit(1)).alias("c_all"),
+    )
+    w = (
+        Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select(
+        "value",
+        *[F.sum(f"c_{t}").over(w).alias(f"cum_{t}") for t in KS_EVENT_TYPES],
+        F.sum("c_all").over(w).alias("cum_all"),
+    )
+    stack_args = ", ".join(f"'{t}', cum_{t}" for t in KS_EVENT_TYPES)
+    long = cum.select(
+        "cum_all",
+        F.expr(
+            f"stack({len(KS_EVENT_TYPES)}, {stack_args}) AS (event_type, cum_t)"
+        ),
+    )
+    nt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    total = ev.agg(F.count(F.lit(1)).alias("n_all"))
+    return (
+        long.join(nt, "event_type")
+        .crossJoin(F.broadcast(total))
+        .groupBy("event_type", "n_t")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_t") / F.col("n_t")
+                        - F.col("cum_all") / F.col("n_all")
+                    )
+                ),
+                6,
+            ).alias("ks_d")
+        )
+        .select(
+            "event_type",
+            F.col("ks_d"),
+            F.col("n_t").cast("long").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per-customer Recency (days since last
     order, against the corpus max date), Frequency (order count) and
@@ -724,6 +802,7 @@ QUERIES = {
     "events_markov_transitions": events_markov_transitions,
     "events_attribution_first_last": events_attribution_first_last,
     "events_attribution_position": events_attribution_position,
+    "stats_ks_drift_by_type": stats_ks_drift_by_type,
     "user_state_latest": user_state_latest,
     "sessionize_gap_ids": sessionize_gap_ids,
     "sessionize_dynamic_gap": sessionize_dynamic_gap,
@@ -916,6 +995,55 @@ ORACLE_SQL = {
         FROM conv c LEFT JOIN att a USING (user_id)
         GROUP BY 1, 2
         ORDER BY 1, 2
+    """,
+    "stats_ks_drift_by_type": """
+        WITH ev AS (
+            SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        g AS (
+            SELECT value,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS c_click,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS c_error,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS c_purchase,
+                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       AS c_signup,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS c_view,
+                   COUNT(*) AS c_all
+            FROM ev GROUP BY value),
+        cum AS (
+            SELECT value,
+                   SUM(c_click) OVER w AS cum_click,
+                   SUM(c_error) OVER w AS cum_error,
+                   SUM(c_purchase) OVER w AS cum_purchase,
+                   SUM(c_signup) OVER w AS cum_signup,
+                   SUM(c_view) OVER w AS cum_view,
+                   SUM(c_all) OVER w AS cum_all
+            FROM g
+            WINDOW w AS (ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        long AS (
+            SELECT 'click' AS event_type, cum_click AS cum_t, cum_all FROM cum
+            UNION ALL
+            SELECT 'error', cum_error, cum_all FROM cum
+            UNION ALL
+            SELECT 'purchase', cum_purchase, cum_all FROM cum
+            UNION ALL
+            SELECT 'signup', cum_signup, cum_all FROM cum
+            UNION ALL
+            SELECT 'view', cum_view, cum_all FROM cum),
+        nt AS (
+            SELECT event_type, COUNT(*) AS n_t FROM ev GROUP BY event_type),
+        tot AS (SELECT COUNT(*) AS n_all FROM ev)
+        SELECT l.event_type,
+               ROUND(MAX(ABS(l.cum_t * 1.0 / nt.n_t
+                             - l.cum_all * 1.0 / tot.n_all)), 6) AS ks_d,
+               nt.n_t AS n_events
+        FROM long l JOIN nt USING (event_type) CROSS JOIN tot
+        GROUP BY l.event_type, nt.n_t
+        ORDER BY l.event_type
     """,
     "events_attribution_position": """
         WITH conv AS (

@@ -171,6 +171,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "events_attribution_position",
     "sql_group_by_all",
     "graph_kcore_peel",
+    "stats_ks_drift_by_type",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
