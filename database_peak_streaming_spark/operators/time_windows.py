@@ -589,7 +589,47 @@ def ts_seasonal_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all
+    pairwise slopes (y_j - y_i) / (x_j - x_i) of the daily event-count
+    series — the outlier-resistant complement to the least-squares
+    ``agg_regression_by_group`` (a single spiky day moves OLS, not the
+    slope median; Sen 1968).
+
+    Scale design: the pairwise fan-out happens AFTER the daily rollup,
+    so the self-join's per-group input is bounded by the calendar span
+    (days), never the event count — pair volume is groups x C(span, 2)
+    regardless of table size.  Slopes are exact-integer differences
+    divided once into doubles; both engines sort identical doubles, so
+    the interpolated median is bit-stable under rounding."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    daily = (
+        ev.groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("y"))
+        .withColumn("x", F.datediff(F.col("d"), F.lit("1970-01-01")))
+    )
+    a = daily.select(
+        "event_type", F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        "event_type", F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(b, "event_type").where(F.col("xa") < F.col("xb"))
+    slope = (F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.round(F.median(slope), 6).alias("sen_slope"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "ts_theil_sen_trend": ts_theil_sen_trend,
     "ts_seasonal_decompose_ma": ts_seasonal_decompose_ma,
     "forecast_seasonal_naive_mae": forecast_seasonal_naive_mae,
     "events_dow_hod_heatmap": events_dow_hod_heatmap,
@@ -611,6 +651,26 @@ QUERIES = {
 _DEC = "DECIMAL(28,6)"
 
 ORACLE_SQL = {
+    "ts_theil_sen_trend": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS y
+            FROM events GROUP BY 1, 2),
+        pts AS (
+            SELECT event_type,
+                   DATE_DIFF('day', DATE '1970-01-01', d) AS x, y
+            FROM daily),
+        pairs AS (
+            SELECT a.event_type,
+                   (b.y - a.y) * 1.0 / (b.x - a.x) AS slope
+            FROM pts a JOIN pts b
+              ON a.event_type = b.event_type AND a.x < b.x)
+        SELECT event_type,
+               ROUND(MEDIAN(slope), 6) AS sen_slope,
+               COUNT(*) AS n_pairs
+        FROM pairs
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "ts_seasonal_decompose_ma": f"""
         WITH hourly AS (
             SELECT event_type, DATE_TRUNC('hour', ts) AS hb,

@@ -172,6 +172,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "sql_group_by_all",
     "graph_kcore_peel",
     "stats_ks_drift_by_type",
+    "ts_theil_sen_trend",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
