@@ -498,6 +498,49 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_jsd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    against the corpus — the lexical drift detector completing the
+    family: chi-square for categorical mixes
+    (`source_lang_drift_chi2`), Kolmogorov-Smirnov for continuous
+    readings (`stats_ks_drift_by_type`), JSD for token distributions
+    (bounded in [0, ln 2], symmetric, defined even where supports
+    differ — exactly why it beats KL for corpus monitoring).
+
+    The sum runs over OBSERVED (source, token) pairs only — never the
+    dense source x vocabulary grid: for tokens a source lacks, P_s = 0
+    collapses the mixture term to 0.5 x Q_t x ln 2, so the whole
+    missing-support mass folds into the closed form
+    0.5 ln2 (1 - SUM_observed Q_t).  Shuffles are token- and
+    source-keyed counts plus one token-keyed join; the two scalar
+    totals ride the 1-row broadcast pattern."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("source", F.explode(_tokens()).alias("token"))
+    st = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_st"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    gt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_t"))
+    total = gt.agg(F.sum("c_t").alias("n"))
+    p = F.col("c_st") / F.col("n_s")
+    q = F.col("c_t") / F.col("n")
+    term = F.lit(0.5) * p * F.log(F.lit(2.0) * p / (p + q)) + F.lit(
+        0.5
+    ) * q * F.log(F.lit(2.0) * q / (p + q))
+    ln2 = F.log(F.lit(2.0))
+    return (
+        st.join(ns, "source")
+        .join(gt, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source", "n_s")
+        .agg(
+            F.round(
+                F.sum(term) + F.lit(0.5) * ln2 * (F.lit(1.0) - F.sum(q)), 6
+            ).alias("jsd_nats")
+        )
+        .select("source", "jsd_nats", F.col("n_s").cast("long").alias("n_tokens"))
+        .orderBy("source")
+    )
+
+
 #: Fixed query-term set for the BM25 ranking query (terms present in the
 #: fixture vocabulary).  A production search path would parameterize
 #: these; pinning them keeps the query fully oracle-able.
@@ -857,6 +900,7 @@ QUERIES = {
     "text_redact_scan": text_redact_scan,
     "text_unigram_logprob": text_unigram_logprob,
     "text_bigram_surprisal": text_bigram_surprisal,
+    "text_jsd_source_drift": text_jsd_source_drift,
     "text_top_terms": text_top_terms,
     "text_top_bigrams": text_top_bigrams,
     "text_token_count_bpe_ish": text_token_count_bpe_ish,
@@ -1028,6 +1072,31 @@ ORACLE_SQL = {
         FROM toks t JOIN freq f USING (token) CROSS JOIN tot
         GROUP BY t.doc_id
         ORDER BY t.doc_id
+    """,
+    "text_jsd_source_drift": """
+        WITH toks AS (
+            SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS token
+            FROM documents),
+        st AS (SELECT source, token, COUNT(*) AS c_st FROM toks GROUP BY 1, 2),
+        ns AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source),
+        gt AS (SELECT token, COUNT(*) AS c_t FROM toks GROUP BY token),
+        tot AS (SELECT SUM(c_t) AS n FROM gt),
+        terms AS (
+            SELECT st.source,
+                   (st.c_st * 1.0 / ns.n_s) AS p,
+                   (gt.c_t * 1.0 / tot.n) AS q
+            FROM st JOIN ns USING (source) JOIN gt USING (token)
+            CROSS JOIN tot),
+        agg AS (
+            SELECT source,
+                   SUM(0.5 * p * LN(2 * p / (p + q))
+                       + 0.5 * q * LN(2 * q / (p + q)))
+                   + 0.5 * LN(2) * (1 - SUM(q)) AS jsd
+            FROM terms GROUP BY source)
+        SELECT a.source, ROUND(a.jsd, 6) AS jsd_nats,
+               CAST(ns.n_s AS BIGINT) AS n_tokens
+        FROM agg a JOIN ns USING (source)
+        ORDER BY a.source
     """,
     "text_bigram_surprisal": """
         WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),

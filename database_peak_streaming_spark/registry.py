@@ -173,6 +173,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "graph_kcore_peel",
     "stats_ks_drift_by_type",
     "ts_theil_sen_trend",
+    "text_jsd_source_drift",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
