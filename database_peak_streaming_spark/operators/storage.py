@@ -540,6 +540,36 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-dialect breadth: the ``UNPIVOT`` clause (ANSI-adjacent,
+    Spark >= 3.4) — a wide per-nation customer rollup melted to
+    (nation, metric, value) rows through the SQL surface; the DataFrame
+    twin is `melt_stack`.  The oracle is the explicit three-way
+    UNION ALL, pinning that UNPIVOT is pure parser surface over the
+    same lateral expansion."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView(
+        "customer_unp"
+    )
+    load_table(spark, "nation", sf_dir).createOrReplaceTempView("nation_unp")
+    return spark.sql(
+        """
+        SELECT n_name, metric, ROUND(value, 6) AS value
+        FROM (
+            SELECT n.n_name,
+                   CAST(COUNT(*) AS DOUBLE) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                       AS total_acctbal,
+                   ROUND(AVG(c_acctbal), 6) AS avg_acctbal
+            FROM customer_unp c JOIN nation_unp n
+              ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        ) UNPIVOT (value FOR metric IN
+                   (n_customers, total_acctbal, avg_acctbal))
+        ORDER BY n_name, metric
+        """
+    )
+
+
 def sql_api_cte_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-dialect breadth: CTE + LATERAL VIEW explode + two-level
     aggregation through the SQL-string surface — the HiveQL-style
@@ -905,6 +935,7 @@ QUERIES = {
     "sql_api_q1": sql_api_q1,
     "sql_pipe_syntax_pricing": sql_pipe_syntax_pricing,
     "sql_group_by_all": sql_group_by_all,
+    "sql_unpivot_metrics": sql_unpivot_metrics,
 }
 
 ORACLE_SQL = {
@@ -1161,6 +1192,24 @@ ORACLE_SQL = {
         FROM orders
         GROUP BY o_orderstatus, o_orderpriority
         ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "sql_unpivot_metrics": """
+        WITH wide AS (
+            SELECT n.n_name,
+                   CAST(COUNT(*) AS DOUBLE) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                       AS total_acctbal,
+                   ROUND(AVG(c_acctbal), 6) AS avg_acctbal
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name)
+        SELECT n_name, metric, ROUND(value, 6) AS value FROM (
+            SELECT n_name, 'n_customers' AS metric, n_customers AS value
+            FROM wide
+            UNION ALL
+            SELECT n_name, 'total_acctbal', total_acctbal FROM wide
+            UNION ALL
+            SELECT n_name, 'avg_acctbal', avg_acctbal FROM wide)
+        ORDER BY n_name, metric
     """,
     "sql_api_q1": """
         SELECT l_returnflag, l_linestatus,

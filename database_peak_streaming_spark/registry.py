@@ -174,6 +174,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "stats_ks_drift_by_type",
     "ts_theil_sen_trend",
     "text_jsd_source_drift",
+    "sql_unpivot_metrics",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
