@@ -167,6 +167,21 @@ PICKS = {
         "40-row order-statistic sort; exact decimal sums then a single "
         "double division"
     ),
+    "graph_kcore_peel": (
+        "iterative peel with per-round lineage cuts: the plan shown is "
+        "the FINAL round's degree agg + two semi-joins over the "
+        "checkpointed (shrunken) edge list; identity rounds early-exit"
+    ),
+    "stats_ks_drift_by_type": (
+        "ECDF support bounded by the value domain: groupBy(value) "
+        "reduces the table BEFORE the single ordered cumulative "
+        "window; per-type counts ride as pivoted columns"
+    ),
+    "text_jsd_source_drift": (
+        "observed (source, token) pairs only — the missing-support "
+        "mass is a closed form, so no dense source x vocabulary grid; "
+        "token- and source-keyed counts + one token join"
+    ),
 }
 
 
