@@ -21,6 +21,7 @@ rows so the downstream plan is payload-free immediately after the map.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -129,6 +130,98 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return items.mapInPandas(_sample, schema=_FRAME_SCHEMA).orderBy("item_id")
 
 
+#: audio-style windowing: samples per analysis window (non-overlapping)
+AUDIO_WIN = 64
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("n_windows", T.LongType()),
+        T.StructField("mean_rms", T.DoubleType()),
+        T.StructField("max_rms", T.DoubleType()),
+        T.StructField("peak_window", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def multimodal_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style per-window RMS energy through the binary kernel
+    path: the payload is read as 8-bit unsigned PCM, cut into
+    ``AUDIO_WIN``-sample windows (last window ragged), and each item
+    emits window count, mean/max window RMS and the peak window index —
+    the librosa frame-energy / silence-detection shape (payload in,
+    fixed-width feature row out), with byte-code arithmetic standing in
+    for the codec at the documented functions/multimodal.py sandbox
+    boundary.
+
+    Determinism: the RMS numerator is an exact int64 sum of squared
+    sample codes computed identically by numpy and the oracle's
+    SUM(c*c); one double division + sqrt per window, both engines IEEE.
+    The kernel is TOTAL over degenerate payloads (0 bytes -> 0 windows,
+    0.0 energies, peak -1) and the oracle LEFT-JOINs back to documents
+    so the empty-payload doc of the degenerate fixture matches.
+    ``n_bytes`` rides along so a non-ASCII future fixture (bytes !=
+    chars) fails loudly, as in `multimodal_frame_sample`."""
+    import numpy as np
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n = len(raw)
+                if n == 0:
+                    out.append((item_id, 0, 0.0, 0.0, -1, 0))
+                    continue
+                arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                rms = []
+                for k in range(0, n, AUDIO_WIN):
+                    w = arr[k : k + AUDIO_WIN]
+                    s2 = int((w * w).sum())
+                    rms.append(math.sqrt(s2 / len(w)))
+                peak = max(range(len(rms)), key=lambda i: (rms[i], -i))
+                out.append(
+                    (
+                        item_id,
+                        len(rms),
+                        sum(rms) / len(rms),
+                        rms[peak],
+                        peak,
+                        n,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id",
+                    "n_windows",
+                    "mean_rms",
+                    "max_rms",
+                    "peak_window",
+                    "n_bytes",
+                ],
+            )
+
+    d = load_table(spark, "documents", sf_dir)
+    items = d.select(
+        F.col("doc_id").alias("item_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return (
+        items.mapInPandas(_energy, schema=_AUDIO_SCHEMA)
+        .select(
+            "item_id",
+            "n_windows",
+            F.round("mean_rms", 6).alias("mean_rms"),
+            F.round("max_rms", 6).alias("max_rms"),
+            "peak_window",
+            "n_bytes",
+        )
+        .orderBy("item_id")
+    )
+
+
 def multimodal_meta_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only pruning stats — the scan pattern that lets a 100 TB
     media table skip payload IO: derive typed metadata (media_type from a
@@ -161,6 +254,7 @@ QUERIES = {
     "multimodal_payload_fingerprint": multimodal_payload_fingerprint,
     "multimodal_meta_filter_stats": multimodal_meta_filter_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_audio_window_energy": multimodal_audio_window_energy,
 }
 
 ORACLE_SQL = {
@@ -186,6 +280,42 @@ ORACLE_SQL = {
                         (x, y) -> x || y)) END AS sha,
                nb AS n_bytes
         FROM s
+        ORDER BY item_id
+    """,
+    "multimodal_audio_window_energy": f"""
+        WITH chars AS (
+            SELECT doc_id,
+                   CAST((i - 1) // {AUDIO_WIN} AS BIGINT) AS w,
+                   ORD(SUBSTRING(text, CAST(i AS INT), 1)) AS c
+            FROM (SELECT doc_id, text,
+                         UNNEST(RANGE(1, LENGTH(text) + 1)) AS i
+                  FROM documents)),
+        wrms AS (
+            SELECT doc_id, w,
+                   SQRT(SUM(c * c) * 1.0 / COUNT(*)) AS rms
+            FROM chars GROUP BY doc_id, w),
+        agg AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_windows,
+                   AVG(rms) AS mean_rms,
+                   MAX(rms) AS max_rms
+            FROM wrms GROUP BY doc_id),
+        peak AS (
+            SELECT doc_id, w AS peak_window
+            FROM (SELECT doc_id, w,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY rms DESC, w) AS rn
+                  FROM wrms)
+            WHERE rn = 1)
+        SELECT d.doc_id AS item_id,
+               COALESCE(a.n_windows, 0) AS n_windows,
+               COALESCE(ROUND(a.mean_rms, 6), 0.0) AS mean_rms,
+               COALESCE(ROUND(a.max_rms, 6), 0.0) AS max_rms,
+               COALESCE(p.peak_window, -1) AS peak_window,
+               CAST(OCTET_LENGTH(ENCODE(d.text)) AS BIGINT) AS n_bytes
+        FROM documents d
+        LEFT JOIN agg a ON a.doc_id = d.doc_id
+        LEFT JOIN peak p ON p.doc_id = d.doc_id
         ORDER BY item_id
     """,
     "multimodal_payload_fingerprint": """

@@ -175,6 +175,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "ts_theil_sen_trend",
     "text_jsd_source_drift",
     "sql_unpivot_metrics",
+    "multimodal_audio_window_energy",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

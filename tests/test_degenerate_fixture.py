@@ -82,6 +82,17 @@ def test_multimodal_frame_sample_handles_empty_payload(
     assert res.engine_rows == res.oracle_rows > 1
 
 
+def test_multimodal_audio_energy_handles_empty_payload(
+    spark, degenerate_dir
+):
+    """Zero-window guard: the empty-text doc must emit the sentinel row
+    (0 windows, 0.0 energies, peak -1) from the kernel AND survive the
+    oracle's LEFT JOIN + COALESCE back to documents — an inner join or
+    a non-total kernel would drop or crash on it."""
+    res = _check(spark, degenerate_dir, "multimodal_audio_window_energy")
+    assert res.engine_rows == res.oracle_rows > 1
+
+
 def test_ab_test_single_arm_yields_null_row(spark, degenerate_dir):
     """Single-arm corpus: the conditional rollup must return ONE row
     with NULL B-arm stats, exactly like the oracle's scalar subqueries
