@@ -238,6 +238,104 @@ def session_counts_dynamic(
     )
 
 
+def windowed_value_histogram(
+    stream: DataFrame,
+    ts_col: str,
+    key: str,
+    length: str,
+    delay: str,
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Streaming sufficient statistics for distribution monitoring:
+    per-(window, key, value-bucket) counts.  The bucketization is the
+    whole trick — per-window state is bounded by the value DOMAIN
+    (range / bucket_width buckets), not the event count, so the
+    aggregation is an ordinary watermark-evicted incremental count at
+    any stream rate.  Finalization (KS drift, histogram diffs, ...)
+    runs as a tiny batch computation over the materialized counts —
+    the sketch-in-stream / finalize-in-batch split
+    `tumbling_distinct_users` uses for cardinality, applied to whole
+    distributions."""
+    bucket = (
+        F.floor(F.col("value") / F.lit(bucket_width)).cast("long").alias("bucket")
+    )
+    # NULL values keep flowing as a NULL bucket — deliberately NOT
+    # filtered here: a deterministic filter gets pushed BELOW the
+    # EventTimeWatermark node by the optimizer, so dropping null-value
+    # rows pre-aggregation would also drop the end-of-stream flush
+    # sentinel (whose value is null) from event-time tracking and the
+    # final window would never close.  The finalizer drops the null
+    # bucket instead.
+    return (
+        as_event_time(stream, ts_col)
+        .withWatermark(ts_col, delay)
+        .groupBy(F.window(ts_col, length).alias("w"), F.col(key), bucket)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), key, "bucket", "n")
+    )
+
+
+def ks_drift_from_histogram(hist: DataFrame, key: str = "event_type") -> DataFrame:
+    """Finalize the streaming histogram into per-(window, key) KS drift
+    vs the window's pooled distribution: D = sup over buckets of
+    |F_key - F_pool| — the batch `stats_ks_drift_by_type` statistic,
+    at bucket resolution, per window.
+
+    Input is the (window, key, bucket, n) output of
+    `windowed_value_histogram` (batch DataFrame — e.g. the contents of
+    its sink).  The dense (window x key x bucket) grid this builds is
+    bounded by windows x |keys| x (domain / width) — metadata-sized —
+    and is REQUIRED for correctness: a key missing a bucket where the
+    pool has mass still contributes that bucket's |F_key - F_pool|
+    gap, which a sparse-join formulation would silently skip."""
+    hist = hist.where(F.col("bucket").isNotNull())
+    support = hist.select("window_start", "bucket").distinct()
+    keys = hist.select("window_start", key).distinct()
+    grid = support.join(keys, "window_start")
+    dense = grid.join(hist, ["window_start", key, "bucket"], "left").fillna(
+        0, subset=["n"]
+    )
+    from pyspark.sql import Window as W
+
+    wk = (
+        W.partitionBy("window_start", key)
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wp = (
+        W.partitionBy("window_start")
+        .orderBy("bucket")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = dense.select(
+        "window_start",
+        key,
+        "bucket",
+        F.sum("n").over(wk).alias("cum_k"),
+        F.sum("n").over(wp).alias("cum_all"),
+    )
+    totals = cum.groupBy("window_start", key).agg(
+        F.max("cum_k").alias("n_k"), F.max("cum_all").alias("n_all")
+    )
+    return (
+        cum.join(totals, ["window_start", key])
+        .groupBy("window_start", key)
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_k") / F.col("n_k")
+                        - F.col("cum_all") / F.col("n_all")
+                    )
+                ),
+                6,
+            ).alias("ks_d"),
+            F.max("n_k").cast("long").alias("n_events"),
+        )
+        .orderBy("window_start", key)
+    )
+
+
 def merge_rollup_delta(mv: DataFrame | None, delta: DataFrame) -> DataFrame:
     """Monoid merge of a (day, event_type) rollup delta into the stored
     materialized view — the per-batch step of the streaming MV sink

@@ -1071,3 +1071,76 @@ def test_streaming_session_dynamic_gap_matches_batch(spark, tmpdir_):
     # sessions than a fixed 30-min rule would (at least one session
     # spans > 30 min of inactivity only a purchase could bridge)
     assert any(n_p > 0 for (_, _, n_p) in want_d.values())
+
+
+def test_streaming_ks_drift_matches_batch(spark, tmpdir_):
+    """Distribution-drift monitoring on a stream: the windowed
+    value-histogram (the bounded sufficient statistic) accumulated
+    incrementally across micro-batches, finalized into per-(window,
+    type) KS drift, must equal the same histogram + finalizer computed
+    in one batch pass — and every D must be a valid KS statistic."""
+    import datetime as dt
+
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.ops import (
+        ks_drift_from_histogram,
+        windowed_value_histogram,
+    )
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = {
+        "event_id": -1,
+        # 6-hour windows align to the day grid: the last real window can
+        # close up to 6h past max_ts, and eviction needs the watermark
+        # (sentinel - delay) strictly beyond that close — +24h is safely
+        # past it regardless of where max_ts falls in its window.
+        "ts": max_ts + dt.timedelta(hours=24),
+        "event_type": "view",
+        "value": None,
+    }
+    stream, replay_dir = replay_dataframe(
+        spark, ev, n_chunks=4, order_col="ts", sentinel_row=sentinel
+    )
+    try:
+        hist_rows = _collect_stream(
+            spark,
+            windowed_value_histogram(
+                stream, "ts", "event_type", "6 hours", "10 minutes"
+            ),
+            f"{tmpdir_}/ckpt",
+        )
+    finally:
+        cleanup_replay(replay_dir)
+    hist_stream = spark.createDataFrame(
+        [r for r in hist_rows if r.window_start <= max_ts]
+    )
+    got = {
+        (r.window_start, r.event_type): (r.ks_d, r.n_events)
+        for r in ks_drift_from_histogram(hist_stream).collect()
+    }
+
+    hist_batch = (
+        ev.groupBy(
+            F.window("ts", "6 hours").alias("w"),
+            "event_type",
+            F.floor(F.col("value") / F.lit(1.0)).cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "bucket", "n")
+    )
+    want = {
+        (r.window_start, r.event_type): (r.ks_d, r.n_events)
+        for r in ks_drift_from_histogram(hist_batch).collect()
+    }
+    assert got == want
+    assert got, "no windows produced"
+    for (w, t), (d, n) in got.items():
+        assert 0.0 <= d <= 1.0, (w, t, d)
+        assert n > 0
