@@ -789,6 +789,175 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PSI value-bucket width (the fixture's readings live in (0, 500]; a
+#: 50-unit bucket gives ~10 cells — the industry-standard 10-bucket PSI)
+PSI_BUCKET_WIDTH = 50.0
+
+
+def stats_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type: the `value`
+    distribution of the LATE half of the time range scored against the
+    EARLY half as reference — the standard model-monitoring drift
+    metric (PSI = sum_b (p_cur - p_ref) * ln(p_cur / p_ref)) beside
+    the hypothesis-test drift alarms (KS `stats_ks_drift_by_type`,
+    chi-square).  Rule of thumb: < 0.1 stable, 0.1-0.25 moderate
+    shift, > 0.25 action.
+
+    Engine-portable by construction: the era split compares integer
+    epoch SECONDS (2*e < e_min + e_max — Spark `unix_timestamp`
+    truncates, the oracle uses FLOOR(EPOCH(...))), counts stay exact
+    BIGINTs through the dense (type x bucket) grid, and the 0.5-Laplace
+    smoothing keeps every log finite, so both engines sum identical
+    doubles over an identical domain-bounded support.
+
+    Scale design: one scan reduces the table to (type, bucket) cells —
+    bounded by |types| x (value domain / bucket width), NOT the row
+    count — and everything after the first groupBy is metadata-sized.
+    The dense grid (a crossJoin of two domain-bounded distincts) is
+    REQUIRED: a bucket the reference era populated but the current era
+    missed still contributes its smoothed divergence term."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", "value", "ts")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") / F.lit(PSI_BUCKET_WIDTH))
+            .cast("long")
+            .alias("bucket"),
+            F.unix_timestamp("ts").alias("e"),
+        )
+    )
+    global_bounds = ev.agg(
+        F.min("e").alias("e_min"), F.max("e").alias("e_max")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(global_bounds))
+        .withColumn(
+            "era",
+            F.when(
+                F.lit(2) * F.col("e") < F.col("e_min") + F.col("e_max"),
+                F.lit("ref"),
+            ).otherwise(F.lit("cur")),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.when(F.col("era") == "ref", 1).otherwise(0)).alias(
+                "n_ref"
+            ),
+            F.sum(F.when(F.col("era") == "cur", 1).otherwise(0)).alias(
+                "n_cur"
+            ),
+        )
+    )
+    buckets = cells.select("bucket").distinct()
+    types = cells.select("event_type").distinct()
+    # n_buckets is ONE row (a count over the domain-bounded bucket set)
+    n_buckets = buckets.agg(F.count(F.lit(1)).alias("n_b"))
+    dense = (
+        types.crossJoin(buckets)
+        .join(cells, ["event_type", "bucket"], "left")
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    totals = dense.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = (F.col("n_ref") + F.lit(0.5)) / (
+        F.col("t_ref") + F.lit(0.5) * F.col("n_b")
+    )
+    p_cur = (F.col("n_cur") + F.lit(0.5)) / (
+        F.col("t_cur") + F.lit(0.5) * F.col("n_b")
+    )
+    return (
+        dense.join(totals, "event_type")
+        .crossJoin(F.broadcast(n_buckets))
+        .groupBy("event_type", "t_ref", "t_cur")
+        .agg(
+            F.round(
+                F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6
+            ).alias("psi")
+        )
+        .select(
+            "event_type",
+            "psi",
+            F.col("t_ref").cast("long").alias("n_ref_events"),
+            F.col("t_cur").cast("long").alias("n_cur_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the corpus's two categorical axes
+    (document language x source): MI(nats), both marginal entropies,
+    and the sqrt-normalized NMI — the dependence probe a curation
+    pipeline runs to learn whether sources are language-skewed (NMI ~ 0
+    means balanced sampling; ~1 means source determines language).
+
+    Everything derives from exact BIGINT contingency counts — one
+    groupBy(lang, source) bounded by the label-vocabulary product, two
+    marginal rollups of THAT cell table (never a second scan), and a
+    broadcast scalar N — so both engines evaluate identical doubles;
+    the final sums run over tens of cells.  At 100 TB the single
+    full-table aggregation is the only data-sized stage."""
+    d = load_table(spark, "documents", sf_dir).select("lang", "source")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_xy"))
+    nx = cells.groupBy("lang").agg(F.sum("n_xy").alias("n_x"))
+    ny = cells.groupBy("source").agg(F.sum("n_xy").alias("n_y"))
+    total = cells.agg(F.sum("n_xy").alias("n_docs"))
+    mi = (
+        cells.join(nx, "lang")
+        .join(ny, "source")
+        .crossJoin(F.broadcast(total))
+        .agg(
+            # the ratio is formed in doubles (never bigint x bigint —
+            # n_xy * n_docs would overflow ANSI LONG at corpus scale),
+            # in the same operation order as the oracle's `* 1.0` form
+            F.sum(
+                (F.col("n_xy") / F.col("n_docs"))
+                * F.log(
+                    (F.col("n_xy").cast("double") * F.col("n_docs"))
+                    / (F.col("n_x").cast("double") * F.col("n_y"))
+                )
+            ).alias("mi_nats"),
+            F.first("n_docs").alias("n_docs"),
+        )
+    )
+    hx = (
+        nx.crossJoin(F.broadcast(total))
+        .agg(
+            (-F.sum(
+                (F.col("n_x") / F.col("n_docs"))
+                * F.log(F.col("n_x") / F.col("n_docs"))
+            )).alias("h_lang")
+        )
+    )
+    hy = (
+        ny.crossJoin(F.broadcast(total))
+        .agg(
+            (-F.sum(
+                (F.col("n_y") / F.col("n_docs"))
+                * F.log(F.col("n_y") / F.col("n_docs"))
+            )).alias("h_source")
+        )
+    )
+    return (
+        mi.crossJoin(hx)
+        .crossJoin(hy)
+        .select(
+            F.round("mi_nats", 6).alias("mi_nats"),
+            F.round("h_lang", 6).alias("h_lang"),
+            F.round("h_source", 6).alias("h_source"),
+            F.round(
+                F.col("mi_nats")
+                / F.sqrt(F.col("h_lang") * F.col("h_source")),
+                6,
+            ).alias("nmi"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+
+
 QUERIES = {
     "events_funnel_ordered": events_funnel_ordered,
     "events_top_action_trigrams": events_top_action_trigrams,
@@ -803,6 +972,8 @@ QUERIES = {
     "events_attribution_first_last": events_attribution_first_last,
     "events_attribution_position": events_attribution_position,
     "stats_ks_drift_by_type": stats_ks_drift_by_type,
+    "stats_psi_value_drift": stats_psi_value_drift,
+    "stats_mutual_information": stats_mutual_information,
     "user_state_latest": user_state_latest,
     "sessionize_gap_ids": sessionize_gap_ids,
     "sessionize_dynamic_gap": sessionize_dynamic_gap,
@@ -995,6 +1166,79 @@ ORACLE_SQL = {
         FROM conv c LEFT JOIN att a USING (user_id)
         GROUP BY 1, 2
         ORDER BY 1, 2
+    """,
+    "stats_psi_value_drift": """
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+                   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS e
+            FROM events WHERE value IS NOT NULL),
+        b AS (SELECT MIN(e) AS e_min, MAX(e) AS e_max FROM ev),
+        cells AS (
+            SELECT event_type, bucket,
+                   CAST(SUM(CASE WHEN 2 * e < e_min + e_max
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                   CAST(SUM(CASE WHEN 2 * e < e_min + e_max
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+            FROM ev CROSS JOIN b GROUP BY 1, 2),
+        nb AS (SELECT CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_b
+               FROM cells),
+        dense AS (
+            SELECT t.event_type, k.bucket,
+                   COALESCE(c.n_ref, 0) AS n_ref,
+                   COALESCE(c.n_cur, 0) AS n_cur
+            FROM (SELECT DISTINCT event_type FROM cells) t
+            CROSS JOIN (SELECT DISTINCT bucket FROM cells) k
+            LEFT JOIN cells c
+              ON c.event_type = t.event_type AND c.bucket = k.bucket),
+        tot AS (
+            SELECT event_type,
+                   CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+                   CAST(SUM(n_cur) AS BIGINT) AS t_cur
+            FROM dense GROUP BY 1)
+        SELECT d.event_type,
+               ROUND(SUM(
+                   ((n_cur + 0.5) / (t_cur + 0.5 * n_b)
+                    - (n_ref + 0.5) / (t_ref + 0.5 * n_b))
+                   * LN(((n_cur + 0.5) / (t_cur + 0.5 * n_b))
+                        / ((n_ref + 0.5) / (t_ref + 0.5 * n_b)))
+               ), 6) AS psi,
+               t_ref AS n_ref_events,
+               t_cur AS n_cur_events
+        FROM dense d JOIN tot USING (event_type) CROSS JOIN nb
+        GROUP BY d.event_type, t_ref, t_cur
+        ORDER BY d.event_type
+    """,
+    "stats_mutual_information": """
+        WITH cells AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_xy
+            FROM documents GROUP BY 1, 2),
+        nx AS (SELECT lang, CAST(SUM(n_xy) AS BIGINT) AS n_x
+               FROM cells GROUP BY 1),
+        ny AS (SELECT source, CAST(SUM(n_xy) AS BIGINT) AS n_y
+               FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_docs FROM cells),
+        mi AS (
+            SELECT SUM((n_xy * 1.0 / n_docs)
+                       * LN((n_xy * 1.0 * n_docs) / (n_x * 1.0 * n_y)))
+                       AS mi_nats,
+                   FIRST(n_docs) AS n_docs
+            FROM cells JOIN nx USING (lang) JOIN ny USING (source)
+            CROSS JOIN tot),
+        hx AS (
+            SELECT -SUM((n_x * 1.0 / n_docs)
+                        * LN(n_x * 1.0 / n_docs)) AS h_lang
+            FROM nx CROSS JOIN tot),
+        hy AS (
+            SELECT -SUM((n_y * 1.0 / n_docs)
+                        * LN(n_y * 1.0 / n_docs)) AS h_source
+            FROM ny CROSS JOIN tot)
+        SELECT ROUND(mi_nats, 6) AS mi_nats,
+               ROUND(h_lang, 6) AS h_lang,
+               ROUND(h_source, 6) AS h_source,
+               ROUND(mi_nats / SQRT(h_lang * h_source), 6) AS nmi,
+               n_docs
+        FROM mi CROSS JOIN hx CROSS JOIN hy
     """,
     "stats_ks_drift_by_type": """
         WITH ev AS (

@@ -459,8 +459,52 @@ def _all_true_sql(names: list[str]) -> str:
     return f"SELECT * FROM ({rows}) ORDER BY invariant"
 
 
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law fraud/DQ screen over order totals: the observed
+    first-significant-digit distribution vs the Benford expectation
+    p(d) = log10(1 + 1/d), with the per-digit chi-square contribution —
+    the forensic-accounting check a warehouse runs on any money column
+    (synthetic uniform-ish fixtures will FAIL the law loudly; the
+    value of the query is the exact, portable per-digit diagnostics,
+    not a pass verdict).
+
+    The first digit is extracted through exact integer/string ops
+    (FLOOR -> BIGINT -> leading character), never float log10 of the
+    value, so 10^k boundaries cannot misclassify.  One scan reduces to
+    9 digit cells; the dense 1..9 grid keeps never-observed digits in
+    the output with their full expected-count penalty."""
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("long")
+    obs = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = obs.agg(F.sum("n_obs").alias("n_total"))
+    digits = spark.range(1, 10).select(F.col("id").alias("digit"))
+    p_ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    expected = F.col("n_total") * p_ben
+    dev = F.col("n_obs") - expected
+    return (
+        digits.join(obs, "digit", "left")
+        .fillna(0, subset=["n_obs"])
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.round(F.col("n_obs") / F.col("n_total"), 6).alias("p_obs"),
+            F.round(p_ben, 6).alias("p_benford"),
+            F.round(dev * dev / expected, 6).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
 QUERIES = {
     "dq_expectation_suite": dq_expectation_suite,
+    "dq_benford_first_digit": dq_benford_first_digit,
     "check_dedup_minhash_lsh": check_dedup_minhash_lsh,
     "check_dedup_simhash": check_dedup_simhash,
     "check_dedup_clusters_cc_lsh": check_dedup_clusters_cc_lsh,
@@ -470,6 +514,28 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dq_expectation_suite": _dq_sql(),
+    "dq_benford_first_digit": """
+        WITH obs AS (
+            SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM obs),
+        dense AS (
+            SELECT d.digit, COALESCE(obs.n_obs, 0) AS n_obs
+            FROM generate_series(1, 9) d(digit)
+            LEFT JOIN obs ON obs.digit = d.digit)
+        SELECT digit, n_obs,
+               ROUND(n_obs / n_total, 6) AS p_obs,
+               ROUND(LOG10(1.0 + 1.0 / digit), 6) AS p_benford,
+               ROUND((n_obs - n_total * LOG10(1.0 + 1.0 / digit))
+                     * (n_obs - n_total * LOG10(1.0 + 1.0 / digit))
+                     / (n_total * LOG10(1.0 + 1.0 / digit)), 6)
+                   AS chi2_term
+        FROM dense CROSS JOIN tot
+        ORDER BY digit
+    """,
     "check_dedup_minhash_lsh": _all_true_sql(
         ["exact_dup_pairs_covered", "nonempty", "pairs_ordered_verified"]
     ),

@@ -570,6 +570,35 @@ def sql_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-dialect breadth: a correlated LATERAL subquery with ORDER BY
+    + LIMIT — ANSI's per-row dependent join (the foreach-row idiom a
+    SQL-first user writes for top-k-per-group), decorrelated by
+    Catalyst into the same ranked-window plan the DataFrame twin
+    (`topk_per_group`) builds explicitly.  The oracle is that explicit
+    ROW_NUMBER form, pinning that LATERAL-with-LIMIT is pure surface
+    over rank-filter semantics.  Fully tie-broken on c_custkey so the
+    top-3 set is engine-independent."""
+    load_table(spark, "nation", sf_dir).createOrReplaceTempView("nation_lat")
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView(
+        "customer_lat"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+        FROM nation_lat n,
+        LATERAL (
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer_lat c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 3
+        ) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey
+        """
+    )
+
+
 def sql_api_cte_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-dialect breadth: CTE + LATERAL VIEW explode + two-level
     aggregation through the SQL-string surface — the HiveQL-style
@@ -936,6 +965,7 @@ QUERIES = {
     "sql_pipe_syntax_pricing": sql_pipe_syntax_pricing,
     "sql_group_by_all": sql_group_by_all,
     "sql_unpivot_metrics": sql_unpivot_metrics,
+    "sql_lateral_topk_per_nation": sql_lateral_topk_per_nation,
 }
 
 ORACLE_SQL = {
@@ -1171,6 +1201,18 @@ ORACLE_SQL = {
                r_name AS name_via_map,
                CAST(2 AS BIGINT) AS n_vals
         FROM region ORDER BY r_regionkey
+    """,
+    "sql_lateral_topk_per_nation": """
+        WITH ranked AS (
+            SELECT n.n_name, c.c_custkey, c.c_name, c.c_acctbal,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.n_nationkey
+                       ORDER BY c.c_acctbal DESC, c.c_custkey) AS rnk
+            FROM nation n JOIN customer c
+              ON c.c_nationkey = n.n_nationkey)
+        SELECT n_name, c_custkey, c_name, c_acctbal
+        FROM ranked WHERE rnk <= 3
+        ORDER BY n_name, c_acctbal DESC, c_custkey
     """,
     "sql_pipe_syntax_pricing": """
         SELECT l_returnflag, l_linestatus,

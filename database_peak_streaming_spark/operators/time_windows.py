@@ -628,8 +628,99 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: autocorrelation lags probed by ts_acf_hourly (hours)
+ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+def ts_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly event-count series per
+    event type at lags 1/2/3/6/12/24 h — the seasonality probe that
+    justifies (or falsifies) the seasonal-naive forecaster's 24-hour
+    assumption (`forecast_seasonal_naive_mae`) and the MA
+    decomposition's period.  Standard biased estimator: r_k =
+    sum_t (x_t - mean)(x_{t-k} - mean) / sum_t (x_t - mean)^2 over the
+    DENSE hour grid (missing hours are real zeros, not absent rows).
+
+    Engine-exact float discipline: every sum is an exact BIGINT moment
+    (S, Q = sum x^2, and per-lag P_k = sum x_t*x_{t-k}, A_k/B_k
+    boundary sums), expanded algebraically so the only float ops are a
+    fixed-order handful per (type, lag) — both engines compute
+    bit-identical doubles regardless of partitioning or sum order.
+
+    Scale: the series is hours x types (calendar-bounded, never
+    event-count-sized) after the one data-sized groupBy; the lag
+    window and moment rollup run on that tiny grid.  One window over
+    6 lags shares a single per-type sort."""
+    hourly = (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    global_bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(global_bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+        )
+    )
+    dense = grid.join(hourly, ["event_type", "h"], "left").fillna(
+        0, subset=["x"]
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("h")
+    lagged = dense.select(
+        "event_type",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"l{k}") for k in ACF_LAGS],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    ]
+    for k in ACF_LAGS:
+        aggs += [
+            F.sum(F.col("x") * F.col(f"l{k}")).alias(f"p{k}"),
+            F.sum(F.when(F.col(f"l{k}").isNotNull(), F.col("x"))).alias(
+                f"a{k}"
+            ),
+            F.sum(f"l{k}").alias(f"b{k}"),
+        ]
+    st = lagged.groupBy("event_type").agg(*aggs)
+    stack_args = ", ".join(f"{k}, p{k}, a{k}, b{k}" for k in ACF_LAGS)
+    long = st.select(
+        "event_type",
+        "n",
+        "s",
+        "q",
+        F.expr(f"stack({len(ACF_LAGS)}, {stack_args}) AS (lag, p, a, b)"),
+    )
+    mean = F.col("s") / F.col("n")
+    num = (
+        F.col("p")
+        - mean * (F.col("a") + F.col("b"))
+        + (F.col("n") - F.col("lag")) * mean * mean
+    )
+    den = F.col("q") - mean * F.col("s")
+    return (
+        long.select(
+            "event_type",
+            F.col("lag").cast("long").alias("lag_hours"),
+            F.round(num / den, 6).alias("acf"),
+            F.col("n").cast("long").alias("n_hours"),
+        )
+        .orderBy("event_type", "lag_hours")
+    )
+
+
 QUERIES = {
     "ts_theil_sen_trend": ts_theil_sen_trend,
+    "ts_acf_hourly": ts_acf_hourly,
     "ts_seasonal_decompose_ma": ts_seasonal_decompose_ma,
     "forecast_seasonal_naive_mae": forecast_seasonal_naive_mae,
     "events_dow_hod_heatmap": events_dow_hod_heatmap,
@@ -650,7 +741,70 @@ QUERIES = {
 
 _DEC = "DECIMAL(28,6)"
 
+
+def _acf_sql() -> str:
+    """Mirror of ts_acf_hourly: exact-BIGINT moments per lag, unpivoted
+    via UNION ALL, with float ops in the same fixed order as the Spark
+    expressions (see the function docstring's determinism argument)."""
+    lag_cols = ",\n                   ".join(
+        f"LAG(x, {k}) OVER w AS l{k}" for k in ACF_LAGS
+    )
+    moment_cols = ",\n                   ".join(
+        f"CAST(SUM(x * l{k}) AS BIGINT) AS p{k},\n"
+        f"                   CAST(SUM(CASE WHEN l{k} IS NOT NULL "
+        f"THEN x END) AS BIGINT) AS a{k},\n"
+        f"                   CAST(SUM(l{k}) AS BIGINT) AS b{k}"
+        for k in ACF_LAGS
+    )
+    unpivot = "\n            UNION ALL\n            ".join(
+        f"SELECT event_type, n, s, q, {k} AS lag, p{k} AS p, "
+        f"a{k} AS a, b{k} AS b FROM st"
+        for k in ACF_LAGS
+    )
+    return f"""
+        WITH hourly AS (
+            SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+        bnds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+        grid AS (
+            SELECT t.event_type, g.h
+            FROM (SELECT DISTINCT event_type FROM hourly) t
+            CROSS JOIN (SELECT UNNEST(generate_series(h0, h1,
+                                      INTERVAL 1 HOUR)) AS h
+                        FROM bnds) g),
+        dense AS (
+            SELECT grid.event_type, grid.h, COALESCE(hourly.x, 0) AS x
+            FROM grid LEFT JOIN hourly
+              ON hourly.event_type = grid.event_type
+             AND hourly.h = grid.h),
+        lagged AS (
+            SELECT event_type, x,
+                   {lag_cols}
+            FROM dense
+            WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        st AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS q,
+                   {moment_cols}
+            FROM lagged GROUP BY 1),
+        longf AS (
+            {unpivot})
+        SELECT event_type,
+               CAST(lag AS BIGINT) AS lag_hours,
+               ROUND((p - (s * 1.0 / n) * (a + b)
+                      + (n - lag) * (s * 1.0 / n) * (s * 1.0 / n))
+                     / (q - (s * 1.0 / n) * s), 6) AS acf,
+               n AS n_hours
+        FROM longf
+        ORDER BY event_type, lag_hours
+    """
+
+
 ORACLE_SQL = {
+    "ts_acf_hourly": _acf_sql(),
     "ts_theil_sen_trend": """
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS y

@@ -176,6 +176,11 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "text_jsd_source_drift",
     "sql_unpivot_metrics",
     "multimodal_audio_window_energy",
+    "stats_psi_value_drift",
+    "stats_mutual_information",
+    "dq_benford_first_digit",
+    "ts_acf_hourly",
+    "sql_lateral_topk_per_nation",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -418,6 +418,9 @@ def test_forced_broadcasts_are_bounded_cardinality():
         # fixture; bounded by the label vocabulary at any corpus size —
         # the per-batch anchor set of a contrastive miner)
         "anchors",
+        # round 7: "n_buckets" is a 1-row count of the PSI bucket set
+        # (domain-bounded: value range / bucket width, never row count)
+        "n_buckets",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     offenders = []
