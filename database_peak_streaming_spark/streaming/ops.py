@@ -336,6 +336,66 @@ def ks_drift_from_histogram(hist: DataFrame, key: str = "event_type") -> DataFra
     )
 
 
+def psi_from_histogram(hist: DataFrame, key: str = "event_type") -> DataFrame:
+    """Finalize the streaming histogram into window-over-window PSI per
+    key: each window's bucket distribution scored against the SAME
+    key's distribution in the immediately preceding window (PSI =
+    sum_b (p_cur - p_prev) * ln(p_cur / p_prev), 0.5-Laplace smoothed
+    so empty cells stay finite) — the continuous-monitoring twin of the
+    batch era-split `stats_psi_value_drift`, sharing its rule of
+    thumb (< 0.1 stable, > 0.25 action).
+
+    Input is the (window, key, bucket, n) output of
+    `windowed_value_histogram`.  The dense (window x key x bucket)
+    grid is domain-bounded metadata and REQUIRED: a bucket the
+    previous window populated but the current one missed must
+    contribute its smoothed divergence, and the lag over the dense
+    grid is what makes "previous window" well-defined even for a key
+    silent in some window (it scores as an all-smoothing-floor
+    distribution, maximal drift — the alert you want)."""
+    hist = hist.where(F.col("bucket").isNotNull())
+    wins = hist.select("window_start").distinct()
+    keys = hist.select(key).distinct()
+    buckets = hist.select("bucket").distinct()
+    # bucket-set size rides as a broadcast scalar (1-row aggregate of a
+    # domain-bounded distinct) — never a driver pull
+    n_buckets = buckets.agg(F.count(F.lit(1)).alias("n_b"))
+    dense = (
+        wins.crossJoin(keys)
+        .crossJoin(buckets)
+        .join(hist, ["window_start", key, "bucket"], "left")
+        .fillna(0, subset=["n"])
+        .crossJoin(F.broadcast(n_buckets))
+    )
+    from pyspark.sql import Window as W
+
+    lag_w = W.partitionBy(key, "bucket").orderBy("window_start")
+    lagged = dense.withColumn("n_prev", F.lag("n", 1).over(lag_w)).where(
+        F.col("n_prev").isNotNull()
+    )
+    totals = lagged.groupBy("window_start", key).agg(
+        F.sum("n").alias("t_cur"), F.sum("n_prev").alias("t_prev")
+    )
+    p_cur = (F.col("n") + F.lit(0.5)) / (
+        F.col("t_cur") + F.lit(0.5) * F.col("n_b")
+    )
+    p_prev = (F.col("n_prev") + F.lit(0.5)) / (
+        F.col("t_prev") + F.lit(0.5) * F.col("n_b")
+    )
+    return (
+        lagged.join(totals, ["window_start", key])
+        .groupBy("window_start", key)
+        .agg(
+            F.round(
+                F.sum((p_cur - p_prev) * F.log(p_cur / p_prev)), 6
+            ).alias("psi"),
+            F.max("t_prev").cast("long").alias("n_prev_events"),
+            F.max("t_cur").cast("long").alias("n_cur_events"),
+        )
+        .orderBy("window_start", key)
+    )
+
+
 def merge_rollup_delta(mv: DataFrame | None, delta: DataFrame) -> DataFrame:
     """Monoid merge of a (day, event_type) rollup delta into the stored
     materialized view — the per-batch step of the streaming MV sink

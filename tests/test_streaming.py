@@ -1144,3 +1144,80 @@ def test_streaming_ks_drift_matches_batch(spark, tmpdir_):
     for (w, t), (d, n) in got.items():
         assert 0.0 <= d <= 1.0, (w, t, d)
         assert n > 0
+
+
+def test_streaming_psi_drift_matches_batch(spark, tmpdir_):
+    """Window-over-window PSI from the streamed value-histogram must
+    equal the same finalizer over the batch-computed histogram, every
+    PSI must be non-negative (each (p-q)ln(p/q) term is), and the
+    first window per key must be absent (no predecessor to score
+    against)."""
+    import datetime as dt
+
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.ops import (
+        psi_from_histogram,
+        windowed_value_histogram,
+    )
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = {
+        "event_id": -1,
+        "ts": max_ts + dt.timedelta(hours=24),
+        "event_type": "view",
+        "value": None,
+    }
+    stream, replay_dir = replay_dataframe(
+        spark, ev, n_chunks=4, order_col="ts", sentinel_row=sentinel
+    )
+    try:
+        hist_rows = _collect_stream(
+            spark,
+            windowed_value_histogram(
+                stream, "ts", "event_type", "6 hours", "10 minutes"
+            ),
+            f"{tmpdir_}/ckpt",
+        )
+    finally:
+        cleanup_replay(replay_dir)
+    hist_stream = spark.createDataFrame(
+        [r for r in hist_rows if r.window_start <= max_ts]
+    )
+    got = {
+        (r.window_start, r.event_type): (r.psi, r.n_prev_events, r.n_cur_events)
+        for r in psi_from_histogram(hist_stream).collect()
+    }
+
+    hist_batch = (
+        ev.groupBy(
+            F.window("ts", "6 hours").alias("w"),
+            "event_type",
+            F.floor(F.col("value") / F.lit(1.0)).cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "bucket", "n")
+    )
+    want = {
+        (r.window_start, r.event_type): (r.psi, r.n_prev_events, r.n_cur_events)
+        for r in psi_from_histogram(hist_batch).collect()
+    }
+    assert got == want
+    assert got, "no window pairs produced"
+    first_window = min(w for (w, _) in got)
+    windows = sorted({w for (w, _) in got})
+    all_windows = sorted(
+        {r.window_start for r in hist_batch.select("window_start").collect()}
+    )
+    # the earliest histogram window never appears as a scored window
+    assert first_window == all_windows[1]
+    assert set(windows) == set(all_windows[1:])
+    for (w, t), (psi, n_prev, n_cur) in got.items():
+        assert psi >= 0.0, (w, t, psi)
+        assert n_prev >= 0 and n_cur >= 0
