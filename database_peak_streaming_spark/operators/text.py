@@ -498,6 +498,76 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PMI phrase-mining thresholds: bigrams rarer than MIN_COUNT are
+#: statistically meaningless (one co-occurrence of two rare words maxes
+#: PMI); TOP_K bounds the published vocabulary
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation / phrase mining via pointwise mutual information:
+    the top-K bigrams by PMI = ln(c(w1 w2) * N / (c(w1) * c(w2))) with
+    a minimum co-occurrence count — the word2vec-style phrase-vocab
+    induction pass a training pipeline runs before tokenizer training
+    (high-PMI pairs become single vocabulary units).
+
+    Bigram formation is scan-side (zip_with over two slices — no
+    self-join); the shuffles are the two count aggregations and two
+    vocabulary-keyed joins against the min-count-filtered candidate
+    set, which Heaps'-law-bounded vocabulary keeps far smaller than
+    the corpus.  The global top-K ranking runs on that candidate set
+    only, ordered by the ROUNDED score with a full lexicographic
+    tie-break so both engines select and order the same K rows."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = _tokens()
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = d.where(n >= 2).select(F.explode(bigrams).alias("bigram"))
+    bf = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy"))
+    total = bf.agg(F.sum("c_xy").alias("n_bg"))
+    uf = (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    w2 = F.split(F.col("bigram"), " ").getItem(1)
+    cand = (
+        bf.where(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(
+            uf.select(F.col("token").alias("t1"), F.col("cu").alias("c1")),
+            w1 == F.col("t1"),
+        )
+        .join(
+            uf.select(F.col("token").alias("t2"), F.col("cu").alias("c2")),
+            w2 == F.col("t2"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    # ratio formed in doubles (bigint x bigint would overflow ANSI LONG
+    # at corpus scale), in the oracle's `* 1.0` operation order
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy").cast("double") * F.col("n_bg"))
+            / (F.col("c1").cast("double") * F.col("c2"))
+        ),
+        6,
+    )
+    ranked = cand.select("bigram", "c_xy", "c1", "c2", pmi.alias("pmi"))
+    wnd = Window.orderBy(F.col("pmi").desc(), "bigram")
+    return (
+        ranked.withColumn("rnk", F.row_number().over(wnd).cast("long"))
+        .where(F.col("rnk") <= PMI_TOP_K)
+        .select("rnk", "bigram", "c_xy", "c1", "c2", "pmi")
+        .orderBy("rnk")
+    )
+
+
 def text_jsd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen-Shannon divergence of each source's unigram distribution
     against the corpus — the lexical drift detector completing the
@@ -900,6 +970,7 @@ QUERIES = {
     "text_redact_scan": text_redact_scan,
     "text_unigram_logprob": text_unigram_logprob,
     "text_bigram_surprisal": text_bigram_surprisal,
+    "text_bigram_pmi": text_bigram_pmi,
     "text_jsd_source_drift": text_jsd_source_drift,
     "text_top_terms": text_top_terms,
     "text_top_bigrams": text_top_bigrams,
@@ -1097,6 +1168,34 @@ ORACLE_SQL = {
                CAST(ns.n_s AS BIGINT) AS n_tokens
         FROM agg a JOIN ns USING (source)
         ORDER BY a.source
+    """,
+    "text_bigram_pmi": """
+        WITH t AS (SELECT STRING_SPLIT(text, ' ') AS tk FROM documents),
+        toks AS (SELECT UNNEST(tk) AS token FROM t),
+        uf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cu
+               FROM toks GROUP BY token),
+        bg AS (
+            SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                                         i -> tk[i] || ' ' || tk[i + 1]))
+                       AS bigram
+            FROM t WHERE LEN(tk) >= 2),
+        bf AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_xy
+               FROM bg GROUP BY bigram),
+        tot AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bg FROM bf),
+        cand AS (
+            SELECT bf.bigram, bf.c_xy, u1.cu AS c1, u2.cu AS c2,
+                   ROUND(LN((bf.c_xy * 1.0 * n_bg)
+                            / (u1.cu * 1.0 * u2.cu)), 6) AS pmi
+            FROM bf
+            JOIN uf u1 ON u1.token = STRING_SPLIT(bf.bigram, ' ')[1]
+            JOIN uf u2 ON u2.token = STRING_SPLIT(bf.bigram, ' ')[2]
+            CROSS JOIN tot
+            WHERE bf.c_xy >= 5),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) AS rnk
+            FROM cand)
+        SELECT CAST(rnk AS BIGINT) AS rnk, bigram, c_xy, c1, c2, pmi
+        FROM ranked WHERE rnk <= 50 ORDER BY rnk
     """,
     "text_bigram_surprisal": """
         WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),

@@ -181,6 +181,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "dq_benford_first_digit",
     "ts_acf_hourly",
     "sql_lateral_topk_per_nation",
+    "text_bigram_pmi",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
