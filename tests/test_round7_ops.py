@@ -147,3 +147,127 @@ def test_sql_shorthand_surfaces_match_dataframe_twins(spark):
     unp = QUERIES["sql_unpivot_metrics"](spark, SF_DIR).collect()
     nations = {r.n_name for r in unp}
     assert len(unp) == 3 * len(nations)
+
+
+def test_psi_value_drift_bounds_and_totals(spark):
+    """PSI is non-negative (every (p-q)ln(p/q) term shares its sign),
+    the era split partitions the non-null values exactly, and every
+    event type is scored."""
+    rows = QUERIES["stats_psi_value_drift"](spark, SF_DIR).collect()
+    assert rows, "no event types scored"
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, "events", SF_DIR)
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.event_type for r in rows} == set(want)
+    for r in rows:
+        assert r.psi >= 0.0, r
+        assert r.n_ref_events + r.n_cur_events == want[r.event_type], r
+        # the midpoint split cannot put everything on one side of a
+        # time range that actually spans the fixture
+        assert r.n_ref_events > 0 and r.n_cur_events > 0, r
+
+
+def test_mutual_information_bounds(spark):
+    """0 <= MI <= min(H_lang, H_source) (Shannon), entropies are
+    non-negative, NMI is in [0, 1], and n_docs is the table count."""
+    (r,) = QUERIES["stats_mutual_information"](spark, SF_DIR).collect()
+    assert r.h_lang >= 0 and r.h_source >= 0
+    eps = 2e-6  # both sides independently rounded to 6 decimals
+    assert -eps <= r.mi_nats <= min(r.h_lang, r.h_source) + eps, r
+    assert -eps <= r.nmi <= 1 + eps, r
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    assert r.n_docs == load_table(spark, "documents", SF_DIR).count()
+
+
+def test_benford_distributions_sum_to_one(spark):
+    """Both the observed and the Benford-expected first-digit
+    distributions are probability vectors (the Benford one
+    telescopes: sum log10((d+1)/d) = log10(10) = 1), chi-square terms
+    are non-negative, and the digit column is exactly 1..9."""
+    rows = QUERIES["dq_benford_first_digit"](spark, SF_DIR).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.p_obs for r in rows) - 1.0) < 5e-6
+    assert abs(sum(r.p_benford for r in rows) - 1.0) < 5e-6
+    assert all(r.chi2_term >= 0 for r in rows)
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    n = (
+        load_table(spark, "orders", SF_DIR)
+        .where(F.col("o_totalprice") >= 1)
+        .count()
+    )
+    assert sum(r.n_obs for r in rows) == n
+
+
+def test_acf_hourly_bounds_and_grid(spark):
+    """|r_k| <= 1 (Cauchy-Schwarz on the biased estimator), every
+    (type, lag) cell is present, and the dense grid gives every type
+    the same calendar-bounded hour count."""
+    rows = QUERIES["ts_acf_hourly"](spark, SF_DIR).collect()
+    assert rows, "no series scored"
+    types = {r.event_type for r in rows}
+    lags = {r.lag_hours for r in rows}
+    assert lags == {1, 2, 3, 6, 12, 24}
+    assert len(rows) == len(types) * len(lags)
+    assert len({r.n_hours for r in rows}) == 1, "grid is not shared"
+    for r in rows:
+        assert r.acf is not None and abs(r.acf) <= 1 + 1e-6, r
+
+
+def test_lateral_topk_matches_window_recompute(spark):
+    """The LATERAL-with-LIMIT surface selects exactly the window-ranked
+    top-3 customers per nation, fully tie-broken."""
+    got = [
+        (r.n_name, r.c_custkey)
+        for r in QUERIES["sql_lateral_topk_per_nation"](spark, SF_DIR).collect()
+    ]
+    from pyspark.sql import Window
+
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    c = load_table(spark, "customer", SF_DIR)
+    n = load_table(spark, "nation", SF_DIR)
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    want = [
+        (r.n_name, r.c_custkey)
+        for r in c.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_custkey", "c_acctbal")
+        .orderBy("n_name", F.col("c_acctbal").desc(), "c_custkey")
+        .collect()
+    ]
+    assert got == want
+    per_nation = {}
+    for name, _ in got:
+        per_nation[name] = per_nation.get(name, 0) + 1
+    assert all(v <= 3 for v in per_nation.values())
+
+
+def test_bigram_pmi_ranking_invariants(spark):
+    """Ranks are contiguous from 1, PMI is non-increasing down the
+    list, every kept bigram clears the min-count bar, and unigram
+    counts dominate the co-occurrence count."""
+    rows = QUERIES["text_bigram_pmi"](spark, SF_DIR).collect()
+    assert rows, "no collocations found"
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    assert all(rows[i].pmi >= rows[i + 1].pmi for i in range(len(rows) - 1))
+    from database_peak_streaming_spark.operators.text import (
+        PMI_MIN_COUNT,
+        PMI_TOP_K,
+    )
+
+    assert len(rows) <= PMI_TOP_K
+    for r in rows:
+        assert r.c_xy >= PMI_MIN_COUNT, r
+        assert r.c1 >= r.c_xy and r.c2 >= r.c_xy, r
