@@ -182,6 +182,21 @@ PICKS = {
         "mass is a closed form, so no dense source x vocabulary grid; "
         "token- and source-keyed counts + one token join"
     ),
+    "stats_psi_value_drift": (
+        "one scan reduces to domain-bounded (type, bucket) cells with "
+        "era counts as pivoted columns; the dense grid, totals and the "
+        "PSI sum all run over that metadata-sized table"
+    ),
+    "ts_acf_hourly": (
+        "the data-sized stage is ONE groupBy to hourly counts; the "
+        "dense calendar grid, 6-lag window (one shared per-type sort) "
+        "and exact-moment rollup run on hours x types rows"
+    ),
+    "text_bigram_pmi": (
+        "bigram formation is scan-side zip_with (no self-join); the "
+        "min-count filter shrinks candidates BEFORE the two "
+        "vocabulary-keyed joins; top-K ranks candidate rows only"
+    ),
 }
 
 
