@@ -958,6 +958,94 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: customers whose last order is within this many days of corpus end
+#: are right-censored (possibly still active), not churned
+KM_CENSOR_DAYS = 180
+
+
+def orders_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for customer lifetime (weeks between
+    first and last order): the right-censoring-aware churn analysis a
+    naive "average lifetime" silently biases (customers still ordering
+    near corpus end haven't churned — dropping OR counting them as
+    churned both distort).  A customer dies at t = duration_weeks if
+    their last order predates corpus_end - 180 days; later last-orders
+    are censored at their observed duration.  S(t) = prod_{s<=t}
+    (1 - d_s / n_risk(s)), the standard product-limit estimator.
+
+    Portability: the curve is computed on exact BIGINT (duration ->
+    deaths, censored) cells — calendar-bounded, one groupBy from
+    customer-sized data — and the product is exp of an ORDERED
+    cumulative sum of ln factors, so both engines add identical
+    doubles in the same order.  A terminal time where everyone at risk
+    dies would put ln(0) in the chain (NULL in Spark, an error in
+    DuckDB); such a row can only be the LAST one (no one survives past
+    it), and both sides skip its factor and drop the row with the same
+    n_risk > d guard."""
+    o = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderdate")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_ts"),
+        F.max("o_orderdate").alias("last_ts"),
+    )
+    ref = o.agg(F.max("o_orderdate").alias("corpus_max"))
+    lives = per_cust.crossJoin(F.broadcast(ref)).select(
+        F.floor(
+            F.datediff(F.to_date("last_ts"), F.to_date("first_ts")) / F.lit(7)
+        )
+        .cast("long")
+        .alias("duration_weeks"),
+        (
+            F.col("last_ts")
+            < F.col("corpus_max") - F.expr(f"INTERVAL {KM_CENSOR_DAYS} DAYS")
+        )
+        .cast("long")
+        .alias("churned"),
+    )
+    cells = lives.groupBy("duration_weeks").agg(
+        F.sum("churned").alias("d_events"),
+        F.sum(F.lit(1) - F.col("churned")).alias("c_censored"),
+    )
+    total = lives.agg(F.count(F.lit(1)).alias("n_custs"))
+    w_prev = (
+        Window.orderBy("duration_weeks")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.orderBy("duration_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risked = cells.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        F.col("n_custs")
+        - F.coalesce(
+            F.sum(F.col("d_events") + F.col("c_censored")).over(w_prev),
+            F.lit(0),
+        ),
+    )
+    # the ln factor is guarded (NULL, skipped by SUM) on the d == n_risk
+    # terminal row — DuckDB raises on LN(0) and Spark yields NULL; the
+    # row itself is dropped below, so the guard never changes a kept
+    # survival value
+    ln_factor = F.when(
+        F.col("d_events") < F.col("n_risk"),
+        F.log(F.lit(1.0) - F.col("d_events") / F.col("n_risk")),
+    )
+    surv = risked.withColumn(
+        "survival", F.exp(F.sum(ln_factor).over(w_cum))
+    )
+    return (
+        surv.where(F.col("n_risk") > F.col("d_events"))
+        .select(
+            "duration_weeks",
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d_events").cast("long").alias("d_events"),
+            F.col("c_censored").cast("long").alias("c_censored"),
+            F.round("survival", 6).alias("survival"),
+        )
+        .orderBy("duration_weeks")
+    )
+
+
 QUERIES = {
     "events_funnel_ordered": events_funnel_ordered,
     "events_top_action_trigrams": events_top_action_trigrams,
@@ -974,6 +1062,7 @@ QUERIES = {
     "stats_ks_drift_by_type": stats_ks_drift_by_type,
     "stats_psi_value_drift": stats_psi_value_drift,
     "stats_mutual_information": stats_mutual_information,
+    "orders_kaplan_meier_churn": orders_kaplan_meier_churn,
     "user_state_latest": user_state_latest,
     "sessionize_gap_ids": sessionize_gap_ids,
     "sessionize_dynamic_gap": sessionize_dynamic_gap,
@@ -1166,6 +1255,48 @@ ORACLE_SQL = {
         FROM conv c LEFT JOIN att a USING (user_id)
         GROUP BY 1, 2
         ORDER BY 1, 2
+    """,
+    "orders_kaplan_meier_churn": """
+        WITH pu AS (
+            SELECT o_custkey, MIN(o_orderdate) AS first_ts,
+                   MAX(o_orderdate) AS last_ts
+            FROM orders GROUP BY 1),
+        ref AS (SELECT MAX(o_orderdate) AS corpus_max FROM orders),
+        lives AS (
+            SELECT CAST(FLOOR(DATE_DIFF('day', CAST(first_ts AS DATE),
+                                        CAST(last_ts AS DATE)) / 7.0)
+                        AS BIGINT) AS duration_weeks,
+                   CAST(CASE WHEN last_ts < corpus_max - INTERVAL 180 DAY
+                             THEN 1 ELSE 0 END AS BIGINT) AS churned
+            FROM pu CROSS JOIN ref),
+        cells AS (
+            SELECT duration_weeks,
+                   CAST(SUM(churned) AS BIGINT) AS d_events,
+                   CAST(SUM(1 - churned) AS BIGINT) AS c_censored
+            FROM lives GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_custs FROM lives),
+        risked AS (
+            SELECT duration_weeks, d_events, c_censored,
+                   n_custs - COALESCE(SUM(d_events + c_censored) OVER (
+                       ORDER BY duration_weeks
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS n_risk
+            FROM cells CROSS JOIN tot),
+        surv AS (
+            SELECT *,
+                   EXP(SUM(CASE WHEN d_events < n_risk
+                                THEN LN(1.0 - d_events / n_risk)
+                                END) OVER (
+                       ORDER BY duration_weeks
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)) AS survival
+            FROM risked)
+        SELECT duration_weeks,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               d_events, c_censored,
+               ROUND(survival, 6) AS survival
+        FROM surv WHERE n_risk > d_events
+        ORDER BY duration_weeks
     """,
     "stats_psi_value_drift": """
         WITH ev AS (

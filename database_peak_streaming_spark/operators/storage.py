@@ -570,6 +570,46 @@ def sql_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_udf_scalar_and_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-dialect breadth: Spark 4 SQL-defined functions — a scalar
+    UDF (``CREATE TEMPORARY FUNCTION ... RETURNS DOUBLE RETURN expr``)
+    and a table-valued UDF (``RETURNS TABLE``) — the catalog-resident,
+    engine-optimizable alternative to Python UDFs (the body INLINES
+    into the Catalyst plan, so whole-stage codegen sees through the
+    abstraction; nothing leaves the JVM).  The scalar UDF computes the
+    discounted-charge expression of the flagship rollup; the table UDF
+    generates the status domain the rollup right-joins against, keeping
+    zero-order statuses visible.  The oracle writes both bodies inline,
+    pinning that SQL UDFs are pure naming."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_udf")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION order_charge(
+            price DOUBLE, pri STRING) RETURNS DOUBLE
+        RETURN price * (CASE WHEN pri LIKE '1-%' THEN 1.10 ELSE 1.0 END)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION status_domain()
+        RETURNS TABLE (o_orderstatus STRING)
+        RETURN SELECT explode(array('F', 'O', 'P', 'X'))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT d.o_orderstatus,
+               COUNT(o.o_orderkey) AS n_orders,
+               CAST(SUM(CAST(order_charge(o.o_totalprice, o.o_orderpriority)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS total_charge
+        FROM status_domain() d
+        LEFT JOIN orders_udf o ON o.o_orderstatus = d.o_orderstatus
+        GROUP BY d.o_orderstatus
+        ORDER BY d.o_orderstatus
+        """
+    )
+
+
 def sql_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-dialect breadth: a correlated LATERAL subquery with ORDER BY
     + LIMIT — ANSI's per-row dependent join (the foreach-row idiom a
@@ -966,6 +1006,7 @@ QUERIES = {
     "sql_group_by_all": sql_group_by_all,
     "sql_unpivot_metrics": sql_unpivot_metrics,
     "sql_lateral_topk_per_nation": sql_lateral_topk_per_nation,
+    "sql_udf_scalar_and_table": sql_udf_scalar_and_table,
 }
 
 ORACLE_SQL = {
@@ -1201,6 +1242,18 @@ ORACLE_SQL = {
                r_name AS name_via_map,
                CAST(2 AS BIGINT) AS n_vals
         FROM region ORDER BY r_regionkey
+    """,
+    "sql_udf_scalar_and_table": """
+        WITH d AS (SELECT UNNEST(['F', 'O', 'P', 'X']) AS o_orderstatus)
+        SELECT d.o_orderstatus,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice *
+                             (CASE WHEN o.o_orderpriority LIKE '1-%'
+                                   THEN 1.10 ELSE 1.0 END)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS total_charge
+        FROM d LEFT JOIN orders o ON o.o_orderstatus = d.o_orderstatus
+        GROUP BY d.o_orderstatus
+        ORDER BY d.o_orderstatus
     """,
     "sql_lateral_topk_per_nation": """
         WITH ranked AS (

@@ -182,6 +182,8 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "ts_acf_hourly",
     "sql_lateral_topk_per_nation",
     "text_bigram_pmi",
+    "sql_udf_scalar_and_table",
+    "orders_kaplan_meier_churn",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -271,3 +271,47 @@ def test_bigram_pmi_ranking_invariants(spark):
     for r in rows:
         assert r.c_xy >= PMI_MIN_COUNT, r
         assert r.c1 >= r.c_xy and r.c2 >= r.c_xy, r
+
+
+def test_kaplan_meier_monotone_and_conserving(spark):
+    """S(t) starts <= 1 and never increases, n_risk starts at the full
+    cohort and never increases, and every customer leaves the risk set
+    exactly once (deaths + censored across the curve = cohort)."""
+    rows = QUERIES["orders_kaplan_meier_churn"](spark, SF_DIR).collect()
+    assert len(rows) > 10, "curve degenerated"
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    n_custs = (
+        load_table(spark, "orders", SF_DIR)
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert rows[0].n_risk == n_custs
+    assert all(
+        rows[i].n_risk >= rows[i + 1].n_risk for i in range(len(rows) - 1)
+    )
+    assert all(
+        rows[i].survival >= rows[i + 1].survival - 1e-9
+        for i in range(len(rows) - 1)
+    )
+    assert all(0.0 < r.survival <= 1.0 + 1e-9 for r in rows)
+    # conservation: the terminal n_risk>d guard can drop at most the
+    # final row, whose departures are its own n_risk
+    departed = sum(r.d_events + r.c_censored for r in rows)
+    assert departed == n_custs or (
+        departed < n_custs and rows[-1].n_risk > rows[-1].d_events
+    )
+
+
+def test_sql_udf_inlines_and_keeps_empty_domain_rows(spark):
+    """The SQL-defined scalar/table UDFs resolve inside the plan (no
+    Python stage) and the table-UDF domain keeps zero-order statuses
+    visible with NULL charge."""
+    df = QUERIES["sql_udf_scalar_and_table"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
+    rows = {r.o_orderstatus: r for r in df.collect()}
+    assert set(rows) == {"F", "O", "P", "X"}
+    assert rows["X"].n_orders == 0 and rows["X"].total_charge is None
+    assert rows["O"].n_orders > 0 and rows["O"].total_charge > 0
