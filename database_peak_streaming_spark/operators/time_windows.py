@@ -628,6 +628,56 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: rolling-median frame width (events); also the full-frame gate
+ROLL_MED_N = 50
+
+
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 50-event median of `value` per user — the median-filter
+    smoother (the robust moving average that ignores spikes a mean
+    frame chases), the order-statistic sibling of `win_rolling_corr`'s
+    moment frame.  Spark's `median` aggregate refuses window frames,
+    so the filter is built from primitives: collect_list over the
+    frame -> array_sort -> the two middle elements averaged — all JVM
+    HOFs inside whole-stage codegen, never Python.  Full frames only
+    (exactly N rows), so the middle indexes are constants and no
+    small-frame interpolation divergence exists between engines.
+
+    Scale: one shuffle on user_id, one per-user sort shared by both
+    window expressions; per-row state is the N-value frame (O(N) per
+    row, N fixed at 50)."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", "event_id", "ts", "value")
+        .where(F.col("value").isNotNull())
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLL_MED_N - 1), W.currentRow)
+    )
+    lst = F.array_sort(F.collect_list("value").over(w))
+    lo = ROLL_MED_N // 2  # 1-based: elements 25 and 26 of a 50-list
+    med = (F.element_at(lst, lo) + F.element_at(lst, lo + 1)) / F.lit(2.0)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n_frame"),
+            med.alias("med_raw"),
+        )
+        .where(F.col("n_frame") == ROLL_MED_N)
+        .select(
+            "user_id",
+            "event_id",
+            F.round("med_raw", 6).alias("rolling_med"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 #: autocorrelation lags probed by ts_acf_hourly (hours)
 ACF_LAGS = (1, 2, 3, 6, 12, 24)
 
@@ -721,6 +771,7 @@ def ts_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ts_theil_sen_trend": ts_theil_sen_trend,
     "ts_acf_hourly": ts_acf_hourly,
+    "win_rolling_median": win_rolling_median,
     "ts_seasonal_decompose_ma": ts_seasonal_decompose_ma,
     "forecast_seasonal_naive_mae": forecast_seasonal_naive_mae,
     "events_dow_hod_heatmap": events_dow_hod_heatmap,
@@ -805,6 +856,26 @@ def _acf_sql() -> str:
 
 ORACLE_SQL = {
     "ts_acf_hourly": _acf_sql(),
+    "win_rolling_median": """
+        WITH ev AS (
+            SELECT user_id, event_id, ts, value
+            FROM events WHERE value IS NOT NULL),
+        win AS (
+            SELECT user_id, event_id,
+                   LIST(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+                       AS vals
+            FROM ev),
+        srt AS (
+            SELECT user_id, event_id, LIST_SORT(vals) AS s,
+                   LEN(vals) AS n
+            FROM win)
+        SELECT user_id, event_id,
+               ROUND((s[25] + s[26]) / 2.0, 6) AS rolling_med
+        FROM srt WHERE n = 50
+        ORDER BY user_id, event_id
+    """,
     "ts_theil_sen_trend": """
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS y

@@ -184,6 +184,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "text_bigram_pmi",
     "sql_udf_scalar_and_table",
     "orders_kaplan_meier_churn",
+    "win_rolling_median",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -315,3 +315,41 @@ def test_sql_udf_inlines_and_keeps_empty_domain_rows(spark):
     assert set(rows) == {"F", "O", "P", "X"}
     assert rows["X"].n_orders == 0 and rows["X"].total_charge is None
     assert rows["O"].n_orders > 0 and rows["O"].total_charge > 0
+
+
+def test_rolling_median_is_robust_order_statistic(spark):
+    """Every rolling median lies within the user's own value range,
+    row count equals the number of full 50-event frames, and the
+    median filter is insensitive to a single spike (the defining
+    robustness property a moving mean lacks)."""
+    rows = QUERIES["win_rolling_median"](spark, SF_DIR).collect()
+    assert rows, "no full frames at this SF"
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    ev = (
+        load_table(spark, "events", SF_DIR)
+        .where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+    stats = {r.user_id: r for r in ev.collect()}
+    per_user = {}
+    for r in rows:
+        s = stats[r.user_id]
+        assert s.lo - 1e-9 <= r.rolling_med <= s.hi + 1e-9, r
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + 1
+    want = {u: s.n - 49 for u, s in stats.items() if s.n >= 50}
+    assert per_user == want
+    # robustness: replacing one in-frame value with a huge spike moves
+    # the median by at most one order-statistic step, never to the spike
+    import statistics
+
+    base = sorted(range(50))
+    spiked = sorted(base[:-1] + [10_000_000])
+    m0 = statistics.median(base)
+    m1 = statistics.median(spiked)
+    assert abs(m1 - m0) <= 1.0 and m1 < 100
