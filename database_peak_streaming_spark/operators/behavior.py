@@ -1046,6 +1046,82 @@ def orders_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by their
+    first-order quarter, each cohort's CUMULATIVE revenue per customer
+    tracked by quarters-since-acquisition — the payback-period /
+    retention-economics readout beside the count-based retention
+    triangle (`events_retention_cohorts`) and the survival curve
+    (`orders_kaplan_meier_churn`).
+
+    Exactness: revenue aggregates through `dsum` (fixed-point
+    micro-units) into exact decimals, and the cumulative is a decimal
+    window sum over those exact cells, so every LTV value is
+    partitioning-independent; the single division to per-customer
+    happens once, at the end, in doubles.  Scale: one fact-sized join
+    to the per-customer first-order table and one groupBy to
+    (cohort, quarter) cells — calendar-bounded output, windows over
+    cells only."""
+    from database_peak_streaming_spark.operators.common import dsum
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+
+    def qnum(c: str):
+        return F.year(c) * F.lit(4) + F.quarter(c) - F.lit(1)
+
+    j = o.join(first, "o_custkey").select(
+        qnum("first_dt").alias("cohort_q"),
+        (qnum("o_orderdate") - qnum("first_dt")).alias("quarter_index"),
+        "o_totalprice",
+    )
+    sizes = (
+        first.select(qnum("first_dt").alias("cohort_q"))
+        .groupBy("cohort_q")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    cells = j.groupBy("cohort_q", "quarter_index").agg(
+        dsum("o_totalprice", "rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = (
+        Window.partitionBy("cohort_q")
+        .orderBy("quarter_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.withColumn("cum_rev", F.sum("rev").over(w))
+    return (
+        cum.join(sizes, "cohort_q")
+        .select(
+            F.concat(
+                F.floor(F.col("cohort_q") / F.lit(4.0))
+                .cast("long")
+                .cast("string"),
+                F.lit("-Q"),
+                (F.col("cohort_q") % F.lit(4) + F.lit(1)).cast("string"),
+            ).alias("cohort"),
+            F.col("quarter_index").cast("long").alias("quarter_index"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            # the two engines' DECIMAL->DOUBLE casts can differ by ~1
+            # ulp at 8+ significant digits; the decimal is exactly
+            # scale-6, so ROUND(cast, 6) collapses both casts onto the
+            # identical grid-point double BEFORE any further arithmetic
+            F.round(F.col("cum_rev").cast("double"), 6).alias(
+                "cum_revenue"
+            ),
+            F.round(
+                F.round(F.col("cum_rev").cast("double"), 6)
+                / F.col("n_customers"),
+                6,
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort", "quarter_index")
+    )
+
+
 QUERIES = {
     "events_funnel_ordered": events_funnel_ordered,
     "events_top_action_trigrams": events_top_action_trigrams,
@@ -1063,6 +1139,7 @@ QUERIES = {
     "stats_psi_value_drift": stats_psi_value_drift,
     "stats_mutual_information": stats_mutual_information,
     "orders_kaplan_meier_churn": orders_kaplan_meier_churn,
+    "orders_cohort_ltv": orders_cohort_ltv,
     "user_state_latest": user_state_latest,
     "sessionize_gap_ids": sessionize_gap_ids,
     "sessionize_dynamic_gap": sessionize_dynamic_gap,
@@ -1255,6 +1332,44 @@ ORACLE_SQL = {
         FROM conv c LEFT JOIN att a USING (user_id)
         GROUP BY 1, 2
         ORDER BY 1, 2
+    """,
+    "orders_cohort_ltv": """
+        WITH f AS (
+            SELECT o_custkey, MIN(o_orderdate) AS first_dt
+            FROM orders GROUP BY 1),
+        j AS (
+            SELECT (YEAR(f.first_dt) * 4 + QUARTER(f.first_dt) - 1)
+                       AS cohort_q,
+                   (YEAR(o.o_orderdate) * 4 + QUARTER(o.o_orderdate) - 1)
+                   - (YEAR(f.first_dt) * 4 + QUARTER(f.first_dt) - 1)
+                       AS quarter_index,
+                   o.o_totalprice
+            FROM orders o JOIN f USING (o_custkey)),
+        sizes AS (
+            SELECT (YEAR(first_dt) * 4 + QUARTER(first_dt) - 1)
+                       AS cohort_q,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM f GROUP BY 1),
+        cells AS (
+            SELECT cohort_q, quarter_index,
+                   SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM j GROUP BY 1, 2),
+        cum AS (
+            SELECT *, SUM(rev) OVER (
+                PARTITION BY cohort_q ORDER BY quarter_index
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum_rev
+            FROM cells)
+        SELECT CAST(CAST(FLOOR(cohort_q / 4.0) AS BIGINT) AS VARCHAR)
+                   || '-Q' || CAST(cohort_q % 4 + 1 AS VARCHAR) AS cohort,
+               CAST(quarter_index AS BIGINT) AS quarter_index,
+               n_orders, n_customers,
+               ROUND(CAST(cum_rev AS DOUBLE), 6) AS cum_revenue,
+               ROUND(ROUND(CAST(cum_rev AS DOUBLE), 6) / n_customers, 6)
+                   AS ltv_per_customer
+        FROM cum JOIN sizes USING (cohort_q)
+        ORDER BY cohort, quarter_index
     """,
     "orders_kaplan_meier_churn": """
         WITH pu AS (

@@ -185,6 +185,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "sql_udf_scalar_and_table",
     "orders_kaplan_meier_churn",
     "win_rolling_median",
+    "orders_cohort_ltv",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

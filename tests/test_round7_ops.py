@@ -353,3 +353,33 @@ def test_rolling_median_is_robust_order_statistic(spark):
     m0 = statistics.median(base)
     m1 = statistics.median(spiked)
     assert abs(m1 - m0) <= 1.0 and m1 < 100
+
+
+def test_cohort_ltv_monotone_and_conserving(spark):
+    """Cumulative LTV never decreases within a cohort, cohort sizes sum
+    to the distinct customer count, per-cohort order counts sum to the
+    table count, and ltv_per_customer is cum/size."""
+    rows = QUERIES["orders_cohort_ltv"](spark, SF_DIR).collect()
+    assert rows, "no cohorts"
+    from collections import defaultdict
+
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort].append(r)
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    o = load_table(spark, "orders", SF_DIR)
+    assert sum(c[0].n_customers for c in by_cohort.values()) == (
+        o.select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_orders for r in rows) == o.count()
+    for curve in by_cohort.values():
+        curve.sort(key=lambda r: r.quarter_index)
+        assert curve[0].quarter_index == 0  # acquisition quarter present
+        for a, b in zip(curve, curve[1:]):
+            assert b.cum_revenue >= a.cum_revenue - 1e-6
+        for r in curve:
+            assert (
+                abs(r.ltv_per_customer - r.cum_revenue / r.n_customers)
+                < 1e-4
+            )
