@@ -554,6 +554,101 @@ def stats_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth mover's) distance between the early-era and
+    late-era `value` distributions per event type — the drift metric
+    that weighs HOW FAR mass moved, not just whether it moved
+    (completing the family: KS = sup gap, PSI = smoothed divergence,
+    JSD = token mix, W1 = transport cost).  For 1-D distributions
+    W1 = integral |F_a(x) - F_b(x)| dx, evaluated exactly on the
+    discrete support as sum_i |F_a(v_i) - F_b(v_i)| * (v_{i+1} - v_i).
+
+    Same era split and exactness discipline as `stats_psi_value_drift`
+    (integer-epoch midpoint; exact BIGINT counts on the domain-bounded
+    distinct-value support; one ordered cumulative window over that
+    support only), structurally the KS plan with a lead() gap column
+    and a weighted sum instead of a max."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", "value", F.unix_timestamp("ts").alias("e"))
+        .where(F.col("value").isNotNull())
+    )
+    global_bounds = ev.agg(
+        F.min("e").alias("e_min"), F.max("e").alias("e_max")
+    )
+    split = ev.crossJoin(F.broadcast(global_bounds)).withColumn(
+        "is_ref",
+        (F.lit(2) * F.col("e") < F.col("e_min") + F.col("e_max")).cast(
+            "long"
+        ),
+    )
+    g = split.groupBy("value").agg(
+        *[
+            F.sum(
+                F.when(F.col("event_type") == t, F.col("is_ref")).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"r_{t}")
+            for t in KS_EVENT_TYPES
+        ],
+        *[
+            F.sum(
+                F.when(
+                    F.col("event_type") == t, F.lit(1) - F.col("is_ref")
+                ).otherwise(F.lit(0))
+            ).alias(f"c_{t}")
+            for t in KS_EVENT_TYPES
+        ],
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_lead = Window.orderBy("value")
+    cum = g.select(
+        "value",
+        (F.lead("value", 1).over(w_lead) - F.col("value")).alias("gap"),
+        *[F.sum(f"r_{t}").over(w).alias(f"cr_{t}") for t in KS_EVENT_TYPES],
+        *[F.sum(f"c_{t}").over(w).alias(f"cc_{t}") for t in KS_EVENT_TYPES],
+    ).fillna(0.0, subset=["gap"])
+    stack_args = ", ".join(
+        f"'{t}', cr_{t}, cc_{t}" for t in KS_EVENT_TYPES
+    )
+    long = cum.select(
+        "gap",
+        F.expr(
+            f"stack({len(KS_EVENT_TYPES)}, {stack_args})"
+            " AS (event_type, cum_ref, cum_cur)"
+        ),
+    )
+    totals = split.groupBy("event_type").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("n_cur"),
+    )
+    return (
+        long.join(totals, "event_type")
+        .groupBy("event_type", "n_ref", "n_cur")
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.col("cum_ref") / F.col("n_ref")
+                        - F.col("cum_cur") / F.col("n_cur")
+                    )
+                    * F.col("gap")
+                ),
+                6,
+            ).alias("w1_distance")
+        )
+        .select(
+            "event_type",
+            "w1_distance",
+            F.col("n_ref").cast("long").alias("n_ref_events"),
+            F.col("n_cur").cast("long").alias("n_cur_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per-customer Recency (days since last
     order, against the corpus max date), Frequency (order count) and
@@ -1137,6 +1232,7 @@ QUERIES = {
     "events_attribution_position": events_attribution_position,
     "stats_ks_drift_by_type": stats_ks_drift_by_type,
     "stats_psi_value_drift": stats_psi_value_drift,
+    "stats_wasserstein_drift": stats_wasserstein_drift,
     "stats_mutual_information": stats_mutual_information,
     "orders_kaplan_meier_churn": orders_kaplan_meier_churn,
     "orders_cohort_ltv": orders_cohort_ltv,
@@ -1412,6 +1508,73 @@ ORACLE_SQL = {
                ROUND(survival, 6) AS survival
         FROM surv WHERE n_risk > d_events
         ORDER BY duration_weeks
+    """,
+    "stats_wasserstein_drift": """
+        WITH ev AS (
+            SELECT event_type, value,
+                   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS e
+            FROM events WHERE value IS NOT NULL),
+        b AS (SELECT MIN(e) AS e_min, MAX(e) AS e_max FROM ev),
+        sp AS (
+            SELECT event_type, value,
+                   CAST(CASE WHEN 2 * e < e_min + e_max
+                             THEN 1 ELSE 0 END AS BIGINT) AS is_ref
+            FROM ev CROSS JOIN b),
+        g AS (
+            SELECT value,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN is_ref ELSE 0 END) AS BIGINT) AS r_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN is_ref ELSE 0 END) AS BIGINT) AS r_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN is_ref ELSE 0 END) AS BIGINT) AS r_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN is_ref ELSE 0 END) AS BIGINT) AS r_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN is_ref ELSE 0 END) AS BIGINT) AS r_view,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 - is_ref ELSE 0 END) AS BIGINT) AS c_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 - is_ref ELSE 0 END) AS BIGINT) AS c_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 - is_ref ELSE 0 END) AS BIGINT) AS c_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 - is_ref ELSE 0 END) AS BIGINT) AS c_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 - is_ref ELSE 0 END) AS BIGINT) AS c_view
+            FROM sp GROUP BY value),
+        cum AS (
+            SELECT value,
+                   COALESCE(LEAD(value) OVER (ORDER BY value) - value, 0)
+                       AS gap,
+                   SUM(r_click) OVER w AS cr_click,
+                   SUM(r_error) OVER w AS cr_error,
+                   SUM(r_purchase) OVER w AS cr_purchase,
+                   SUM(r_signup) OVER w AS cr_signup,
+                   SUM(r_view) OVER w AS cr_view,
+                   SUM(c_click) OVER w AS cc_click,
+                   SUM(c_error) OVER w AS cc_error,
+                   SUM(c_purchase) OVER w AS cc_purchase,
+                   SUM(c_signup) OVER w AS cc_signup,
+                   SUM(c_view) OVER w AS cc_view
+            FROM g
+            WINDOW w AS (ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        longf AS (
+            SELECT 'click' AS event_type, gap, cr_click AS cum_ref,
+                   cc_click AS cum_cur FROM cum
+            UNION ALL
+            SELECT 'error', gap, cr_error, cc_error FROM cum
+            UNION ALL
+            SELECT 'purchase', gap, cr_purchase, cc_purchase FROM cum
+            UNION ALL
+            SELECT 'signup', gap, cr_signup, cc_signup FROM cum
+            UNION ALL
+            SELECT 'view', gap, cr_view, cc_view FROM cum),
+        nt AS (
+            SELECT event_type,
+                   CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+                   CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+            FROM sp GROUP BY event_type)
+        SELECT l.event_type,
+               ROUND(SUM(ABS(cum_ref * 1.0 / n_ref
+                             - cum_cur * 1.0 / n_cur) * gap), 6)
+                   AS w1_distance,
+               n_ref AS n_ref_events,
+               n_cur AS n_cur_events
+        FROM longf l JOIN nt USING (event_type)
+        GROUP BY l.event_type, n_ref, n_cur
+        ORDER BY l.event_type
     """,
     "stats_psi_value_drift": """
         WITH ev AS (

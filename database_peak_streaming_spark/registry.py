@@ -186,6 +186,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "orders_kaplan_meier_churn",
     "win_rolling_median",
     "orders_cohort_ltv",
+    "stats_wasserstein_drift",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

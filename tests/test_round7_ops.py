@@ -383,3 +383,28 @@ def test_cohort_ltv_monotone_and_conserving(spark):
                 abs(r.ltv_per_customer - r.cum_revenue / r.n_customers)
                 < 1e-4
             )
+
+
+def test_wasserstein_drift_bounds_and_split(spark):
+    """W1 is non-negative and bounded by the value range, the era split
+    partitions each type's rows exactly, and all five types are
+    scored."""
+    rows = QUERIES["stats_wasserstein_drift"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    ev = load_table(spark, "events", SF_DIR).where(
+        F.col("value").isNotNull()
+    )
+    lohi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    value_range = lohi[1] - lohi[0]
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert 0.0 <= r.w1_distance <= value_range + 1e-6, r
+        assert r.n_ref_events + r.n_cur_events == want[r.event_type], r
+        assert r.n_ref_events > 0 and r.n_cur_events > 0, r
