@@ -565,6 +565,83 @@ def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of NEAREST join (pandas merge_asof direction='nearest'): for
+    each purchase, the click by the same user closest in time in
+    EITHER direction, ties preferring the backward (earlier) click —
+    completing the as-of family (backward `join_asof_purchase_click`,
+    forward `join_asof_forward`, tolerance `join_asof_tolerance`).
+
+    Implementation: ONE union + ONE per-user sort carries both
+    directions — last(click, ignorenulls) over preceding rows and
+    first(click, ignorenulls) over following rows share the window
+    ordering (clicks sort before purchases on ts ties, so an
+    equal-timestamp click lands in the backward arm with gap 0) — then
+    a row-local comparison of exact integer microsecond gaps picks the
+    winner.  Same merge-sorted scale shape as the other as-of forms:
+    no per-purchase fan-out, skew costs a sort.  The oracle is the
+    naive quadratic candidate join + rank, pinning the semantics the
+    merge-sorted form must reproduce."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    ts_type = ev.schema["ts"].dataType
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast(ts_type).alias("click_ts"),
+        F.lit(1).alias("is_purchase"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast(ev.schema["event_id"].dataType).alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("is_purchase"),
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    both = (
+        purchases.unionByName(clicks)
+        .withColumn("b", F.last("click_ts", ignorenulls=True).over(w_back))
+        .withColumn("f", F.first("click_ts", ignorenulls=True).over(w_fwd))
+        .filter(F.col("is_purchase") == 1)
+    )
+    def _us(c):
+        # events.ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
+        # session TZ is UTC, so the cast is the identity reading
+        return F.unix_micros(c.cast("timestamp"))
+
+    gb = _us(F.col("ts")) - _us(F.col("b"))
+    gf = _us(F.col("f")) - _us(F.col("ts"))
+    nearest = (
+        F.when(F.col("b").isNull(), F.col("f"))
+        .when(F.col("f").isNull(), F.col("b"))
+        .when(gb <= gf, F.col("b"))
+        .otherwise(F.col("f"))
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        "ts",
+        nearest.alias("nearest_click_ts"),
+        F.when(nearest.isNull(), F.lit("none"))
+        .when(nearest <= F.col("ts"), F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+        F.abs(_us(nearest) - _us(F.col("ts"))).alias("gap_us"),
+    ).orderBy("event_id")
+
+
 QUERIES = {
     "join_inner_3way": join_inner_3way,
     "join_left_outer": join_left_outer,
@@ -577,6 +654,7 @@ QUERIES = {
     "join_range_theta": join_range_theta,
     "join_range_banded": join_range_banded,
     "join_asof_purchase_click": join_asof_purchase_click,
+    "join_asof_nearest": join_asof_nearest,
     "join_asof_forward": join_asof_forward,
     "join_asof_tolerance": join_asof_tolerance,
     "orders_market_basket_lift": orders_market_basket_lift,
@@ -713,6 +791,33 @@ ORACLE_SQL = {
                    WHERE event_type = 'click') c
           ON p.user_id = c.cu AND c.cts >= p.ts
         GROUP BY p.event_id, p.user_id, p.ts
+        ORDER BY p.event_id
+    """,
+    "join_asof_nearest": """
+        WITH p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'),
+        c AS (
+            SELECT user_id, ts AS cts FROM events
+            WHERE event_type = 'click'),
+        cand AS (
+            SELECT p.event_id, c.cts,
+                   ABS(EPOCH_US(c.cts) - EPOCH_US(p.ts)) AS gap,
+                   CASE WHEN c.cts <= p.ts THEN 0 ELSE 1 END AS dirrank
+            FROM p JOIN c USING (user_id)),
+        best AS (
+            SELECT event_id, cts, gap,
+                   ROW_NUMBER() OVER (PARTITION BY event_id
+                                      ORDER BY gap, dirrank) AS rn
+            FROM cand)
+        SELECT p.event_id, p.user_id, p.ts,
+               b.cts AS nearest_click_ts,
+               CASE WHEN b.cts IS NULL THEN 'none'
+                    WHEN b.cts <= p.ts THEN 'backward'
+                    ELSE 'forward' END AS direction,
+               CAST(b.gap AS BIGINT) AS gap_us
+        FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+          USING (event_id)
         ORDER BY p.event_id
     """,
     "join_asof_purchase_click": """

@@ -187,6 +187,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "win_rolling_median",
     "orders_cohort_ltv",
     "stats_wasserstein_drift",
+    "join_asof_nearest",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

