@@ -684,7 +684,116 @@ def embedding_label_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: power-iteration geometry: embedding dim (fixture contract) and the
+#: unrolled iteration count — 3 steps from the exact-representable
+#: 1/sqrt(64) = 0.125 seed separate the top eigenvalue decisively on
+#: any non-degenerate spectrum
+PCA_DIM = 64
+PCA_ITERS = 3
+
+
+def embeddings_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus via matrix-free
+    power iteration — the first step of PCA whitening / dimensionality
+    reduction an embedding pipeline runs before ANN indexing, expressed
+    entirely as declarative plans (the iterative-linear-algebra sibling
+    of PageRank's fixpoint): v_{k+1} = normalize(X^T (X v_k)), three
+    unrolled steps from the constant seed v_0 = [1/sqrt(64)] * 64
+    (exactly 0.125 — float-representable, so both engines start from
+    the identical vector).
+
+    Each step is matrix-free: one broadcast of the 64-double direction,
+    per-row dot products as JVM fold expressions (never materializing
+    X^T X — at 100 TB the corpus streams through map tasks, only
+    64-row w vectors shuffle), a per-dimension sum, and a
+    normalization over 64 values.  Determinism: dots fold
+    left-to-right identically in both engines; the per-dim row-sum is
+    the only unordered float accumulation (noise ~1e-12 relative,
+    absorbed by output rounding).  Sign is pinned by the positive
+    seed.  Returns one row per dimension: (dim, loading,
+    eigenvalue_est = ||X^T X v_2||, the operator-norm estimate)."""
+    e = load_table(spark, "embeddings", sf_dir).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("x")
+    )
+    pc = spark.range(1).select(
+        F.array(*[F.lit(0.125)] * PCA_DIM).alias("v")
+    )
+    w = norm = None
+    for _ in range(PCA_ITERS):
+        d = e.crossJoin(F.broadcast(pc)).withColumn(
+            "dot", _dot(F.col("x"), F.col("v"))
+        )
+        w = (
+            d.select(F.posexplode("x").alias("pos", "xi"), "dot")
+            .select("pos", (F.col("xi") * F.col("dot")).alias("c"))
+            .groupBy("pos")
+            .agg(F.sum("c").alias("w"))
+        )
+        norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn"))
+        pc = (
+            w.crossJoin(F.broadcast(norm))
+            .select("pos", (F.col("w") / F.col("nn")).alias("comp"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "comp"))
+                ).alias("s")
+            )
+            .select(F.transform("s", lambda t: t.comp).alias("v"))
+        )
+    return (
+        w.crossJoin(F.broadcast(norm))
+        .select(
+            F.col("pos").cast("long").alias("dim"),
+            F.round(F.col("w") / F.col("nn"), 6).alias("loading"),
+            F.round("nn", 4).alias("eigenvalue_est"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _pca_sql() -> str:
+    """Mirror of embeddings_pca_power_iteration: the same three power
+    steps unrolled as MATERIALIZED CTEs (non-materialized CTE chains
+    re-expand exponentially in DuckDB), dots folded left-to-right via
+    list_reduce exactly like the Spark aggregate fold."""
+    dims = PCA_DIM
+    parts = [
+        "WITH e AS MATERIALIZED (",
+        "    SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings),",
+        f"v0 AS (SELECT list_transform(range({dims}), i -> 0.125) AS v),",
+    ]
+    for k in range(1, PCA_ITERS + 1):
+        parts += [
+            f"d{k} AS MATERIALIZED (",
+            f"    SELECT x, list_reduce(list_transform(range(1, {dims + 1}),",
+            "                           i -> x[i] * v[i]),",
+            "                           (a, b) -> a + b) AS dot",
+            f"    FROM e CROSS JOIN v{k - 1}),",
+            f"w{k} AS MATERIALIZED (",
+            "    SELECT pos, SUM(x[pos] * dot) AS w",
+            f"    FROM d{k} CROSS JOIN (SELECT UNNEST(range(1, {dims + 1}))"
+            " AS pos) p",
+            "    GROUP BY pos),",
+            f"n{k} AS (SELECT SQRT(SUM(w * w)) AS nn FROM w{k}),",
+        ]
+        if k < PCA_ITERS:
+            parts += [
+                f"v{k} AS (SELECT LIST(w / nn ORDER BY pos) AS v",
+                f"         FROM w{k} CROSS JOIN n{k}),",
+            ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts += [
+        "SELECT CAST(pos - 1 AS BIGINT) AS dim,",
+        "       ROUND(w / nn, 6) AS loading,",
+        "       ROUND(nn, 4) AS eigenvalue_est",
+        f"FROM w{PCA_ITERS} CROSS JOIN n{PCA_ITERS}",
+        "ORDER BY dim",
+    ]
+    return "\n".join(parts)
+
+
 QUERIES = {
+    "embeddings_pca_power_iteration": embeddings_pca_power_iteration,
     "sim_maxsim_late_interaction": sim_maxsim_late_interaction,
     "feature_minmax_scale": feature_minmax_scale,
     "embedding_label_dispersion": embedding_label_dispersion,
@@ -739,6 +848,7 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 ORACLE_SQL = {
+    "embeddings_pca_power_iteration": _pca_sql(),
     "embedding_label_dispersion": """
         WITH long AS (
             SELECT vec_id, label,

@@ -188,6 +188,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "orders_cohort_ltv",
     "stats_wasserstein_drift",
     "join_asof_nearest",
+    "embeddings_pca_power_iteration",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -421,6 +421,9 @@ def test_forced_broadcasts_are_bounded_cardinality():
         # round 7: "n_buckets" is a 1-row count of the PSI bucket set
         # (domain-bounded: value range / bucket width, never row count)
         "n_buckets",
+        # round 7: "pc" is the 1-row 64-double power-iteration direction;
+        # "norm" is its 1-row L2 norm — both O(dim), never corpus-sized
+        "pc", "norm",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     offenders = []

@@ -440,3 +440,37 @@ def test_asof_nearest_dominates_both_directions(spark):
                 # equal gap must resolve to the backward candidate
                 assert r.direction in ("backward",) or r.gap_us == 0
     assert n_with > 0
+
+
+def test_pca_power_iteration_matches_numpy(spark):
+    """The declarative power iteration reproduces the same three numpy
+    power steps to rounding precision, the loading vector is unit-norm,
+    and the eigenvalue estimate is positive and consistent with
+    ||X^T X v_2||."""
+    import numpy as np
+
+    rows = QUERIES["embeddings_pca_power_iteration"](spark, SF_DIR).collect()
+    assert [r.dim for r in rows] == list(range(64))
+    loadings = np.array([r.loading for r in rows])
+    assert abs(float(loadings @ loadings) - 1.0) < 1e-4
+    lam = rows[0].eigenvalue_est
+    assert lam > 0 and all(r.eigenvalue_est == lam for r in rows)
+
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    X = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, "embeddings", SF_DIR)
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    v = np.full(64, 0.125)
+    for _ in range(3):
+        w = X.T @ (X @ v)
+        n = float(np.sqrt(w @ w))
+        v = w / n
+    assert abs(n - lam) < 1e-3 * max(1.0, lam)
+    assert np.max(np.abs(v - loadings)) < 1e-5
