@@ -12,6 +12,8 @@ exploited single-node — SURVEY.md §4).
 
 from __future__ import annotations
 
+from collections.abc import Iterator  # noqa: F401 (pandas_udf type hints)
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -24,6 +26,30 @@ from pyspark.sql.functions import pandas_udf
 def log1p_vec(v: pd.Series) -> pd.Series:
     """Vectorized scalar pandas UDF: numpy kernel over Arrow batches."""
     return pd.Series(np.log1p(v.to_numpy()))
+
+
+#: stand-in "model" coefficients for the iterator UDF — in production
+#: this is the checkpoint a worker loads ONCE and reuses across batches
+_MODEL_A = 0.35
+_MODEL_B = -2.0
+
+
+@pandas_udf(T.DoubleType())
+def model_score_iter(batches: "Iterator[pd.Series]") -> "Iterator[pd.Series]":
+    """Iterator-of-Series scalar pandas UDF (SCALAR_ITER): the
+    amortized-initialization form — expensive per-worker setup (a model
+    checkpoint load, a tokenizer build) runs ONCE before the loop, then
+    every Arrow batch streams through the loaded state.  The stand-in
+    model is a logistic score over log1p(x); the differential oracle is
+    the same closed form in SQL, pinning that the Python-worker path
+    agrees with closed-form arithmetic to rounding precision."""
+    import numpy as _np
+
+    a, b = _MODEL_A, _MODEL_B  # <- the one-time "load"
+    for s in batches:
+        yield pd.Series(
+            1.0 / (1.0 + _np.exp(-(a * _np.log1p(s.to_numpy()) + b)))
+        )
 
 
 @pandas_udf(T.DoubleType())

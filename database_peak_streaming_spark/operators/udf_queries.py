@@ -47,6 +47,37 @@ def udf_pandas_log1p(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udf_iter_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (SCALAR_ITER) — the batch-inference
+    shape: per-worker state initializes once, Arrow batches stream
+    through it (see functions/udfs.model_score_iter).  Returned beside
+    the identical JVM closed form so the oracle pins Python-worker ==
+    codegen arithmetic to rounding precision — completing the UDF
+    matrix (scalar / grouped / cogrouped / UDTF / mapInArrow /
+    mapInPandas / SCALAR_ITER)."""
+    from database_peak_streaming_spark.functions.udfs import (
+        _MODEL_A,
+        _MODEL_B,
+        model_score_iter,
+    )
+
+    o = load_table(spark, "orders", sf_dir)
+    builtin = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(
+            -(F.lit(_MODEL_A) * F.log1p("o_totalprice") + F.lit(_MODEL_B))
+        )
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            F.round(model_score_iter("o_totalprice"), 6).alias("score_udf"),
+            F.round(builtin, 6).alias("score_builtin"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 def udf_arrow_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-NATIVE iterator UDF (``mapInArrow``): per-document token
     count computed entirely with ``pyarrow.compute`` kernels — no
@@ -233,6 +264,7 @@ QUERIES = {
     "udf_zscore_by_segment": udf_zscore_by_segment,
     "udf_arrow_token_count": udf_arrow_token_count,
     "udf_pandas_log1p": udf_pandas_log1p,
+    "udf_iter_model_score": udf_iter_model_score,
     "binary_peaks_decode": binary_peaks_decode,
     "udf_cogroup_asof": udf_cogroup_asof,
     "udtf_sentence_split": udtf_sentence_split,
@@ -285,6 +317,14 @@ ORACLE_SQL = {
         SELECT o_orderkey,
                ROUND(LN(1 + o_totalprice), 6) AS log1p_udf,
                ROUND(LN(1 + o_totalprice), 6) AS log1p_builtin
+        FROM orders ORDER BY o_orderkey
+    """,
+    "udf_iter_model_score": """
+        SELECT o_orderkey,
+               ROUND(1.0 / (1.0 + EXP(-(0.35 * LN(1 + o_totalprice)
+                                        + (-2.0)))), 6) AS score_udf,
+               ROUND(1.0 / (1.0 + EXP(-(0.35 * LN(1 + o_totalprice)
+                                        + (-2.0)))), 6) AS score_builtin
         FROM orders ORDER BY o_orderkey
     """,
     "binary_peaks_decode": f"""

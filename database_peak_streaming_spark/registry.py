@@ -189,6 +189,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "stats_wasserstein_drift",
     "join_asof_nearest",
     "embeddings_pca_power_iteration",
+    "udf_iter_model_score",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
