@@ -197,6 +197,20 @@ PICKS = {
         "min-count filter shrinks candidates BEFORE the two "
         "vocabulary-keyed joins; top-K ranks candidate rows only"
     ),
+    "embeddings_pca_power_iteration": (
+        "matrix-free: each unrolled step broadcasts a 64-double "
+        "direction, dots fold map-side, only 64-row w vectors shuffle "
+        "— X^T X is never materialized"
+    ),
+    "join_asof_nearest": (
+        "one union + ONE per-user sort carries both directional window "
+        "arms; no per-purchase fan-out, no range join"
+    ),
+    "orders_kaplan_meier_churn": (
+        "one groupBy collapses orders to customers, one to "
+        "calendar-bounded duration cells; the survival windows run on "
+        "cells only"
+    ),
 }
 
 
