@@ -32,6 +32,7 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -200,6 +201,11 @@ class PeaksBinaryDataSource(DataSource):
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return PeaksBinarySimpleStreamReader(self.options)
 
+    def streamWriter(self, schema, overwrite: bool) -> "PeaksBinaryStreamWriter":
+        return PeaksBinaryStreamWriter(
+            self.options, int(self.options.get("num_channels", "4"))
+        )
+
     def writer(self, schema, overwrite: bool) -> "PeaksBinaryWriter":
         if overwrite:
             path = self.options.get("path")
@@ -253,59 +259,8 @@ class PeaksBinaryWriter(DataSourceWriter):
         import os
         import uuid
 
-        from database_peak_streaming_spark.sources.binary import (
-            encode_peaks_frame,
-        )
-
         os.makedirs(self.path, exist_ok=True)
-        # group this partition's rows by (serial, ts) preserving order
-        frames: dict[tuple, dict[int, list[tuple[int, float]]]] = {}
-        for row in rows:
-            key = (row.serial_number, row.ts)
-            frames.setdefault(key, {}).setdefault(row.channel, []).append(
-                (row.peak_idx, row.wavelength)
-            )
-        encoded = []
-        for (serial, ts), by_ch in sorted(frames.items()):
-            counts = [0] * self.num_channels
-            wavelengths: list[float] = []
-            # channels are 1-based in the decoded long form
-            # (hyperion.py:442-453 numbering; _decode_one enumerates
-            # from 1) — matrix row i holds channel i+1
-            for ch in range(1, self.num_channels + 1):
-                peaks = sorted(by_ch.get(ch, []))
-                if [pk for pk, _ in peaks] != list(range(len(peaks))):
-                    raise ValueError(
-                        f"peaksbin write: frame (serial={serial}, "
-                        f"ts={ts}) channel {ch} has peak_idx "
-                        f"{[pk for pk, _ in peaks]}, expected contiguous "
-                        f"0..{len(peaks) - 1} — the frame's rows were "
-                        "split across partitions or duplicated; "
-                        "repartition by (serial_number, ts) (and "
-                        "dropDuplicates on (serial_number, ts, channel, "
-                        "peak_idx)) before .save()"
-                    )
-                counts[ch - 1] = len(peaks)
-                wavelengths.extend(wl for _, wl in peaks)
-            if hasattr(ts, "value"):  # pandas Timestamp: exact ns
-                epoch_ns = int(ts.value)
-            else:  # datetime: exact integer micros (float .timestamp()
-                # has ~238 ns ulp at 2023 epochs and truncates)
-                import datetime as _dt
-
-                epoch_us = (
-                    ts - _dt.datetime(1970, 1, 1, tzinfo=ts.tzinfo)
-                ) // _dt.timedelta(microseconds=1)
-                epoch_ns = epoch_us * 1000
-            encoded.append(
-                encode_peaks_frame(
-                    serial_number=int(serial),
-                    timestamp_int=epoch_ns // 1_000_000_000,
-                    timestamp_frac=epoch_ns % 1_000_000_000,
-                    counts=counts,
-                    wavelengths=wavelengths,
-                )
-            )
+        encoded = _encode_partition_frames(rows, self.num_channels)
         out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.peaks")
         write_peaks_file(out, encoded)
         return _PeaksCommitMessage(out, len(encoded))
@@ -316,6 +271,136 @@ class PeaksBinaryWriter(DataSourceWriter):
         return None
 
     def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def _encode_partition_frames(rows, num_channels: int) -> list[bytes]:
+    """Shared partition-encode kernel for the batch and streaming write
+    paths: group long rows into (serial, ts) frames, validate frame
+    completeness, and re-encode — the exact inverse of ``_decode_one``
+    (see PeaksBinaryWriter's docstring for the invariant contract)."""
+    from database_peak_streaming_spark.sources.binary import (
+        encode_peaks_frame,
+    )
+
+    # group this partition's rows by (serial, ts) preserving order
+    frames: dict[tuple, dict[int, list[tuple[int, float]]]] = {}
+    for row in rows:
+        key = (row.serial_number, row.ts)
+        frames.setdefault(key, {}).setdefault(row.channel, []).append(
+            (row.peak_idx, row.wavelength)
+        )
+    encoded = []
+    for (serial, ts), by_ch in sorted(frames.items()):
+        counts = [0] * num_channels
+        wavelengths: list[float] = []
+        # channels are 1-based in the decoded long form
+        # (hyperion.py:442-453 numbering; _decode_one enumerates
+        # from 1) — matrix row i holds channel i+1
+        for ch in range(1, num_channels + 1):
+            peaks = sorted(by_ch.get(ch, []))
+            if [pk for pk, _ in peaks] != list(range(len(peaks))):
+                raise ValueError(
+                    f"peaksbin write: frame (serial={serial}, "
+                    f"ts={ts}) channel {ch} has peak_idx "
+                    f"{[pk for pk, _ in peaks]}, expected contiguous "
+                    f"0..{len(peaks) - 1} — the frame's rows were "
+                    "split across partitions or duplicated; "
+                    "repartition by (serial_number, ts) (and "
+                    "dropDuplicates on (serial_number, ts, channel, "
+                    "peak_idx)) before .save()"
+                )
+            counts[ch - 1] = len(peaks)
+            wavelengths.extend(wl for _, wl in peaks)
+        if hasattr(ts, "value"):  # pandas Timestamp: exact ns
+            epoch_ns = int(ts.value)
+        else:  # datetime: exact integer micros (float .timestamp()
+            # has ~238 ns ulp at 2023 epochs and truncates)
+            import datetime as _dt
+
+            epoch_us = (
+                ts - _dt.datetime(1970, 1, 1, tzinfo=ts.tzinfo)
+            ) // _dt.timedelta(microseconds=1)
+            epoch_ns = epoch_us * 1000
+        encoded.append(
+            encode_peaks_frame(
+                serial_number=int(serial),
+                timestamp_int=epoch_ns // 1_000_000_000,
+                timestamp_frac=epoch_ns % 1_000_000_000,
+                counts=counts,
+                wavelengths=wavelengths,
+            )
+        )
+    return encoded
+
+
+class PeaksBinaryStreamWriter(DataSourceStreamWriter):
+    """Streaming sink half of the ``peaksbin`` format, completing the
+    DataSource matrix (batch read / batch write / stream read / stream
+    write): ``df.writeStream.format("peaksbin")`` re-encodes each
+    micro-batch's long rows into length-prefixed binary frames with
+    EXACTLY-ONCE file visibility.
+
+    Protocol (the staged-commit discipline of Spark's file sinks, made
+    explicit because re-delivered epochs after a crash MUST NOT
+    double-publish):
+
+    * ``write()`` (executor): encode this partition's frames through
+      the shared `_encode_partition_frames` kernel — same
+      frame-completeness invariant as the batch writer — into
+      ``<path>/_staging/``, invisible to readers (the reader halves
+      list only top-level ``*.peaks``).
+    * ``commit(messages, batchId)`` (driver): if ``_commits/<batchId>``
+      already exists the epoch is a re-delivery — discard the staged
+      duplicates; otherwise publish each staged file to the top level
+      under a batch-scoped name and mark the batch committed with an
+      atomic tmp-write + rename.  Readers therefore see a batch's files
+      all-or-nothing, exactly once.
+    * ``abort()``: drop staged files; nothing was published.
+    """
+
+    def __init__(self, options: dict, num_channels: int):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("peaksbin: writeStream ... .option('path', dir)"
+                             " is required")
+        self.num_channels = num_channels
+        self.staging = os.path.join(self.path, "_staging")
+        self.commits = os.path.join(self.path, "_commits")
+
+    def write(self, rows) -> _PeaksCommitMessage:
+        import uuid
+
+        os.makedirs(self.staging, exist_ok=True)
+        encoded = _encode_partition_frames(rows, self.num_channels)
+        out = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.peaks")
+        write_peaks_file(out, encoded)
+        return _PeaksCommitMessage(out, len(encoded))
+
+    def commit(self, messages, batchId: int) -> None:
+        os.makedirs(self.commits, exist_ok=True)
+        marker = os.path.join(self.commits, str(batchId))
+        staged = [m.path for m in messages if m is not None]
+        if os.path.exists(marker):
+            # re-delivered epoch after recovery: the batch is already
+            # published — the staged files are byte-duplicates, drop them
+            for s in staged:
+                if os.path.exists(s):
+                    os.remove(s)
+            return
+        published = []
+        for i, s in enumerate(staged):
+            dst = os.path.join(self.path, f"batch-{batchId:010d}-{i:05d}.peaks")
+            os.replace(s, dst)
+            published.append(dst)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(published))
+        os.replace(tmp, marker)
+
+    def abort(self, messages, batchId: int) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)

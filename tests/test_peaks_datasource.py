@@ -257,3 +257,72 @@ def test_write_rejects_split_or_duplicated_frames(spark, tmpdir_):
         spark.read.format("peaksbin").option("num_channels", "4").load(dst)
     )
     assert back.count() == df.count()
+
+
+def test_datasource_stream_write_roundtrip(spark, tmpdir_):
+    """The full custom-format STREAMING pipe: readStream(peaksbin) ->
+    writeStream(peaksbin) under availableNow must publish files whose
+    batch read is value-identical to the source, and a re-delivered
+    epoch (commit called again with the same batchId) must not
+    double-publish."""
+    import os
+
+    from database_peak_streaming_spark.sources.peaks_datasource import (
+        PeaksBinaryDataSource,
+        PeaksBinaryStreamWriter,
+        write_peaks_file,
+    )
+
+    spark.dataSource.register(PeaksBinaryDataSource)
+    src = f"{tmpdir_}/src"
+    os.makedirs(src)
+    frames = _fixture_frames(6)
+    write_peaks_file(f"{src}/a.peaks", frames[:3])
+    write_peaks_file(f"{src}/b.peaks", frames[3:])
+
+    dst = f"{tmpdir_}/dst"
+    q = (
+        spark.readStream.format("peaksbin")
+        .option("num_channels", "4")
+        .load(src)
+        .writeStream.format("peaksbin")
+        .option("num_channels", "4")
+        .option("path", dst)
+        .option("checkpointLocation", f"{tmpdir_}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def read_all(path):
+        return (
+            spark.read.format("peaksbin")
+            .option("num_channels", "4")
+            .load(path)
+            .collect()
+        )
+
+    key = lambda r: (r.serial_number, r.ts, r.channel, r.peak_idx)
+    got, want = read_all(dst), read_all(src)
+    assert sorted(got, key=key) == sorted(want, key=key)
+    # only published top-level files are visible; staging is drained
+    assert not os.listdir(os.path.join(dst, "_staging"))
+    published = [f for f in os.listdir(dst) if f.endswith(".peaks")]
+    assert published and all(f.startswith("batch-") for f in published)
+
+    # exactly-once: a re-delivered epoch with already-committed batchId
+    # discards its staged duplicates instead of publishing them
+    w = PeaksBinaryStreamWriter({"path": dst, "num_channels": "4"}, 4)
+    committed = [b for b in os.listdir(os.path.join(dst, "_commits"))]
+    assert committed, "no commit markers written"
+    batch_id = int(sorted(committed)[0])
+    staged = os.path.join(dst, "_staging", "part-redelivery.peaks")
+    write_peaks_file(staged, frames[:1])
+
+    class _Msg:
+        path = staged
+
+    w.commit([_Msg()], batch_id)
+    assert not os.path.exists(staged)
+    assert sorted(read_all(dst), key=key) == sorted(want, key=key)
