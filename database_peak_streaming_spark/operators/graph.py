@@ -17,7 +17,7 @@ arithmetic, same damping, same tie-breaks).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 DAMPING = 0.85
@@ -195,6 +195,82 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: skips identity rounds.
 KCORE_ROUNDS = 4
 KCORE_MEAN_FRAC = 0.75
+
+
+#: link-prediction output size and evidence floor
+LINKPRED_TOP_K = 20
+LINKPRED_MIN_CN = 2
+
+
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor Jaccard on the sparse PART
+    co-occurrence graph: the top-K NON-adjacent part pairs most likely
+    to co-occur next, scored J(u,v) = |N(u) ∩ N(v)| /
+    (deg(u) + deg(v) - |N(u) ∩ N(v)|) — the classic
+    recommend-the-missing-edge primitive (frequently-bought-together
+    candidates the basket rules miss because the pair never co-occurred
+    yet).
+
+    Plan: wedges enumerate from each middle node's adjacency (volume
+    sum_m C(deg(m), 2) — bounded on this deliberately sparse graph;
+    at heavy skew the same degree-ordered orientation as
+    `graph_triangle_count` or a degree cap applies), one groupBy
+    counts common neighbors, an anti-join removes existing edges, and
+    the K-row ranking runs on candidates with >= MIN_CN shared
+    neighbors only.  Jaccard is an exact small-denominator rational
+    evaluated identically by both engines; ranking uses the rounded
+    score with a full (u, v) tie-break."""
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+    adj = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("mid"), F.col("v").alias("nbr"))
+    deg = adj.groupBy(F.col("mid").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    w1 = adj.select("mid", F.col("nbr").alias("x"))
+    w2 = adj.select("mid", F.col("nbr").alias("y"))
+    cn = (
+        w1.join(w2, "mid")
+        .where(F.col("x") < F.col("y"))
+        .groupBy(F.col("x").alias("u"), F.col("y").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .where(F.col("cn") >= LINKPRED_MIN_CN)
+        .join(und, ["u", "v"], "left_anti")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    scored = cn.join(du, "u").join(dv, "v").select(
+        "u",
+        "v",
+        F.col("cn").cast("long").alias("cn"),
+        F.col("deg_u").cast("long").alias("deg_u"),
+        F.col("deg_v").cast("long").alias("deg_v"),
+        F.round(
+            F.col("cn")
+            / (F.col("deg_u") + F.col("deg_v") - F.col("cn")),
+            6,
+        ).alias("jaccard"),
+    )
+    wnd = Window.orderBy(F.col("jaccard").desc(), "u", "v")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wnd).cast("long"))
+        .where(F.col("rnk") <= LINKPRED_TOP_K)
+        .select("rnk", "u", "v", "cn", "deg_u", "deg_v", "jaccard")
+        .orderBy("rnk")
+    )
 
 
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,8 +495,46 @@ QUERIES = {
     "graph_degree_histogram": graph_degree_histogram,
     "graph_triangle_count": graph_triangle_count,
     "graph_kcore_peel": graph_kcore_peel,
+    "graph_link_prediction_jaccard": graph_link_prediction_jaccard,
 }
 ORACLE_SQL = {
+    "graph_link_prediction_jaccard": """
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        und AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b USING (l_orderkey)
+            WHERE a.l_partkey < b.l_partkey),
+        adj AS MATERIALIZED (
+            SELECT u AS mid, v AS nbr FROM und
+            UNION ALL
+            SELECT v AS mid, u AS nbr FROM und),
+        deg AS (SELECT mid AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM adj GROUP BY 1),
+        cn AS (
+            SELECT w1.nbr AS u, w2.nbr AS v,
+                   CAST(COUNT(*) AS BIGINT) AS cn
+            FROM adj w1 JOIN adj w2 USING (mid)
+            WHERE w1.nbr < w2.nbr
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2),
+        cand AS (
+            SELECT cn.* FROM cn
+            LEFT JOIN und ON und.u = cn.u AND und.v = cn.v
+            WHERE und.u IS NULL),
+        scored AS (
+            SELECT c.u, c.v, c.cn, du.deg AS deg_u, dv.deg AS deg_v,
+                   ROUND(c.cn / (du.deg + dv.deg - c.cn), 6) AS jaccard
+            FROM cand c
+            JOIN deg du ON du.node = c.u
+            JOIN deg dv ON dv.node = c.v),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, u, v)
+                       AS rnk
+            FROM scored)
+        SELECT CAST(rnk AS BIGINT) AS rnk, u, v, cn, deg_u, deg_v, jaccard
+        FROM ranked WHERE rnk <= 20 ORDER BY rnk
+    """,
     "graph_pagerank_bipartite": _pagerank_sql(),
     "graph_kcore_peel": _kcore_sql(),
     "graph_triangle_count": """

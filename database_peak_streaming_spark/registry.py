@@ -190,6 +190,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "join_asof_nearest",
     "embeddings_pca_power_iteration",
     "udf_iter_model_score",
+    "graph_link_prediction_jaccard",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

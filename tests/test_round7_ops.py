@@ -474,3 +474,37 @@ def test_pca_power_iteration_matches_numpy(spark):
         v = w / n
     assert abs(n - lam) < 1e-3 * max(1.0, lam)
     assert np.max(np.abs(v - loadings)) < 1e-5
+
+
+def test_link_prediction_excludes_edges_and_bounds_jaccard(spark):
+    """Predicted pairs are NON-edges with >= MIN_CN shared neighbors,
+    Jaccard is in (0, 1], common neighbors never exceed either degree,
+    and ranks are contiguous with non-increasing scores."""
+    rows = QUERIES["graph_link_prediction_jaccard"](spark, SF_DIR).collect()
+    assert rows, "no predictions on the fixture"
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    assert all(
+        rows[i].jaccard >= rows[i + 1].jaccard for i in range(len(rows) - 1)
+    )
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    li = (
+        load_table(spark, "lineitem", SF_DIR)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = {
+        (r.u, r.v)
+        for r in a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        assert (r.u, r.v) not in edges, r
+        assert r.cn >= 2
+        assert r.cn <= min(r.deg_u, r.deg_v), r
+        assert 0.0 < r.jaccard <= 1.0
