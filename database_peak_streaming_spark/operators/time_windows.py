@@ -398,7 +398,7 @@ def ema_batch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = F.transform(F.col("arr"), lambda s: s["value"])
     ema = F.aggregate(
         F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
-        F.element_at(vals, 1),
+        F.try_element_at(vals, 1),
         lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
     )
     return (
@@ -660,7 +660,7 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lst = F.array_sort(F.collect_list("value").over(w))
     lo = ROLL_MED_N // 2  # 1-based: elements 25 and 26 of a 50-list
-    med = (F.element_at(lst, lo) + F.element_at(lst, lo + 1)) / F.lit(2.0)
+    med = (F.try_element_at(lst, F.lit(lo)) + F.try_element_at(lst, F.lit(lo + 1))) / F.lit(2.0)
     return (
         ev.select(
             "user_id",
@@ -673,6 +673,92 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_id",
             F.round("med_raw", 6).alias("rolling_med"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+#: robust-z threshold: |value - med| > Z * 1.4826 * MAD flags an outlier
+ROBUST_Z = 3.0
+
+
+def win_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median/MAD outlier detection per user: each event scored
+    against its own trailing 50-event frame with the robust z-score
+    |x - med| / (1.4826 * MAD) — the anomaly band a mean/stddev frame
+    gets WRONG in exactly the cases that matter (the outliers being
+    hunted inflate the stddev and mask themselves; the median and MAD
+    ignore them).  1.4826 scales MAD to sigma under normality
+    (1 / Phi^-1(3/4)).
+
+    Same primitives discipline as `win_rolling_median` (Spark medians
+    refuse frames): ONE collect_list frame is sorted for the median,
+    re-transformed to absolute deviations and re-sorted for the MAD —
+    all JVM array HOFs over the shared per-user sort; full frames only
+    so the middle indexes are constants.  Element access uses
+    try_element_at: Catalyst legally pushes the mad > 0 predicate BELOW
+    the full-frame gate, where ANSI element_at on a short frame would
+    throw — try_element_at yields NULL there, the predicate evaluates
+    false, and the row was outside the gate anyway (DuckDB's
+    out-of-bounds list index is NULL, so both engines agree).  Emits flagged rows only
+    (outliers are the output, not per-row scores); MAD = 0 frames
+    (constant windows) cannot flag — both engines drop them with the
+    same guard."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", "event_id", "ts", "value")
+        .where(F.col("value").isNotNull())
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLL_MED_N - 1), W.currentRow)
+    )
+    lo = ROLL_MED_N // 2
+    lst = F.array_sort(F.collect_list("value").over(w))
+    framed = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_frame"),
+        lst.alias("s"),
+    ).where(F.col("n_frame") == ROLL_MED_N)
+    med = (F.try_element_at("s", F.lit(lo)) + F.try_element_at("s", F.lit(lo + 1))) / F.lit(2.0)
+    staged = framed.select(
+        "user_id",
+        "event_id",
+        "value",
+        med.alias("med"),
+        F.array_sort(
+            F.transform("s", lambda xi: F.abs(xi - med))
+        ).alias("d"),
+    )
+    scored = staged.select(
+        "user_id",
+        "event_id",
+        "value",
+        "med",
+        (
+            (F.try_element_at("d", F.lit(lo)) + F.try_element_at("d", F.lit(lo + 1)))
+            / F.lit(2.0)
+        ).alias("mad"),
+    )
+    z = F.abs(F.col("value") - F.col("med")) / (
+        F.lit(1.4826) * F.col("mad")
+    )
+    return (
+        scored.where(F.col("mad") > 0)
+        .withColumn("robust_z", F.round(z, 6))
+        .where(F.col("robust_z") > ROBUST_Z)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "robust_z",
         )
         .orderBy("user_id", "event_id")
     )
@@ -772,6 +858,7 @@ QUERIES = {
     "ts_theil_sen_trend": ts_theil_sen_trend,
     "ts_acf_hourly": ts_acf_hourly,
     "win_rolling_median": win_rolling_median,
+    "win_robust_outliers": win_robust_outliers,
     "ts_seasonal_decompose_ma": ts_seasonal_decompose_ma,
     "forecast_seasonal_naive_mae": forecast_seasonal_naive_mae,
     "events_dow_hod_heatmap": events_dow_hod_heatmap,
@@ -856,6 +943,42 @@ def _acf_sql() -> str:
 
 ORACLE_SQL = {
     "ts_acf_hourly": _acf_sql(),
+    "win_robust_outliers": """
+        WITH ev AS (
+            SELECT user_id, event_id, ts, value
+            FROM events WHERE value IS NOT NULL),
+        win AS (
+            SELECT user_id, event_id, value,
+                   LIST(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+                       AS vals
+            FROM ev),
+        srt AS (
+            SELECT user_id, event_id, value, LIST_SORT(vals) AS s,
+                   LEN(vals) AS n
+            FROM win),
+        staged AS (
+            SELECT user_id, event_id, value,
+                   (s[25] + s[26]) / 2.0 AS med,
+                   LIST_SORT(LIST_TRANSFORM(
+                       s, xi -> ABS(xi - (s[25] + s[26]) / 2.0))) AS d
+            FROM srt WHERE n = 50),
+        scored AS (
+            SELECT user_id, event_id, value, med,
+                   (d[25] + d[26]) / 2.0 AS mad
+            FROM staged)
+        SELECT user_id, event_id, value,
+               ROUND(med, 6) AS med,
+               ROUND(mad, 6) AS mad,
+               robust_z
+        FROM (
+            SELECT *, ROUND(ABS(value - med) / (1.4826 * mad), 6)
+                       AS robust_z
+            FROM scored WHERE mad > 0)
+        WHERE robust_z > 3.0
+        ORDER BY user_id, event_id
+    """,
     "win_rolling_median": """
         WITH ev AS (
             SELECT user_id, event_id, ts, value

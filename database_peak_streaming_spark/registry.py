@@ -191,6 +191,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "embeddings_pca_power_iteration",
     "udf_iter_model_score",
     "graph_link_prediction_jaccard",
+    "win_robust_outliers",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -508,3 +508,21 @@ def test_link_prediction_excludes_edges_and_bounds_jaccard(spark):
         assert r.cn >= 2
         assert r.cn <= min(r.deg_u, r.deg_v), r
         assert 0.0 < r.jaccard <= 1.0
+
+
+def test_robust_outliers_are_true_deviants(spark):
+    """Every flagged row genuinely deviates: |value - med| exceeds
+    3 x 1.4826 x mad with mad > 0, and the flagged set is a strict
+    subset of the full-frame rows (the median filter's output keys)."""
+    rows = QUERIES["win_robust_outliers"](spark, SF_DIR).collect()
+    assert rows, "no outliers flagged at this SF"
+    frames = {
+        (r.user_id, r.event_id)
+        for r in QUERIES["win_rolling_median"](spark, SF_DIR).collect()
+    }
+    for r in rows:
+        assert (r.user_id, r.event_id) in frames, r
+        assert r.mad > 0
+        assert r.robust_z > 3.0
+        assert abs(r.value - r.med) > 3.0 * 1.4826 * r.mad * 0.999, r
+    assert len(rows) < len(frames)
