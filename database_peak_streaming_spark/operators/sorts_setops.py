@@ -14,7 +14,7 @@ union-all is shuffle-free concatenation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from database_peak_streaming_spark.sources.batch import load_table
@@ -185,8 +185,71 @@ def dedup_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto-optimal / maximal-vector) operator: the
+    customers no other customer dominates on (avg order value, order
+    count) — "best tradeoff" queries the classic Borzsony/Kossmann/
+    Stocker ICDE'01 operator answers, which plain ORDER BY + LIMIT
+    cannot (the frontier, not a ranking).  y dominates x iff y >= x on
+    both dimensions and > on at least one.  The dimensions are AVG
+    order value x order count — anti-correlated enough that a real
+    frontier exists (total spend x count degenerates: spend grows with
+    count, so one whale dominates everything).
+
+    Scale design: the naive NOT EXISTS is the oracle; the engine runs
+    the 2-D sort-scan form as windows — collapse customers to distinct
+    avg-value LEVELS with the level's max count, take the running max
+    of counts over strictly-higher levels (one ordered window over the
+    level table, which is at most customer-sized and typically far
+    smaller), and keep x iff no higher level reaches its count and no
+    same-level customer exceeds it.  One customer-sized groupBy + one
+    level-sized window — O(n log n) work vs the oracle's O(n^2) pair
+    scan.  Avg value goes through the cast-stable ROUND(cast, 6)
+    boundary before the one division, so both engines compare
+    identical doubles."""
+    o = load_table(spark, "orders", sf_dir)
+    # decimal -> ROUND(cast, 6) -> ONE double division -> round: the
+    # cast-stable boundary (engines' decimal->double casts can differ
+    # by 1 ulp; the scale-6 round collapses them before arithmetic)
+    per_cust = o.groupBy("o_custkey").agg(
+        F.round(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast(
+                    "double"
+                ),
+                6,
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_value"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    lvl = per_cust.groupBy("avg_value").agg(F.max("n_orders").alias("mf"))
+    w = Window.orderBy(F.col("avg_value").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lvl = lvl.withColumn("m_higher", F.max("mf").over(w))
+    return (
+        per_cust.join(lvl, "avg_value")
+        .where(
+            (
+                F.col("m_higher").isNull()
+                | (F.col("m_higher") < F.col("n_orders"))
+            )
+            & (F.col("mf") == F.col("n_orders"))
+        )
+        .select(
+            "o_custkey",
+            "avg_value",
+            F.col("n_orders").cast("long").alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 QUERIES = {
     "sort_limit_topn": sort_limit_topn,
+    "skyline_customers": skyline_customers,
     "sort_nulls_ordering": sort_nulls_ordering,
     "limit_offset_page": limit_offset_page,
     "setop_union_all": setop_union_all,
@@ -199,6 +262,25 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "skyline_customers": """
+        WITH pc AS (
+            SELECT o_custkey,
+                   ROUND(ROUND(CAST(SUM(CAST(o_totalprice
+                                             AS DECIMAL(28,6)))
+                                    AS DOUBLE), 6)
+                         / COUNT(*), 6) AS avg_value,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1)
+        SELECT x.o_custkey, x.avg_value, x.n_orders
+        FROM pc x
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pc y
+            WHERE y.avg_value >= x.avg_value
+              AND y.n_orders >= x.n_orders
+              AND (y.avg_value > x.avg_value
+                   OR y.n_orders > x.n_orders))
+        ORDER BY x.o_custkey
+    """,
     "sort_limit_topn": """
         SELECT o_orderkey, o_orderpriority, o_totalprice
         FROM orders

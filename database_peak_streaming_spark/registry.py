@@ -192,6 +192,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "udf_iter_model_score",
     "graph_link_prediction_jaccard",
     "win_robust_outliers",
+    "skyline_customers",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

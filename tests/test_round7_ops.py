@@ -526,3 +526,44 @@ def test_robust_outliers_are_true_deviants(spark):
         assert r.robust_z > 3.0
         assert abs(r.value - r.med) > 3.0 * 1.4826 * r.mad * 0.999, r
     assert len(rows) < len(frames)
+
+
+def test_skyline_is_exact_pareto_frontier(spark):
+    """Brute-force dominance check: no returned point is dominated by
+    ANY customer, and every non-returned customer is dominated by at
+    least one returned point (the frontier is complete and minimal)."""
+    sky = QUERIES["skyline_customers"](spark, SF_DIR).collect()
+    assert sky, "empty frontier"
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    o = load_table(spark, "orders", SF_DIR)
+    pc = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+                    .cast("double"),
+                    6,
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .collect()
+    )
+    pts = {r.o_custkey: (r.avg_value, r.n_orders) for r in pc}
+
+    def dominates(a, b):
+        return a[0] >= b[0] and a[1] >= b[1] and (a[0] > b[0] or a[1] > b[1])
+
+    sky_keys = {r.o_custkey for r in sky}
+    for r in sky:
+        me = pts[r.o_custkey]
+        assert not any(dominates(p, me) for k, p in pts.items()), r
+    for k, p in pts.items():
+        if k not in sky_keys:
+            assert any(
+                dominates(pts[s], p) for s in sky_keys
+            ), (k, p)
