@@ -570,6 +570,29 @@ def sql_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-dialect breadth: the ``PIVOT`` clause (the UNPIVOT surface's
+    inverse, `sql_unpivot_metrics`) — per-priority order counts and
+    average prices spread across status columns, two aggregates per
+    pivot cell.  The oracle is the explicit conditional-aggregation
+    form, pinning that PIVOT is pure parser surface over
+    FILTER/CASE-style grouping (the DataFrame twin is `pivot_wide`)."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView(
+        "orders_piv"
+    )
+    return spark.sql(
+        """
+        SELECT * FROM (
+            SELECT o_orderpriority, o_orderstatus, o_totalprice
+            FROM orders_piv)
+        PIVOT (COUNT(*) AS n,
+               ROUND(AVG(o_totalprice), 6) AS avg_price
+               FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+        ORDER BY o_orderpriority
+        """
+    )
+
+
 def sql_udf_scalar_and_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-dialect breadth: Spark 4 SQL-defined functions — a scalar
     UDF (``CREATE TEMPORARY FUNCTION ... RETURNS DOUBLE RETURN expr``)
@@ -1007,6 +1030,7 @@ QUERIES = {
     "sql_unpivot_metrics": sql_unpivot_metrics,
     "sql_lateral_topk_per_nation": sql_lateral_topk_per_nation,
     "sql_udf_scalar_and_table": sql_udf_scalar_and_table,
+    "sql_pivot_clause": sql_pivot_clause,
 }
 
 ORACLE_SQL = {
@@ -1242,6 +1266,27 @@ ORACLE_SQL = {
                r_name AS name_via_map,
                CAST(2 AS BIGINT) AS n_vals
         FROM region ORDER BY r_regionkey
+    """,
+    "sql_pivot_clause": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F')
+                    AS BIGINT) AS f_n,
+               ROUND(AVG(o_totalprice)
+                     FILTER (WHERE o_orderstatus = 'F'), 6)
+                   AS f_avg_price,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O')
+                    AS BIGINT) AS o_n,
+               ROUND(AVG(o_totalprice)
+                     FILTER (WHERE o_orderstatus = 'O'), 6)
+                   AS o_avg_price,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P')
+                    AS BIGINT) AS p_n,
+               ROUND(AVG(o_totalprice)
+                     FILTER (WHERE o_orderstatus = 'P'), 6)
+                   AS p_avg_price
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
     """,
     "sql_udf_scalar_and_table": """
         WITH d AS (SELECT UNNEST(['F', 'O', 'P', 'X']) AS o_orderstatus)

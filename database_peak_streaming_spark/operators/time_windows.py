@@ -678,6 +678,52 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness per event type: the Fano factor (index of dispersion)
+    of per-minute arrival counts, F = Var(x)/E(x) over the COMPLETE
+    minute grid — a Poisson process gives F ~ 1, clumpy/bursty arrival
+    F > 1, pacemaker-regular F < 1; the one-number arrival-process
+    diagnostic behind capacity planning and anomaly thresholds.
+
+    Zero minutes count WITHOUT materializing them: empty grid cells
+    contribute nothing to sum(x) or sum(x^2), only to the cell count —
+    which is the calendar span in minutes, computed from the global
+    bounds as exact integer epoch-minute arithmetic.  So the plan is
+    one groupBy to observed (type, minute) cells, one tiny moment
+    rollup, and a broadcast bounds scalar; every input to the final
+    doubles is an exact BIGINT, evaluated in the same operation order
+    by both engines."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 60").alias("minute"),
+    )
+    cells = ev.groupBy("event_type", "minute").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    moments = cells.groupBy("event_type").agg(
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+        F.count(F.lit(1)).alias("n_active"),
+    )
+    global_bounds = ev.agg(
+        F.min("minute").alias("m0"), F.max("minute").alias("m1")
+    )
+    n = F.col("m1") - F.col("m0") + F.lit(1)
+    mean = F.col("s") / n
+    var = (F.col("q") - F.col("s") * mean) / n
+    return (
+        moments.crossJoin(F.broadcast(global_bounds))
+        .select(
+            "event_type",
+            F.round(var / mean, 6).alias("fano"),
+            F.round(mean, 6).alias("mean_per_minute"),
+            n.cast("long").alias("n_minutes"),
+            F.col("n_active").cast("long").alias("n_active_minutes"),
+        )
+        .orderBy("event_type")
+    )
+
+
 #: robust-z threshold: |value - med| > Z * 1.4826 * MAD flags an outlier
 ROBUST_Z = 3.0
 
@@ -859,6 +905,7 @@ QUERIES = {
     "ts_acf_hourly": ts_acf_hourly,
     "win_rolling_median": win_rolling_median,
     "win_robust_outliers": win_robust_outliers,
+    "events_burstiness_fano": events_burstiness_fano,
     "ts_seasonal_decompose_ma": ts_seasonal_decompose_ma,
     "forecast_seasonal_naive_mae": forecast_seasonal_naive_mae,
     "events_dow_hod_heatmap": events_dow_hod_heatmap,
@@ -943,6 +990,31 @@ def _acf_sql() -> str:
 
 ORACLE_SQL = {
     "ts_acf_hourly": _acf_sql(),
+    "events_burstiness_fano": """
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 60 AS minute
+            FROM events),
+        cells AS (
+            SELECT event_type, minute, CAST(COUNT(*) AS BIGINT) AS x
+            FROM ev GROUP BY 1, 2),
+        moments AS (
+            SELECT event_type,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS q,
+                   CAST(COUNT(*) AS BIGINT) AS n_active
+            FROM cells GROUP BY 1),
+        b AS (SELECT MIN(minute) AS m0, MAX(minute) AS m1 FROM ev)
+        SELECT event_type,
+               ROUND(((q - s * (s * 1.0 / (m1 - m0 + 1)))
+                      / (m1 - m0 + 1))
+                     / (s * 1.0 / (m1 - m0 + 1)), 6) AS fano,
+               ROUND(s * 1.0 / (m1 - m0 + 1), 6) AS mean_per_minute,
+               CAST(m1 - m0 + 1 AS BIGINT) AS n_minutes,
+               n_active AS n_active_minutes
+        FROM moments CROSS JOIN b
+        ORDER BY event_type
+    """,
     "win_robust_outliers": """
         WITH ev AS (
             SELECT user_id, event_id, ts, value

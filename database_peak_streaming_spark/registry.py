@@ -193,6 +193,8 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "graph_link_prediction_jaccard",
     "win_robust_outliers",
     "skyline_customers",
+    "sql_pivot_clause",
+    "events_burstiness_fano",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

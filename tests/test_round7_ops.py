@@ -567,3 +567,53 @@ def test_skyline_is_exact_pareto_frontier(spark):
             assert any(
                 dominates(pts[s], p) for s in sky_keys
             ), (k, p)
+
+
+def test_fano_factor_moments_are_exact(spark):
+    """Fano recomputed from an independent dense-grid numpy pass must
+    match to rounding precision; active minutes never exceed the
+    calendar span, and mean * n_minutes = event count exactly."""
+    import numpy as np
+
+    rows = {
+        r.event_type: r
+        for r in QUERIES["events_burstiness_fano"](spark, SF_DIR).collect()
+    }
+    assert len(rows) == 5
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    ev = (
+        load_table(spark, "events", SF_DIR)
+        .select("event_type", F.expr("unix_timestamp(ts) div 60").alias("m"))
+        .collect()
+    )
+    m0 = min(r.m for r in ev)
+    m1 = max(r.m for r in ev)
+    n = m1 - m0 + 1
+    for t, r in rows.items():
+        xs = np.zeros(n)
+        for e in ev:
+            if e.event_type == t:
+                xs[e.m - m0] += 1
+        mean = xs.mean()
+        fano = xs.var() / mean
+        assert abs(r.fano - fano) < 1e-4, (t, r.fano, fano)
+        assert r.n_minutes == n
+        assert r.n_active_minutes <= n
+        assert abs(r.mean_per_minute * n - xs.sum()) < 0.5
+
+
+def test_sql_pivot_matches_unpivoted_totals(spark):
+    """The PIVOT surface conserves counts: per-priority pivot cells sum
+    to the orders row count, and every (priority x status) cell is
+    populated on the fixture."""
+    rows = QUERIES["sql_pivot_clause"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    total = load_table(spark, "orders", SF_DIR).count()
+    s = sum(r.f_n + r.o_n + r.p_n for r in rows)
+    assert s == total
+    for r in rows:
+        assert min(r.f_n, r.o_n, r.p_n) > 0
+        assert r.f_avg_price > 0 and r.o_avg_price > 0 and r.p_avg_price > 0
