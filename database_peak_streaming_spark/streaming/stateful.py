@@ -511,3 +511,97 @@ def stateful_weighted_reservoir(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: Misra-Gries counter budget for the streaming heavy-hitter tracker
+MG_STREAM_K = 8
+
+MG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def stateful_heavy_hitters(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+    k: int = MG_STREAM_K,
+) -> DataFrame:
+    """Incremental per-key Misra-Gries heavy hitters over a stream:
+    O(k) counters of state per key track every item whose true
+    frequency exceeds n/(k+1), with the classic deterministic
+    guarantee true - n/(k+1) <= estimate <= true — the streaming twin
+    of the batch two-pass `sketch_mg_heavy_hitters`
+    (operators/sketches.py), whose exact-recount second pass a live
+    stream cannot afford; the MG error bound is what it buys instead.
+
+    Determinism across micro-batch boundaries: MG folds are
+    order-sensitive, so the kernel sorts each batch's rows by
+    (ts, event_id) — with the ts-ordered replay chunks this makes the
+    full processing order the global event-time order, and the
+    streamed result equals the same fold run over the batch rows in
+    one pass (pinned in tests/test_stateful.py).  State per key is two
+    k-length arrays + a count — bounded for any stream length; no
+    timeout (the counter set is the durable artifact, not a window).
+    Emits the CURRENT counter set each micro-batch tagged with the
+    monotone n_seen (update semantics; rows at max n_seen per key are
+    the final answer)."""
+    key_field = stream.schema[key_col]
+    out_schema = T.StructType(
+        [
+            key_field,
+            T.StructField(item_col, T.LongType()),
+            T.StructField("est_count", T.LongType()),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, n_seen = state.get
+            ctr = dict(zip(items, counts))
+        else:
+            ctr, n_seen = {}, 0
+        parts = [pdf[["ts", "event_id", item_col]] for pdf in pdfs]
+        if parts:
+            batch = pd.concat(parts).sort_values(["ts", "event_id"])
+            for it in batch[item_col]:
+                it = int(it)
+                n_seen += 1
+                if it in ctr:
+                    ctr[it] += 1
+                elif len(ctr) < k:
+                    ctr[it] = 1
+                else:
+                    # full: decrement every counter, drop the zeros
+                    # (the arriving item is NOT inserted — textbook MG)
+                    for j in list(ctr):
+                        ctr[j] -= 1
+                        if ctr[j] == 0:
+                            del ctr[j]
+        state.update((list(ctr.keys()), list(ctr.values()), n_seen))
+        ranked = sorted(ctr.items(), key=lambda t: (-t[1], t[0]))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(ranked),
+                item_col: [t[0] for t in ranked],
+                "est_count": [t[1] for t in ranked],
+                "n_seen": [n_seen] * len(ranked),
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

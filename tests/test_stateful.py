@@ -133,9 +133,9 @@ def test_transform_with_state_ema_matches_batch(spark, tmpdir_):
 
 def test_ema_smoother_kernel_unit():
     """The transformWithState processor kernel, unit-tested against the
-    recurrence with a stub state handle (the TWS e2e path needs
-    google.protobuf, absent in this container — see
-    test_transform_with_state_ema_e2e)."""
+    recurrence with a stub state handle — the protocol-free complement
+    of the full e2e run (test_transform_with_state_ema_e2e, which uses
+    the vendored protobuf runtime where no wheel is installed)."""
     from database_peak_streaming_spark.streaming.stateful import (
         EMA_ALPHA,
         EmaSmoother,
@@ -471,3 +471,90 @@ def test_weighted_reservoir_stream_matches_batch(spark, tmpdir_):
         for g, e in zip(got, exp):
             assert abs(g[0] - e[0]) < 1e-12
             assert g[2] == e[2]
+
+
+def test_stateful_heavy_hitters_matches_single_pass_and_bounds(spark, tmpdir_):
+    """The streamed Misra-Gries counters after a chunked replay must
+    equal the same fold run in ONE pass over the batch rows in event
+    -time order (state carries exactly across micro-batch boundaries),
+    and the classic MG guarantees must hold against exact counts:
+    every item with true count > n/(k+1) survives, and
+    true - n/(k+1) <= estimate <= true."""
+    from collections import Counter
+
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+    from database_peak_streaming_spark.streaming.stateful import (
+        MG_STREAM_K,
+        stateful_heavy_hitters,
+    )
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_id", "ts", "event_type", "user_id"
+    )
+    stream, replay_dir = replay_dataframe(spark, ev, n_chunks=5, order_col="ts")
+    rows = []
+
+    def sink(batch_df, _):
+        rows.extend(batch_df.collect())
+
+    try:
+        q = (
+            stateful_heavy_hitters(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", f"{tmpdir_}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(420)
+        assert not q.isActive
+    finally:
+        cleanup_replay(replay_dir)
+
+    # final emission per key = rows at that key's max n_seen
+    final = {}
+    for r in rows:
+        cur = final.setdefault(r.event_type, {})
+        if not cur or r.n_seen >= cur["n_seen"]:
+            if cur.get("n_seen") != r.n_seen:
+                cur.clear()
+            cur["n_seen"] = r.n_seen
+            cur.setdefault("ctr", {})[r.user_id] = r.est_count
+    assert final, "no emissions"
+
+    batch_rows = sorted(ev.collect(), key=lambda r: (r.ts, r.event_id))
+    ref: dict[str, dict[int, int]] = {}
+    seen: dict[str, int] = {}
+    for r in batch_rows:
+        ctr = ref.setdefault(r.event_type, {})
+        seen[r.event_type] = seen.get(r.event_type, 0) + 1
+        if r.user_id in ctr:
+            ctr[r.user_id] += 1
+        elif len(ctr) < MG_STREAM_K:
+            ctr[r.user_id] = 1
+        else:
+            for j in list(ctr):
+                ctr[j] -= 1
+                if ctr[j] == 0:
+                    del ctr[j]
+
+    exact = Counter()
+    for r in batch_rows:
+        exact[(r.event_type, r.user_id)] += 1
+    for t, cur in final.items():
+        assert cur["n_seen"] == seen[t]
+        assert cur["ctr"] == ref[t], (t, cur["ctr"], ref[t])
+        bound = seen[t] / (MG_STREAM_K + 1)
+        for (tt, u), n_true in exact.items():
+            if tt != t:
+                continue
+            if n_true > bound:
+                assert u in cur["ctr"], (t, u, n_true, bound)
+        for u, est in cur["ctr"].items():
+            n_true = exact[(t, u)]
+            assert est <= n_true, (t, u, est, n_true)
+            assert est >= n_true - bound - 1e-9, (t, u, est, n_true, bound)
