@@ -211,6 +211,11 @@ PICKS = {
         "calendar-bounded duration cells; the survival windows run on "
         "cells only"
     ),
+    "skyline_customers": (
+        "Pareto frontier WITHOUT the O(n^2) pair scan: one "
+        "customer-sized groupBy, one ordered window over avg-value "
+        "LEVELS, a level-keyed join — no cartesian, no NOT-EXISTS loop"
+    ),
 }
 
 

@@ -493,3 +493,33 @@ def test_interval_window_band_has_no_join(spark):
     assert "Join" not in plan, plan
     assert "Window" in plan, plan
     assert "Generate" in plan, plan
+
+
+def test_skyline_avoids_pair_scan(spark):
+    """skyline_customers must plan the level-window sort-scan, never the
+    oracle's O(n^2) dominance pair join — no cartesian/nested-loop
+    anywhere in the frontier plan."""
+    df = QUERIES["skyline_customers"](spark, SF_DIR)
+    plan = E.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bigram_pmi_has_no_self_join_fanout(spark):
+    """text_bigram_pmi forms bigrams scan-side (zip_with over token
+    slices): no CartesianProduct anywhere, and the single
+    BroadcastNestedLoopJoin is the 1-row total-count scalar riding the
+    no-driver-pull crossJoin pattern — not a data-sized fan-out."""
+    df = QUERIES["text_bigram_pmi"](spark, SF_DIR)
+    plan = E.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # tree lines read "BroadcastNestedLoopJoin Cross ..."; the details
+    # section repeats the node name alone, so count tree entries only
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 1, plan
+
+
+def test_pca_power_iteration_broadcasts_direction(spark):
+    """Each power step must broadcast the 64-double direction onto the
+    corpus (matrix-free), never shuffle the embeddings to it."""
+    df = QUERIES["embeddings_pca_power_iteration"](spark, SF_DIR)
+    assert E.has_broadcast_join(df), E.formatted_plan(df)
