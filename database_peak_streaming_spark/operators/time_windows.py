@@ -398,7 +398,7 @@ def ema_batch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = F.transform(F.col("arr"), lambda s: s["value"])
     ema = F.aggregate(
         F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
-        F.try_element_at(vals, 1),
+        F.element_at(vals, 1),
         lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
     )
     return (
