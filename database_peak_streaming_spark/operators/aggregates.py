@@ -736,8 +736,60 @@ def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per group: the quantity-weighted median of
+    extended price per return flag — the aggregate plain MEDIAN can't
+    express (each row counts `weight` times; a revenue-weighted typical
+    price, robust to line-count skew).  Definition: the lower weighted
+    median — the smallest price whose cumulative weight reaches half
+    the total (2 * cumw >= W in exact integers).
+
+    One shuffle on the group key feeds both the ordered cumulative
+    window and the per-group total (same key); the crossing pick is a
+    conditional MIN — no second pass, no collect.  Weights are
+    integral quantities carried as exact BIGINTs, the ordering is
+    fully tie-broken on (price, orderkey, linenumber), and the
+    comparison is integer arithmetic, so both engines select the
+    identical crossing row."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    wnd = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("w").over(wnd).alias("cumw"),
+        F.sum("w").over(tot).alias("total_w"),
+    )
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(
+                    F.lit(2) * F.col("cumw") >= F.col("total_w"),
+                    F.col("l_extendedprice"),
+                )
+            ).alias("weighted_median_price"),
+            F.max("total_w").cast("long").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "agg_weighted_median": agg_weighted_median,
     "agg_mad_outliers": agg_mad_outliers,
     "orders_yoy_growth": orders_yoy_growth,
     "agg_bitwise_funcs": agg_bitwise_funcs,
@@ -782,6 +834,30 @@ def _profile_sql() -> str:
 
 
 ORACLE_SQL = {
+    "agg_weighted_median": """
+        WITH li AS (
+            SELECT l_returnflag, l_extendedprice, l_orderkey,
+                   l_linenumber, CAST(l_quantity AS BIGINT) AS w
+            FROM lineitem),
+        cum AS (
+            SELECT l_returnflag, l_extendedprice,
+                   CAST(SUM(w) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cumw,
+                   CAST(SUM(w) OVER (PARTITION BY l_returnflag)
+                       AS BIGINT) AS total_w
+            FROM li)
+        SELECT l_returnflag,
+               MIN(CASE WHEN 2 * cumw >= total_w
+                        THEN l_extendedprice END)
+                   AS weighted_median_price,
+               CAST(MAX(total_w) AS BIGINT) AS total_weight
+        FROM cum
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     "agg_bitwise_funcs": """
         SELECT event_type,
                BIT_AND(user_id) AS uid_bit_and,

@@ -195,6 +195,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "skyline_customers",
     "sql_pivot_clause",
     "events_burstiness_fano",
+    "agg_weighted_median",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

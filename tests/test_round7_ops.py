@@ -617,3 +617,36 @@ def test_sql_pivot_matches_unpivoted_totals(spark):
     for r in rows:
         assert min(r.f_n, r.o_n, r.p_n) > 0
         assert r.f_avg_price > 0 and r.o_avg_price > 0 and r.p_avg_price > 0
+
+
+def test_weighted_median_matches_numpy_and_halves_weight(spark):
+    """The weighted median recomputed independently in numpy must match,
+    and at least half the total weight lies at-or-below it while at
+    least half lies at-or-above (the defining property)."""
+    import numpy as np
+
+    rows = QUERIES["agg_weighted_median"](spark, SF_DIR).collect()
+    assert len(rows) == 3
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    li = (
+        load_table(spark, "lineitem", SF_DIR)
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    for r in rows:
+        sub = sorted(
+            (x.l_extendedprice, int(x.l_quantity))
+            for x in li
+            if x.l_returnflag == r.l_returnflag
+        )
+        prices = np.array([p for p, _ in sub])
+        weights = np.array([w for _, w in sub])
+        W = weights.sum()
+        assert r.total_weight == W
+        cum = np.cumsum(weights)
+        want = prices[np.argmax(2 * cum >= W)]
+        assert r.weighted_median_price == want, (r, want)
+        at_or_below = weights[prices <= r.weighted_median_price].sum()
+        at_or_above = weights[prices >= r.weighted_median_price].sum()
+        assert 2 * at_or_below >= W and 2 * at_or_above >= W
