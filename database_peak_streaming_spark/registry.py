@@ -79,85 +79,18 @@ _MODULES = [
 #: (round 2 rotated in the multimodal binary-payload kernel and the S4
 #: binary peaks codec in place of two of the five scalar packs).
 _PRIORITY = [
-    # Round-7 rotation (round-6 VERDICT "Next round" #2).  Slots 1-31
-    # drain the ENTIRE round-6 ROTATION_POOL — after this window every
-    # registered query has been driver-hash-checked at least once
-    # (union coverage 230/230).  Slot 32 re-earns the round-6 red row
-    # (``build_inverted_index`` — LIST-typed result column, now
-    # stringified; tests/test_oracle_types.py bans the class).  The 18
-    # remaining slots are risky RE-checks: queries whose plans change
-    # this round (training_data_build is in the pool; pagerank gets the
-    # exchange-reuse work; curation/dedup share the gram machinery) plus
-    # the algorithmically heaviest round-2-era queries not hash-checked
-    # since (iterative CC, prefix-filter Jaccard, as-of merge, LOCF,
-    # binary codec, ANN) — exactly the VERDICT's fill guidance.
+    # Round-8 rotation (round-7 VERDICT "Next round" #1).  Slots 1-38
+    # drain the ENTIRE round-7 ROTATION_POOL — after this window the
+    # union of driver-hash-checked queries is 268/268 (100%).  The 12
+    # remaining slots are risky RE-checks, exactly the VERDICT's fill
+    # guidance: queries whose plans change this round
+    # (join_interval_binned gets the quantile-sized grid) plus the
+    # round-7 >15%-wall regressions (k-means family, HLL merge,
+    # substring spans, SCD2, DQ suite, decontaminate) and the two
+    # round-7 headline fixes worth a second green row
+    # (training_data_build, build_inverted_index, curate_corpus_pipeline).
     #
-    # Round-6 rotation pool, drained in full (31):
-    "abc_pareto_classification",
-    "feature_minmax_scale",
-    "window_hourly_topk",
-    "events_dau_wau_mau",
-    "events_user_entropy",
-    "events_minute_load_percentiles",
-    "orders_yoy_growth",
-    "agg_bitwise_funcs",
-    "agg_geometric_mean",
-    "ema_batch_fold",
-    "events_gap_detection",
-    "win_rolling_corr",
-    "agg_regression_by_group",
-    "graph_triangle_count",
-    "join_interval_binned",
-    "compact_small_files",
-    "partition_prune_dynamic",
-    "incremental_rollup_merge",
-    "stat_crosstab_types",
-    "events_top_action_trigrams",
-    "orders_revenue_gini",
-    "text_feature_hashing",
-    "table_diff_cdf",
-    "dataset_manifest",
-    "sql_script_median_bisect",
-    "xml_roundtrip",
-    "dq_expectation_suite",
-    "join_range_banded",
-    "udf_arrow_token_count",
-    "training_data_build",
-    "events_dow_hod_heatmap",
-    # round-6 red-row re-earn (LIST column stringified this round):
-    "build_inverted_index",
-    # risky re-checks (18): plan-changed this round first, then the
-    # heaviest round-2-era algorithms whose last hash check is 5 rounds
-    # old.
-    "curate_corpus_pipeline",
-    "dedup_minhash_keepers_md5",
-    "dedup_minhash_lsh_md5",
-    "graph_pagerank_bipartite",
-    "decontaminate_test_overlap",
-    "dedup_clusters_cc",
-    "dedup_ngram_jaccard",
-    "dedup_substring_spans",
-    "dedup_exact_hash",
-    "dedup_embedding_cosine",
-    "cosine_topk_bruteforce",
-    "ann_ivf_bucketed",
-    "join_asof_purchase_click",
-    "resample_gap_fill_locf_per_key",
-    "sessionize_gap_ids",
-    "binary_peaks_decode",
-    "multimodal_payload_fingerprint",
-    "q1_pricing_summary",
-]
-
-#: The round-8 rotation pool.  Empty at round-7 start (the round-7
-#: window drains the whole round-6 pool, closing union driver coverage
-#: at 230/230); queries ADDED during round 7 append here (each is
-#: local-gated by tests/test_differential.py's full DuckDB oracle until
-#: a future window picks it up).  tests/test_registry.py pins that the
-#: never-driver-checked overflow is EXACTLY this list, so any new query
-#: must either enter the window or be added here.
-ROTATION_POOL_NEXT_ROUND: list[str] = [
-    # round-7 additions:
+    # Round-7 rotation pool, drained in full (38):
     "sketch_mg_heavy_hitters",
     "training_shard_layout",
     "text_char_entropy",
@@ -196,7 +129,30 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "sql_pivot_clause",
     "events_burstiness_fano",
     "agg_weighted_median",
+    # risky re-checks (12): plan-changed this round first, then the
+    # round-7 >15%-wall regressions and the round-7 headline fixes.
+    "join_interval_binned",
+    "ann_ivf_kmeans",
+    "dedup_semdedup_kmeans",
+    "agg_hll_sketch_merge",
+    "training_data_build",
+    "build_inverted_index",
+    "curate_corpus_pipeline",
+    "dedup_substring_spans",
+    "decontaminate_test_overlap",
+    "scd2_user_state_history",
+    "dq_expectation_suite",
+    "dedup_exact_hash",
 ]
+
+#: The round-9 rotation pool.  Empty at round-8 start (the round-8
+#: window drains the whole round-7 pool, closing union driver coverage
+#: at 268/268); queries ADDED during round 8 append here (each is
+#: local-gated by tests/test_differential.py's full DuckDB oracle until
+#: a future window picks it up).  tests/test_registry.py pins that the
+#: never-driver-checked overflow is EXACTLY this list, so any new query
+#: must either enter the window or be added here.
+ROTATION_POOL_NEXT_ROUND: list[str] = []
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
