@@ -315,65 +315,120 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-overlap self-join via GRID BINNING: each customer's
-    orders become 14-day activity intervals, and the query finds every
-    overlapping interval pair per customer (concurrent-order detection
-    — the temporal-overlap primitive behind double-booking checks,
-    session-concurrency audits, and conflict-of-interest scans).
+#: band-vs-grid dispatch threshold: the band plan's candidate volume is
+#: pairs with start-gap < max_len, the quantile-sized grid's is pairs
+#: with start-gap < ~2*p95 (plus the explode fan-out) — so the band
+#: wins unless the length distribution is heavy-tailed enough that a
+#: rare long interval would drag every row's window frame wide open.
+_INTERVAL_TAIL_RATIO = 4.0
 
-    The naive form is a theta join (``a.start < b.end AND b.start <
-    a.end``) — a nested-loop at scale.  The Spark-first design turns it
-    into an EQUI-join: every interval is exploded onto the month cells
-    it touches (a 14-day interval touches at most 2), the join keys on
-    (customer, cell) — hash-shuffleable, AQE-skew-handleable — and the
-    exact overlap predicate then filters the candidates.  Candidates
-    are superset-exact: two intervals can only overlap if they share a
-    touched cell, so binning loses nothing (cell size >= interval
-    length guarantees it).  Dual-cell duplicates are eliminated by
-    CELL OWNERSHIP, not a distinct: a pair is emitted only in the cell
-    that contains max(start_a, start_b) — exactly one cell owns every
-    overlapping pair, so no dedup shuffle exists in the plan at all
-    (the standard reporting trick of grid spatial joins; cf. the
-    DE-9IM grid family / Spark range-join binning).
 
-    The ORACLE uses the naive theta form — same answer, engine-checkable.
+def _interval_pairs_band(iv: DataFrame, bound_days: int) -> DataFrame:
+    """BOUNDED-WIDTH interval-overlap kernel: when every interval is at
+    most ``bound_days`` long, two intervals of one key overlap only if
+    their starts differ by < bound_days — so the overlap self-join
+    collapses to one per-key time-RANGE window (each interval collects
+    its predecessors within bound_days - 1) plus the exact overlap
+    predicate (``p.ed > sd`` — needed because lengths may VARY below
+    the bound; with constant lengths it is vacuously true).  Candidate
+    volume ~= output volume, and the whole plan is ONE shuffle on the
+    key.
 
-    Scale: shuffle volume is 2x rows on uniform keys; no nested-loop
-    anywhere (the plan test pins no CartesianProduct)."""
-    o = load_table(spark, "orders", sf_dir).select(
-        "o_orderkey",
-        "o_custkey",
-        F.col("o_orderdate").cast("date").alias("start_d"),
+    Shuffle hygiene: only three ints per row cross the exchange
+    (start-day, end-day, orderkey) — overlap_days is pure int
+    arithmetic on the day numbers, so no date columns ride the shuffle
+    (measured 1.76 s -> 1.5 s at 30x sf0.1 vs the struct-of-dates
+    form).
+
+    Pair-once discipline: the (start, okey)-later endpoint reports the
+    pair (the window frame makes it the collector); output is
+    canonicalized to okey_a < okey_b so the oracle stays the naive
+    theta SQL."""
+    from pyspark.sql import Window
+
+    t = iv.select(
+        "key",
+        "okey",
+        F.datediff("start_d", F.lit("1970-01-01").cast("date")).alias("sd"),
+        F.datediff("end_d", F.lit("1970-01-01").cast("date")).alias("ed"),
     )
-    iv = o.withColumn("end_d", F.date_add("start_d", 14))
+    w = (
+        Window.partitionBy("key")
+        .orderBy("sd")
+        .rangeBetween(-(bound_days - 1), 0)
+    )
+    lst = t.withColumn(
+        "preds", F.collect_list(F.struct("sd", "okey", "ed")).over(w)
+    )
+    e = lst.select(
+        F.col("key").alias("custkey"),
+        F.col("okey").alias("k1"),
+        F.col("sd").alias("s1"),
+        F.col("ed").alias("e1"),
+        F.explode("preds").alias("p"),
+    )
+    later = (F.col("p.sd") < F.col("s1")) | (
+        (F.col("p.sd") == F.col("s1")) & (F.col("p.okey") < F.col("k1"))
+    )
+    return (
+        e.where(F.col("p.okey") != F.col("k1"))
+        .where(later)
+        # exact overlap: the predecessor must still be open at s1
+        .where(F.col("p.ed") > F.col("s1"))
+        .select(
+            "custkey",
+            F.least(F.col("k1"), F.col("p.okey")).alias("okey_a"),
+            F.greatest(F.col("k1"), F.col("p.okey")).alias("okey_b"),
+            (
+                F.least(F.col("e1"), F.col("p.ed"))
+                - F.greatest(F.col("s1"), F.col("p.sd"))
+            ).alias("overlap_days"),
+        )
+    )
+
+
+def _interval_pairs_grid(iv: DataFrame, cell_days: int) -> DataFrame:
+    """GENERIC interval-overlap kernel via day-grid binning: every
+    interval is exploded onto the ``cell_days``-wide day cells it
+    touches, the join keys on (key, cell) — hash-shuffleable,
+    AQE-skew-handleable — and the exact overlap predicate filters the
+    candidates.  Correct for ANY cell width: if two intervals overlap,
+    max(start) lies inside both, so both touch its cell (which is also
+    the unique OWNER cell that reports the pair — exactly-once without
+    a dedup shuffle; the standard reporting trick of grid spatial
+    joins, cf. the DE-9IM grid family / Spark range-join binning).
+
+    Cell sizing is the caller's lever (round-7 VERDICT #2: fixed
+    month cells made candidates 10-17x the true pairs): pass the
+    measured p95 interval length — short intervals then touch ~2 cells
+    while the rare long tail pays the explode, instead of every pair
+    within a month becoming a candidate."""
     binned = iv.select(
-        "o_orderkey",
-        "o_custkey",
-        "start_d",
-        "end_d",
+        "key",
+        "okey",
+        "sd",
+        "ed",
         F.explode(
             F.sequence(
-                F.trunc("start_d", "month"),
-                # end_d is EXCLUSIVE: the last touched cell is the month
-                # of end_d - 1 day
-                F.trunc(F.date_sub("end_d", 1), "month"),
+                F.floor(F.col("sd") / cell_days),
+                # end is EXCLUSIVE: the last touched cell holds ed - 1
+                F.floor((F.col("ed") - 1) / cell_days),
             )
         ).alias("cell"),
     )
     a = binned.select(
-        F.col("o_custkey").alias("custkey"),
+        F.col("key").alias("custkey"),
         F.col("cell"),
-        F.col("o_orderkey").alias("okey_a"),
-        F.col("start_d").alias("start_a"),
-        F.col("end_d").alias("end_a"),
+        F.col("okey").alias("okey_a"),
+        F.col("sd").alias("sd_a"),
+        F.col("ed").alias("ed_a"),
     )
     b = binned.select(
-        F.col("o_custkey").alias("custkey"),
+        F.col("key").alias("custkey"),
         F.col("cell"),
-        F.col("o_orderkey").alias("okey_b"),
-        F.col("start_d").alias("start_b"),
-        F.col("end_d").alias("end_b"),
+        F.col("okey").alias("okey_b"),
+        F.col("sd").alias("sd_b"),
+        F.col("ed").alias("ed_b"),
     )
     # the binned side is DATA-sized (rows x cells-touched), so a
     # broadcast would be scale-wrong even where AQE's size estimate
@@ -381,32 +436,128 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HASH join — and because both sides are the SAME generated
     # subtree, AQE dedupes the two exchanges into one (ReusedExchange):
     # the whole candidate stage costs a single shuffle of the binned
-    # rows.  (Round 7: was hint("merge"); the hash join skips both
-    # sort passes over the ~8x candidate fan-out — measured 5.75 s ->
-    # 3.93 s at 30x sf0.1, same executed-plan reuse properties.)
-    pairs = (
+    # rows.
+    return (
         a.join(b.hint("shuffle_hash"), ["custkey", "cell"])
         .where(
             (F.col("okey_a") < F.col("okey_b"))
-            & (F.col("start_a") < F.col("end_b"))
-            & (F.col("start_b") < F.col("end_a"))
+            & (F.col("sd_a") < F.col("ed_b"))
+            & (F.col("sd_b") < F.col("ed_a"))
             # cell ownership: only the cell of the later start reports
             # the pair — exactly-once without any dedup shuffle
             & (
                 F.col("cell")
-                == F.trunc(F.greatest("start_a", "start_b"), "month")
+                == F.floor(F.greatest("sd_a", "sd_b") / cell_days)
             )
         )
         .select(
             "custkey",
             "okey_a",
             "okey_b",
-            F.datediff(
-                F.least("end_a", "end_b"), F.greatest("start_a", "start_b")
+            (
+                F.least("ed_a", "ed_b") - F.greatest("sd_a", "sd_b")
             ).alias("overlap_days"),
         )
     )
-    return pairs.orderBy("custkey", "okey_a", "okey_b")
+
+
+def interval_overlap_pairs(
+    iv: DataFrame, length_bound: int | None = None
+) -> DataFrame:
+    """Interval-overlap self-join DISPATCHER (the temporal-overlap
+    primitive behind double-booking checks, session-concurrency audits,
+    and conflict-of-interest scans).  ``iv`` carries (key, okey,
+    start_d, end_d) with end EXCLUSIVE; output is one row per
+    overlapping pair per key, canonicalized okey_a < okey_b.
+
+    Plan selection (round-7 VERDICT #2 — the fixed month grid was the
+    one measured non-crossover at 30x data, 17x the oracle):
+
+    * ``length_bound`` given (the caller KNOWS every interval is at
+      most that many days — constant-width horizons, SLAs, session
+      caps; knowable at plan time when the query itself constructs the
+      intervals): the band kernel, one shuffle, candidates ~= output.
+    * otherwise a BOUNDED stats probe (two scalars off one small agg,
+      same discipline as the data-seeded bisect bracket in
+      operators/storage.py) measures max and p95 interval length:
+      near-uniform lengths (max <= 4 * p95) still take the band with
+      bound = max; a heavy tail takes the grid with p95-sized day
+      cells, so the rare long interval pays the explode instead of
+      dragging every row's window frame open."""
+    iv = iv.withColumn(
+        "sd", F.datediff("start_d", F.lit("1970-01-01").cast("date"))
+    ).withColumn("ed", F.datediff("end_d", F.lit("1970-01-01").cast("date")))
+    if length_bound is None:
+        # bounded plan-shape probe: two scalars off one small agg — the
+        # band-vs-grid choice is PLAN STRUCTURE (window vs join), which
+        # no in-plan broadcast scalar can switch; same discipline as the
+        # data-seeded bisect bracket (storage.py) and the CC convergence
+        # count (dedup.py).  Reviewed exemption in
+        # tests/test_plans.py::test_operators_are_collect_free.
+        mx, p95 = iv.agg(
+            F.max(F.col("ed") - F.col("sd")),
+            F.percentile_approx(F.col("ed") - F.col("sd"), 0.95, 10000),
+        ).first()  # bounded plan-shape probe
+        if mx is None:
+            length_bound = 1  # empty input: either kernel, zero rows
+        elif mx <= _INTERVAL_TAIL_RATIO * max(p95, 1):
+            length_bound = int(mx)
+        else:
+            return _interval_pairs_grid(iv, int(max(p95, 1)))
+    return _interval_pairs_band(iv, length_bound)
+
+
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap over CONSTANT-WIDTH intervals: each customer's
+    orders become 14-day activity intervals and the query finds every
+    overlapping pair per customer (concurrent-order detection).
+
+    The 14-day width is a property of the query's own construction, so
+    the dispatcher routes to the band kernel with NO probe job — one
+    shuffle on the customer key, candidates ~= output (round-7 VERDICT
+    #2: the previous month-grid plan carried a 10-17x candidate
+    fan-out at every measured tier; the band form is 3.5x faster at
+    30x sf0.1 and is the right primary for bounded-width workloads).
+    The ORACLE stays the naive theta form — same answer,
+    engine-checkable, unchanged from the grid rounds (hash-stable).
+
+    Scale: the per-key shuffle+sort is the co-location floor for ANY
+    overlap join; see BENCH_SCALED interval_floor_note for the
+    measured decomposition."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").cast("date").alias("start_d"),
+    )
+    iv = o.withColumn("end_d", F.date_add("start_d", 14))
+    return interval_overlap_pairs(iv, length_bound=14).orderBy(
+        "custkey", "okey_a", "okey_b"
+    )
+
+
+def join_interval_grid_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap over HEAVY-TAILED interval lengths — the
+    workload the grid kernel exists for.  Each order opens a synthetic
+    service window of 3 + (okey % 11) days, but every 50th order is a
+    long-running 180-day contract: max length ~26x the p95, so the
+    dispatcher's stats probe (two scalars) rejects the band plan
+    (whose window frame would open 180 days wide for EVERY row) and
+    bins onto p95-sized day cells — short intervals touch ~2 cells,
+    only the 2% tail pays the long explode.  Candidate volume stays
+    near the true pair volume instead of the fixed-month grid's 10-17x
+    (round-7 VERDICT #2)."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").cast("date").alias("start_d"),
+    )
+    length = (
+        F.lit(3)
+        + F.col("okey") % 11
+        + F.when(F.col("okey") % 50 == 0, F.lit(180)).otherwise(F.lit(0))
+    )
+    iv = o.withColumn("end_d", F.date_add("start_d", length.cast("int")))
+    return interval_overlap_pairs(iv).orderBy("custkey", "okey_a", "okey_b")
 
 
 def join_interval_window_band(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,50 +578,20 @@ def join_interval_window_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair (the window's frame makes it the collector), mirroring the
     grid form's cell-ownership rule; output is canonicalized to
     okey_a < okey_b, so the ORACLE is byte-identical to the binned
-    form's (same naive theta SQL)."""
-    from pyspark.sql import Window
+    form's (same naive theta SQL).
 
+    Round 8: shares the band kernel with ``join_interval_binned`` —
+    the dispatcher routes bounded-width workloads here by default now,
+    so this name documents the explicit-bound entry point."""
     o = load_table(spark, "orders", sf_dir).select(
-        "o_orderkey",
-        "o_custkey",
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("okey"),
         F.col("o_orderdate").cast("date").alias("start_d"),
     )
     iv = o.withColumn("end_d", F.date_add("start_d", 14))
-    t = iv.withColumn(
-        "sd", F.datediff("start_d", F.lit("1970-01-01").cast("date"))
+    return interval_overlap_pairs(iv, length_bound=14).orderBy(
+        "custkey", "okey_a", "okey_b"
     )
-    w = Window.partitionBy("o_custkey").orderBy("sd").rangeBetween(-13, 0)
-    lst = t.withColumn(
-        "preds",
-        F.collect_list(F.struct("sd", "o_orderkey", "start_d", "end_d")).over(
-            w
-        ),
-    )
-    e = lst.select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("o_orderkey").alias("k1"),
-        F.col("start_d").alias("s1"),
-        F.col("end_d").alias("e1"),
-        F.explode("preds").alias("p"),
-    )
-    later = (F.col("p.start_d") < F.col("s1")) | (
-        (F.col("p.start_d") == F.col("s1"))
-        & (F.col("p.o_orderkey") < F.col("k1"))
-    )
-    pairs = (
-        e.where(F.col("p.o_orderkey") != F.col("k1"))
-        .where(later)
-        .select(
-            "custkey",
-            F.least(F.col("k1"), F.col("p.o_orderkey")).alias("okey_a"),
-            F.greatest(F.col("k1"), F.col("p.o_orderkey")).alias("okey_b"),
-            F.datediff(
-                F.least(F.col("e1"), F.col("p.end_d")),
-                F.greatest(F.col("s1"), F.col("p.start_d")),
-            ).alias("overlap_days"),
-        )
-    )
-    return pairs.orderBy("custkey", "okey_a", "okey_b")
 
 
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -660,6 +781,7 @@ QUERIES = {
     "orders_market_basket_lift": orders_market_basket_lift,
     "join_interval_binned": join_interval_binned,
     "join_interval_window_band": join_interval_window_band,
+    "join_interval_grid_mixed": join_interval_grid_mixed,
 }
 
 ORACLE_SQL = {
@@ -832,3 +954,25 @@ ORACLE_SQL = {
 }
 
 ORACLE_SQL["join_interval_window_band"] = ORACLE_SQL["join_interval_binned"]
+
+ORACLE_SQL["join_interval_grid_mixed"] = """
+    WITH iv AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_orderdate AS DATE) AS start_d,
+               CAST(o_orderdate AS DATE)
+                 + CAST(3 + (o_orderkey % 11)
+                        + CASE WHEN o_orderkey % 50 = 0 THEN 180
+                               ELSE 0 END AS INT) AS end_d
+        FROM orders)
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS okey_a,
+           b.o_orderkey AS okey_b,
+           CAST(date_diff('day',
+                GREATEST(a.start_d, b.start_d),
+                LEAST(a.end_d, b.end_d)) AS INT) AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND a.start_d < b.end_d AND b.start_d < a.end_d
+    ORDER BY custkey, okey_a, okey_b
+"""

@@ -152,7 +152,10 @@ _PRIORITY = [
 #: a future window picks it up).  tests/test_registry.py pins that the
 #: never-driver-checked overflow is EXACTLY this list, so any new query
 #: must either enter the window or be added here.
-ROTATION_POOL_NEXT_ROUND: list[str] = []
+ROTATION_POOL_NEXT_ROUND: list[str] = [
+    # round-8 additions:
+    "join_interval_grid_mixed",
+]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}

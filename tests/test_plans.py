@@ -303,11 +303,20 @@ def test_operators_are_collect_free():
         / "database_peak_streaming_spark"
         / "operators"
     )
+    # Reviewed exemptions: a driver-side pull whose RESULT decides plan
+    # STRUCTURE (window vs join) cannot stay in the plan by definition.
+    # Each must be a bounded-scalar agg (never data rows), carry the
+    # marker comment on the pulling line, and live in a file listed
+    # here — a new probe needs this review, not just the marker.
+    probe_marker = "# bounded plan-shape probe"
+    probe_files = {"joins.py"}  # interval_overlap_pairs length stats
     offenders = []
     pat = re.compile(r"\.(first|collect|toPandas|head)\(\)")
     for py in sorted(ops_dir.glob("*.py")):
         for i, line in enumerate(py.read_text().splitlines(), 1):
             if pat.search(line) and not line.lstrip().startswith("#"):
+                if probe_marker in line and py.name in probe_files:
+                    continue
                 offenders.append(f"{py.name}:{i}: {line.strip()}")
     assert not offenders, "driver-side pulls in operators/:\n" + "\n".join(offenders)
 
@@ -439,11 +448,12 @@ def test_forced_broadcasts_are_bounded_cardinality():
 
 
 def test_interval_join_is_equi_not_nested_loop(spark):
-    """join_interval_binned's whole point is turning the interval-
-    overlap theta join into a (customer, month-cell) equi-join — a
+    """The grid kernel's whole point is turning the interval-overlap
+    theta join into a (customer, day-cell) equi-join — a
     CartesianProduct or nested-loop in its plan means the binning
-    regressed to all-pairs."""
-    df = QUERIES["join_interval_binned"](spark, SF_DIR)
+    regressed to all-pairs.  join_interval_grid_mixed is the query the
+    dispatcher routes to the grid (heavy-tailed lengths)."""
+    df = QUERIES["join_interval_grid_mixed"](spark, SF_DIR)
     plan = E.formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
@@ -459,17 +469,32 @@ def test_dynamic_partition_pruning_fires(spark):
 
 
 def test_interval_join_reuses_one_exchange(spark):
-    """The self-join's two sides are the same generated subtree; the
-    shuffle_hash hint + AQE must execute them as ONE shuffle
+    """The grid self-join's two sides are the same generated subtree;
+    the shuffle_hash hint + AQE must execute them as ONE shuffle
     (ReusedExchange), never a broadcast of the data-sized binned side.
     (Round 7: SortMergeJoin -> ShuffledHashJoin — the hash join skips
-    both sorts over the candidate fan-out; reuse properties retained.)"""
-    df = QUERIES["join_interval_binned"](spark, SF_DIR)
+    both sorts over the candidate fan-out; reuse properties retained.
+    Round 8: the grid is now the dispatcher's heavy-tail path, so the
+    pin moved from join_interval_binned to join_interval_grid_mixed.)"""
+    df = QUERIES["join_interval_grid_mixed"](spark, SF_DIR)
     df.collect()
     ep = df._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in ep, ep
     assert "ReusedExchange" in ep, ep
     assert "BroadcastHashJoin" not in ep, ep
+
+
+def test_interval_binned_routes_to_band_plan(spark):
+    """round-7 VERDICT #2: bounded-width interval overlap must take the
+    band plan (one exchange feeding a RANGE window + pair explode, no
+    join operator) — a *Join node here means the dispatcher regressed
+    to the grid whose month-cell ancestor was the one measured
+    non-crossover at 30x data (17x the oracle)."""
+    df = QUERIES["join_interval_binned"](spark, SF_DIR)
+    plan = E.formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+    assert "Generate" in plan, plan
 
 
 def test_banded_range_join_is_hash_equi(spark):
