@@ -865,7 +865,19 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.col("embedding")).alias("norm"),
         _kmeans_bucket(F.col("embedding")).alias("cluster"),
     )
-    a, b = base.alias("a"), base.alias("b")
+    # The pairs stage is the hot path (O(sum cell^2) cosines) and the
+    # smaller side broadcasts — so the probe side's parallelism is
+    # whatever the SCAN gave it, NOT the shuffle width.  A one-file
+    # corpus (this fixture; any small-file table) would run every pair
+    # cosine on ONE task.  Salted repartition by (cluster, vec_id mod 8)
+    # spreads each cell's pair work across 8 tasks for one narrow
+    # exchange — the round-7 +50% wall regression was exactly this
+    # serial pairs stage (3.9 s -> 1.45 s at sf0.1, min-of-3 fresh
+    # plans).
+    a = base.repartition(
+        32, F.col("cluster"), F.col("vec_id") % F.lit(8)
+    ).alias("a")
+    b = base.alias("b")
     cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.norm") * F.col("b.norm")
     )
