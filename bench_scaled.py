@@ -98,6 +98,20 @@ QUERY_SET = [
     "join_interval_binned",
     "join_interval_window_band",
     "join_range_banded",
+    # round-7 VERDICT task 6: every >5x-at-sf0.1 query with >0.5 s
+    # absolute gets crossover evidence — the round-7 heavy additions
+    # plus ann_ivf_kmeans from task 3.  dedup_semdedup_kmeans is
+    # deliberately EXCLUDED: copy-scaling puts every copy in the same 8
+    # pinned Voronoi cells, so cell-pair volume grows QUADRATICALLY
+    # (30x data = 900x pairs ~ 226M cosines on BOTH engines) — the
+    # production lever is k ~ N/avg_cell (the SemDeDup paper uses 50k
+    # clusters at LAION scale), which a pinned-centroid fixture cannot
+    # express; the sf0.1 ratio plus the salted-repartition fix note in
+    # BENCH_DETAIL is its scale evidence.
+    "bootstrap_ci_mean",
+    "sketch_mg_heavy_hitters",
+    "agg_hll_sketch_merge",
+    "ann_ivf_kmeans",
 ]
 
 #: the 10x stragglers (ratio > 2 in the committed 10x run) PLUS the two
@@ -117,6 +131,11 @@ STRAGGLER_SET = [
     "join_interval_binned",
     "join_interval_window_band",
     "join_range_banded",
+    # round-7 task-6 additions carried to the deep tier too
+    "bootstrap_ci_mean",
+    "sketch_mg_heavy_hitters",
+    "agg_hll_sketch_merge",
+    "ann_ivf_kmeans",
 ]
 
 
