@@ -1217,8 +1217,105 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between the corpus's two categorical axes (document
+    language x source) — the bounded [0, 1] effect-size companion to
+    ``stats_mutual_information``'s NMI (chi-square answers "is there
+    dependence?", V answers "how strong, on a scale comparable across
+    table shapes?").  V = sqrt(chi2 / (N * (min(r, c) - 1))).
+
+    Same scale discipline as the MI probe: one full-table groupBy to
+    exact BIGINT contingency cells (bounded by the label-vocabulary
+    product), marginals as rollups of the cell table, expected counts
+    and chi-square contributions in doubles over tens of cells — the
+    single data-sized stage is the first aggregation."""
+    d = load_table(spark, "documents", sf_dir).select("lang", "source")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_xy"))
+    nx = cells.groupBy("lang").agg(F.sum("n_xy").alias("n_x"))
+    ny = cells.groupBy("source").agg(F.sum("n_xy").alias("n_y"))
+    total = cells.agg(
+        F.sum("n_xy").alias("n_docs"),
+        F.count_distinct("lang").alias("n_r"),
+        F.count_distinct("source").alias("n_c"),
+    )
+    chi2 = (
+        cells.join(nx, "lang")
+        .join(ny, "source")
+        .crossJoin(F.broadcast(total))
+        .agg(
+            F.sum(
+                F.pow(
+                    F.col("n_xy")
+                    - (F.col("n_x").cast("double") * F.col("n_y"))
+                    / F.col("n_docs"),
+                    F.lit(2.0),
+                )
+                / (
+                    (F.col("n_x").cast("double") * F.col("n_y"))
+                    / F.col("n_docs")
+                )
+            ).alias("chi2"),
+            F.first("n_docs").alias("n_docs"),
+            F.first("n_r").alias("n_r"),
+            F.first("n_c").alias("n_c"),
+        )
+    )
+    return chi2.select(
+        F.round("chi2", 6).alias("chi2"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        ((F.col("n_r") * F.col("n_c")) - 1).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n_docs")
+                    * (F.least("n_r", "n_c").cast("double") - 1.0)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def events_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of per-user activity, per event type — the
+    continuous MLE (Clauset/Shalizi/Newman 2009, eq. 3.1 with the
+    discrete -1/2 offset): ``alpha = 1 + n / sum ln(c_i / (x_min -
+    1/2))`` over per-user event counts ``c_i`` with x_min = 1.  The
+    one-number heavy-tail check a pipeline runs before trusting a
+    mean: alpha <= 2 means the mean itself is tail-dominated.
+
+    Shape: one (type, user) count aggregation (the only data-sized
+    stage), then a per-type fold over user counts — exact BIGINT
+    counts feed ln(2 * c), so every double input is bit-identical
+    across engines and the sum runs over user-vocabulary-sized data."""
+    ev = load_table(spark, "events", sf_dir)
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("c").cast("long").alias("n_events"),
+            F.sum(F.log(F.lit(2.0) * F.col("c"))).alias("_lnsum"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "n_events",
+            F.round(
+                F.lit(1.0) + F.col("n_users") / F.col("_lnsum"), 6
+            ).alias("alpha_mle"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "events_funnel_ordered": events_funnel_ordered,
+    "stats_cramers_v": stats_cramers_v,
+    "events_powerlaw_alpha": events_powerlaw_alpha,
     "events_top_action_trigrams": events_top_action_trigrams,
     "orders_revenue_gini": orders_revenue_gini,
     "ab_test_lift_ztest": ab_test_lift_ztest,
@@ -1884,3 +1981,45 @@ ORACLE_SQL = {
         FROM ranked WHERE rn = 1 ORDER BY user_id
     """,
 }
+
+ORACLE_SQL["stats_cramers_v"] = """
+    WITH cells AS (
+        SELECT lang, source, COUNT(*) AS n_xy
+        FROM documents GROUP BY lang, source),
+    nx AS (SELECT lang, SUM(n_xy) AS n_x FROM cells GROUP BY lang),
+    ny AS (SELECT source, SUM(n_xy) AS n_y FROM cells GROUP BY source),
+    total AS (
+        SELECT SUM(n_xy) AS n_docs,
+               COUNT(DISTINCT lang) AS n_r,
+               COUNT(DISTINCT source) AS n_c
+        FROM cells),
+    chi AS (
+        SELECT SUM(POW(n_xy - (n_x * 1.0 * n_y) / n_docs, 2.0)
+                   / ((n_x * 1.0 * n_y) / n_docs)) AS chi2,
+               ANY_VALUE(n_docs) AS n_docs,
+               ANY_VALUE(n_r) AS n_r,
+               ANY_VALUE(n_c) AS n_c
+        FROM cells
+        JOIN nx USING (lang)
+        JOIN ny USING (source)
+        CROSS JOIN total)
+    SELECT ROUND(chi2, 6) AS chi2,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_r * n_c - 1 AS BIGINT) AS dof,
+           ROUND(SQRT(chi2 / (n_docs * (LEAST(n_r, n_c) * 1.0 - 1.0))), 6)
+               AS cramers_v
+    FROM chi
+"""
+
+ORACLE_SQL["events_powerlaw_alpha"] = """
+    WITH per_user AS (
+        SELECT event_type, user_id, COUNT(*) AS c
+        FROM events GROUP BY event_type, user_id)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           ROUND(1.0 + COUNT(*) / SUM(LN(2.0 * c)), 6) AS alpha_mle
+    FROM per_user
+    GROUP BY event_type
+    ORDER BY event_type
+"""

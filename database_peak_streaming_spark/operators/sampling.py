@@ -66,6 +66,55 @@ def split_train_test_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: cross-validation fold count for ``sample_kfold_assign``
+KFOLDS = 5
+
+
+def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    (first two md5 hex digits of doc_id) mod 5 — the k-way
+    generalization of ``split_train_test_md5``'s content-keyed split,
+    with the same property that matters at scale: assignment is a pure
+    function of the KEY, so folds survive re-sharding, re-ingestion,
+    incremental appends, and engine changes (a random split leaks
+    between reruns; a partition-id split leaks on every repartition).
+
+    Output is the per-(fold, lang) balance audit a pipeline checks
+    before training k models: row counts, char volume, and an exact
+    id checksum that makes fold membership itself hash-verifiable —
+    plus each fold's share of the corpus (256 % 5 != 0 gives folds
+    0-1 a ~0.4% edge; the audit is where that skew becomes visible).
+
+    Scale: one scan, one bounded groupBy (folds x languages); the
+    per-doc assignment is a map-only column any downstream join can
+    recompute instead of storing."""
+    d = load_table(spark, "documents", sf_dir)
+    fold = (
+        F.conv(F.substring(_md5_of("doc_id"), 1, 2), 16, 10).cast("long")
+        % KFOLDS
+    )
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        d.select(fold.alias("fold"), "lang", "n_chars", "doc_id")
+        .groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "fold",
+            "lang",
+            "n_docs",
+            "total_chars",
+            "id_checksum",
+            F.round(F.col("n_docs") / F.col("n_total"), 6).alias("share"),
+        )
+        .orderBy("fold", "lang")
+    )
+
+
 #: decontamination n-gram width — the standard 8-13 window; 8 fits the
 #: fixture's ~54-token docs while matching real pipelines' lower bound.
 DECON_NGRAM = 8
@@ -513,6 +562,7 @@ QUERIES = {
     "sample_weighted_ares": sample_weighted_ares,
     "sample_stratified_fraction": sample_stratified_fraction,
     "split_train_test_md5": split_train_test_md5,
+    "sample_kfold_assign": sample_kfold_assign,
     "split_summary_md5": split_summary_md5,
     "balance_by_class_topk": balance_by_class_topk,
     "decontaminate_test_overlap": decontaminate_test_overlap,
@@ -745,3 +795,24 @@ ORACLE_SQL = {
         FROM by_lang CROSS JOIN tot ORDER BY lang
     """,
 }
+
+ORACLE_SQL["sample_kfold_assign"] = f"""
+    WITH assigned AS (
+        SELECT ((STRPOS('0123456789abcdef',
+                        SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                    * 16
+                + (STRPOS('0123456789abcdef',
+                          SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))
+               % {KFOLDS} AS fold,
+               lang, n_chars, doc_id
+        FROM documents),
+    total AS (SELECT COUNT(*) AS n_total FROM documents)
+    SELECT fold, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           ROUND(COUNT(*) * 1.0 / ANY_VALUE(n_total), 6) AS share
+    FROM assigned CROSS JOIN total
+    GROUP BY fold, lang
+    ORDER BY fold, lang
+"""

@@ -792,8 +792,165 @@ def _pca_sql() -> str:
     return "\n".join(parts)
 
 
+#: Matryoshka truncation width (dims kept) and RRF rank constant (the
+#: standard k = 60 from Cormack/Clarke/Buettcher SIGIR'09).
+MATRYOSHKA_DIMS = 16
+RRF_K = 60
+RRF_TOP = 10
+
+
+def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation quality (Kusupati et al. 2022): for each
+    query vector, top-k neighbors by FULL 64-dim cosine vs top-k by
+    cosine in the TRUNCATED first-16-dim space, reporting the overlap
+    (recall@k of the cheap index) — the measurement that decides
+    whether a pipeline can serve ANN from 4x-smaller vectors and
+    re-rank the survivors at full precision.
+
+    One pass computes both rankings: the corpus scan carries full and
+    sliced norms, the broadcast query set joins once, and the two
+    row_number windows share one exchange (same partition key,
+    different order).  Both ranks use (rounded cosine desc, vec_id) so
+    the overlap count is engine-deterministic."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "embeddings", sf_dir)
+    head = F.slice(F.col("embedding"), 1, MATRYOSHKA_DIMS)
+    base = e.select(
+        "vec_id",
+        "embedding",
+        head.alias("emb16"),
+        _norm(F.col("embedding")).alias("norm"),
+        _norm(head).alias("norm16"),
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("emb16").alias("q_emb16"),
+        F.col("norm").alias("q_norm"),
+        F.col("norm16").alias("q_norm16"),
+    )
+    cos_full = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_norm") * F.col("norm")
+    )
+    cos_trunc = _dot(F.col("q_emb16"), F.col("emb16")) / (
+        F.col("q_norm16") * F.col("norm16")
+    )
+    w_full = Window.partitionBy("q_id").orderBy(
+        F.col("cos_full").desc(), F.col("vec_id")
+    )
+    w_trunc = Window.partitionBy("q_id").orderBy(
+        F.col("cos_trunc").desc(), F.col("vec_id")
+    )
+    ranked = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cos_full, 6).alias("cos_full"),
+            F.round(cos_trunc, 6).alias("cos_trunc"),
+        )
+        .withColumn("rnk_full", F.row_number().over(w_full))
+        .withColumn("rnk_trunc", F.row_number().over(w_trunc))
+    )
+    return (
+        ranked.groupBy("q_id")
+        .agg(
+            F.sum(
+                (
+                    (F.col("rnk_full") <= TOP_K)
+                    & (F.col("rnk_trunc") <= TOP_K)
+                ).cast("long")
+            ).alias("n_overlap")
+        )
+        .select(
+            "q_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.lit(float(TOP_K)), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("q_id")
+    )
+
+
+def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack/Clarke/
+    Buettcher SIGIR'09): the BM25 lexical ranking (``text_bm25_topk``,
+    pinned term set) and a dense cosine ranking (query = document 0's
+    embedding; vec_id == doc_id in the fixtures, the
+    ``rag_retrieve_snippets`` contract) fuse by ``sum 1/(60 + rank)``
+    over whichever lists a doc appears in — the zero-tuning hybrid
+    that beats either arm alone and is what production RAG stacks run
+    before a cross-encoder re-rank.
+
+    Shape: both arms end as top-10 lists (dimension-sized), so the
+    fusion is a full-outer join of two tiny frames — the data-sized
+    work is each arm's own scan, already proven separately; absent
+    ranks contribute 0 via coalesce, never NULL arithmetic."""
+    from database_peak_streaming_spark.operators.text import text_bm25_topk
+    from pyspark.sql import Window
+
+    lex = text_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("r_lex"),
+    )
+    e = load_table(spark, "embeddings", sf_dir)
+    base = e.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("norm")
+    )
+    qrow = base.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_norm") * F.col("norm")
+    )
+    # global top-10 via sort+limit (TakeOrderedAndProject — distributed
+    # partial top-k per task), NEVER a partition-less window over the
+    # corpus; the rank window then runs on the 10 survivors only
+    dense = (
+        base.crossJoin(F.broadcast(qrow))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"), F.round(cos, 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(RRF_TOP)
+        .withColumn(
+            "r_dense",
+            F.row_number().over(
+                Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))
+            ),
+        )
+        .select("doc_id", "r_dense")
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("r_dense")), F.lit(0.0)
+        ),
+        6,
+    )
+    return (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("r_lex", F.lit(0)).cast("long").alias("r_lex"),
+            F.coalesce("r_dense", F.lit(0)).cast("long").alias("r_dense"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(RRF_TOP)
+    )
+
+
 QUERIES = {
     "embeddings_pca_power_iteration": embeddings_pca_power_iteration,
+    "embed_matryoshka_recall": embed_matryoshka_recall,
+    "rag_rrf_fusion": rag_rrf_fusion,
     "sim_maxsim_late_interaction": sim_maxsim_late_interaction,
     "feature_minmax_scale": feature_minmax_scale,
     "embedding_label_dispersion": embedding_label_dispersion,
@@ -1091,3 +1248,71 @@ ORACLE_SQL = {
         FROM ee ORDER BY vec_id
     """,
 }
+
+ORACLE_SQL["embed_matryoshka_recall"] = f"""
+    WITH base AS (
+        SELECT vec_id, embedding,
+               embedding[1:{MATRYOSHKA_DIMS}] AS emb16
+        FROM embeddings),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb, emb16 AS q_emb16
+          FROM base WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.q_id, b.vec_id,
+               ROUND({_cos_sql('q.q_emb', 'b.embedding')}, 6) AS cos_full,
+               ROUND({_cos_sql('q.q_emb16', 'b.emb16')}, 6) AS cos_trunc
+        FROM q CROSS JOIN base b WHERE b.vec_id <> q.q_id),
+    ranked AS (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_full DESC, vec_id)
+                   AS rnk_full,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_trunc DESC, vec_id)
+                   AS rnk_trunc
+        FROM scored)
+    SELECT q_id,
+           CAST(SUM(CASE WHEN rnk_full <= {TOP_K} AND rnk_trunc <= {TOP_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           ROUND(SUM(CASE WHEN rnk_full <= {TOP_K} AND rnk_trunc <= {TOP_K}
+                          THEN 1 ELSE 0 END) / {float(TOP_K)}, 6)
+               AS recall_at_k
+    FROM ranked GROUP BY q_id ORDER BY q_id
+"""
+
+
+def _rrf_sql() -> str:
+    from database_peak_streaming_spark.operators.text import (
+        ORACLE_SQL as _TEXT_ORACLE,
+    )
+
+    bm25 = _TEXT_ORACLE["text_bm25_topk"]
+    return f"""
+    WITH lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+        FROM ({bm25})),
+    base AS (SELECT vec_id, embedding FROM embeddings),
+    q AS (SELECT embedding AS q_emb FROM base WHERE vec_id = 0),
+    scored AS (
+        SELECT b.vec_id AS doc_id,
+               ROUND({_cos_sql('q.q_emb', 'b.embedding')}, 6) AS cosine
+        FROM base b CROSS JOIN q WHERE b.vec_id <> 0),
+    dense AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r_dense
+        FROM (SELECT * FROM scored
+              ORDER BY cosine DESC, doc_id LIMIT {RRF_TOP})),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+               CAST(COALESCE(r_lex, 0) AS BIGINT) AS r_lex,
+               CAST(COALESCE(r_dense, 0) AS BIGINT) AS r_dense,
+               ROUND(COALESCE(1.0 / ({RRF_K} + r_lex), 0.0)
+                     + COALESCE(1.0 / ({RRF_K} + r_dense), 0.0), 6)
+                   AS rrf_score
+        FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
+    SELECT doc_id, r_lex, r_dense, rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOP}
+    """
+
+
+ORACLE_SQL["rag_rrf_fusion"] = _rrf_sql()

@@ -900,7 +900,81 @@ def ts_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Holt's linear-trend smoothing coefficients.  The complements (0.6,
+#: 0.8) are spelled as literals in BOTH engines — never computed as
+#: 1 - alpha — so every double in the recursion is parsed from the
+#: same decimal text.
+HOLT_ALPHA, HOLT_ONE_MINUS_ALPHA = 0.4, 0.6
+HOLT_BETA, HOLT_ONE_MINUS_BETA = 0.2, 0.8
+
+
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's LINEAR-trend exponential smoothing (double exponential
+    smoothing) per event type over the daily value series — one rung
+    past ``ema_batch_fold``: the recursion carries a (level, trend)
+    PAIR, so the fold's accumulator is a 2-element double array, and
+    the 7-day-ahead forecast is ``level + 7 * trend`` (the forecasting
+    step EMA cannot produce: EMA flat-lines, Holt extrapolates).
+
+        l_t = a*y_t + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}
+
+    Seeding (l_1, b_1) = (y_1, y_2 - y_1) makes (l_2, b_2) collapse to
+    EXACTLY (y_2, y_2 - y_1), so both engines seed the fold at t = 2
+    with that pair and fold over y_3..y_n — identical doubles in
+    identical order, bit-equal before the 6dp rounding (the
+    ``ema_batch_fold`` discipline, pair-valued).  Daily inputs are
+    exact decimal sums cast-and-rounded onto the scale-6 grid.
+
+    Scale: one shuffle to the (type, day) grain (the only data-sized
+    stage), then per-type folds over day-count-sized arrays — keys are
+    the parallelism unit, same contract as every sequential-recurrence
+    batch fold here."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("y")
+    )
+    arr = F.array_sort(F.collect_list(F.struct("day", "y")))
+    vals = F.transform(F.col("arr"), lambda s: s["y"])
+    a, ca = F.lit(HOLT_ALPHA), F.lit(HOLT_ONE_MINUS_ALPHA)
+    g, cg = F.lit(HOLT_BETA), F.lit(HOLT_ONE_MINUS_BETA)
+
+    def _step(acc: Column, x: Column) -> Column:
+        l_prev = F.element_at(acc, 1)
+        b_prev = F.element_at(acc, 2)
+        l_new = a * x + ca * (l_prev + b_prev)
+        return F.array(l_new, g * (l_new - l_prev) + cg * b_prev)
+
+    seed = F.array(
+        F.element_at(vals, 2),
+        F.element_at(vals, 2) - F.element_at(vals, 1),
+    )
+    lb = F.aggregate(
+        F.slice(vals, 3, F.greatest(F.size(vals) - 2, F.lit(0))), seed, _step
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(arr.alias("arr"))
+        .where(F.size(F.col("arr")) >= 3)
+        .select(
+            "event_type",
+            F.size("arr").cast("long").alias("n_days"),
+            F.round(F.element_at(lb, 1), 6).alias("level"),
+            F.round(F.element_at(lb, 2), 6).alias("trend"),
+            F.round(
+                F.element_at(lb, 1) + F.lit(7.0) * F.element_at(lb, 2), 6
+            ).alias("forecast_7d"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "ts_holt_linear": ts_holt_linear,
     "ts_theil_sen_trend": ts_theil_sen_trend,
     "ts_acf_hourly": ts_acf_hourly,
     "win_rolling_median": win_rolling_median,
@@ -1361,3 +1435,33 @@ ORACLE_SQL = {
         WHERE (rn - 1) % 600 = 0 ORDER BY event_id
     """,
 }
+
+ORACLE_SQL["ts_holt_linear"] = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+                   AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    series AS (
+        SELECT event_type, LIST(y ORDER BY day) AS vals
+        FROM daily GROUP BY event_type),
+    folded AS (
+        SELECT event_type, LEN(vals) AS n_days,
+               LIST_REDUCE(
+                   [[vals[2], vals[2] - vals[1]]]
+                       || LIST_TRANSFORM(vals[3:], y -> [y, 0.0]),
+                   (acc, x) -> [
+                       {HOLT_ALPHA} * x[1]
+                           + {HOLT_ONE_MINUS_ALPHA} * (acc[1] + acc[2]),
+                       {HOLT_BETA} * (({HOLT_ALPHA} * x[1]
+                           + {HOLT_ONE_MINUS_ALPHA} * (acc[1] + acc[2]))
+                           - acc[1])
+                           + {HOLT_ONE_MINUS_BETA} * acc[2]]) AS lb
+        FROM series WHERE LEN(vals) >= 3)
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           ROUND(lb[1], 6) AS level,
+           ROUND(lb[2], 6) AS trend,
+           ROUND(lb[1] + 7.0 * lb[2], 6) AS forecast_7d
+    FROM folded ORDER BY event_type
+"""

@@ -260,7 +260,77 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: trim fraction for the grouped-Arrow trimmed mean (10% each tail)
+TRIM_FRAC = 0.1
+
+
+def udf_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED Arrow-native UDF (``GroupedData.applyInArrow``, Spark 4):
+    per event type, the 10%-trimmed mean of value — the robust location
+    estimate that needs whole-group ordering, computed entirely with
+    ``pyarrow.compute`` kernels on the group's Arrow table (no pandas
+    conversion).  Completes the Arrow half of the Python-function
+    matrix: ``mapInArrow`` (streaming batches, udf_arrow_token_count)
+    and now the grouped form, mirroring how applyInPandas pairs with
+    mapInPandas.
+
+    Determinism contract: the trim ranks on (value, event_id) — a
+    TOTAL order — and drops exactly floor(n * 0.1) rows per tail, so
+    the surviving multiset is identical in both engines; the mean
+    itself is a float sum (pyarrow sums in array order, DuckDB in scan
+    order), so the output is rounded to 6dp like every float-sum
+    boundary here.
+
+    Scale: one shuffle on the group key; per-group memory is the
+    group's Arrow buffer (the applyInPandas contract) — groups are the
+    parallelism unit, fine for type-cardinality keys, and the trim is
+    O(n log n) in C++ per group."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", "event_id", "value"
+    )
+
+    def trimmed(table: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            table,
+            sort_keys=[("value", "ascending"), ("event_id", "ascending")],
+        )
+        n = table.num_rows
+        k = int(n * TRIM_FRAC)
+        kept = table.take(idx.slice(k, n - 2 * k))
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n_events": pa.array([n], pa.int64()),
+                "n_trimmed": pa.array([2 * k], pa.int64()),
+                "trimmed_mean": pa.array(
+                    [
+                        round(
+                            pc.mean(kept.column("value")).as_py() or 0.0, 6
+                        )
+                    ],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        ev.groupBy("event_type")
+        .applyInArrow(
+            trimmed,
+            schema=(
+                "event_type string, n_events long, n_trimmed long, "
+                "trimmed_mean double"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "udf_arrow_group_stats": udf_arrow_group_stats,
     "udf_zscore_by_segment": udf_zscore_by_segment,
     "udf_arrow_token_count": udf_arrow_token_count,
     "udf_pandas_log1p": udf_pandas_log1p,
@@ -334,3 +404,21 @@ ORACLE_SQL = {
         ORDER BY ts, channel, peak_idx
     """,
 }
+
+ORACLE_SQL["udf_arrow_group_stats"] = """
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+    SELECT event_type,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_events,
+           CAST(2 * FLOOR(ANY_VALUE(n) * 0.1) AS BIGINT) AS n_trimmed,
+           ROUND(AVG(CASE WHEN rn > FLOOR(n * 0.1)
+                           AND rn <= n - FLOOR(n * 0.1)
+                          THEN value END), 6) AS trimmed_mean
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+"""

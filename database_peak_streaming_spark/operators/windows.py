@@ -277,7 +277,60 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification — ABC's companion axis
+    (``abc_pareto_classification`` ranks parts by VALUE; XYZ ranks them
+    by demand PREDICTABILITY): per part, the coefficient of variation
+    of monthly shipped quantity over the corpus's full month horizon,
+    classed X (cv <= 0.5, steady), Y (cv <= 1.0, fluctuating), Z
+    (erratic).
+
+    Zero-demand months count (a part shipping one huge month and
+    nothing else is Z, not X), but NO dense part x month grid is ever
+    built: population mean and variance over the N-month horizon come
+    from sparse per-(part, month) cells via sum(m) and sum(m^2) with
+    the global month count N as a broadcast scalar — absent months
+    contribute zero to both sums by construction.  All sums are EXACT
+    decimals (quantity cast to decimal(18,2); squares stay decimal),
+    so the doubles feeding cv are single casts of exact values and the
+    X/Y/Z boundary compares identically in both engines on the ROUNDED
+    cv.  One fact-table shuffle; everything after is part-vocabulary
+    sized."""
+    li = load_table(spark, "lineitem", sf_dir)
+    monthly = li.groupBy(
+        "l_partkey", F.trunc("l_shipdate", "month").alias("month")
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("m")
+    )
+    n_months = monthly.select("month").distinct().agg(
+        F.count(F.lit(1)).alias("n_periods")
+    )
+    per_part = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months_active"),
+        F.sum("m").alias("sum_m"),
+        F.sum(F.col("m") * F.col("m")).alias("sum_m2"),
+    )
+    mean = F.col("sum_m").cast("double") / F.col("n_periods")
+    var = F.col("sum_m2").cast("double") / F.col("n_periods") - mean * mean
+    cv = F.round(F.sqrt(var) / mean, 6)
+    return (
+        per_part.crossJoin(F.broadcast(n_months))
+        .select(
+            "l_partkey",
+            "n_months_active",
+            F.round(F.col("sum_m").cast("double"), 6).alias("total_qty"),
+            cv.alias("cv"),
+            F.when(cv <= 0.5, "X")
+            .when(cv <= 1.0, "Y")
+            .otherwise("Z")
+            .alias("xyz_class"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
 QUERIES = {
+    "orders_xyz_classification": orders_xyz_classification,
     "win_ranking": win_ranking,
     "win_distribution": win_distribution,
     "agg_min_max_by": agg_min_max_by,
@@ -409,3 +462,33 @@ ORACLE_SQL = {
         ORDER BY user_id, event_id
     """,
 }
+
+ORACLE_SQL["orders_xyz_classification"] = """
+    WITH monthly AS (
+        SELECT l_partkey, DATE_TRUNC('month', l_shipdate) AS month,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS m
+        FROM lineitem GROUP BY l_partkey, DATE_TRUNC('month', l_shipdate)),
+    n_months AS (
+        SELECT COUNT(DISTINCT month) AS n_periods FROM monthly),
+    per_part AS (
+        SELECT l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n_months_active,
+               SUM(m) AS sum_m,
+               SUM(m * m) AS sum_m2
+        FROM monthly GROUP BY l_partkey),
+    stats AS (
+        SELECT l_partkey, n_months_active,
+               CAST(sum_m AS DOUBLE) AS sum_md,
+               ROUND(SQRT(CAST(sum_m2 AS DOUBLE) / n_periods
+                          - (CAST(sum_m AS DOUBLE) / n_periods)
+                            * (CAST(sum_m AS DOUBLE) / n_periods))
+                     / (CAST(sum_m AS DOUBLE) / n_periods), 6) AS cv
+        FROM per_part CROSS JOIN n_months)
+    SELECT l_partkey, n_months_active,
+           ROUND(sum_md, 6) AS total_qty,
+           cv,
+           CASE WHEN cv <= 0.5 THEN 'X'
+                WHEN cv <= 1.0 THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM stats ORDER BY l_partkey
+"""

@@ -155,6 +155,14 @@ _PRIORITY = [
 ROTATION_POOL_NEXT_ROUND: list[str] = [
     # round-8 additions:
     "join_interval_grid_mixed",
+    "stats_cramers_v",
+    "events_powerlaw_alpha",
+    "ts_holt_linear",
+    "orders_xyz_classification",
+    "sample_kfold_assign",
+    "embed_matryoshka_recall",
+    "rag_rrf_fusion",
+    "udf_arrow_group_stats",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -423,6 +423,10 @@ def test_forced_broadcasts_are_bounded_cardinality():
         # CHOSEN so the candidate set broadcasts; if it couldn't, the
         # fallback is the same semi-join shuffled, not a bigger k)
         "ci", "candidates",
+        # round 8: "n_months" is a 1-row global month-horizon count
+        # (XYZ classification); "qrow" is the single pinned query
+        # vector of the RRF dense arm
+        "n_months", "qrow",
         # round 7: "anchors" is one row per label (|labels| = 10 in the
         # fixture; bounded by the label vocabulary at any corpus size —
         # the per-batch anchor set of a contrastive miner)
