@@ -260,6 +260,107 @@ def stateful_ema(stream: DataFrame, watermark_delay: str = "10 minutes") -> Data
     )
 
 
+# -- incremental Holt linear-trend smoother ------------------------------
+
+#: (level, trend) once seeded; ``prev`` holds y_1 while n == 1.  Holt
+#: needs TWO observations to seed (b_1 = y_2 - y_1), so the state
+#: machine is: n=0 nothing seen -> n=1 prev=y_1 -> n>=2 recurrence.
+HOLT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("prev", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def stateful_holt(
+    stream: DataFrame, watermark_delay: str = "10 minutes"
+) -> DataFrame:
+    """Per-channel incremental Holt linear-trend smoothing via
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    ``ts_holt_linear`` fold (operators/time_windows.py): same
+    recurrence, same (y_2, y_2 - y_1) seeding, but O(1) state per key
+    — TWO doubles of smoothing state instead of the key's history,
+    which is the production shape when keys are unbounded and the
+    batch fold is the audit/backfill path.  Each event emits the
+    post-update (level, trend) pair, so a monitoring sink can read the
+    instantaneous trend (the drift direction EMA cannot expose).
+    State times out after the watermark passes an idle hour, like the
+    EMA above."""
+    from database_peak_streaming_spark.operators.time_windows import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        HOLT_ONE_MINUS_ALPHA,
+        HOLT_ONE_MINUS_BETA,
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        level, trend, prev, n = (
+            state.get if state.exists else (0.0, 0.0, 0.0, 0)
+        )
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values("ts")
+        out_level, out_trend = [], []
+        for v in pdf["value"]:
+            y = float(v)
+            if n == 0:
+                level, trend = y, 0.0
+                prev, n = y, 1
+            elif n == 1:
+                level, trend = y, y - prev
+                n = 2
+            else:
+                l_new = HOLT_ALPHA * y + HOLT_ONE_MINUS_ALPHA * (
+                    level + trend
+                )
+                trend = (
+                    HOLT_BETA * (l_new - level) + HOLT_ONE_MINUS_BETA * trend
+                )
+                level = l_new
+            out_level.append(level)
+            out_trend.append(trend)
+        if out_level:
+            state.update((float(level), float(trend), float(prev), int(n)))
+        state.setTimeoutTimestamp(_idle_timeout_ts(state, pdf["ts"].max()))
+        yield pd.DataFrame(
+            {
+                "channel": pdf["channel"].astype("int64"),
+                "ts": pdf["ts"],
+                "value": pdf["value"].astype("float64"),
+                "level": out_level,
+                "trend": out_trend,
+            }
+        )
+
+    from database_peak_streaming_spark.streaming.ops import as_event_time
+
+    return (
+        as_event_time(stream, "ts")
+        .withWatermark("ts", watermark_delay)
+        .groupBy("channel")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "channel bigint, ts timestamp, value double, "
+                "level double, trend double"
+            ),
+            stateStructType=HOLT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 # -- incremental CUSUM drift monitor -------------------------------------
 
 CUSUM_STATE_SCHEMA = T.StructType([T.StructField("s_micros", T.LongType())])

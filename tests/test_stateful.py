@@ -558,3 +558,76 @@ def test_stateful_heavy_hitters_matches_single_pass_and_bounds(spark, tmpdir_):
             n_true = exact[(t, u)]
             assert est <= n_true, (t, u, est, n_true)
             assert est >= n_true - bound - 1e-9, (t, u, est, n_true, bound)
+
+
+def test_stateful_holt_matches_batch(spark, tmpdir_):
+    """The incremental Holt smoother must equal the batch recurrence
+    over the full per-key series across micro-batch boundaries: the
+    (level, trend, prev, n) state machine seeds with (y2, y2 - y1)
+    exactly like the ``ts_holt_linear`` batch fold, so a 5-chunk
+    replay and a single pandas pass agree to float exactness."""
+    from database_peak_streaming_spark.operators.time_windows import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        HOLT_ONE_MINUS_ALPHA,
+        HOLT_ONE_MINUS_BETA,
+    )
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+    from database_peak_streaming_spark.streaming.stateful import stateful_holt
+
+    ev = (
+        load_table(spark, "events", SF_DIR)
+        .select(
+            (F.col("user_id") % 4).cast("long").alias("channel"),
+            "ts",
+            F.col("value").cast("double").alias("value"),
+        )
+        .filter(F.col("user_id") < 40)
+    )
+    stream, replay_dir = replay_dataframe(spark, ev, n_chunks=5, order_col="ts")
+
+    rows = []
+
+    def sink(batch_df, _):
+        rows.extend(batch_df.collect())
+
+    try:
+        q = (
+            stateful_holt(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", f"{tmpdir_}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(420)
+        assert not q.isActive
+    finally:
+        cleanup_replay(replay_dir)
+
+    pdf = ev.orderBy("ts").toPandas()
+    oracle = {}
+    for ch, grp in pdf.groupby("channel"):
+        level = trend = prev = None
+        n = 0
+        for ts, v in zip(grp["ts"], grp["value"]):
+            y = float(v)
+            if n == 0:
+                level, trend, prev, n = y, 0.0, y, 1
+            elif n == 1:
+                level, trend, n = y, y - prev, 2
+            else:
+                l_new = HOLT_ALPHA * y + HOLT_ONE_MINUS_ALPHA * (level + trend)
+                trend = HOLT_BETA * (l_new - level) + HOLT_ONE_MINUS_BETA * trend
+                level = l_new
+            oracle[(ch, ts)] = (level, trend)
+
+    assert len(rows) == len(pdf), f"streamed {len(rows)} rows, batch {len(pdf)}"
+    for r in rows:
+        wl, wt = oracle[(r.channel, pd.Timestamp(r.ts))]
+        assert abs(r.level - wl) < 1e-9, (r.channel, r.ts, r.level, wl)
+        assert abs(r.trend - wt) < 1e-9, (r.channel, r.ts, r.trend, wt)
