@@ -973,8 +973,77 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def intervals_merge_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval COALESCING: merge each customer's
+    overlapping 14-day order-activity intervals into maximal covered
+    spans — the consolidation dual of the pair-finding
+    ``join_interval_binned`` family (overlap asks "which pairs
+    conflict"; this asks "what is the union of covered time").  The
+    classic SQL islands construction: an interval OPENS a new island
+    iff its start is >= the running max end of every earlier interval
+    (end-exclusive, so back-to-back [a,b) [b,c) do NOT merge); island
+    id = running count of opens; spans are per-island min start / max
+    end.
+
+    All arithmetic is exact integer day numbers, so the oracle is
+    value-identical with no float boundary anywhere.  Scale: one
+    shuffle on the customer key feeds BOTH windows (same partition +
+    order), then a customer x island groupBy — per-key work is a
+    single ordered pass, the merge-scan shape that survives any
+    volume."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("sd"),
+    )
+    iv = o.withColumn("ed", F.col("sd") + 14)
+    w = Window.partitionBy("o_custkey").orderBy("sd", "o_orderkey")
+    prev_max_end = F.max("ed").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "opens",
+        F.when(
+            prev_max_end.isNull() | (F.col("sd") >= prev_max_end), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("opens").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = flagged.groupBy("o_custkey", "island").agg(
+        F.min("sd").alias("span_start"),
+        F.max("ed").alias("span_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    return (
+        spans.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start"))
+            .cast("long")
+            .alias("covered_days"),
+            F.max("n_intervals").cast("long").alias("max_span_intervals"),
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "n_spans",
+            "covered_days",
+            "max_span_intervals",
+        )
+        .orderBy("custkey")
+    )
+
+
 QUERIES = {
     "ts_holt_linear": ts_holt_linear,
+    "intervals_merge_spans": intervals_merge_spans,
     "ts_theil_sen_trend": ts_theil_sen_trend,
     "ts_acf_hourly": ts_acf_hourly,
     "win_rolling_median": win_rolling_median,
@@ -1464,4 +1533,42 @@ ORACLE_SQL["ts_holt_linear"] = f"""
            ROUND(lb[2], 6) AS trend,
            ROUND(lb[1] + 7.0 * lb[2], 6) AS forecast_7d
     FROM folded ORDER BY event_type
+"""
+
+ORACLE_SQL["intervals_merge_spans"] = """
+    WITH iv AS (
+        SELECT o_custkey, o_orderkey,
+               DATE_DIFF('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS sd,
+               DATE_DIFF('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) + 14 AS ed
+        FROM orders),
+    flagged AS (
+        SELECT o_custkey, o_orderkey, sd, ed,
+               CASE WHEN MAX(ed) OVER (
+                        PARTITION BY o_custkey ORDER BY sd, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                      OR sd >= MAX(ed) OVER (
+                        PARTITION BY o_custkey ORDER BY sd, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS opens
+        FROM iv),
+    islands AS (
+        SELECT o_custkey, sd, ed,
+               SUM(opens) OVER (
+                   PARTITION BY o_custkey ORDER BY sd, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM flagged),
+    spans AS (
+        SELECT o_custkey, island,
+               MIN(sd) AS span_start, MAX(ed) AS span_end,
+               COUNT(*) AS n_intervals
+        FROM islands GROUP BY o_custkey, island)
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_end - span_start) AS BIGINT) AS covered_days,
+           CAST(MAX(n_intervals) AS BIGINT) AS max_span_intervals
+    FROM spans GROUP BY o_custkey ORDER BY custkey
 """

@@ -120,9 +120,14 @@ PICKS = {
         "undirected edge set — no cartesian at any skew"
     ),
     "join_interval_binned": (
-        "interval-overlap theta join rewritten as a (customer, month-"
-        "cell) equi-join; the exact overlap predicate filters candidates "
-        "post-join"
+        "round 8: the dispatcher routes this bounded-width workload to "
+        "the band kernel — one exchange feeds the RANGE window and the "
+        "pair explode, no join operator; candidates ~= output"
+    ),
+    "join_interval_grid_mixed": (
+        "heavy-tailed interval lengths: stats probe picks p95-sized day "
+        "cells; grid equi-join with cell-ownership exactly-once, "
+        "ShuffledHashJoin + ReusedExchange (one shuffle of binned rows)"
     ),
     "partition_prune_dynamic": (
         "dynamicpruningexpression on the fact scan: the filtered dim "

@@ -163,6 +163,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "embed_matryoshka_recall",
     "rag_rrf_fusion",
     "udf_arrow_group_stats",
+    "intervals_merge_spans",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
