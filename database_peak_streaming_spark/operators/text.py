@@ -956,7 +956,52 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first merge round of BPE TRAINING (Sennrich et al. 2016),
+    distributed: count adjacent character-pair frequencies across the
+    corpus, weighted by word frequency — the pass a tokenizer-training
+    pipeline runs once per merge, and the one that dominates its cost
+    at corpus scale.  Returns the top-20 candidate merges.
+
+    Scale design (the standard distributed-BPE trick): pairs are NOT
+    counted over raw text — the corpus first collapses to the word
+    VOCABULARY with counts (one data-sized groupBy; vocabulary is
+    orders of magnitude smaller than the corpus), and the pair explode
+    runs over vocabulary rows weighted by their counts.  Per merge
+    round only the vocabulary is touched again, never the corpus.
+    Pair formation is a scan-side zip_with over char slices (the
+    text_bigram machinery one level down, chars instead of tokens);
+    single-char words contribute nothing via the size guard."""
+    d = load_table(spark, "documents", sf_dir)
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+    )
+    chars = F.split(F.col("w"), "")
+    pairs = F.when(
+        F.size(chars) >= 2,
+        F.zip_with(
+            F.slice(chars, 1, F.size(chars) - 1),
+            F.slice(chars, 2, F.size(chars) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        words.select("n_word", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(
+            F.sum("n_word").cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+        )
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(20)
+    )
+
+
 QUERIES = {
+    "text_bpe_pair_counts": text_bpe_pair_counts,
     "text_char_entropy": text_char_entropy,
     "text_feature_hashing": text_feature_hashing,
     "text_zipf_slope": text_zipf_slope,
@@ -1437,3 +1482,24 @@ ORACLE_SQL["text_lang_vocab_overlap"] = """
     ORDER BY i.lang_a, i.lang_b
 """
 
+
+ORACLE_SQL["text_bpe_pair_counts"] = """
+    WITH words AS (
+        SELECT w, COUNT(*) AS n_word
+        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+        WHERE LENGTH(w) > 0
+        GROUP BY w),
+    pairs AS (
+        SELECT n_word,
+               chars[i] || ' ' || chars[i + 1] AS pair
+        FROM (SELECT n_word, STRING_SPLIT(w, '') AS chars FROM words
+              WHERE LENGTH(w) >= 2),
+             UNNEST(RANGE(1, LEN(chars))) AS t(i))
+    SELECT pair,
+           CAST(SUM(n_word) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_words
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 20
+"""

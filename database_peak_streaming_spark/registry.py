@@ -164,6 +164,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "rag_rrf_fusion",
     "udf_arrow_group_stats",
     "intervals_merge_spans",
+    "text_bpe_pair_counts",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
