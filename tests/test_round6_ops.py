@@ -283,3 +283,78 @@ def test_sql_script_median_equals_builtin(spark):
     ).collect()[0].value
     assert got.n_rows == n
     assert abs(got.median_disc - want) < 1e-12
+
+
+def test_interval_grid_mixed_is_lossless_vs_naive(spark):
+    """The quantile-cell grid on HEAVY-TAILED lengths must find exactly
+    the pairs the naive all-pairs check finds — the superset-exactness
+    argument (two overlapping intervals both touch the cell of
+    max(start), for ANY cell width) and the cell-ownership exactly-once
+    rule, verified against brute force on the mixed-width workload."""
+    from database_peak_streaming_spark.operators.joins import (
+        join_interval_grid_mixed,
+    )
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    got = {
+        (r.custkey, r.okey_a, r.okey_b): r.overlap_days
+        for r in join_interval_grid_mixed(spark, SF_DIR).collect()
+    }
+    o = (
+        load_table(spark, "orders", SF_DIR)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .toPandas()
+    )
+
+    def length(okey: int) -> int:
+        return 3 + (okey % 11) + (180 if okey % 50 == 0 else 0)
+
+    want = {}
+    for ck, grp in o.groupby("o_custkey"):
+        rows = list(grp.itertuples())
+        for a, b in itertools.combinations(rows, 2):
+            a, b = (a, b) if a.o_orderkey < b.o_orderkey else (b, a)
+            sa, ea = a.d.toordinal(), a.d.toordinal() + length(a.o_orderkey)
+            sb, eb = b.d.toordinal(), b.d.toordinal() + length(b.o_orderkey)
+            if sa < eb and sb < ea:
+                want[(ck, a.o_orderkey, b.o_orderkey)] = min(ea, eb) - max(
+                    sa, sb
+                )
+    assert got == want
+
+
+def test_interval_dispatcher_band_and_grid_agree(spark):
+    """The dispatcher's two kernels are interchangeable on any
+    workload: forcing the band (length_bound given) and forcing the
+    grid (direct kernel call) over the same bounded-width intervals
+    must produce identical pair sets — the plan choice is performance,
+    never semantics."""
+    from database_peak_streaming_spark.operators.joins import (
+        _interval_pairs_grid,
+        interval_overlap_pairs,
+    )
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    o = load_table(spark, "orders", SF_DIR).select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").cast("date").alias("start_d"),
+    )
+    iv = o.withColumn("end_d", F.date_add("start_d", 14))
+    band = {
+        (r.custkey, r.okey_a, r.okey_b): r.overlap_days
+        for r in interval_overlap_pairs(iv, length_bound=14).collect()
+    }
+    ivg = iv.withColumn(
+        "sd", F.datediff("start_d", F.lit("1970-01-01").cast("date"))
+    ).withColumn("ed", F.col("sd") + 14)
+    for cell_days in (5, 14, 45):
+        grid = {
+            (r.custkey, r.okey_a, r.okey_b): r.overlap_days
+            for r in _interval_pairs_grid(ivg, cell_days).collect()
+        }
+        assert grid == band, f"cell_days={cell_days}"
