@@ -517,6 +517,67 @@ def sql_pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized identifiers (``IDENTIFIER(:param)``, Spark 3.4+ /
+    SQL:2023 flavor): table AND column names bound from parameters —
+    the injection-safe templating surface a multi-tenant query service
+    needs (string-concatenating identifiers is the classic SQL
+    injection; IDENTIFIER restricts the parameter to a resolvable
+    name, never arbitrary SQL).  The query itself is a plain rollup;
+    the oracle is the same SQL with names spelled literally, pinning
+    that parameter binding resolves to exactly the written-out plan."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_idc")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS status,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(IDENTIFIER(:val) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS total_price
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp)
+        ORDER BY status
+        """,
+        args={
+            "tbl": "orders_idc",
+            "grp": "o_orderstatus",
+            "val": "o_totalprice",
+        },
+    )
+
+
+def sql_distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout SQL surface: ``DISTRIBUTE BY`` (hash-partition
+    by a key, no global order) + ``SORT BY`` (sort WITHIN each
+    partition) — the Hive-inherited pair behind every write-clustered
+    table (the SQL spelling of
+    ``repartition().sortWithinPartitions()``, the shape the
+    bucketed-join and compaction operators build on).  The layout is
+    physical, not semantic — and Catalyst PROVES it on this plan: the
+    aggregate above REUSES the DISTRIBUTE BY exchange (same key, so no
+    second shuffle appears for the GROUP BY), and EliminateSorts drops
+    the in-partition sort as dead below a hash aggregate.  Both facts
+    are pinned by tests/test_plans.py; the visible result equals the
+    plain oracle."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView(
+        "orders_dist"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS total_price
+        FROM (
+            SELECT o_orderstatus, o_totalprice
+            FROM orders_dist
+            DISTRIBUTE BY o_orderstatus SORT BY o_orderstatus, o_orderkey
+        )
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
 def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-dialect breadth: ``GROUP BY ALL`` + ``ORDER BY ALL`` (the
     DuckDB-originated shorthand, in Spark since 3.4) — every
@@ -1026,6 +1087,8 @@ QUERIES = {
     "map_funcs": map_funcs,
     "sql_api_q1": sql_api_q1,
     "sql_pipe_syntax_pricing": sql_pipe_syntax_pricing,
+    "sql_identifier_clause": sql_identifier_clause,
+    "sql_distribute_cluster_by": sql_distribute_cluster_by,
     "sql_group_by_all": sql_group_by_all,
     "sql_unpivot_metrics": sql_unpivot_metrics,
     "sql_lateral_topk_per_nation": sql_lateral_topk_per_nation,
@@ -1362,3 +1425,23 @@ ORACLE_SQL = {
         ORDER BY l_returnflag, l_linestatus
     """,
 }
+
+ORACLE_SQL["sql_identifier_clause"] = """
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+"""
+
+ORACLE_SQL["sql_distribute_cluster_by"] = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""

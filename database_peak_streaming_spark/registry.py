@@ -165,6 +165,8 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "udf_arrow_group_stats",
     "intervals_merge_spans",
     "text_bpe_pair_counts",
+    "sql_identifier_clause",
+    "sql_distribute_cluster_by",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

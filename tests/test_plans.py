@@ -552,3 +552,20 @@ def test_pca_power_iteration_broadcasts_direction(spark):
     corpus (matrix-free), never shuffle the embeddings to it."""
     df = QUERIES["embeddings_pca_power_iteration"](spark, SF_DIR)
     assert E.has_broadcast_join(df), E.formatted_plan(df)
+
+
+def test_distribute_by_exchange_reused_and_dead_sort_eliminated(spark):
+    """sql_distribute_cluster_by's premise is physical, and Catalyst
+    proves it: the GROUP BY on the same key must REUSE the DISTRIBUTE
+    BY hashpartitioning exchange (exactly one hash exchange in the
+    whole plan — a second would mean the pre-partitioning was
+    ignored), and EliminateSorts must drop the SORT BY as dead below
+    the hash aggregate (the only Sort left is the final global ORDER
+    BY)."""
+    import re
+
+    df = QUERIES["sql_distribute_cluster_by"](spark, SF_DIR)
+    plan = E.formatted_plan(df)
+    assert plan.count("hashpartitioning(o_orderstatus") == 1, plan
+    sorts = re.findall(r"Arguments: \[o_order[^\]]*\], (\w+), \d", plan)
+    assert sorts == ["true"], (sorts, plan)
