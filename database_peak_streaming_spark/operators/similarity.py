@@ -947,10 +947,112 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bitext mining: bounded English query block, top-k for the margin
+#: normalizer (Artetxe/Schwenk ACL'19 use k=4), and the block bound.
+BITEXT_SRC_MAX = 64
+BITEXT_TOPK = 4
+
+
+def embeddings_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe/Schwenk ACL'19; the
+    CCMatrix/LASER recipe): for each English document's embedding,
+    the best non-English candidate by MARGIN — cosine normalized by
+    the average of both sides' top-4 cosines — rather than raw cosine,
+    which global hubness makes unrankable across queries.  This is the
+    alignment pass that builds parallel corpora for translation
+    training data.
+
+    Both normalizers come from ONE pair table (the bounded en query
+    block broadcast against the non-en corpus scan): k_s is each
+    source's top-4 mean over targets, k_t each target's top-4 mean
+    over the source block.  Top-4 means are ORDERED folds over
+    (cosine DESC, id DESC) slices — identical addition order in both
+    engines (the ema-fold discipline), so margins are bit-identical
+    before rounding.  Scale: the dense block is the exact
+    hard-negatives shape — broadcast queries, corpus never shuffles
+    until the two narrow (id, k) aggregations; production swaps the
+    IVF probe in for the full cross block."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    e = load_table(spark, "embeddings", sf_dir)
+    base = e.join(d, e["vec_id"] == d["doc_id"]).select(
+        "vec_id", "lang", "embedding", _norm(F.col("embedding")).alias("norm")
+    )
+    src = base.filter(
+        (F.col("lang") == "en") & (F.col("vec_id") < BITEXT_SRC_MAX)
+    ).select(
+        F.col("vec_id").alias("s_id"),
+        F.col("embedding").alias("s_emb"),
+        F.col("norm").alias("s_norm"),
+    )
+    tgt = base.filter(F.col("lang") != "en").select(
+        F.col("vec_id").alias("t_id"),
+        F.col("lang").alias("t_lang"),
+        "embedding",
+        "norm",
+    )
+    cos = _dot(F.col("s_emb"), F.col("embedding")) / (
+        F.col("s_norm") * F.col("norm")
+    )
+    pairs = tgt.crossJoin(F.broadcast(src)).select(
+        "s_id", "t_id", "t_lang", F.round(cos, 6).alias("cosine")
+    )
+
+    def top4_mean(id_col: str) -> DataFrame:
+        lst = F.reverse(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("cosine"),
+                        F.col("t_id" if id_col == "s_id" else "s_id").alias(
+                            "oid"
+                        ),
+                    )
+                )
+            )
+        )
+        mean4 = (
+            F.aggregate(
+                F.slice(lst, 1, BITEXT_TOPK),
+                F.lit(0.0),
+                lambda acc, x: acc + x["cosine"],
+            )
+            / float(BITEXT_TOPK)
+        )
+        return pairs.groupBy(id_col).agg(mean4.alias(f"k_{id_col[0]}"))
+
+    per_s = top4_mean("s_id")
+    per_t = top4_mean("t_id")
+    scored = (
+        pairs.join(F.broadcast(per_s), "s_id")
+        .join(per_t, "t_id")
+        .select(
+            "s_id",
+            "t_id",
+            "t_lang",
+            "cosine",
+            F.round(
+                F.col("cosine")
+                / ((F.col("k_s") + F.col("k_t")) / F.lit(2.0)),
+                6,
+            ).alias("margin"),
+        )
+    )
+    w = Window.partitionBy("s_id").orderBy(F.desc("margin"), F.col("t_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("s_id", "t_id", "t_lang", "cosine", "margin")
+        .orderBy("s_id")
+    )
+
+
 QUERIES = {
     "embeddings_pca_power_iteration": embeddings_pca_power_iteration,
     "embed_matryoshka_recall": embed_matryoshka_recall,
     "rag_rrf_fusion": rag_rrf_fusion,
+    "embeddings_bitext_margin": embeddings_bitext_margin,
     "sim_maxsim_late_interaction": sim_maxsim_late_interaction,
     "feature_minmax_scale": feature_minmax_scale,
     "embedding_label_dispersion": embedding_label_dispersion,
@@ -1316,3 +1418,46 @@ def _rrf_sql() -> str:
 
 
 ORACLE_SQL["rag_rrf_fusion"] = _rrf_sql()
+
+ORACLE_SQL["embeddings_bitext_margin"] = f"""
+    WITH base AS (
+        SELECT e.vec_id, d.lang, e.embedding
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+    src AS (
+        SELECT vec_id AS s_id, embedding AS s_emb
+        FROM base WHERE lang = 'en' AND vec_id < {BITEXT_SRC_MAX}),
+    tgt AS (
+        SELECT vec_id AS t_id, lang AS t_lang, embedding
+        FROM base WHERE lang <> 'en'),
+    pairs AS (
+        SELECT s_id, t_id, t_lang,
+               ROUND({_cos_sql('s_emb', 'embedding')}, 6) AS cosine
+        FROM tgt CROSS JOIN src),
+    per_s AS (
+        SELECT s_id,
+               LIST_REDUCE(
+                   (LIST(cosine ORDER BY cosine DESC, t_id DESC))
+                       [1:{BITEXT_TOPK}],
+                   (acc, x) -> acc + x) / {float(BITEXT_TOPK)} AS k_s
+        FROM pairs GROUP BY s_id),
+    per_t AS (
+        SELECT t_id,
+               LIST_REDUCE(
+                   (LIST(cosine ORDER BY cosine DESC, s_id DESC))
+                       [1:{BITEXT_TOPK}],
+                   (acc, x) -> acc + x) / {float(BITEXT_TOPK)} AS k_t
+        FROM pairs GROUP BY t_id),
+    scored AS (
+        SELECT p.s_id, p.t_id, p.t_lang, p.cosine,
+               ROUND(p.cosine / ((ps.k_s + pt.k_t) / 2.0), 6) AS margin
+        FROM pairs p
+        JOIN per_s ps USING (s_id)
+        JOIN per_t pt USING (t_id)),
+    best AS (
+        SELECT s_id, t_id, t_lang, cosine, margin,
+               ROW_NUMBER() OVER (PARTITION BY s_id
+                                  ORDER BY margin DESC, t_id) AS rn
+        FROM scored)
+    SELECT s_id, t_id, t_lang, cosine, margin
+    FROM best WHERE rn = 1 ORDER BY s_id
+"""

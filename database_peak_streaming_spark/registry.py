@@ -167,6 +167,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "text_bpe_pair_counts",
     "sql_identifier_clause",
     "sql_distribute_cluster_by",
+    "embeddings_bitext_margin",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -425,8 +425,10 @@ def test_forced_broadcasts_are_bounded_cardinality():
         "ci", "candidates",
         # round 8: "n_months" is a 1-row global month-horizon count
         # (XYZ classification); "qrow" is the single pinned query
-        # vector of the RRF dense arm
-        "n_months", "qrow",
+        # vector of the RRF dense arm; "src" is the bounded bitext
+        # query block (vec_id < BITEXT_SRC_MAX by construction) and
+        # "per_s" its per-source normalizer (one row per block member)
+        "n_months", "qrow", "src", "per_s",
         # round 7: "anchors" is one row per label (|labels| = 10 in the
         # fixture; bounded by the label vocabulary at any corpus size —
         # the per-batch anchor set of a contrastive miner)
