@@ -206,6 +206,117 @@ def stateful_ema_tws(stream: DataFrame) -> DataFrame:
     )
 
 
+#: inactivity gap that closes a TWS session (matches window_session_30m)
+TWS_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+class SessionFlusher(StatefulProcessor):
+    """Timer-driven sessionizer on ``transformWithState`` — exercises
+    the TWS features the EMA processor doesn't: EVENT-TIME TIMERS
+    (``timeMode="eventTime"``) and timer lifecycle (register on every
+    update, delete the stale one, flush in ``handleExpiredTimer``).
+
+    Per key the ValueState holds the OPEN session (start/last micros,
+    count, value total).  A session closes two ways, both emitting one
+    row: an in-batch successor arriving past the 30-min gap, or the
+    event-time timer at ``last_ts + gap`` expiring under the watermark
+    — the inactivity flush ``applyInPandasWithState`` could only
+    approximate with coarse per-batch timeouts.  Kill-and-resume
+    safety comes from the state store: the open session and its timer
+    are checkpointed together.
+
+    Scale: O(1) state per key plus one pending timer — the production
+    sessionizer shape for unbounded keys (the batch
+    ``sessionize_gap_ids`` is the audit/backfill twin)."""
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState(
+            "sess",
+            "start_us long, last_us long, n long, total double, "
+            "timer_ms long",
+        )
+
+    @staticmethod
+    def _row(key, start_us, last_us, n, total) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "channel": pd.array([int(key[0])], dtype="int64"),
+                "start_ts": pd.to_datetime([start_us], unit="us"),
+                "end_ts": pd.to_datetime([last_us], unit="us"),
+                "n_events": pd.array([int(n)], dtype="int64"),
+                "total_value": pd.array([float(total)], dtype="float64"),
+            }
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        if self._sess.exists():
+            start_us, last_us, n, total, timer_ms = self._sess.get()
+        else:
+            start_us = last_us = n = 0
+            total = 0.0
+            timer_ms = -1
+        pdfs = list(rows)
+        pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
+        pdf = pdf.sort_values("ts")
+        for ts, v in zip(pdf["ts"], pdf["value"]):
+            us = int(ts.value // 1_000)
+            if n > 0 and us - last_us > TWS_SESSION_GAP_US:
+                yield self._row(key, start_us, last_us, n, total)
+                start_us, n, total = us, 0, 0.0
+            elif n == 0:
+                start_us = us
+            last_us = us
+            n += 1
+            total += float(v)
+        if timer_ms >= 0:
+            self._handle.deleteTimer(timer_ms)
+        new_timer_ms = (last_us + TWS_SESSION_GAP_US) // 1_000
+        self._handle.registerTimer(new_timer_ms)
+        self._sess.update(
+            (int(start_us), int(last_us), int(n), float(total),
+             int(new_timer_ms))
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+        if not self._sess.exists():
+            return
+        start_us, last_us, n, total, timer_ms = self._sess.get()
+        if expiredTimerInfo.getExpiryTimeInMs() != timer_ms:
+            return  # stale timer a deleteTimer raced with
+        yield self._row(key, start_us, last_us, n, total)
+        self._sess.clear()
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_session_tws(
+    stream: DataFrame, watermark_delay: str = "10 minutes"
+) -> DataFrame:
+    """``SessionFlusher`` wired through ``transformWithStateInPandas``
+    with ``timeMode="eventTime"`` (timers expire against the
+    watermark, so the stream needs one).  Same caller-side RocksDB
+    provider note as ``stateful_ema_tws``."""
+    from database_peak_streaming_spark.streaming.ops import as_event_time
+
+    proc = SessionFlusher()
+    return (
+        as_event_time(stream, "ts")
+        .withWatermark("ts", watermark_delay)
+        .groupBy("channel")
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=(
+                "channel bigint, start_ts timestamp, end_ts timestamp, "
+                "n_events bigint, total_value double"
+            ),
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
+
+
 EMA_STATE_SCHEMA = T.StructType([T.StructField("ema", T.DoubleType())])
 
 

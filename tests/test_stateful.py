@@ -631,3 +631,87 @@ def test_stateful_holt_matches_batch(spark, tmpdir_):
         wl, wt = oracle[(r.channel, pd.Timestamp(r.ts))]
         assert abs(r.level - wl) < 1e-9, (r.channel, r.ts, r.level, wl)
         assert abs(r.trend - wt) < 1e-9, (r.channel, r.ts, r.trend, wt)
+
+
+def test_tws_session_flusher_matches_batch(spark, tmpdir_):
+    """The timer-driven TWS sessionizer's CLOSED sessions must equal the
+    batch 30-min-gap sessionization, on the prefix the watermark can
+    close: every emitted session matches a batch session exactly
+    (start, end, count, total), and every batch session that is not the
+    key's LAST one (those only close via a timer the final watermark
+    may not reach) is emitted."""
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+    from database_peak_streaming_spark.streaming.stateful import (
+        TWS_SESSION_GAP_US,
+        stateful_session_tws,
+    )
+
+    ev = (
+        load_table(spark, "events", SF_DIR)
+        .select(
+            (F.col("user_id") % 4).cast("long").alias("channel"),
+            "ts",
+            F.col("value").cast("double").alias("value"),
+        )
+        .filter(F.col("user_id") < 40)
+    )
+    stream, replay_dir = replay_dataframe(spark, ev, n_chunks=3, order_col="ts")
+    rows = []
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        q = (
+            stateful_session_tws(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, _: rows.extend(b.collect()))
+            .option("checkpointLocation", f"{tmpdir_}/ckpt_tws_sess")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(420)
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        cleanup_replay(replay_dir)
+
+    got = {
+        (r.channel, pd.Timestamp(r.start_ts), pd.Timestamp(r.end_ts)): (
+            r.n_events,
+            r.total_value,
+        )
+        for r in rows
+    }
+    assert len(got) == len(rows), "duplicate session emission"
+
+    pdf = ev.orderBy("ts").toPandas()
+    want = {}
+    last_per_key = {}
+    for ch, grp in pdf.groupby("channel"):
+        start = last = None
+        n, total = 0, 0.0
+        for ts, v in zip(grp["ts"], grp["value"]):
+            us = int(ts.value // 1_000)
+            if n > 0 and us - int(last.value // 1_000) > TWS_SESSION_GAP_US:
+                want[(ch, start, last)] = (n, total)
+                start, n, total = ts, 0, 0.0
+            elif n == 0:
+                start = ts
+            last = ts
+            n += 1
+            total += float(v)
+        want[(ch, start, last)] = (n, total)
+        last_per_key[ch] = (ch, start, last)
+
+    for k, v in got.items():
+        assert k in want, f"streamed session not in batch: {k}"
+        assert abs(v[1] - want[k][1]) < 1e-9 and v[0] == want[k][0], (k, v, want[k])
+    must_emit = {k for k in want if k not in last_per_key.values()}
+    missing = must_emit - set(got)
+    assert not missing, f"closed sessions never flushed: {sorted(missing)[:5]}"
