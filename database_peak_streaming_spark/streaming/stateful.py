@@ -317,6 +317,71 @@ def stateful_session_tws(
     )
 
 
+#: value-bucket width for the TWS MapState counter
+TWS_BUCKET_WIDTH = 100.0
+
+
+class BucketCounter(StatefulProcessor):
+    """Per-key value-histogram maintainer on ``transformWithState``
+    MAPSTATE — the state type the EMA (ValueState) and sessionizer
+    (timers) don't exercise: an unbounded-domain map of value-bucket
+    -> running count per key, updated point-wise (only the buckets a
+    batch touches are read/written, never the whole map — the property
+    that makes MapState the right store when per-key state is a
+    DICTIONARY, not a scalar).
+
+    Emits the post-update (bucket, count) rows a batch touched — a
+    changelog: downstream keeps the latest row per (key, bucket), and
+    after a full replay that latest value equals the batch histogram
+    exactly (pinned in tests/test_stateful.py)."""
+
+    def init(self, handle) -> None:
+        self._counts = handle.getMapState("counts", "bucket long", "n long")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        pdfs = list(rows)
+        pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
+        touched: dict[int, int] = {}
+        for v in pdf["value"]:
+            b = int(float(v) // TWS_BUCKET_WIDTH)
+            if b not in touched:
+                existing = (
+                    self._counts.getValue((b,))
+                    if self._counts.containsKey((b,))
+                    else None
+                )
+                touched[b] = int(existing[0]) if existing is not None else 0
+            touched[b] += 1
+        for b, n in touched.items():
+            self._counts.updateValue((b,), (n,))
+        yield pd.DataFrame(
+            {
+                "channel": pd.array(
+                    [int(key[0])] * len(touched), dtype="int64"
+                ),
+                "bucket": pd.array(sorted(touched), dtype="int64"),
+                "n": pd.array(
+                    [touched[b] for b in sorted(touched)], dtype="int64"
+                ),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_bucket_counts_tws(stream: DataFrame) -> DataFrame:
+    """``BucketCounter`` wired through ``transformWithStateInPandas``
+    (same caller-side RocksDB provider note as ``stateful_ema_tws``)."""
+    proc = BucketCounter()
+    return stream.groupBy("channel").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType="channel bigint, bucket bigint, n bigint",
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 EMA_STATE_SCHEMA = T.StructType([T.StructField("ema", T.DoubleType())])
 
 

@@ -715,3 +715,66 @@ def test_tws_session_flusher_matches_batch(spark, tmpdir_):
     must_emit = {k for k in want if k not in last_per_key.values()}
     missing = must_emit - set(got)
     assert not missing, f"closed sessions never flushed: {sorted(missing)[:5]}"
+
+
+def test_tws_mapstate_bucket_counts_match_batch(spark, tmpdir_):
+    """The MapState bucket counter's changelog — latest emitted row per
+    (channel, bucket) across a 3-chunk replay — must equal the batch
+    histogram exactly: point-wise MapState updates carried across
+    micro-batch boundaries."""
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+    from database_peak_streaming_spark.streaming.stateful import (
+        TWS_BUCKET_WIDTH,
+        stateful_bucket_counts_tws,
+    )
+
+    ev = (
+        load_table(spark, "events", SF_DIR)
+        .select(
+            (F.col("user_id") % 4).cast("long").alias("channel"),
+            "ts",
+            F.col("value").cast("double").alias("value"),
+        )
+        .filter(F.col("user_id") < 40)
+    )
+    stream, replay_dir = replay_dataframe(spark, ev, n_chunks=3, order_col="ts")
+    latest = {}
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+
+        def sink(b, _):
+            for r in b.collect():
+                latest[(r.channel, r.bucket)] = r.n
+
+        q = (
+            stateful_bucket_counts_tws(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", f"{tmpdir_}/ckpt_tws_map")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(420)
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        cleanup_replay(replay_dir)
+
+    want = {
+        (r.channel, r.bucket): r.n
+        for r in ev.groupBy(
+            "channel",
+            F.floor(F.col("value") / TWS_BUCKET_WIDTH).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert latest == want
