@@ -1312,10 +1312,72 @@ def events_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration reliability table + Brier score — the
+    evaluation pass run before trusting a quality/conversion classifier
+    in a curation gate: scores bucketed into deciles, each reporting
+    mean predicted probability vs the empirical positive rate (the two
+    columns of a reliability diagram; a calibrated model tracks the
+    diagonal), plus each bin's Brier contribution.
+
+    The score is the same pinned sigmoid the UDF-matrix queries price
+    (``functions/udfs._MODEL_A/_B`` over log1p(o_totalprice), here in
+    its closed JVM form); the label is urgent/high order priority.
+    Bins are FIXED-WIDTH score intervals [0, 0.1) .. [0.9, 1.0] — the
+    standard reliability-diagram binning AND the scale-right one: bin
+    assignment is a map-only expression on the rounded score (no
+    global rank window), so the whole query is one scan plus a
+    10-key rollup at any corpus size.  Bin membership compares
+    identical rounded doubles in both engines."""
+    from database_peak_streaming_spark.functions.udfs import (
+        _MODEL_A,
+        _MODEL_B,
+    )
+
+    o = load_table(spark, "orders", sf_dir)
+    score = F.round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(
+                -(
+                    F.lit(_MODEL_A) * F.log1p("o_totalprice")
+                    + F.lit(_MODEL_B)
+                )
+            )
+        ),
+        6,
+    )
+    label = (
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    )
+    scored = o.select(score.alias("score"), label.alias("label"))
+    bin_ = F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9))
+    return (
+        scored.withColumn("bin", bin_)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("score"), 6).alias("mean_predicted"),
+            F.round(F.avg(F.col("label").cast("double")), 6).alias(
+                "frac_positive"
+            ),
+            F.round(
+                F.avg(
+                    F.pow(F.col("score") - F.col("label"), F.lit(2.0))
+                ),
+                6,
+            ).alias("brier"),
+        )
+        .orderBy("bin")
+    )
+
+
 QUERIES = {
     "events_funnel_ordered": events_funnel_ordered,
     "stats_cramers_v": stats_cramers_v,
     "events_powerlaw_alpha": events_powerlaw_alpha,
+    "model_calibration_bins": model_calibration_bins,
     "events_top_action_trigrams": events_top_action_trigrams,
     "orders_revenue_gini": orders_revenue_gini,
     "ab_test_lift_ztest": ab_test_lift_ztest,
@@ -2022,4 +2084,25 @@ ORACLE_SQL["events_powerlaw_alpha"] = """
     FROM per_user
     GROUP BY event_type
     ORDER BY event_type
+"""
+
+ORACLE_SQL["model_calibration_bins"] = """
+    WITH scored AS (
+        SELECT ROUND(1.0 / (1.0 + EXP(-(0.35 * LN(1.0 + o_totalprice)
+                                        + -2.0))), 6) AS score,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS label
+        FROM orders),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+               score, label
+        FROM scored)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(score), 6) AS mean_predicted,
+           ROUND(AVG(CAST(label AS DOUBLE)), 6) AS frac_positive,
+           ROUND(AVG(POW(score - label, 2.0)), 6) AS brier
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
 """

@@ -168,6 +168,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "sql_identifier_clause",
     "sql_distribute_cluster_by",
     "embeddings_bitext_margin",
+    "model_calibration_bins",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
