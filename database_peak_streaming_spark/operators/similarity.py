@@ -289,6 +289,50 @@ def ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bucket_probe_topk(e, bucket)
 
 
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@3 of every bucketed ANN quantizer against the
+    exact brute-force ranking — the audit that turns "approximate"
+    into a number before a pipeline swaps the cheap probe in (the
+    recall/cost trade each ANN docstring claims, here measured in one
+    query).  One row per quantizer: hits over the 8 queries x top-3
+    and the recall they imply.
+
+    Shape: each variant is the SAME probe join as its own registered
+    query (broadcast query block, bucket equi-join), intersected with
+    the brute-force top-3 on (q_id, vec_id) — three 1-row aggregates
+    unioned, all exact integer counts."""
+    e = load_table(spark, "embeddings", sf_dir)
+    bf = (
+        cosine_topk_bruteforce(spark, sf_dir)
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "vec_id")
+    )
+    argmax_bucket = F.array_position(
+        F.col("embedding"), F.array_max(F.col("embedding"))
+    ).cast("long")
+    variants = [
+        ("ivf_argmax", argmax_bucket),
+        ("ivf_kmeans", _kmeans_bucket(F.col("embedding"))),
+        ("rp_lsh", _rp_band(F.col("embedding"), tuple(range(_N_PLANES)))),
+    ]
+    out = None
+    for name, bucket in variants:
+        ann = _bucket_probe_topk(e, bucket)
+        row = (
+            ann.join(bf, ["q_id", "vec_id"])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .select(
+                F.lit(name).alias("variant"),
+                "n_hits",
+                F.round(
+                    F.col("n_hits") / F.lit(float(N_QUERIES * 3)), 6
+                ).alias("recall_at_3"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("variant")
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector norm + normalization check — the unit-norm projection every
     cosine pipeline precomputes once."""
@@ -1461,3 +1505,30 @@ ORACLE_SQL["embeddings_bitext_margin"] = f"""
     SELECT s_id, t_id, t_lang, cosine, margin
     FROM best WHERE rn = 1 ORDER BY s_id
 """
+
+
+def _ann_recall_sql() -> str:
+    """Composes the audit from the registered ANN oracles themselves
+    (each already returns its variant's top-3 per query), so the audit
+    and the per-variant queries can never drift apart."""
+    bf3 = f"""
+        SELECT q_id, vec_id FROM ({ORACLE_SQL['cosine_topk_bruteforce']})
+        WHERE rnk <= 3"""
+    arms = []
+    for name, key in (
+        ("ivf_argmax", "ann_ivf_bucketed"),
+        ("ivf_kmeans", "ann_ivf_kmeans"),
+        ("rp_lsh", "ann_rp_lsh"),
+    ):
+        arms.append(f"""
+        SELECT '{name}' AS variant,
+               CAST(COUNT(*) AS BIGINT) AS n_hits,
+               ROUND(COUNT(*) / {float(N_QUERIES * 3)}, 6) AS recall_at_3
+        FROM ({ORACLE_SQL[key]}) a
+        JOIN ({bf3}) b USING (q_id, vec_id)""")
+    u = "\n        UNION ALL\n".join(arms)
+    return f"SELECT * FROM ({u}) ORDER BY variant"
+
+
+ORACLE_SQL["ann_recall_audit"] = _ann_recall_sql()
+QUERIES["ann_recall_audit"] = ann_recall_audit

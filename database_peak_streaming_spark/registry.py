@@ -169,6 +169,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "sql_distribute_cluster_by",
     "embeddings_bitext_margin",
     "model_calibration_bins",
+    "ann_recall_audit",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
