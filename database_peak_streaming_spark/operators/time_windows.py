@@ -1041,8 +1041,117 @@ def intervals_merge_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Holt-Winters additive coefficients and season length (weekly
+#: seasonality of daily totals).  Complements spelled as literals in
+#: both engines, like the Holt pair above.
+HW_SEASON = 7
+HW_A, HW_CA = 0.3, 0.7
+HW_G, HW_CG = 0.1, 0.9
+HW_D, HW_CD = 0.2, 0.8
+
+
+def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE Holt-Winters (triple exponential smoothing) per event
+    type over daily value totals with weekly seasonality — the full
+    classical forecasting recursion: level, trend AND a rotating
+    m=7 seasonal vector, which ``ts_holt_linear`` cannot carry.
+
+        l_t = a*(y_t - s_{t-m}) + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}
+        s_t = d*(y_t - l_t)     + (1-d)*s_{t-m}
+
+    The fold accumulator is a 9-double array [l, b, s_{t-m+1..t}] —
+    each step consumes the OLDEST seasonal (position 3), shifts the
+    window, appends the fresh one: a pure array rebuild both engines'
+    fold lambdas express identically, so the recursion is bit-exact
+    before rounding (the pair-fold discipline, vector-valued).
+    Textbook seeding: l_0 = mean(week 1), b_0 = (mean(week 2) -
+    mean(week 1))/7, s_i = y_i - l_0; the fold runs from day 8.
+    Forecasts re-attach the right seasonal: y-hat(t+h) = l + h*b +
+    s_{t+h-m}.
+
+    Scale: one shuffle to the (type, day) grain; per-type folds over
+    day-count arrays — identical contract to every sequential
+    recurrence here (the streaming O(1)-state form is the production
+    path; this is the audit/backfill and the forecast initializer)."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("y")
+    )
+    arr = F.array_sort(F.collect_list(F.struct("day", "y")))
+    vals = F.transform(F.col("arr"), lambda s: s["y"])
+    m = HW_SEASON
+
+    def _mean_slice(start: int) -> Column:
+        return (
+            F.aggregate(
+                F.slice(vals, start, m),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / float(m)
+        )
+
+    l0 = _mean_slice(1)
+    b0 = (_mean_slice(m + 1) - _mean_slice(1)) / float(m)
+    seed = F.concat(
+        F.array(l0, b0),
+        F.transform(F.slice(vals, 1, m), lambda y: y - l0),
+    )
+    a, ca = F.lit(HW_A), F.lit(HW_CA)
+    g, cg = F.lit(HW_G), F.lit(HW_CG)
+    dd, cd = F.lit(HW_D), F.lit(HW_CD)
+
+    def _step(acc: Column, y: Column) -> Column:
+        l_prev = F.element_at(acc, 1)
+        b_prev = F.element_at(acc, 2)
+        s_old = F.element_at(acc, 3)
+        l_new = a * (y - s_old) + ca * (l_prev + b_prev)
+        b_new = g * (l_new - l_prev) + cg * b_prev
+        s_new = dd * (y - l_new) + cd * s_old
+        return F.concat(
+            F.array(l_new, b_new),
+            F.slice(acc, 4, m - 1),
+            F.array(s_new),
+        )
+
+    acc = F.aggregate(
+        F.slice(vals, m + 1, F.greatest(F.size(vals) - m, F.lit(0))),
+        seed,
+        _step,
+    )
+    lvl = F.element_at(acc, 1)
+    trd = F.element_at(acc, 2)
+
+    def _fc(h: int) -> Column:
+        return F.round(
+            lvl + F.lit(float(h)) * trd + F.element_at(acc, 2 + h), 6
+        )
+
+    return (
+        daily.groupBy("event_type")
+        .agg(arr.alias("arr"))
+        .where(F.size(F.col("arr")) >= 2 * m)
+        .select(
+            "event_type",
+            F.size("arr").cast("long").alias("n_days"),
+            F.round(lvl, 6).alias("level"),
+            F.round(trd, 6).alias("trend"),
+            _fc(1).alias("forecast_1d"),
+            _fc(2).alias("forecast_2d"),
+            _fc(3).alias("forecast_3d"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "ts_holt_linear": ts_holt_linear,
+    "ts_holt_winters_additive": ts_holt_winters_additive,
     "intervals_merge_spans": intervals_merge_spans,
     "ts_theil_sen_trend": ts_theil_sen_trend,
     "ts_acf_hourly": ts_acf_hourly,
@@ -1571,4 +1680,52 @@ ORACLE_SQL["intervals_merge_spans"] = """
            CAST(SUM(span_end - span_start) AS BIGINT) AS covered_days,
            CAST(MAX(n_intervals) AS BIGINT) AS max_span_intervals
     FROM spans GROUP BY o_custkey ORDER BY custkey
+"""
+
+ORACLE_SQL["ts_holt_winters_additive"] = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+                   AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    series AS (
+        SELECT event_type, LIST(y ORDER BY day) AS vals
+        FROM daily GROUP BY event_type),
+    seeded AS (
+        SELECT event_type, vals, LEN(vals) AS n_days,
+               LIST_REDUCE(vals[1:{HW_SEASON}], (a, b) -> a + b)
+                   / {float(HW_SEASON)} AS l0,
+               (LIST_REDUCE(vals[{HW_SEASON + 1}:{2 * HW_SEASON}],
+                            (a, b) -> a + b) / {float(HW_SEASON)}
+                - LIST_REDUCE(vals[1:{HW_SEASON}], (a, b) -> a + b)
+                    / {float(HW_SEASON)}) / {float(HW_SEASON)} AS b0
+        FROM series WHERE LEN(vals) >= {2 * HW_SEASON}),
+    folded AS (
+        SELECT event_type, n_days,
+               LIST_REDUCE(
+                   [[l0, b0] || LIST_TRANSFORM(vals[1:{HW_SEASON}],
+                                               y -> y - l0)]
+                       || LIST_TRANSFORM(vals[{HW_SEASON + 1}:],
+                                         y -> [y]),
+                   (acc, x) -> [
+                       {HW_A} * (x[1] - acc[3])
+                           + {HW_CA} * (acc[1] + acc[2]),
+                       {HW_G} * (({HW_A} * (x[1] - acc[3])
+                                  + {HW_CA} * (acc[1] + acc[2]))
+                                 - acc[1])
+                           + {HW_CG} * acc[2]]
+                       || acc[4:{2 + HW_SEASON}]
+                       || [{HW_D} * (x[1]
+                                     - ({HW_A} * (x[1] - acc[3])
+                                        + {HW_CA} * (acc[1] + acc[2])))
+                           + {HW_CD} * acc[3]]) AS acc
+        FROM seeded)
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           ROUND(acc[1], 6) AS level,
+           ROUND(acc[2], 6) AS trend,
+           ROUND(acc[1] + 1.0 * acc[2] + acc[3], 6) AS forecast_1d,
+           ROUND(acc[1] + 2.0 * acc[2] + acc[4], 6) AS forecast_2d,
+           ROUND(acc[1] + 3.0 * acc[2] + acc[5], 6) AS forecast_3d
+    FROM folded ORDER BY event_type
 """

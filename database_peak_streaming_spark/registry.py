@@ -170,6 +170,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "embeddings_bitext_margin",
     "model_calibration_bins",
     "ann_recall_audit",
+    "ts_holt_winters_additive",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -358,3 +358,61 @@ def test_interval_dispatcher_band_and_grid_agree(spark):
             for r in _interval_pairs_grid(ivg, cell_days).collect()
         }
         assert grid == band, f"cell_days={cell_days}"
+
+
+def test_holt_winters_matches_textbook_recursion(spark):
+    """The vector-fold Holt-Winters must equal the explicit Python
+    recursion (level/trend/rotating seasonal dict) over the same
+    day-ordered series — same seeding, same coefficients, bit-identical
+    before the 6dp rounding."""
+    from database_peak_streaming_spark.operators.time_windows import (
+        HW_A,
+        HW_CA,
+        HW_CD,
+        HW_CG,
+        HW_D,
+        HW_G,
+        HW_SEASON,
+        ts_holt_winters_additive,
+    )
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    got = {
+        r.event_type: (r.level, r.trend, r.forecast_1d, r.forecast_3d)
+        for r in ts_holt_winters_additive(spark, SF_DIR).collect()
+    }
+    daily = (
+        load_table(spark, "events", SF_DIR)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
+            ).alias("y")
+        )
+        .orderBy("event_type", "day")
+        .collect()
+    )
+    series: dict[str, list[float]] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append(r.y)
+    m = HW_SEASON
+    for et, ys in series.items():
+        if len(ys) < 2 * m:
+            assert et not in got
+            continue
+        l = sum(ys[:m]) / float(m)
+        b = (sum(ys[m : 2 * m]) / float(m) - sum(ys[:m]) / float(m)) / float(m)
+        s = [y - l for y in ys[:m]]  # s[0] oldest
+        for y in ys[m:]:
+            s_old = s.pop(0)
+            l_new = HW_A * (y - s_old) + HW_CA * (l + b)
+            b = HW_G * (l_new - l) + HW_CG * b
+            s.append(HW_D * (y - l_new) + HW_CD * s_old)
+            l = l_new
+        want = (
+            round(l, 6),
+            round(b, 6),
+            round(l + 1.0 * b + s[0], 6),
+            round(l + 3.0 * b + s[2], 6),
+        )
+        assert got[et] == pytest.approx(want, abs=1e-9), (et, got[et], want)
