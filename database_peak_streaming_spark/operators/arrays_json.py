@@ -130,6 +130,70 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_corrupt_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record ingest surface: parse a JSON column where every
+    50th record is syntactically broken (truncated brace — the classic
+    dirty-feed shape), classify rows good/bad WITHOUT failing the job,
+    and report the dead-letter audit a pipeline materializes next to
+    the parsed table: counts, an exact id checksum of the bad rows
+    (so the dead-letter queue itself is hash-verifiable), and the
+    recovered value total from the good rows.
+
+    Spark surface: ``from_json`` in its default PERMISSIVE behavior —
+    malformed input never throws; Jackson even PARTIALLY RECOVERS the
+    truncated record (the id field survives, the unterminated rest is
+    null) — which is exactly why production dead-letter rules gate on
+    the SCHEMA CONTRACT, not on "did the parser throw": a row is bad
+    iff the required field is absent after parsing.  That contract is
+    expressible identically in both engines (Spark: parsed field IS
+    NULL; DuckDB: not valid JSON or the path extracts nothing), so
+    the audit hash-matches.
+
+    Scale: map-only parse + one global aggregate — scan speed; the
+    dead-letter checksum is the same composite-injective discipline as
+    dataset_manifest."""
+    d = load_table(spark, "documents", sf_dir)
+    payload = F.when(
+        F.col("doc_id") % 50 == 0,
+        # truncated: opening brace and key but no close — malformed
+        F.concat(F.lit('{"id": '), F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit('{"id": '),
+            F.col("doc_id").cast("string"),
+            F.lit(', "n": '),
+            F.col("n_chars").cast("string"),
+            F.lit("}"),
+        )
+    )
+    parsed = F.from_json(
+        payload, T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("n", T.LongType()),
+            ]
+        )
+    )
+    rows = d.select(
+        "doc_id",
+        parsed.alias("_p"),
+    ).select(
+        "doc_id",
+        F.col("_p")["n"].isNull().cast("int").alias("is_bad"),
+        F.col("_p")["n"].alias("n_parsed"),
+    )
+    return rows.agg(
+        F.sum(F.lit(1) - F.col("is_bad")).cast("long").alias("n_good"),
+        F.sum("is_bad").cast("long").alias("n_bad"),
+        F.sum(
+            F.when(F.col("is_bad") == 1, F.col("doc_id")).otherwise(0)
+        ).cast("long").alias("bad_id_checksum"),
+        F.sum(F.coalesce(F.col("n_parsed"), F.lit(0))).cast("long").alias(
+            "good_n_total"
+        ),
+    )
+
+
 def map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map higher-order functions — transform_keys / transform_values /
     map_filter / map_concat — completing the HOF surface next to the
@@ -190,6 +254,7 @@ def json_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "json_corrupt_handling": json_corrupt_handling,
     "array_funcs": array_funcs,
     "array_explode_pos": array_explode_pos,
     "array_transform_filter": array_transform_filter,
@@ -271,3 +336,30 @@ ORACLE_SQL = {
         FROM events ORDER BY event_id
     """,
 }
+
+
+ORACLE_SQL["json_corrupt_handling"] = """
+    WITH payload AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 50 = 0
+                    THEN '{"id": ' || CAST(doc_id AS VARCHAR)
+                    ELSE '{"id": ' || CAST(doc_id AS VARCHAR)
+                         || ', "n": ' || CAST(n_chars AS VARCHAR) || '}'
+               END AS s
+        FROM documents)
+    SELECT CAST(SUM(CASE WHEN json_valid(s)
+                              AND (s ->> '$.n') IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN json_valid(s)
+                              AND (s ->> '$.n') IS NOT NULL
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_bad,
+           CAST(SUM(CASE WHEN json_valid(s)
+                              AND (s ->> '$.n') IS NOT NULL
+                         THEN 0 ELSE doc_id END) AS BIGINT)
+               AS bad_id_checksum,
+           CAST(SUM(CASE WHEN json_valid(s)
+                              AND (s ->> '$.n') IS NOT NULL
+                         THEN CAST((s ->> '$.n') AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS good_n_total
+    FROM payload
+"""

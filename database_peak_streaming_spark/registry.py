@@ -171,6 +171,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "model_calibration_bins",
     "ann_recall_audit",
     "ts_holt_winters_additive",
+    "json_corrupt_handling",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
