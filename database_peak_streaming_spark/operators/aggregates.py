@@ -787,8 +787,40 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 ``LISTAGG ... WITHIN GROUP (ORDER BY ...)`` — the
+    ANSI-2016 ordered string-concatenation aggregate (alias
+    ``string_agg``), here folding each brand's distinct part types
+    into one deterministic '|'-joined string.  Distinctness is taken
+    by an explicit pre-aggregation rather than ``LISTAGG(DISTINCT)``
+    so both engines agree on the input multiset by construction.
+
+    Scale: the distinct pre-pass is the only data-sized stage (one
+    groupBy on a bounded (brand, type) vocabulary); the ordered
+    concat then runs over vocabulary-sized groups.  An UNORDERED
+    listagg over big groups would be partition-order-dependent — the
+    WITHIN GROUP clause is what makes the result well-defined, which
+    is exactly why only the ordered form is offered here."""
+    part = (
+        load_table(spark, "part", sf_dir)
+        .select("p_brand", "p_type")
+        .distinct()
+    )
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.expr(
+                "listagg(p_type, '|') within group (order by p_type)"
+            ).alias("types_csv"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "agg_listagg_sorted": agg_listagg_sorted,
     "agg_weighted_median": agg_weighted_median,
     "agg_mad_outliers": agg_mad_outliers,
     "orders_yoy_growth": orders_yoy_growth,
@@ -1102,3 +1134,11 @@ ORACLE_SQL = {
         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
 }
+
+ORACLE_SQL["agg_listagg_sorted"] = """
+    WITH d AS (SELECT DISTINCT p_brand, p_type FROM part)
+    SELECT p_brand,
+           STRING_AGG(p_type, '|' ORDER BY p_type) AS types_csv,
+           COUNT(*) AS n_types
+    FROM d GROUP BY p_brand ORDER BY p_brand
+"""

@@ -1373,8 +1373,146 @@ def model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five event types' values — the
+    "do these segments have the same mean?" omnibus test that precedes
+    any per-segment drill-down, completing the hypothesis-test shelf
+    beside the two-sample KS (``stats_ks_drift_by_type``), the
+    proportion z (``ab_test_lift_ztest``) and the rank-sum U
+    (``stats_mann_whitney``).  Emits N, k, the F statistic and the
+    eta-squared effect size (SSB / SST).
+
+    Hash-stability design: values are quantized onto the cent grid
+    (``ROUND(value*100)`` — exact, the fixture's values are 2-decimal
+    with <=4e-12 representation noise), so per-group n / sum(m) /
+    sum(m^2) are exact BIGINTs.  The only doubles are the k=5
+    per-group SSB/SSW terms, each computed from identical exact-int
+    inputs by the identical IEEE expression in both engines; the final
+    5-term sums carry ~1 ulp (~1e-8 at 1e8 magnitude) of order noise,
+    far inside the 6-decimal canon grid.
+
+    Scale: ONE data-sized aggregation (groupBy event_type over three
+    partial-aggregable sums — map-side combine does almost all of it);
+    everything after runs on k rows."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("m"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("m").alias("s1"),
+        F.sum(F.col("m") * F.col("m")).alias("s2"),
+    )
+    tot = g.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s1").alias("g1"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "n", "k",
+        (
+            F.col("n_g")
+            * F.pow(
+                F.col("s1") / (F.lit(100.0) * F.col("n_g"))
+                - F.col("g1") / (F.lit(100.0) * F.col("n")),
+                F.lit(2.0),
+            )
+        ).alias("ssb_term"),
+        (
+            F.col("s2") / F.lit(10000.0)
+            - (F.col("s1") * F.col("s1")) / (F.lit(10000.0) * F.col("n_g"))
+        ).alias("ssw_term"),
+    )
+    return terms.agg(
+        F.first("n").cast("long").alias("n_obs"),
+        F.first("k").cast("long").alias("k_groups"),
+        F.round(
+            (F.sum("ssb_term") / (F.first("k") - F.lit(1)))
+            / (F.sum("ssw_term") / (F.first("n") - F.first("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(
+            F.sum("ssb_term") / (F.sum("ssb_term") + F.sum("ssw_term")), 6
+        ).alias("eta_sq"),
+    )
+
+
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (click vs purchase values) with the
+    standard tie-corrected normal approximation — the distribution-free
+    two-sample location test a pipeline reaches for when values are
+    skewed enough that the t/z tests' mean is the wrong summary (cf.
+    ``events_powerlaw_alpha``'s tail check).
+
+    Exactness design: quantized values collapse to a VALUE-VOCABULARY
+    table first (one groupBy: per distinct value, total count t and
+    group-1 count t1), so midranks come from a window over ~50k rows
+    max regardless of data size, as exact halves (cumulative exact
+    count + (t+1)/2).  R1 = sum(t1 * midrank) sums half-grid doubles
+    < 2^52 — EXACT in IEEE regardless of summation order — and the tie
+    term sum(t^3 - t) is exact BIGINT, so U and z are identical
+    doubles in both engines before the 6-decimal round.
+
+    Scale: one data-sized groupBy (value vocabulary), one
+    vocabulary-sized window, one fold."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("m"),
+        )
+    )
+    vals = ev.groupBy("m").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("t1"),
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "t",
+        "t1",
+        (
+            F.coalesce(F.sum("t").over(w), F.lit(0))
+            + (F.col("t") + 1) / F.lit(2.0)
+        ).alias("midrank"),
+    )
+    agg = ranked.agg(
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("long").alias("n2"),
+        F.sum(F.col("t1") * F.col("midrank")).alias("r1"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie3"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / F.lit(2.0)
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(u1, 6).alias("u1"),
+        F.round(
+            (u1 - F.col("n1") * F.col("n2") / F.lit(2.0))
+            / F.sqrt(
+                F.col("n1") * F.col("n2") / F.lit(12.0)
+                * (
+                    (F.col("n1") + F.col("n2") + 1)
+                    - F.col("tie3")
+                    / (
+                        (F.col("n1") + F.col("n2"))
+                        * (F.col("n1") + F.col("n2") - 1.0)
+                    )
+                )
+            ),
+            6,
+        ).alias("z_stat"),
+    )
+
+
 QUERIES = {
     "events_funnel_ordered": events_funnel_ordered,
+    "stats_anova_f": stats_anova_f,
+    "stats_mann_whitney": stats_mann_whitney,
     "stats_cramers_v": stats_cramers_v,
     "events_powerlaw_alpha": events_powerlaw_alpha,
     "model_calibration_bins": model_calibration_bins,
@@ -2105,4 +2243,58 @@ ORACLE_SQL["model_calibration_bins"] = """
     FROM binned
     GROUP BY bin
     ORDER BY bin
+"""
+
+ORACLE_SQL["stats_anova_f"] = """
+    WITH q AS (
+        SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS m
+        FROM events),
+    g AS (
+        SELECT event_type, COUNT(*) AS n_g, SUM(m) AS s1, SUM(m * m) AS s2
+        FROM q GROUP BY event_type),
+    tot AS (SELECT SUM(n_g) AS n, SUM(s1) AS g1, COUNT(*) AS k FROM g),
+    terms AS (
+        SELECT n, k,
+               n_g * POW(s1 / (100.0 * n_g) - g1 / (100.0 * n), 2.0)
+                   AS ssb_term,
+               s2 / 10000.0 - (s1 * s1) / (10000.0 * n_g) AS ssw_term
+        FROM g CROSS JOIN tot)
+    SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_obs,
+           CAST(ANY_VALUE(k) AS BIGINT) AS k_groups,
+           ROUND((SUM(ssb_term) / (ANY_VALUE(k) - 1))
+                 / (SUM(ssw_term) / (ANY_VALUE(n) - ANY_VALUE(k))), 6)
+               AS f_stat,
+           ROUND(SUM(ssb_term) / (SUM(ssb_term) + SUM(ssw_term)), 6)
+               AS eta_sq
+    FROM terms
+"""
+
+ORACLE_SQL["stats_mann_whitney"] = """
+    WITH ev AS (
+        SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS m
+        FROM events WHERE event_type IN ('click', 'purchase')),
+    vals AS (
+        SELECT m, COUNT(*) AS t,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS t1
+        FROM ev GROUP BY m),
+    ranked AS (
+        SELECT t, t1,
+               COALESCE(SUM(t) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND 1 PRECEDING), 0)
+                   + (t + 1) / 2.0 AS midrank
+        FROM vals),
+    agg AS (
+        SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+               CAST(SUM(t - t1) AS BIGINT) AS n2,
+               SUM(t1 * midrank) AS r1,
+               SUM(t * t * t - t) AS tie3
+        FROM ranked)
+    SELECT n1, n2,
+           ROUND(r1 - n1 * (n1 + 1) / 2.0, 6) AS u1,
+           ROUND(((r1 - n1 * (n1 + 1) / 2.0) - n1 * n2 / 2.0)
+                 / SQRT(n1 * n2 / 12.0
+                        * ((n1 + n2 + 1)
+                           - tie3 / ((n1 + n2) * (n1 + n2 - 1.0)))), 6)
+               AS z_stat
+    FROM agg
 """

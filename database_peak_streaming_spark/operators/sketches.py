@@ -293,8 +293,40 @@ def sketch_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 ``approx_top_k`` aggregate (the built-in mergeable
+    frequent-items sketch) over the brand column — the engine-native
+    sibling of the hand-built Misra-Gries above.  Exercised in its
+    EXACT regime: ``maxItemsTracked`` (10k) exceeds the brand
+    vocabulary (25), so the sketch never evicts and every returned
+    count is the true frequency — which is what makes a full
+    cross-engine oracle possible (the oracle is a plain GROUP BY).
+    The result is exploded to rows and re-ranked by (freq DESC, item)
+    so the sketch's internal tie order never reaches the output.
+
+    Scale: at 100 TB the sketch's state is O(maxItemsTracked) per
+    partial, merged tree-wise — the exact regime holds whenever the
+    tracked vocabulary is bounded (brands, countries, status codes),
+    and degrades gracefully to approximate counts beyond it."""
+    from pyspark.sql import Window
+
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    part = load_table(spark, "part", sf_dir).select("p_brand")
+    sk = part.agg(F.expr("approx_top_k(p_brand, 100, 10000)").alias("topk"))
+    ex = sk.select(F.explode("topk").alias("e")).select(
+        F.col("e.item").alias("brand"),
+        F.col("e.count").cast("long").alias("freq"),
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("brand"))
+    return ex.select(
+        F.row_number().over(w).cast("long").alias("rank"), "brand", "freq"
+    ).orderBy("rank")
+
+
 QUERIES = {
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+    "sketch_approx_top_k": sketch_approx_top_k,
     "sketch_mg_heavy_hitters": sketch_mg_heavy_hitters,
     "agg_bitmap_exact_distinct": agg_bitmap_exact_distinct,
     "join_bloom_prefilter": join_bloom_prefilter,
@@ -416,3 +448,10 @@ ORACLE_SQL = {
         FROM probed
     """,
 }
+
+ORACLE_SQL["sketch_approx_top_k"] = """
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, p_brand)
+                AS BIGINT) AS rank,
+           p_brand AS brand, COUNT(*) AS freq
+    FROM part GROUP BY p_brand ORDER BY rank
+"""

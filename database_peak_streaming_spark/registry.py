@@ -172,6 +172,10 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "ann_recall_audit",
     "ts_holt_winters_additive",
     "json_corrupt_handling",
+    "sketch_approx_top_k",
+    "agg_listagg_sorted",
+    "stats_anova_f",
+    "stats_mann_whitney",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

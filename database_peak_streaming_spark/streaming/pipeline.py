@@ -95,18 +95,44 @@ class PeaksPipeline:
     def aggregated(self, stream: DataFrame) -> DataFrame:
         return window_means(stream, self.window_length, self.watermark_delay)
 
-    def start(self, stream: DataFrame, checkpoint: str, trigger: dict) -> StreamingQuery:
+    def start(
+        self,
+        stream: DataFrame,
+        checkpoint: str,
+        trigger: dict,
+        state_partitions: int | None = None,
+    ) -> StreamingQuery:
         """Launch with an explicit trigger, e.g. ``{"processingTime":
         "100 milliseconds"}`` (prod) or ``{"availableNow": True}``
-        (replay)."""
-        return (
-            self.aggregated(stream)
-            .writeStream.outputMode("append")
-            .foreachBatch(self._sink)
-            .option("checkpointLocation", checkpoint)
-            .trigger(**trigger)
-            .start()
+        (replay).
+
+        ``state_partitions`` sizes the stateful shuffle: state-store
+        partitioning is FIXED by ``spark.sql.shuffle.partitions`` at the
+        checkpoint's first batch (AQE never re-plans stateful streaming
+        shuffles), and every partition pays a delta-commit per epoch —
+        so a low-rate stream on a wide default (64) spends its trigger
+        budget on empty state commits, not windows (the bench's
+        streaming-throughput decomposition, bench.py:514).  Size it to
+        the state volume: ~windows-per-epoch / few-thousand, or ~2x
+        executor count on a cluster.  The session conf is restored
+        after `.start()` so concurrent batch plans keep their width."""
+        if state_partitions is None:
+            return (
+                self.aggregated(stream)
+                .writeStream.outputMode("append")
+                .foreachBatch(self._sink)
+                .option("checkpointLocation", checkpoint)
+                .trigger(**trigger)
+                .start()
+            )
+        prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(state_partitions)
         )
+        try:
+            return self.start(stream, checkpoint, trigger)
+        finally:
+            self.spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     def run_available_now(
         self, stream: DataFrame, checkpoint: str, timeout_s: int = 120

@@ -31,8 +31,15 @@ def test_live_rate_pipeline_processing_time(spark, tmpdir_):
     pipe = PeaksPipeline(
         spark, store, window_length="500 milliseconds", watermark_delay="1 second"
     )
+    # state sized to the stream (4 series -> a handful of windows per
+    # epoch): 64 default partitions would pay 64 empty state commits
+    # per 500 ms trigger and stall the cadence on a loaded box (same
+    # decomposition as bench.py:514)
     q = pipe.start(
-        stream, f"{tmpdir_}/ckpt", {"processingTime": "500 milliseconds"}
+        stream,
+        f"{tmpdir_}/ckpt",
+        {"processingTime": "500 milliseconds"},
+        state_partitions=4,
     )
     try:
         # run live ~12 s: enough for several windows to close past the
