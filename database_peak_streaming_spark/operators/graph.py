@@ -490,12 +490,77 @@ def _pagerank_sql() -> str:
     """
 
 
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman PRL'02, eq. 4) of the part
+    co-occurrence graph — the one-number structural summary that says
+    whether hubs link to hubs (r > 0, social-network-like) or to leaves
+    (r < 0, hub-and-spoke): the Pearson correlation of endpoint degrees
+    over edges.  The diagnostic a pipeline runs BEFORE the triangle /
+    k-core passes above, because it predicts their cost profile (a
+    disassortative hub graph concentrates wedges).
+
+    Same edge spine as ``graph_triangle_count`` (distinct co-order part
+    pairs).  Both directions of each undirected edge enter the sums via
+    the symmetric closed form (sum da+db, da^2+db^2, da*db over each
+    edge once), so no edge-doubling union is materialized.  Degrees are
+    exact BIGINTs; the five cross-edge sums are exact BIGINT (bounded
+    by m * max_deg^2); r is computed from them in one identical IEEE
+    expression.  Shuffles: the pair build, the degree count, the two
+    narrow degree joins — nothing all-pairs."""
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        # consumed three times (both degree unions + the ends join):
+        # materialize once, as in graph_triangle_count
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("da"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("db"))
+    ends = und.join(du, "u").join(dv, "v")
+    m = ends.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("da") + F.col("db")).alias("s1"),
+        F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db")).alias(
+            "s2"
+        ),
+        F.sum(F.col("da") * F.col("db")).alias("sprod"),
+    )
+    mm = F.col("m").cast("double")
+    mu = F.col("s1") / (2 * mm)
+    return m.select(
+        F.col("m").cast("long").alias("n_edges"),
+        F.round(
+            (F.col("sprod") / mm - mu * mu)
+            / (F.col("s2") / (2 * mm) - mu * mu),
+            6,
+        ).alias("assortativity"),
+    )
+
+
 QUERIES = {
     "graph_pagerank_bipartite": graph_pagerank_bipartite,
     "graph_degree_histogram": graph_degree_histogram,
     "graph_triangle_count": graph_triangle_count,
     "graph_kcore_peel": graph_kcore_peel,
     "graph_link_prediction_jaccard": graph_link_prediction_jaccard,
+    "graph_degree_assortativity": graph_degree_assortativity,
 }
 ORACLE_SQL = {
     "graph_link_prediction_jaccard": """
@@ -575,3 +640,28 @@ ORACLE_SQL = {
         ORDER BY 1, 2
     """,
 }
+
+ORACLE_SQL["graph_degree_assortativity"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey),
+    deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        GROUP BY node),
+    ends AS (
+        SELECT da.deg AS da, db.deg AS db
+        FROM und JOIN deg da ON und.u = da.node
+                 JOIN deg db ON und.v = db.node),
+    m AS (
+        SELECT COUNT(*) AS m, SUM(da + db) AS s1,
+               SUM(da * da + db * db) AS s2, SUM(da * db) AS sprod
+        FROM ends)
+    SELECT CAST(m AS BIGINT) AS n_edges,
+           ROUND((sprod / CAST(m AS DOUBLE) - POW(s1 / (2.0 * m), 2.0))
+                 / (s2 / (2.0 * m) - POW(s1 / (2.0 * m), 2.0)), 6)
+               AS assortativity
+    FROM m
+"""

@@ -1,0 +1,401 @@
+"""Classical-ML-on-Spark pack: the model-adjacent table operators a
+training pipeline runs beside the feature store — one-pass OLS via
+normal equations, leakage-safe out-of-fold target encoding, WOE/IV
+predictive binning, and split-conformal interval calibration.
+
+These four share one design rule: the MODEL math runs on a handful of
+sufficient statistics; only computing those statistics is data-sized.
+That is exactly the 100 TB shape — a single partial-aggregable pass
+(or one bounded groupBy) produces exact integer moments/counts, and
+the solve/encode/calibrate step happens on vocabulary-sized frames.
+
+Hash-stability follows the repo-wide discipline (FIXTURES.md): inputs
+quantize onto an exact integer grid (cents / dollars / basis points),
+every data-sized sum is therefore exact BIGINT, and the few double
+operations that follow are identical IEEE expression trees over
+identical inputs in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from database_peak_streaming_spark.sources.batch import load_table
+
+
+def _md5_of(col: str):
+    """Cross-engine stable pseudo-random key (sampling.py convention)."""
+    return F.md5(F.col(col).cast("string").cast("binary"))
+
+
+def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression (price ~ quantity + discount) fit by
+    the NORMAL EQUATIONS in one distributed pass — the closed-form
+    trainer for low-dimensional models: X^T X and X^T y reduce to ten
+    sufficient moments, computed map-side-combinable in ONE aggregation,
+    and the 2x2 solve (Cramer's rule on the centered system) runs on a
+    single row.  This is how you fit a linear probe / calibration model
+    over 100 TB without an iteration loop: the data is touched once,
+    the solve is O(d^3) on d=2.
+
+    Exactness: inputs quantize to integer grids (quantity units,
+    discount percent points, price dollars), so all ten moments are
+    exact BIGINTs (y^2 sums bounded: 1e5-dollar max price squared is
+    1e10/row — BIGINT holds to ~1e9 rows/partition-merge; the decimal
+    escalation for beyond is documented in common.py).  Centering
+    conditions the solve; products of whole-table sums go through
+    doubles FIRST (an exact-integer sy*sy would overflow ANSI BIGINT
+    at this scale; the IEEE product of the exact doubles is correctly
+    rounded and engine-identical).
+
+    Emits betas, intercept and in-sample R^2."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.round(F.col("l_quantity"), 0).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice"), 0).cast("long").alias("y"),
+    )
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx1x1"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx1x2"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+
+    def d(c: str):
+        return F.col(c).cast("double")
+
+    c11 = F.col("sx1x1") - d("sx1") * d("sx1") / n
+    c12 = F.col("sx1x2") - d("sx1") * d("sx2") / n
+    c22 = F.col("sx2x2") - d("sx2") * d("sx2") / n
+    c1y = F.col("sx1y") - d("sx1") * d("sy") / n
+    c2y = F.col("sx2y") - d("sx2") * d("sy") / n
+    cyy = F.col("syy") - d("sy") * d("sy") / n
+    det = c11 * c22 - c12 * c12
+    b1 = (c1y * c22 - c2y * c12) / det
+    b2 = (c11 * c2y - c12 * c1y) / det
+    ess = b1 * c1y + b2 * c2y
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(b1, 6).alias("beta_quantity"),
+        F.round(b2, 6).alias("beta_discount_pct"),
+        F.round(
+            F.col("sy") / n - b1 * F.col("sx1") / n - b2 * F.col("sx2") / n,
+            6,
+        ).alias("intercept"),
+        F.round(ess / cyy, 6).alias("r_squared"),
+    )
+
+
+def feature_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe OUT-OF-FOLD target encoding of the market segment
+    against order value — the categorical-feature workhorse: each
+    (category, fold) cell is encoded with the target mean computed over
+    the OTHER folds, so no row's own target leaks into its feature.
+    Folds derive from md5(order key) mod 5 (the engine-portable split
+    convention, sampling.py), so the encoding is reproducible across
+    engines, re-shardings and appends.
+
+    The leave-one-fold-out mean needs NO per-fold re-scan: one
+    (category, fold) aggregation gives cell sums/counts, the category
+    rollup gives totals, and OOF mean = (total - own fold) / (n_total
+    - n_fold) — subtraction on exact cent-grid BIGINTs.  One data-sized
+    shuffle total, category-vocabulary-sized everything after."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment",
+        (
+            F.conv(F.substring(_md5_of("o_orderkey"), 1, 2), 16, 10).cast(
+                "long"
+            )
+            % 5
+        ).alias("fold"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    cell = j.groupBy("c_mktsegment", "fold").agg(
+        F.count(F.lit(1)).alias("n_cf"), F.sum("cents").alias("s_cf")
+    )
+    seg = cell.groupBy("c_mktsegment").agg(
+        F.sum("n_cf").alias("n_c"), F.sum("s_cf").alias("s_c")
+    )
+    return (
+        cell.join(seg, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "fold",
+            F.col("n_cf").cast("long").alias("n_rows"),
+            F.round(
+                (F.col("s_c") - F.col("s_cf"))
+                / (F.lit(100.0) * (F.col("n_c") - F.col("n_cf"))),
+                6,
+            ).alias("oof_encoding"),
+        )
+        .orderBy("c_mktsegment", "fold")
+    )
+
+
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value binning: order value cut
+    into deciles (NTILE over a (price, key)-tie-broken total order, so
+    the binning is engine-identical), label = urgent-or-high priority;
+    per decile WOE = ln((pos share)/(neg share)) and the IV term whose
+    sum ranks the feature's predictive power — the credit-scoring
+    feature-selection standard, and the audit that catches a feature
+    whose signal lives in one tail.
+
+    Scale note: NTILE over a global order is a single-partition sort at
+    the limit; at 100 TB swap the decile assignment for approx
+    percentile boundaries broadcast to a map-only bucketizer (the
+    winsorize/equidepth pattern in aggregates.py) — the WOE math
+    downstream is identical.  Counts are exact BIGINT; shares and ln
+    run over 10 rows."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("decile"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    cells = o.groupBy("decile").agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("pos")).alias("n_neg"),
+    )
+    tot = cells.agg(
+        F.sum("n_pos").alias("t_pos"), F.sum("n_neg").alias("t_neg")
+    )
+    woe = F.log(
+        (F.col("n_pos") / F.col("t_pos")) / (F.col("n_neg") / F.col("t_neg"))
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("n_neg").cast("long").alias("n_neg"),
+            F.round(woe, 6).alias("woe"),
+            F.round(
+                (
+                    F.col("n_pos") / F.col("t_pos")
+                    - F.col("n_neg") / F.col("t_neg")
+                )
+                * woe,
+                6,
+            ).alias("iv_term"),
+        )
+        .orderBy("decile")
+    )
+
+
+def model_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei et al. JASA'18)
+    for a per-type mean-value predictor: md5 buckets carve
+    train/calibration/test (50/25/25), the calibration set's absolute
+    residuals yield the finite-sample quantile q_hat = the
+    ceil(0.9(n+1))-th order statistic, and the held-out test fraction
+    inside ±q_hat is the measured coverage (≈90% by the conformal
+    guarantee, exactly distribution-free).  This is the calibration
+    pass that turns any point model into intervals with a guarantee —
+    run here entirely as joins + one ranked window.
+
+    Determinism: the order statistic is picked by ROW_NUMBER over
+    (residual, event_id) — fully tie-broken; residuals are identical
+    doubles in both engines (cent-grid values minus an
+    exact-int-ratio mean).  Scale: residual ranking partitions by
+    event type (bounded groups at any scale); train means broadcast."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (
+            F.conv(F.substring(_md5_of("event_id"), 1, 2), 16, 10).cast(
+                "long"
+            )
+            % 4
+        ).alias("bucket"),
+    )
+    train = ev.where(F.col("bucket") <= 1)
+    mean = train.groupBy("event_type").agg(
+        (F.sum("cents") / (F.lit(100.0) * F.count(F.lit(1)))).alias("pred")
+    )
+    cal = (
+        ev.where(F.col("bucket") == 2)
+        .join(mean, "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            F.abs(F.col("cents") / F.lit(100.0) - F.col("pred")).alias(
+                "resid"
+            ),
+        )
+    )
+    ncal = cal.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_cal"))
+    w = Window.partitionBy("event_type").orderBy("resid", "event_id")
+    qhat = (
+        cal.select("event_type", "resid", F.row_number().over(w).alias("rk"))
+        .join(ncal, "event_type")
+        .where(
+            F.col("rk") == F.ceil(F.lit(0.9) * (F.col("n_cal") + 1)).cast("int")
+        )
+        .select("event_type", F.col("resid").alias("qhat"), "n_cal")
+    )
+    return (
+        ev.where(F.col("bucket") == 3)
+        .join(mean, "event_type")
+        .join(qhat, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n_cal").cast("long").alias("n_cal"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(F.first("qhat"), 6).alias("qhat"),
+            F.round(
+                F.avg(
+                    (
+                        F.abs(F.col("cents") / F.lit(100.0) - F.col("pred"))
+                        <= F.col("qhat")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "ml_linreg_normal_eq": ml_linreg_normal_eq,
+    "feature_target_encode_oof": feature_target_encode_oof,
+    "feature_woe_iv": feature_woe_iv,
+    "model_conformal_interval": model_conformal_interval,
+}
+
+ORACLE_SQL = {
+    "ml_linreg_normal_eq": """
+        WITH q AS (
+            SELECT CAST(ROUND(l_quantity, 0) AS BIGINT) AS x1,
+                   CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x2,
+                   CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS y
+            FROM lineitem),
+        m AS (
+            SELECT COUNT(*) AS n, SUM(x1) AS sx1, SUM(x2) AS sx2,
+                   SUM(y) AS sy,
+                   SUM(x1 * x1) AS sx1x1, SUM(x1 * x2) AS sx1x2,
+                   SUM(x2 * x2) AS sx2x2, SUM(x1 * y) AS sx1y,
+                   SUM(x2 * y) AS sx2y, SUM(y * y) AS syy
+            FROM q),
+        c AS (
+            SELECT n,
+                   sx1x1 - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+                           / CAST(n AS DOUBLE) AS c11,
+                   sx1x2 - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                           / CAST(n AS DOUBLE) AS c12,
+                   sx2x2 - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                           / CAST(n AS DOUBLE) AS c22,
+                   sx1y - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE)
+                           / CAST(n AS DOUBLE) AS c1y,
+                   sx2y - CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE)
+                           / CAST(n AS DOUBLE) AS c2y,
+                   syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                           / CAST(n AS DOUBLE) AS cyy,
+                   sx1, sx2, sy
+            FROM m),
+        s AS (
+            SELECT n, sx1, sx2, sy, c1y, c2y, cyy,
+                   (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+                   (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+            FROM c)
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               ROUND(b1, 6) AS beta_quantity,
+               ROUND(b2, 6) AS beta_discount_pct,
+               ROUND(sy / CAST(n AS DOUBLE) - b1 * sx1 / CAST(n AS DOUBLE)
+                      - b2 * sx2 / CAST(n AS DOUBLE), 6) AS intercept,
+               ROUND((b1 * c1y + b2 * c2y) / cyy, 6) AS r_squared
+        FROM s
+    """,
+    "feature_target_encode_oof": """
+        WITH j AS (
+            SELECT c.c_mktsegment,
+                   ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 2))
+                       ::BIGINT % 5 AS fold,
+                   CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        cell AS (
+            SELECT c_mktsegment, fold, COUNT(*) AS n_cf, SUM(cents) AS s_cf
+            FROM j GROUP BY c_mktsegment, fold),
+        seg AS (
+            SELECT c_mktsegment, SUM(n_cf) AS n_c, SUM(s_cf) AS s_c
+            FROM cell GROUP BY c_mktsegment)
+        SELECT cell.c_mktsegment, fold,
+               CAST(n_cf AS BIGINT) AS n_rows,
+               ROUND((s_c - s_cf) / (100.0 * (n_c - n_cf)), 6)
+                   AS oof_encoding
+        FROM cell JOIN seg USING (c_mktsegment)
+        ORDER BY c_mktsegment, fold
+    """,
+    "feature_woe_iv": """
+        WITH o AS (
+            SELECT NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS decile,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS pos
+            FROM orders),
+        cells AS (
+            SELECT decile, SUM(pos) AS n_pos, SUM(1 - pos) AS n_neg
+            FROM o GROUP BY decile),
+        tot AS (SELECT SUM(n_pos) AS t_pos, SUM(n_neg) AS t_neg FROM cells)
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n_neg AS BIGINT) AS n_neg,
+               ROUND(LN((n_pos * 1.0 / t_pos) / (n_neg * 1.0 / t_neg)), 6)
+                   AS woe,
+               ROUND((n_pos * 1.0 / t_pos - n_neg * 1.0 / t_neg)
+                     * LN((n_pos * 1.0 / t_pos) / (n_neg * 1.0 / t_neg)), 6)
+                   AS iv_term
+        FROM cells CROSS JOIN tot
+        ORDER BY decile
+    """,
+    "model_conformal_interval": """
+        WITH ev AS (
+            SELECT event_id, event_type,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+                   ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2))
+                       ::BIGINT % 4 AS bucket
+            FROM events),
+        mean AS (
+            SELECT event_type, SUM(cents) / (100.0 * COUNT(*)) AS pred
+            FROM ev WHERE bucket <= 1 GROUP BY event_type),
+        cal AS (
+            SELECT ev.event_type, event_id,
+                   ABS(cents / 100.0 - pred) AS resid
+            FROM ev JOIN mean USING (event_type) WHERE bucket = 2),
+        ncal AS (
+            SELECT event_type, COUNT(*) AS n_cal FROM cal
+            GROUP BY event_type),
+        qhat AS (
+            SELECT event_type, resid AS qhat, n_cal
+            FROM (SELECT event_type, resid,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY resid, event_id) AS rk
+                  FROM cal) r
+            JOIN ncal USING (event_type)
+            WHERE rk = CAST(CEIL(0.9 * (n_cal + 1)) AS INT))
+        SELECT ev.event_type,
+               CAST(ANY_VALUE(n_cal) AS BIGINT) AS n_cal,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               ROUND(ANY_VALUE(qhat), 6) AS qhat,
+               ROUND(AVG(CASE WHEN ABS(cents / 100.0 - pred) <= qhat
+                              THEN 1.0 ELSE 0.0 END), 6) AS coverage
+        FROM ev JOIN mean USING (event_type) JOIN qhat USING (event_type)
+        WHERE bucket = 3
+        GROUP BY ev.event_type
+        ORDER BY ev.event_type
+    """,
+}

@@ -21,6 +21,7 @@ from database_peak_streaming_spark.operators import (
     graph,
     joins,
     linkage,
+    ml,
     multimodal_queries,
     pivots,
     sampling,
@@ -63,6 +64,7 @@ _MODULES = [
     sketches,
     graph,
     linkage,
+    ml,
     checks,
 ]
 
@@ -176,6 +178,11 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "agg_listagg_sorted",
     "stats_anova_f",
     "stats_mann_whitney",
+    "ml_linreg_normal_eq",
+    "feature_target_encode_oof",
+    "feature_woe_iv",
+    "model_conformal_interval",
+    "graph_degree_assortativity",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
