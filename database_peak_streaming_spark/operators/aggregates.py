@@ -818,9 +818,62 @@ def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_percentile_cont_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``PERCENTILE_CONT`` / ``PERCENTILE_DISC ... WITHIN GROUP``
+    — the EXACT ordered-set percentile aggregates (both interpolation
+    conventions: cont = linear between the two straddling order
+    statistics, disc = smallest value whose cume_dist reaches p),
+    complementing the sketch/approx percentile family
+    (``agg_approx_percentile``, ``agg_kll_quantile_sketch``) with the
+    exact semantics a finance/SLA report is contractually held to.
+
+    Prices snap to the cent grid first so the cont interpolation
+    arithmetic runs on identical doubles in both engines.  Exact
+    percentiles need the group's values together — fine for bounded
+    groups like status codes; at unbounded group cardinality the approx
+    family above is the scale path (that trade is the POINT of having
+    both)."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderstatus",
+        (F.round(F.col("o_totalprice") * 100, 0) / 100).alias("price"),
+    )
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.expr(
+                    "percentile_cont(0.5) within group (order by price)"
+                ),
+                6,
+            ).alias("p50_cont"),
+            F.round(
+                F.expr(
+                    "percentile_cont(0.9) within group (order by price)"
+                ),
+                6,
+            ).alias("p90_cont"),
+            F.round(
+                F.expr(
+                    "percentile_disc(0.5) within group (order by price)"
+                ),
+                6,
+            ).alias("p50_disc"),
+            F.round(
+                F.expr(
+                    "percentile_disc(0.9) within group (order by price)"
+                ),
+                6,
+            ).alias("p90_disc"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "agg_listagg_sorted": agg_listagg_sorted,
+    "agg_percentile_cont_disc": agg_percentile_cont_disc,
     "agg_weighted_median": agg_weighted_median,
     "agg_mad_outliers": agg_mad_outliers,
     "orders_yoy_growth": orders_yoy_growth,
@@ -1141,4 +1194,18 @@ ORACLE_SQL["agg_listagg_sorted"] = """
            STRING_AGG(p_type, '|' ORDER BY p_type) AS types_csv,
            COUNT(*) AS n_types
     FROM d GROUP BY p_brand ORDER BY p_brand
+"""
+
+ORACLE_SQL["agg_percentile_cont_disc"] = """
+    WITH o AS (
+        SELECT o_orderstatus,
+               ROUND(o_totalprice * 100, 0) / 100 AS price
+        FROM orders)
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           ROUND(QUANTILE_CONT(price, 0.5), 6) AS p50_cont,
+           ROUND(QUANTILE_CONT(price, 0.9), 6) AS p90_cont,
+           ROUND(QUANTILE_DISC(price, 0.5), 6) AS p50_disc,
+           ROUND(QUANTILE_DISC(price, 0.9), 6) AS p90_disc
+    FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus
 """

@@ -578,6 +578,37 @@ def sql_distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-dialect breadth: CORRELATED subqueries in all three seats —
+    a correlated scalar subquery in the projection (per-nation max
+    customer balance), a correlated COUNT scalar subquery (rich
+    suppliers per nation, exercising the COUNT-over-empty-group = 0
+    rewrite), and a correlated EXISTS predicate.  Catalyst de-correlates
+    all three into outer joins / semi-joins (RewriteCorrelatedScalarSubquery,
+    RewritepredicateSubquery) — the surface a user migrating hand-written
+    ANSI reports cares about, distinct from the JOIN-operator rows which
+    pin the already-decorrelated plans.  The oracle runs the identical
+    text, pinning that decorrelation preserves semantics."""
+    from database_peak_streaming_spark.sources.batch import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               (SELECT MAX(c.c_acctbal) FROM customer c
+                WHERE c.c_nationkey = n.n_nationkey) AS max_acctbal,
+               (SELECT COUNT(*) FROM supplier s
+                WHERE s.s_nationkey = n.n_nationkey
+                  AND s.s_acctbal > 5000) AS n_rich_suppliers
+        FROM nation n
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_nationkey = n.n_nationkey
+                        AND c.c_mktsegment = 'BUILDING')
+        ORDER BY n.n_name
+        """
+    )
+
+
 def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-dialect breadth: ``GROUP BY ALL`` + ``ORDER BY ALL`` (the
     DuckDB-originated shorthand, in Spark since 3.4) — every
@@ -1090,6 +1121,7 @@ QUERIES = {
     "sql_identifier_clause": sql_identifier_clause,
     "sql_distribute_cluster_by": sql_distribute_cluster_by,
     "sql_group_by_all": sql_group_by_all,
+    "sql_correlated_scalar": sql_correlated_scalar,
     "sql_unpivot_metrics": sql_unpivot_metrics,
     "sql_lateral_topk_per_nation": sql_lateral_topk_per_nation,
     "sql_udf_scalar_and_table": sql_udf_scalar_and_table,
@@ -1444,4 +1476,18 @@ ORACLE_SQL["sql_distribute_cluster_by"] = """
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
+"""
+
+ORACLE_SQL["sql_correlated_scalar"] = """
+    SELECT n.n_name,
+           (SELECT MAX(c.c_acctbal) FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey) AS max_acctbal,
+           (SELECT COUNT(*) FROM supplier s
+            WHERE s.s_nationkey = n.n_nationkey
+              AND s.s_acctbal > 5000) AS n_rich_suppliers
+    FROM nation n
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                    AND c.c_mktsegment = 'BUILDING')
+    ORDER BY n.n_name
 """

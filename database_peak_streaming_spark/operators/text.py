@@ -695,6 +695,56 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def eval_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking (``text_bm25_topk``) against a graded
+    relevance proxy — the retrieval-quality eval a RAG/search stack runs
+    before swapping rankers.  Relevance grade = number of distinct query
+    terms the document contains (0..3); DCG uses the standard
+    (2^rel - 1) / log2(rank + 1) gains; IDCG ranks the WHOLE corpus by
+    grade (corpus-ideal, not retrieved-set-ideal), so a ranker that
+    misses a high-grade document is penalized, not forgiven.
+
+    The retrieved arm IS the registered BM25 query (same function), and
+    the oracle embeds the registered BM25 oracle as a CTE — ranker and
+    eval cannot drift apart (the ``ann_recall_audit`` pattern).  Scale:
+    grading is scan-side column math; both rank windows run over <= 10
+    rows after a TakeOrdered top-k."""
+    retrieved = text_bm25_topk(spark, sf_dir)
+    wr = Window.orderBy(F.desc("bm25"), "doc_id")
+    gains_r = retrieved.select(
+        (
+            (F.pow(F.lit(2.0), F.col("n_terms_hit").cast("double")) - 1.0)
+            / F.log2(F.row_number().over(wr).cast("double") + 1.0)
+        ).alias("g")
+    )
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split("text", " ")
+    grade = None
+    for t in BM25_TERMS:
+        term_hit = (F.size(F.filter(toks, _eq_term(t))) > 0).cast("long")
+        grade = term_hit if grade is None else grade + term_hit
+    rel = d.select("doc_id", grade.alias("rel")).where(F.col("rel") > 0)
+    wi = Window.orderBy(F.desc("rel"), "doc_id")
+    gains_i = (
+        rel.select("doc_id", "rel", F.row_number().over(wi).alias("rk"))
+        .where(F.col("rk") <= 10)
+        .select(
+            (
+                (F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0)
+                / F.log2(F.col("rk").cast("double") + 1.0)
+            ).alias("g")
+        )
+    )
+    dcg = gains_r.agg(F.sum("g").alias("dcg"), F.count(F.lit(1)).alias("k"))
+    idcg = gains_i.agg(F.sum("g").alias("idcg"))
+    return dcg.crossJoin(idcg).select(
+        F.col("k").cast("long").alias("k"),
+        F.round("dcg", 6).alias("dcg_at_k"),
+        F.round("idcg", 6).alias("idcg_at_k"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
+    )
+
+
 def vocab_spelling_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spelling-variant pairs in the corpus vocabulary (edit distance
     <= 2) via FastSS deletion-neighborhood blocking (Bocek et al. 2007),
@@ -1026,6 +1076,7 @@ QUERIES = {
     "text_winnowing_fingerprint": text_winnowing_fingerprint,
     "text_keyword_search": text_keyword_search,
     "text_bm25_topk": text_bm25_topk,
+    "eval_ndcg_bm25": eval_ndcg_bm25,
 }
 
 _MARKER_SQL = {
@@ -1502,4 +1553,38 @@ ORACLE_SQL["text_bpe_pair_counts"] = """
     GROUP BY pair
     ORDER BY n_occurrences DESC, pair
     LIMIT 20
+"""
+
+_NDCG_NHITS_SQL = " + ".join(
+    f"CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = '{t}')) > 0"
+    f" THEN 1 ELSE 0 END"
+    for t in BM25_TERMS
+)
+
+# NDCG oracle embeds the registered BM25 oracle as its retrieved arm, so
+# the ranker and its eval can never drift apart.
+ORACLE_SQL["eval_ndcg_bm25"] = f"""
+    WITH retrieved AS ({ORACLE_SQL["text_bm25_topk"]}),
+    gains_r AS (
+        SELECT (POW(2.0, n_terms_hit) - 1.0)
+               / LOG2(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) + 1.0)
+                   AS g
+        FROM retrieved),
+    rel AS (
+        SELECT * FROM (SELECT doc_id, {_NDCG_NHITS_SQL} AS rel
+                       FROM documents)
+        WHERE rel > 0),
+    gains_i AS (
+        SELECT (POW(2.0, rel) - 1.0) / LOG2(rk + 1.0) AS g
+        FROM (SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id)
+                         AS rk
+              FROM rel) x
+        WHERE rk <= 10),
+    dcg AS (SELECT SUM(g) AS dcg, COUNT(*) AS k FROM gains_r),
+    idcg AS (SELECT SUM(g) AS idcg FROM gains_i)
+    SELECT CAST(k AS BIGINT) AS k,
+           ROUND(dcg, 6) AS dcg_at_k,
+           ROUND(idcg, 6) AS idcg_at_k,
+           ROUND(dcg / idcg, 6) AS ndcg_at_k
+    FROM dcg CROSS JOIN idcg
 """

@@ -183,6 +183,9 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "feature_woe_iv",
     "model_conformal_interval",
     "graph_degree_assortativity",
+    "eval_ndcg_bm25",
+    "agg_percentile_cont_disc",
+    "sql_correlated_scalar",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
