@@ -1,0 +1,369 @@
+"""Causal-inference pack: the experiment-analysis operators a product /
+data-science platform runs on top of the events warehouse —
+difference-in-differences on observational panel data, CUPED variance
+reduction for A/B tests, and stratified average-treatment-effect
+estimation.
+
+Like the classical-ML pack (operators/ml.py), every estimator here is
+model math over sufficient statistics: ONE data-sized aggregation
+produces exact integer cell counts / sums / cross-moments, and the
+estimator arithmetic runs on a handful of rows.  At 100 TB each of
+these is a single partial-aggregable pass over the metric table — the
+estimators add nothing to the shuffle beyond the cells.
+
+Hash-stability: metric values quantize to the cent/dollar grid, so all
+moments are exact BIGINTs; every double expression downstream is the
+identical IEEE tree over identical inputs in both engines (products of
+whole-table sums go through doubles first, the ml.py overflow rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from database_peak_streaming_spark.sources.batch import load_table
+
+
+def _md5_of(col: str):
+    """Cross-engine stable pseudo-random key (sampling.py convention)."""
+    return F.md5(F.col(col).cast("string").cast("binary"))
+
+
+def orders_promo_uplift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (the two-period, two-group canonical
+    form): did the PROMO part class's net revenue move differently
+    across the 1998-07 boundary than everything else's?  DiD =
+    (treated post - treated pre) - (control post - control pre), which
+    cancels both the group level difference and the common time trend
+    — the workhorse causal design when randomization wasn't available.
+    A z score from the four cells' mean-variances (independent-cell
+    normal approximation) accompanies the point estimate.
+
+    Shape: broadcast part-class join, ONE (treated, post) aggregation
+    over dollar-quantized revenue (n, sum, sum-of-squares — all exact
+    BIGINT), then the estimator on a 4-row frame via conditional
+    first() cells (exactly one non-null per cell, so the fold is
+    deterministic)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("treated")
+    )
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "treated",
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1998-07-01"))).alias(
+            "post"
+        ),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 0)
+        .cast("long")
+        .alias("rev"),
+    )
+    cells = j.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("s"),
+        F.sum(F.col("rev") * F.col("rev")).alias("ss"),
+    )
+    mean = F.col("s") / F.col("n").cast("double")
+    var_mean = (
+        (F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1.0)
+        / F.col("n")
+    )
+    c2 = cells.select(
+        "treated", "post", "n", mean.alias("m"), var_mean.alias("vm")
+    )
+
+    def cell(tr: bool, po: bool, col: str):
+        return F.first(
+            F.when(
+                (F.col("treated") == tr) & (F.col("post") == po), F.col(col)
+            ),
+            ignorenulls=True,
+        )
+
+    agg = c2.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        cell(True, True, "m").alias("m_t_post"),
+        cell(True, False, "m").alias("m_t_pre"),
+        cell(False, True, "m").alias("m_c_post"),
+        cell(False, False, "m").alias("m_c_pre"),
+        (
+            cell(True, True, "vm")
+            + cell(True, False, "vm")
+            + cell(False, True, "vm")
+            + cell(False, False, "vm")
+        ).alias("var_did"),
+    )
+    did = (F.col("m_t_post") - F.col("m_t_pre")) - (
+        F.col("m_c_post") - F.col("m_c_pre")
+    )
+    return agg.select(
+        "n_rows",
+        F.round("m_t_post", 6).alias("mean_treated_post"),
+        F.round("m_t_pre", 6).alias("mean_treated_pre"),
+        F.round("m_c_post", 6).alias("mean_control_post"),
+        F.round("m_c_pre", 6).alias("mean_control_pre"),
+        F.round(did, 6).alias("did_estimate"),
+        F.round(did / F.sqrt(F.col("var_did")), 6).alias("did_z"),
+    )
+
+
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. WSDM'13 — the industry
+    standard for shipping faster A/B readouts): the post-period metric
+    is adjusted by theta x the PRE-period covariate, theta =
+    cov(X, Y) / var(X), which strips the variance the pre-period
+    already explains.  Arms assigned by md5 parity (engine-portable);
+    emits theta, the raw and CUPED-adjusted treatment deltas (equal in
+    expectation — CUPED is unbiased) and the realized variance-
+    reduction fraction 1 - var(Y - theta X)/var(Y).
+
+    Exactness: X/Y are per-user PRE/POST cent SUMS (exact BIGINT), so
+    the five cross-user moments are exact BIGINT in one aggregation —
+    no order-dependent double summation anywhere before the final
+    identical-IEEE estimator row."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        (F.col("ts") < F.to_timestamp(F.lit("2024-01-16"))).alias("pre"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("pre"), F.col("cents")).otherwise(0)).alias(
+                "x"
+            ),
+            F.sum(F.when(~F.col("pre"), F.col("cents")).otherwise(0)).alias(
+                "y"
+            ),
+        )
+        .select(
+            "x",
+            "y",
+            (
+                F.conv(F.substring(_md5_of("user_id"), 1, 2), 16, 10).cast(
+                    "long"
+                )
+                % 2
+            ).alias("arm"),
+        )
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0)).alias(
+            "sy1"
+        ),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0)).alias(
+            "sx1"
+        ),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0)).alias(
+            "sy0"
+        ),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0)).alias(
+            "sx0"
+        ),
+    )
+    n = F.col("n").cast("double")
+    cxy = F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / n
+    cxx = F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / n
+    cyy = F.col("syy") - F.col("sy").cast("double") * F.col("sy") / n
+    theta = cxy / cxx
+    n1 = F.col("n1").cast("double")
+    n0 = n - n1
+    raw = F.col("sy1") / n1 - F.col("sy0") / n0
+    adj = (F.col("sy1") / n1 - theta * F.col("sx1") / n1) - (
+        F.col("sy0") / n0 - theta * F.col("sx0") / n0
+    )
+    return mom.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("n1").cast("long").alias("n_treat"),
+        F.round(theta / 1.0, 6).alias("theta"),
+        F.round(raw / 100.0, 6).alias("raw_delta"),
+        F.round(adj / 100.0, 6).alias("cuped_delta"),
+        F.round(1.0 - (cyy - theta * cxy) / cyy, 6).alias("var_reduction"),
+    )
+
+
+def causal_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average-treatment-effect estimation (post-
+    stratification): users bucketed into activity quartiles (NTILE on
+    a fully tie-broken order), arms by md5 parity, per-stratum effect
+    = treated mean - control mean of total value, and the
+    population-weighted terms whose sum is the stratified ATE — the
+    estimator that removes confounding carried by the stratification
+    variable, and the variance-reducing analysis even under pure
+    randomization.
+
+    One per-user aggregation (data-sized), one user-vocabulary NTILE,
+    one 4-row cell frame.  The same NTILE caveat as feature_woe_iv
+    applies at extreme scale: swap in broadcast percentile boundaries
+    for the global sort."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_ev"), F.sum("cents").alias("tot")
+    )
+    strat = per_user.select(
+        "user_id",
+        "tot",
+        F.ntile(4).over(Window.orderBy("n_ev", "user_id")).alias("stratum"),
+        (
+            F.conv(F.substring(_md5_of("user_id"), 1, 2), 16, 10).cast("long")
+            % 2
+        ).alias("arm"),
+    )
+    cells = strat.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("tot")).otherwise(0)).alias(
+            "s1"
+        ),
+        F.sum(F.when(F.col("arm") == 0, F.col("tot")).otherwise(0)).alias(
+            "s0"
+        ),
+    )
+    tot = cells.agg(F.sum("n_s").alias("n")).select("n")
+    diff = F.col("s1") / (F.lit(100.0) * F.col("n1")) - F.col("s0") / (
+        F.lit(100.0) * (F.col("n_s") - F.col("n1"))
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("stratum").cast("long").alias("stratum"),
+            F.col("n_s").cast("long").alias("n_users"),
+            F.col("n1").cast("long").alias("n_treat"),
+            F.round(diff, 6).alias("stratum_effect"),
+            F.round(diff * F.col("n_s") / F.col("n"), 6).alias(
+                "weighted_term"
+            ),
+        )
+        .orderBy("stratum")
+    )
+
+
+QUERIES = {
+    "orders_promo_uplift_did": orders_promo_uplift_did,
+    "ab_test_cuped": ab_test_cuped,
+    "causal_stratified_ate": causal_stratified_ate,
+}
+
+ORACLE_SQL = {
+    "orders_promo_uplift_did": """
+        WITH j AS (
+            SELECT (p.p_type = 'PROMO') AS treated,
+                   (l.l_shipdate >= TIMESTAMP '1998-07-01') AS post,
+                   CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 0)
+                        AS BIGINT) AS rev
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        cells AS (
+            SELECT treated, post, COUNT(*) AS n, SUM(rev) AS s,
+                   SUM(rev * rev) AS ss
+            FROM j GROUP BY treated, post),
+        c2 AS (
+            SELECT treated, post, n,
+                   s / CAST(n AS DOUBLE) AS m,
+                   (ss - CAST(s AS DOUBLE) * s / n) / (n - 1.0) / n AS vm
+            FROM cells),
+        agg AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                   MAX(CASE WHEN treated AND post THEN m END) AS m_t_post,
+                   MAX(CASE WHEN treated AND NOT post THEN m END) AS m_t_pre,
+                   MAX(CASE WHEN NOT treated AND post THEN m END) AS m_c_post,
+                   MAX(CASE WHEN NOT treated AND NOT post THEN m END)
+                       AS m_c_pre,
+                   MAX(CASE WHEN treated AND post THEN vm END)
+                   + MAX(CASE WHEN treated AND NOT post THEN vm END)
+                   + MAX(CASE WHEN NOT treated AND post THEN vm END)
+                   + MAX(CASE WHEN NOT treated AND NOT post THEN vm END)
+                       AS var_did
+            FROM c2)
+        SELECT n_rows,
+               ROUND(m_t_post, 6) AS mean_treated_post,
+               ROUND(m_t_pre, 6) AS mean_treated_pre,
+               ROUND(m_c_post, 6) AS mean_control_post,
+               ROUND(m_c_pre, 6) AS mean_control_pre,
+               ROUND((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6)
+                   AS did_estimate,
+               ROUND(((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
+                     / SQRT(var_did), 6) AS did_z
+        FROM agg
+    """,
+    "ab_test_cuped": """
+        WITH ev AS (
+            SELECT user_id, (ts < TIMESTAMP '2024-01-16') AS pre,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+            FROM events),
+        per_user AS (
+            SELECT user_id,
+                   SUM(CASE WHEN pre THEN cents ELSE 0 END) AS x,
+                   SUM(CASE WHEN NOT pre THEN cents ELSE 0 END) AS y,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))
+                       ::BIGINT % 2 AS arm
+            FROM ev GROUP BY user_id),
+        mom AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy,
+                   SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+                   SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS sy1,
+                   SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS sx1,
+                   SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sy0,
+                   SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS sx0
+            FROM per_user),
+        c AS (
+            SELECT n, n1, sy1, sx1, sy0, sx0,
+                   sxy - CAST(sx AS DOUBLE) * sy / n AS cxy,
+                   sxx - CAST(sx AS DOUBLE) * sx / n AS cxx,
+                   syy - CAST(sy AS DOUBLE) * sy / n AS cyy
+            FROM mom)
+        SELECT CAST(n AS BIGINT) AS n_users,
+               CAST(n1 AS BIGINT) AS n_treat,
+               ROUND(cxy / cxx, 6) AS theta,
+               ROUND((sy1 / CAST(n1 AS DOUBLE)
+                      - sy0 / CAST(n - n1 AS DOUBLE)) / 100.0, 6)
+                   AS raw_delta,
+               ROUND(((sy1 / CAST(n1 AS DOUBLE)
+                       - (cxy / cxx) * sx1 / CAST(n1 AS DOUBLE))
+                      - (sy0 / CAST(n - n1 AS DOUBLE)
+                         - (cxy / cxx) * sx0 / CAST(n - n1 AS DOUBLE)))
+                     / 100.0, 6) AS cuped_delta,
+               ROUND(1.0 - (cyy - (cxy / cxx) * cxy) / cyy, 6)
+                   AS var_reduction
+        FROM c
+    """,
+    "causal_stratified_ate": """
+        WITH per_user AS (
+            SELECT user_id, COUNT(*) AS n_ev,
+                   SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS tot
+            FROM events GROUP BY user_id),
+        strat AS (
+            SELECT user_id, tot,
+                   NTILE(4) OVER (ORDER BY n_ev, user_id) AS stratum,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))
+                       ::BIGINT % 2 AS arm
+            FROM per_user),
+        cells AS (
+            SELECT stratum, COUNT(*) AS n_s,
+                   SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+                   SUM(CASE WHEN arm = 1 THEN tot ELSE 0 END) AS s1,
+                   SUM(CASE WHEN arm = 0 THEN tot ELSE 0 END) AS s0
+            FROM strat GROUP BY stratum),
+        tot AS (SELECT SUM(n_s) AS n FROM cells)
+        SELECT CAST(stratum AS BIGINT) AS stratum,
+               CAST(n_s AS BIGINT) AS n_users,
+               CAST(n1 AS BIGINT) AS n_treat,
+               ROUND(s1 / (100.0 * n1) - s0 / (100.0 * (n_s - n1)), 6)
+                   AS stratum_effect,
+               ROUND((s1 / (100.0 * n1) - s0 / (100.0 * (n_s - n1)))
+                     * n_s / n, 6) AS weighted_term
+        FROM cells CROSS JOIN tot
+        ORDER BY stratum
+    """,
+}

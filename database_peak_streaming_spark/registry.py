@@ -14,6 +14,7 @@ from database_peak_streaming_spark.operators import (
     aggregates,
     arrays_json,
     behavior,
+    causal,
     checks,
     chunking,
     curation,
@@ -65,6 +66,7 @@ _MODULES = [
     graph,
     linkage,
     ml,
+    causal,
     checks,
 ]
 
@@ -186,6 +188,9 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "eval_ndcg_bm25",
     "agg_percentile_cont_disc",
     "sql_correlated_scalar",
+    "orders_promo_uplift_did",
+    "ab_test_cuped",
+    "causal_stratified_ate",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
