@@ -439,6 +439,10 @@ def test_forced_broadcasts_are_bounded_cardinality():
         # round 7: "pc" is the 1-row 64-double power-iteration direction;
         # "norm" is its 1-row L2 norm — both O(dim), never corpus-sized
         "pc", "norm",
+        # round 8: "tot" is a 1-row global-totals aggregate in the
+        # WOE/IV binning (t_pos/t_neg) and the stratified-ATE
+        # population count — always the result of .agg() with no keys
+        "tot",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     offenders = []
