@@ -881,6 +881,67 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite (``spark.sql.sources.
+    partitionOverwriteMode=dynamic``): ``INSERT OVERWRITE`` replaces
+    ONLY the partitions present in the incoming frame — the
+    hive-warehouse backfill/restatement primitive (re-run one day's
+    partition without touching the rest; static mode would wipe every
+    partition first).  Here the F-status partition is restated with an
+    exact integer-cent 10% discount on urgent orders, then the WHOLE
+    table is re-read and summarized — so the oracle (final-state
+    reconstruction from the source table) proves both that F was
+    replaced and that O/P were untouched.
+
+    The discount is (cents * 9) DIV 10 on the cent grid — exact
+    integer arithmetic, no ROUND(x*0.9) float boundary (measured: the
+    double form differs between engines by a cent on .005 boundaries).
+    Scale: the rewrite IO is one partition, not the table; the conf is
+    restored after the write so concurrent writers keep static
+    semantics."""
+    o = load_table(spark, "orders", sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"dps_dyn_overwrite_{os.getpid()}"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patched = (
+            spark.read.parquet(base)
+            .where(F.col("o_orderstatus") == "F")
+            .withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderpriority") == "1-URGENT",
+                    F.expr(
+                        "(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 9)"
+                        " DIV 10 / 100.0"
+                    ),
+                ).otherwise(F.col("o_totalprice")),
+            )
+        )
+        patched.write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(base)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(base)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def partition_prune_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DYNAMIC partition pruning (DPP): the static form above prunes on
     literal predicates; this one prunes the partitioned fact by the
@@ -1108,6 +1169,7 @@ QUERIES = {
     "schema_evolution_merge": schema_evolution_merge,
     "partitioned_write_prune": partitioned_write_prune,
     "partition_prune_dynamic": partition_prune_dynamic,
+    "partition_overwrite_dynamic": partition_overwrite_dynamic,
     "join_bucketed_colocated": join_bucketed_colocated,
     "sql_api_cte_lateral": sql_api_cte_lateral,
     "jsonl_roundtrip": jsonl_roundtrip,
@@ -1490,4 +1552,20 @@ ORACLE_SQL["sql_correlated_scalar"] = """
                   WHERE c.c_nationkey = n.n_nationkey
                     AND c.c_mktsegment = 'BUILDING')
     ORDER BY n.n_name
+"""
+
+ORACLE_SQL["partition_overwrite_dynamic"] = """
+    WITH final AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderstatus = 'F'
+                         AND o_orderpriority = '1-URGENT'
+                    THEN (CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 9)
+                         // 10 / 100.0
+                    ELSE o_totalprice END AS price
+        FROM orders)
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(price AS DECIMAL(28,6))) AS DOUBLE), 2)
+               AS total_price
+    FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
 """

@@ -1149,8 +1149,82 @@ def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CROSTON_A, CROSTON_CA = 0.1, 0.9
+
+
+def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972) + the SBA bias correction
+    (Syntetos-Boylan 2005) for INTERMITTENT demand — per-part daily
+    shipment quantities, where most days are zero and a plain EMA
+    (``ema_batch_fold``) chases the zeros: Croston instead smooths
+    demand SIZE and inter-demand INTERVAL separately (both only at
+    demand points) and forecasts the rate z/p.  The inventory-planning
+    standard for slow movers, which is most of any parts catalog.
+
+    Key structural fact exploited here: Croston's recursion only
+    updates at demand occurrences, so the fold runs over the SPARSE
+    (day, qty) series with explicit day-gaps — the dense zero-filled
+    grid (the LOCF/resample shape) is never materialized, and per-key
+    work is O(demand days), not O(calendar days).  Accumulator is a
+    [z, p] pair folded with one alpha (the ts_holt_linear
+    pair-accumulator discipline); seeding (z, p) = (y_1, d_2 - d_1)
+    and folding from the second demand makes both engines fold
+    bit-identically over exact-integer inputs.
+
+    One (part, day) groupBy is the only data-sized stage; the fold
+    runs per part over demand-day-sized arrays."""
+    li = load_table(spark, "lineitem", sf_dir)
+    demand = li.groupBy(
+        "l_partkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("dn"),
+    ).agg(F.round(F.sum("l_quantity"), 0).cast("long").alias("q"))
+    arr = F.array_sort(F.collect_list(F.struct("dn", "q")))
+    per = (
+        demand.groupBy("l_partkey")
+        .agg(arr.alias("arr"))
+        .where(F.size("arr") >= 5)
+    )
+    ds = F.transform(F.col("arr"), lambda s: s["dn"].cast("double"))
+    ys = F.transform(F.col("arr"), lambda s: s["q"].cast("double"))
+    n = F.size(F.col("arr"))
+    gaps = F.zip_with(
+        F.slice(ds, 2, n - 1), F.slice(ds, 1, n - 1), lambda a, b: a - b
+    )
+    pairs = F.zip_with(
+        F.slice(ys, 2, n - 1), gaps, lambda y, g: F.array(y, g)
+    )
+    a, ca = F.lit(CROSTON_A), F.lit(CROSTON_CA)
+
+    def _step(acc, x):
+        return F.array(
+            a * F.element_at(x, 1) + ca * F.element_at(acc, 1),
+            a * F.element_at(x, 2) + ca * F.element_at(acc, 2),
+        )
+
+    seed = F.array(
+        F.element_at(ys, 1), F.element_at(ds, 2) - F.element_at(ds, 1)
+    )
+    zp = F.aggregate(pairs, seed, _step)
+    z, p = F.element_at(zp, 1), F.element_at(zp, 2)
+    return (
+        per.select(
+            F.col("l_partkey").alias("partkey"),
+            n.cast("long").alias("n_demand_days"),
+            F.round(z, 6).alias("demand_size_ema"),
+            F.round(p, 6).alias("interval_ema"),
+            F.round(z / p, 6).alias("croston_rate"),
+            F.round((1.0 - CROSTON_A / 2.0) * z / p, 6).alias("sba_rate"),
+        )
+        .orderBy("partkey")
+    )
+
+
 QUERIES = {
     "ts_holt_linear": ts_holt_linear,
+    "ts_croston_intermittent": ts_croston_intermittent,
     "ts_holt_winters_additive": ts_holt_winters_additive,
     "intervals_merge_spans": intervals_merge_spans,
     "ts_theil_sen_trend": ts_theil_sen_trend,
@@ -1728,4 +1802,37 @@ ORACLE_SQL["ts_holt_winters_additive"] = f"""
            ROUND(acc[1] + 2.0 * acc[2] + acc[4], 6) AS forecast_2d,
            ROUND(acc[1] + 3.0 * acc[2] + acc[5], 6) AS forecast_3d
     FROM folded ORDER BY event_type
+"""
+
+ORACLE_SQL["ts_croston_intermittent"] = f"""
+    WITH demand AS (
+        SELECT l_partkey,
+               DATE_DIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                   AS dn,
+               CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1, 2),
+    series AS (
+        SELECT l_partkey,
+               LIST(CAST(dn AS DOUBLE) ORDER BY dn) AS ds,
+               LIST(CAST(q AS DOUBLE) ORDER BY dn) AS ys
+        FROM demand GROUP BY l_partkey),
+    eligible AS (SELECT * FROM series WHERE LEN(ds) >= 5),
+    folded AS (
+        SELECT l_partkey, LEN(ds) AS n,
+               LIST_REDUCE(
+                   [[ys[1], ds[2] - ds[1]]]
+                       || LIST_TRANSFORM(
+                              generate_series(2, LEN(ds)),
+                              i -> [ys[i], ds[i] - ds[i - 1]]),
+                   (acc, x) -> [
+                       {CROSTON_A} * x[1] + {CROSTON_CA} * acc[1],
+                       {CROSTON_A} * x[2] + {CROSTON_CA} * acc[2]]) AS zp
+        FROM eligible)
+    SELECT l_partkey AS partkey,
+           CAST(n AS BIGINT) AS n_demand_days,
+           ROUND(zp[1], 6) AS demand_size_ema,
+           ROUND(zp[2], 6) AS interval_ema,
+           ROUND(zp[1] / zp[2], 6) AS croston_rate,
+           ROUND((1.0 - {CROSTON_A} / 2.0) * zp[1] / zp[2], 6) AS sba_rate
+    FROM folded ORDER BY partkey
 """

@@ -191,6 +191,8 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "orders_promo_uplift_did",
     "ab_test_cuped",
     "causal_stratified_ate",
+    "ts_croston_intermittent",
+    "partition_overwrite_dynamic",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -36,6 +36,27 @@ def streaming_dedup(
     return stream.withWatermark(watermark_col, delay).dropDuplicates(keys)
 
 
+def streaming_dedup_within_watermark(
+    stream: DataFrame, keys: list[str], watermark_col: str, delay: str
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` (Spark 3.5+) — the dedup whose
+    GUARANTEE is time-scoped rather than key-scoped: events with the
+    same key whose event times fall within ``delay`` of each other
+    dedup exactly once, and state evicts as the watermark passes each
+    key's FIRST-SEEN time + delay.  Operationally different from
+    ``streaming_dedup`` above in the contract that matters for
+    at-least-once sources: plain dropDuplicates keeps a key's state
+    until ITS OWN event time expires (a late dup re-emits once state
+    is gone and the dup's event time is newer), while the
+    WithinWatermark form pins eviction to first-sight, matching the
+    "redelivery happens within N minutes" shape of Kafka/queue
+    retries.  State is bounded by keys-per-delay-window either way."""
+    stream = as_event_time(stream, watermark_col)
+    return stream.withWatermark(
+        watermark_col, delay
+    ).dropDuplicatesWithinWatermark(keys)
+
+
 def stream_static_join(stream: DataFrame, dim: DataFrame, on: list[str]) -> DataFrame:
     """Enrich a stream with a static dimension (stream-static inner
     join).  The static side is planned per micro-batch — broadcast when

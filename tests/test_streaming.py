@@ -206,6 +206,43 @@ def test_streaming_dedup(spark, tmpdir_):
     assert len(ids) == len(set(ids)) == 200
 
 
+def test_streaming_dedup_within_watermark(spark, tmpdir_):
+    """dropDuplicatesWithinWatermark: duplicates delivered in a LATER
+    chunk (the queue-redelivery shape) still dedup to one row per key,
+    and the streamed result equals the batch distinct."""
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.ops import (
+        streaming_dedup_within_watermark,
+    )
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+
+    ev = (
+        load_table(spark, "events", SF_DIR)
+        .select("event_id", "ts", "value")
+        .limit(200)
+    )
+    doubled = ev.unionAll(ev)
+    stream, replay_dir = replay_dataframe(
+        spark, doubled, n_chunks=4, order_col="ts"
+    )
+    try:
+        got = _collect_stream(
+            spark,
+            streaming_dedup_within_watermark(
+                stream, ["event_id"], "ts", "2 hours"
+            ),
+            f"{tmpdir_}/ckpt",
+        )
+    finally:
+        cleanup_replay(replay_dir)
+    ids = sorted(r.event_id for r in got)
+    batch_ids = sorted(r.event_id for r in ev.select("event_id").collect())
+    assert ids == batch_ids
+
+
 def test_stream_static_join(spark, tmpdir_):
     """Stream-static enrich: every streamed event joins its user dim row."""
     from database_peak_streaming_spark.sources.batch import load_table
