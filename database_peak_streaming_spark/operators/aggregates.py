@@ -870,10 +870,45 @@ def agg_percentile_cont_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUPING()`` / ``GROUPING_ID()`` over a ROLLUP — the ANSI
+    disambiguators that distinguish a SUBTOTAL row's NULL from a
+    genuine NULL grouping value (the thing every BI layer consuming a
+    rollup needs; masked NULLs alone are ambiguous).  Each rollup row
+    carries both per-column grouping flags and the composite bit
+    vector; subtotal labels are then derived from the FLAGS, not from
+    NULL-ness.  Spark's ``grouping_id()`` and DuckDB's composite
+    ``GROUPING(a, b)`` agree bit-for-bit (MSB = first column)."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.grouping("o_orderstatus")
+            .cast("long")
+            .alias("is_status_total"),
+            F.grouping("o_orderpriority")
+            .cast("long")
+            .alias("is_prio_total"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<ALL>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<ALL>")).alias("priority"),
+            "n_orders",
+            "is_status_total",
+            "is_prio_total",
+            "gid",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "agg_listagg_sorted": agg_listagg_sorted,
     "agg_percentile_cont_disc": agg_percentile_cont_disc,
+    "agg_grouping_id_rollup": agg_grouping_id_rollup,
     "agg_weighted_median": agg_weighted_median,
     "agg_mad_outliers": agg_mad_outliers,
     "orders_yoy_growth": orders_yoy_growth,
@@ -1208,4 +1243,16 @@ ORACLE_SQL["agg_percentile_cont_disc"] = """
            ROUND(QUANTILE_DISC(price, 0.5), 6) AS p50_disc,
            ROUND(QUANTILE_DISC(price, 0.9), 6) AS p90_disc
     FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+ORACLE_SQL["agg_grouping_id_rollup"] = """
+    SELECT COALESCE(o_orderstatus, '<ALL>') AS status,
+           COALESCE(o_orderpriority, '<ALL>') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS is_status_total,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS is_prio_total,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
 """

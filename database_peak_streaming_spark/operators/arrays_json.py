@@ -253,8 +253,63 @@ def json_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def map_build_zip_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map CONSTRUCTION + two-map combination, completing the map HOF
+    family beside ``map_hof_funcs`` (transform/filter/concat):
+    per-returnflag count and quantity maps are BUILT from aggregation
+    output with ``map_from_entries(array_sort(collect_list(struct)))``
+    (the sorted-entries build keeps key order deterministic), then
+    combined key-wise with ``map_zip_with`` into an average-per-status
+    map — the "join two dictionaries without exploding them" pattern a
+    feature store uses for per-key metric bundles.
+
+    The result is stringified as sorted ``k:v`` pairs (MAP result
+    columns are banned by the oracle-type gate, tests/test_oracle_types
+    — engines disagree on map rendering); the oracle computes the same
+    pairs relationally with an ordered STRING_AGG.  All values derive
+    from exact BIGINT counts/sums; one (flag, status) aggregation is
+    the only data-sized stage."""
+    li = load_table(spark, "lineitem", sf_dir)
+    per = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("qty"),
+    )
+    maps = per.groupBy("l_returnflag").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("l_linestatus", "n")))
+        ).alias("n_map"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("l_linestatus", "qty")))
+        ).alias("qty_map"),
+    )
+    zipped = maps.select(
+        "l_returnflag",
+        F.map_zip_with(
+            "n_map", "qty_map", lambda k, n, q: q / n.cast("double")
+        ).alias("avg_map"),
+    )
+    return (
+        zipped.select(
+            "l_returnflag",
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.map_entries("avg_map")),
+                    lambda e: F.concat(
+                        e["key"],
+                        F.lit(":"),
+                        F.round(e["value"], 6).cast("string"),
+                    ),
+                ),
+            ).alias("avg_qty_by_status"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "json_corrupt_handling": json_corrupt_handling,
+    "map_build_zip_funcs": map_build_zip_funcs,
     "array_funcs": array_funcs,
     "array_explode_pos": array_explode_pos,
     "array_transform_filter": array_transform_filter,
@@ -362,4 +417,16 @@ ORACLE_SQL["json_corrupt_handling"] = """
                          THEN CAST((s ->> '$.n') AS BIGINT)
                          ELSE 0 END) AS BIGINT) AS good_n_total
     FROM payload
+"""
+
+ORACLE_SQL["map_build_zip_funcs"] = """
+    WITH per AS (
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS qty
+        FROM lineitem GROUP BY 1, 2)
+    SELECT l_returnflag,
+           STRING_AGG(l_linestatus || ':'
+                      || CAST(ROUND(qty / CAST(n AS DOUBLE), 6) AS VARCHAR),
+                      '|' ORDER BY l_linestatus) AS avg_qty_by_status
+    FROM per GROUP BY l_returnflag ORDER BY l_returnflag
 """

@@ -193,6 +193,8 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "causal_stratified_ate",
     "ts_croston_intermittent",
     "partition_overwrite_dynamic",
+    "agg_grouping_id_rollup",
+    "map_build_zip_funcs",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

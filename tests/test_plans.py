@@ -575,3 +575,29 @@ def test_distribute_by_exchange_reused_and_dead_sort_eliminated(spark):
     assert plan.count("hashpartitioning(o_orderstatus") == 1, plan
     sorts = re.findall(r"Arguments: \[o_order[^\]]*\], (\w+), \d", plan)
     assert sorts == ["true"], (sorts, plan)
+
+
+def test_round8_estimator_plan_budgets(spark):
+    """The sufficient-statistic packs' core promise is plan-shaped:
+    model math must ride on a handful of aggregations, never extra
+    data-sized shuffles.  Budgets pin the measured shapes (+0 slack on
+    the flagship one-pass OLS: ONE exchange total)."""
+    budgets = {
+        "ml_linreg_normal_eq": 1,   # single global moment aggregation
+        "ab_test_cuped": 2,         # per-user agg + global moment agg
+        "stats_mann_whitney": 3,    # value-vocab agg + window + fold
+        "feature_woe_iv": 3,        # global NTILE + decile agg + fold
+        "ts_croston_intermittent": 3,  # (part,day) agg + collect + sort
+        "orders_promo_uplift_did": 3,  # cells + estimator fold
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, SF_DIR)
+        assert E.shuffle_count(df) <= budget, (
+            name,
+            E.formatted_plan(df),
+        )
+    did = E.formatted_plan(QUERIES["orders_promo_uplift_did"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in did, did  # part-class dim never shuffles
+    ndcg = E.formatted_plan(QUERIES["eval_ndcg_bm25"](spark, SF_DIR))
+    # top-k via TakeOrdered, never a global sort of the corpus
+    assert "TakeOrderedAndProject" in ndcg, ndcg
