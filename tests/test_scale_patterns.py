@@ -123,3 +123,45 @@ def test_partition_pruning_skips_directories(spark, tmp_path_factory):
     # and the pruned read still answers correctly
     want = ev.filter(F.to_date("ts") == "2024-01-02").count()
     assert one_day.count() == want > 0
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """Catalyst's runtime row-level Bloom filter (SPARK-32268) — the
+    engine-native twin of the manual ``join_bloom_prefilter`` — must
+    inject a ``bloom_filter_agg`` / ``might_contain`` pair when a
+    selective build side feeds a SHUFFLE join: the filter prunes probe
+    rows before the exchange, which is the whole game at 100 TB.  The
+    fixture sides are far below the production size thresholds, so the
+    thresholds are lowered for the probe (broadcast also disabled —
+    with a broadcast join there is no probe-side shuffle to protect
+    and Spark rightly skips injection); production keeps the defaults
+    and gets the same rewrite on real volumes."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        sup = spark.read.parquet(f"{SF_DIR}/supplier.parquet").filter(
+            F.col("s_acctbal") >= 9000
+        )
+        j = (
+            li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+            .groupBy("s_nationkey")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
