@@ -134,8 +134,41 @@ def dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("table_name")
 
 
+def ps_api_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-on-Spark API surface (``pyspark.pandas``): the pandas
+    idiom — ``df.pandas_api().groupby(...).agg(...)`` — lowered onto
+    the SAME Catalyst plan as the DataFrame form.  This is the
+    migration bridge for the reference's pandas/numpy analysis style
+    (analyze_data.py works in DataFrames-as-pandas terms): a user can
+    keep pandas syntax and get distributed execution, because ps ops
+    compile to Spark plans, never collect.
+
+    Values ride the cent grid so count/sum/max are exact BIGINTs.
+    Note ps adds NO distributed-ordering guarantees pandas has — which
+    is why the result is explicitly sorted before comparison, same as
+    every other query here."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    psdf = o.pandas_api()
+    g = psdf.groupby("o_orderstatus").agg({"cents": ["count", "sum", "max"]})
+    g.columns = ["count", "sum", "max"]
+    out = g.reset_index().to_spark()
+    return (
+        out.select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("count").cast("long").alias("n_orders"),
+            (F.col("sum") / F.lit(100.0)).alias("total_price"),
+            (F.col("max") / F.lit(100.0)).alias("max_price"),
+        )
+        .orderBy("status")
+    )
+
+
 QUERIES = {
     "dataset_manifest": dataset_manifest,
+    "ps_api_groupby_stats": ps_api_groupby_stats,
     "scan_project_rename": scan_project_rename,
     "filter_predicates": filter_predicates,
     "filter_scalar_subquery": filter_scalar_subquery,
@@ -214,3 +247,15 @@ ORACLE_SQL = {
         ORDER BY table_name
     """,
 }
+
+ORACLE_SQL["ps_api_groupby_stats"] = """
+    WITH o AS (
+        SELECT o_orderstatus,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders)
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           SUM(cents) / 100.0 AS total_price,
+           MAX(cents) / 100.0 AS max_price
+    FROM o GROUP BY o_orderstatus ORDER BY status
+"""

@@ -329,8 +329,42 @@ def udf_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udf_arrow_optimized_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED Python UDF (``F.udf(..., useArrow=True)``,
+    Spark 3.5+) — the remaining cell of the Python UDF matrix: the
+    row-at-a-time ``def f(x) -> y`` AUTHORING model with Arrow batch
+    TRANSFER, for logic that resists vectorization (branchy per-row
+    code) but shouldn't pay pickle serialization.  Still slower than a
+    true pandas UDF (the Python-level per-row call remains), which is
+    why the vectorized twin stays the hot-path recommendation — this
+    row exists because real codebases have per-row functions that get
+    this decorator as the cheap first migration step.
+
+    The identical JVM closed form is returned beside it so the oracle
+    pins Python-row == codegen to the 6dp grid."""
+    import math
+
+    @F.udf("double", useArrow=True)
+    def sigmoid_arrow(x: float) -> float:
+        return 1.0 / (1.0 + math.exp(-x / 100000.0))
+
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.select(
+            "o_orderkey",
+            F.round(sigmoid_arrow("o_totalprice"), 6).alias("sigmoid_udf"),
+            F.round(
+                1.0 / (1.0 + F.exp(-F.col("o_totalprice") / 100000.0)), 6
+            ).alias("sigmoid_builtin"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
 QUERIES = {
     "udf_arrow_group_stats": udf_arrow_group_stats,
+    "udf_arrow_optimized_scalar": udf_arrow_optimized_scalar,
     "udf_zscore_by_segment": udf_zscore_by_segment,
     "udf_arrow_token_count": udf_arrow_token_count,
     "udf_pandas_log1p": udf_pandas_log1p,
@@ -421,4 +455,13 @@ ORACLE_SQL["udf_arrow_group_stats"] = """
     FROM ranked
     GROUP BY event_type
     ORDER BY event_type
+"""
+
+ORACLE_SQL["udf_arrow_optimized_scalar"] = """
+    SELECT o_orderkey,
+           ROUND(1.0 / (1.0 + EXP(-o_totalprice / 100000.0)), 6)
+               AS sigmoid_udf,
+           ROUND(1.0 / (1.0 + EXP(-o_totalprice / 100000.0)), 6)
+               AS sigmoid_builtin
+    FROM orders ORDER BY o_orderkey LIMIT 500
 """

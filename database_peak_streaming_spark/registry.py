@@ -195,6 +195,8 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "partition_overwrite_dynamic",
     "agg_grouping_id_rollup",
     "map_build_zip_funcs",
+    "ps_api_groupby_stats",
+    "udf_arrow_optimized_scalar",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

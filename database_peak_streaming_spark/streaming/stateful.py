@@ -382,6 +382,72 @@ def stateful_bucket_counts_tws(stream: DataFrame) -> DataFrame:
     )
 
 
+#: rolling-buffer depth for the TWS ListState median
+TWS_ROLL_K = 5
+
+
+class RollingBuffer(StatefulProcessor):
+    """Per-key last-K rolling median on ``transformWithState``
+    LISTSTATE — the fourth and final TWS state type (ValueState: EMA;
+    timers: sessionizer; MapState: bucket counter; ListState: this) —
+    the store for per-key state that is a bounded SEQUENCE: the buffer
+    of the K most recent values, which a scalar can't hold and a map
+    has no order for.  Emits every event with the exact median of the
+    last K values (itself included) — the streaming twin of the
+    ``win_rolling_median`` frame query, with O(K) state per key.
+
+    Determinism contract (same as EmaSmoother): per-key event-time
+    ordered arrival; rows are (ts, event_id)-sorted inside each batch
+    and the replayed chunks are ts-ordered across batches, so the
+    streamed buffer walks the series in exactly the batch frame
+    order."""
+
+    def init(self, handle) -> None:
+        self._buf = handle.getListState("buf", "cents long")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        pdfs = list(rows)
+        pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
+        pdf = pdf.sort_values(["ts", "event_id"])
+        buf = [int(t[0]) for t in self._buf.get()]
+        medians = []
+        for c in pdf["cents"]:
+            buf.append(int(c))
+            if len(buf) > TWS_ROLL_K:
+                buf.pop(0)
+            s = sorted(buf)
+            mid = len(s) // 2
+            med = (
+                float(s[mid])
+                if len(s) % 2
+                else (s[mid - 1] + s[mid]) / 2.0
+            )
+            medians.append(med / 100.0)
+        self._buf.put([(v,) for v in buf])
+        yield pd.DataFrame(
+            {
+                "channel": pdf["channel"].astype("int64"),
+                "event_id": pdf["event_id"].astype("int64"),
+                "rolling_median": pd.array(medians, dtype="float64"),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_rolling_median_tws(stream: DataFrame) -> DataFrame:
+    """``RollingBuffer`` wired through ``transformWithStateInPandas``
+    (same caller-side RocksDB provider note as ``stateful_ema_tws``)."""
+    proc = RollingBuffer()
+    return stream.groupBy("channel").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType="channel bigint, event_id bigint, rolling_median double",
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 EMA_STATE_SCHEMA = T.StructType([T.StructField("ema", T.DoubleType())])
 
 

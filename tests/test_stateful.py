@@ -778,3 +778,84 @@ def test_tws_mapstate_bucket_counts_match_batch(spark, tmpdir_):
         .collect()
     }
     assert latest == want
+
+
+def test_tws_liststate_rolling_median_matches_batch(spark, tmpdir_):
+    """The ListState rolling buffer — last-K median per event across a
+    3-chunk replay — must equal the batch rowsBetween(-(K-1), 0) frame
+    median exactly: the buffer carried across micro-batch boundaries
+    walks the series in the batch frame order."""
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+    from database_peak_streaming_spark.streaming.stateful import (
+        TWS_ROLL_K,
+        stateful_rolling_median_tws,
+    )
+
+    ev = (
+        load_table(spark, "events", SF_DIR)
+        .select(
+            (F.col("user_id") % 4).cast("long").alias("channel"),
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .filter(F.col("user_id") < 40)
+    )
+    stream, replay_dir = replay_dataframe(spark, ev, n_chunks=3, order_col="ts")
+    got = {}
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+
+        def sink(b, _):
+            for r in b.collect():
+                got[r.event_id] = r.rolling_median
+
+        q = (
+            stateful_rolling_median_tws(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", f"{tmpdir_}/ckpt_tws_list")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(420)
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        cleanup_replay(replay_dir)
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("channel")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(TWS_ROLL_K - 1), 0)
+    )
+    frame = F.array_sort(F.collect_list("cents").over(w))
+    nn = F.size(frame)
+    med = F.when(
+        nn % 2 == 1, F.element_at(frame, (nn / 2 + 1).cast("int")).cast("double")
+    ).otherwise(
+        (
+            F.element_at(frame, (nn / 2).cast("int"))
+            + F.element_at(frame, (nn / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    want = {
+        r.event_id: r.m
+        for r in ev.select(
+            "event_id", (med / 100.0).alias("m")
+        ).collect()
+    }
+    assert len(got) == len(want)
+    mismatches = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    assert not mismatches, list(mismatches.items())[:5]
