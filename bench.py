@@ -98,6 +98,10 @@ HEADLINE = [
     "sessionize_dynamic_gap",
     "bootstrap_ci_mean",
     "join_interval_window_band",
+    # round-8 pack representatives (see R8_ADDITIONS)
+    "ml_linreg_normal_eq",
+    "orders_promo_uplift_did",
+    "ts_croston_intermittent",
 ]
 
 #: Size-stable cross-round comparison set (round-5 VERDICT task 6): the
@@ -155,7 +159,14 @@ R6_COMPARABLE_SUBSET = [n for n in HEADLINE if n not in R7_ADDITIONS]
 
 #: Names added to HEADLINE during round 8+ — kept separate so the
 #: frozen round-7 subset below stays exactly what BENCH_r07 ran.
-R8_ADDITIONS: list[str] = []
+R8_ADDITIONS: list[str] = [
+    # one representative per round-8 pack: the one-pass normal-equation
+    # OLS (classical-ML), the 2x2 DiD (causal), and the Croston sparse
+    # fold (the heaviest new per-key recurrence)
+    "ml_linreg_normal_eq",
+    "orders_promo_uplift_did",
+    "ts_croston_intermittent",
+]
 
 #: Round-7-comparable subset (round-7 VERDICT task 8): the EXACT
 #: headline set BENCH_r07 ran, frozen so round 8+ reports a ratio
