@@ -1,0 +1,187 @@
+"""Rank-statistics pack: Spearman rank correlation and ROC-AUC model
+evaluation — the two order-based measures every feature-audit and
+model-eval pipeline runs beside the moment-based ones (Pearson corr,
+calibration bins) already in the surface.
+
+Both reduce to AVERAGE ranks (the standard mid-rank tie convention),
+which are exact multiples of 1/2: rank() is an exact integer, the tie
+adjustment adds (tie_count - 1)/2, and every downstream sum of such
+halves is exact in double far below 2^52 — so the statistics are
+order-independent and hash-comparable across engines by construction.
+
+Scale note (both operators): mid-ranks come from a per-group window
+sort, a single-partition sort per group at the limit.  At 100 TB the
+documented swap is binned ranks — approx-percentile boundaries
+broadcast to a map-only bucketizer, ranks assigned per bin plus an
+exact intra-bin pass only for the bins a tie spans (the
+winsorize/equidepth pattern in aggregates.py); the rank algebra
+downstream is unchanged.  Reference parity: the reference's analysis
+surface stops at moment statistics (analyze_data.py:30-70's
+mean/min/max scans); rank measures are part of this engine's
+training-data audit extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from database_peak_streaming_spark.sources.batch import load_table
+
+
+def _mid_rank(part_cols: list[str], value_col: str) -> F.Column:
+    """Average (mid) rank of ``value_col`` within the partition: the
+    competition rank plus half the remaining tie block.  Exact halves,
+    engine-identical."""
+    w_rank = Window.partitionBy(*part_cols).orderBy(value_col)
+    w_ties = Window.partitionBy(*part_cols, value_col)
+    return (
+        F.rank().over(w_rank)
+        + (F.count(F.lit(1)).over(w_ties) - F.lit(1)) / F.lit(2.0)
+    )
+
+
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price per
+    return flag: Pearson correlation of the MID-RANKS of each column —
+    the monotone-association measure that is robust to the price
+    column's heavy tail, where Pearson (already surfaced as
+    `agg_corr_covar`) is dominated by it.
+
+    Ranks are computed with the standard average-rank tie convention,
+    so the statistic equals the textbook tie-corrected Spearman rho.
+    Both engines compute identical exact half-integer ranks; CORR's
+    accumulation differs only at the ~1 ulp level, far inside the
+    6-decimal round."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    ranked = li.select(
+        "l_returnflag",
+        _mid_rank(["l_returnflag"], "l_quantity").alias("rq"),
+        _mid_rank(["l_returnflag"], "l_extendedprice").alias("rp"),
+    )
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.corr("rq", "rp"), 6).alias("spearman_rho"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the order-value score against the urgent-priority
+    label, per market segment — the rank-sum (Mann-Whitney) identity:
+    AUC = (sum of positive mid-ranks - n_pos(n_pos+1)/2) /
+    (n_pos * n_neg), exactly the probability a random positive
+    outscores a random negative with ties counted half.  This is the
+    one-pass distributed AUC: no threshold sweep, no curve
+    materialization — one rank window and one aggregation.
+
+    All inputs to the final division are exact (integer counts,
+    half-integer rank sums), so cross-engine agreement is exact up to
+    the final rounded divide.  Gini = 2*AUC - 1 rides along."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment",
+        F.col("o_totalprice").alias("score"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("pos"),
+    )
+    ranked = j.select(
+        "c_mktsegment",
+        "pos",
+        _mid_rank(["c_mktsegment"], "score").alias("r"),
+    )
+    g = ranked.groupBy("c_mktsegment").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("pos")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("pos") == 1, F.col("r")).otherwise(0.0)).alias(
+            "r_pos"
+        ),
+    )
+    auc = (
+        F.col("r_pos")
+        - F.col("n_pos").cast("double")
+        * (F.col("n_pos") + F.lit(1)).cast("double")
+        / F.lit(2.0)
+    ) / F.nullif(
+        F.col("n_pos").cast("double") * F.col("n_neg").cast("double"),
+        F.lit(0.0),
+    )
+    return (
+        g.select(
+            "c_mktsegment",
+            "n_pos",
+            "n_neg",
+            F.round(auc, 6).alias("auc"),
+            F.round(auc * 2 - 1, 6).alias("gini"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES = {
+    "stats_spearman_corr": stats_spearman_corr,
+    "eval_roc_auc": eval_roc_auc,
+}
+
+ORACLE_SQL = {
+    "stats_spearman_corr": """
+        WITH ranked AS (
+            SELECT l_returnflag,
+                   RANK() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity)
+                   + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+                      - 1) / 2.0 AS rq,
+                   RANK() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice)
+                   + (COUNT(*) OVER (PARTITION BY l_returnflag,
+                                     l_extendedprice) - 1) / 2.0 AS rp
+            FROM lineitem)
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(CORR(rq, rp), 6) AS spearman_rho
+        FROM ranked
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "eval_roc_auc": """
+        WITH j AS (
+            SELECT c.c_mktsegment,
+                   o.o_totalprice AS score,
+                   CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS pos
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        ranked AS (
+            SELECT c_mktsegment, pos,
+                   RANK() OVER (PARTITION BY c_mktsegment ORDER BY score)
+                   + (COUNT(*) OVER (PARTITION BY c_mktsegment, score)
+                      - 1) / 2.0 AS r
+            FROM j),
+        g AS (
+            SELECT c_mktsegment,
+                   CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(1 - pos) AS BIGINT) AS n_neg,
+                   SUM(CASE WHEN pos = 1 THEN r ELSE 0.0 END) AS r_pos
+            FROM ranked GROUP BY c_mktsegment)
+        SELECT c_mktsegment, n_pos, n_neg,
+               ROUND((r_pos - CAST(n_pos AS DOUBLE)
+                               * CAST(n_pos + 1 AS DOUBLE) / 2.0)
+                     / NULLIF(CAST(n_pos AS DOUBLE)
+                              * CAST(n_neg AS DOUBLE), 0.0), 6) AS auc,
+               ROUND(((r_pos - CAST(n_pos AS DOUBLE)
+                               * CAST(n_pos + 1 AS DOUBLE) / 2.0)
+                     / NULLIF(CAST(n_pos AS DOUBLE)
+                              * CAST(n_neg AS DOUBLE), 0.0)) * 2 - 1, 6)
+                   AS gini
+        FROM g
+        ORDER BY c_mktsegment
+    """,
+}

@@ -25,6 +25,7 @@ from database_peak_streaming_spark.operators import (
     ml,
     multimodal_queries,
     pivots,
+    rankstats,
     sampling,
     scalars,
     scans,
@@ -67,6 +68,7 @@ _MODULES = [
     linkage,
     ml,
     causal,
+    rankstats,
     checks,
 ]
 
@@ -197,6 +199,8 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "map_build_zip_funcs",
     "ps_api_groupby_stats",
     "udf_arrow_optimized_scalar",
+    "stats_spearman_corr",
+    "eval_roc_auc",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
