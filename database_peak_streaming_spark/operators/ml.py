@@ -270,7 +270,95 @@ def model_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_logreg_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression (returned-flag ~ quantity + discount) fit by
+    ONE exact Newton/IRLS step from the zero initialization — the
+    distributed GLM trainer in miniature.  At beta = 0 every predicted
+    probability is 1/2, so the IRLS working response collapses to the
+    constant-weight least-squares problem z = 4(y - 1/2): the step is
+    EXACTLY the `ml_linreg_normal_eq` machinery on a +/-2 target, nine
+    exact-BIGINT moments and a Cramer solve on one row.  A full GLM
+    fit is this operator iterated — each step one data pass, the solve
+    always vocabulary-sized; one step is already the standard
+    large-scale approximation (and the score test's direction).
+
+    A second broadcast pass scores the step: mean log-loss of the
+    one-step model, ln(1+exp(a)) - y*a with a the linear predictor —
+    the number you compare against the 0-step baseline ln 2 to see the
+    step helped.  Betas are identical IEEE expression trees over exact
+    integer moments in both engines; log-loss differs only by libm
+    ulps, far inside the 6-decimal round of the mean."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.round(F.col("l_quantity"), 0).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x2"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    z = (F.col("y") * 4 - 2).alias("z")
+    rows = li.select("x1", "x2", "y", z)
+    m = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx1x1"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx1x2"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("z")).alias("sx1z"),
+        F.sum(F.col("x2") * F.col("z")).alias("sx2z"),
+    )
+    n = F.col("n").cast("double")
+
+    def d(c: str):
+        return F.col(c).cast("double")
+
+    c11 = F.col("sx1x1") - d("sx1") * d("sx1") / n
+    c12 = F.col("sx1x2") - d("sx1") * d("sx2") / n
+    c22 = F.col("sx2x2") - d("sx2") * d("sx2") / n
+    c1z = F.col("sx1z") - d("sx1") * d("sz") / n
+    c2z = F.col("sx2z") - d("sx2") * d("sz") / n
+    det = c11 * c22 - c12 * c12
+    betas = m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        ((c1z * c22 - c2z * c12) / det).alias("b1"),
+        ((c11 * c2z - c12 * c1z) / det).alias("b2"),
+        "sx1",
+        "sx2",
+        "sz",
+    ).select(
+        "n_rows",
+        "b1",
+        "b2",
+        (
+            F.col("sz") / F.col("n_rows")
+            - F.col("b1") * F.col("sx1") / F.col("n_rows")
+            - F.col("b2") * F.col("sx2") / F.col("n_rows")
+        ).alias("b0"),
+    )
+    a = (
+        F.col("b0")
+        + F.col("b1") * F.col("x1")
+        + F.col("b2") * F.col("x2")
+    )
+    return (
+        rows.crossJoin(F.broadcast(betas))
+        .groupBy("n_rows")
+        .agg(
+            F.round(F.first("b0"), 6).alias("beta0"),
+            F.round(F.first("b1"), 6).alias("beta_quantity"),
+            F.round(F.first("b2"), 6).alias("beta_discount_pct"),
+            F.round(
+                F.avg(F.log(F.lit(1.0) + F.exp(a)) - F.col("y") * a), 6
+            ).alias("avg_logloss"),
+        )
+        .select(
+            "n_rows", "beta0", "beta_quantity", "beta_discount_pct",
+            "avg_logloss",
+        )
+    )
+
+
 QUERIES = {
+    "ml_logreg_irls_step": ml_logreg_irls_step,
     "ml_linreg_normal_eq": ml_linreg_normal_eq,
     "feature_target_encode_oof": feature_target_encode_oof,
     "feature_woe_iv": feature_woe_iv,
@@ -278,6 +366,54 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "ml_logreg_irls_step": """
+        WITH rows_ AS (
+            SELECT CAST(ROUND(l_quantity, 0) AS BIGINT) AS x1,
+                   CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x2,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                   CASE WHEN l_returnflag = 'R' THEN 2 ELSE -2 END AS z
+            FROM lineitem),
+        m AS (
+            SELECT COUNT(*) AS n, SUM(x1) AS sx1, SUM(x2) AS sx2,
+                   SUM(z) AS sz,
+                   SUM(x1 * x1) AS sx1x1, SUM(x1 * x2) AS sx1x2,
+                   SUM(x2 * x2) AS sx2x2, SUM(x1 * z) AS sx1z,
+                   SUM(x2 * z) AS sx2z
+            FROM rows_),
+        c AS (
+            SELECT n, sx1, sx2, sz,
+                   sx1x1 - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+                           / CAST(n AS DOUBLE) AS c11,
+                   sx1x2 - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                           / CAST(n AS DOUBLE) AS c12,
+                   sx2x2 - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                           / CAST(n AS DOUBLE) AS c22,
+                   sx1z - CAST(sx1 AS DOUBLE) * CAST(sz AS DOUBLE)
+                           / CAST(n AS DOUBLE) AS c1z,
+                   sx2z - CAST(sx2 AS DOUBLE) * CAST(sz AS DOUBLE)
+                           / CAST(n AS DOUBLE) AS c2z
+            FROM m),
+        b AS (
+            SELECT n,
+                   (c1z * c22 - c2z * c12) / (c11 * c22 - c12 * c12) AS b1,
+                   (c11 * c2z - c12 * c1z) / (c11 * c22 - c12 * c12) AS b2,
+                   sx1, sx2, sz
+            FROM c),
+        bb AS (
+            SELECT n, b1, b2,
+                   CAST(sz AS DOUBLE) / n - b1 * sx1 / CAST(n AS DOUBLE)
+                       - b2 * sx2 / CAST(n AS DOUBLE) AS b0
+            FROM b)
+        SELECT CAST(bb.n AS BIGINT) AS n_rows,
+               ROUND(ANY_VALUE(b0), 6) AS beta0,
+               ROUND(ANY_VALUE(b1), 6) AS beta_quantity,
+               ROUND(ANY_VALUE(b2), 6) AS beta_discount_pct,
+               ROUND(AVG(LN(1.0 + EXP(b0 + b1 * x1 + b2 * x2))
+                         - y * (b0 + b1 * x1 + b2 * x2)), 6)
+                   AS avg_logloss
+        FROM rows_ CROSS JOIN bb
+        GROUP BY bb.n
+    """,
     "ml_linreg_normal_eq": """
         WITH q AS (
             SELECT CAST(ROUND(l_quantity, 0) AS BIGINT) AS x1,

@@ -1222,7 +1222,81 @@ def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection by BINARY SEGMENTATION (Scott &
+    Knott 1974; the first split of PELT-style pipelines) on the daily
+    event-count series per type: the split day minimizing total
+    within-segment sum of squared error, found in ONE window pass —
+    prefix sums S_t and Q_t give every candidate split's left/right
+    SSE in closed form (SSE = Q - S^2/n per segment), so no
+    per-candidate re-scan exists.  This is the level-shift detector
+    beside CUSUM (`cusum_drift_flags`): CUSUM flags *when* drift
+    accumulates online; binseg names the single best retrospective
+    break and its variance-explained gain.
+
+    Scale design: the data-sized stage is one (type, day) groupBy;
+    everything after runs on the calendar-sized daily series (prefix
+    sums + an argmin window).  Recursing into segments = re-running
+    this operator on the winning halves — each recursion touches only
+    calendar-sized frames.
+
+    Exactness: daily counts, their squares, and both prefix sums are
+    exact BIGINTs; each candidate's SSE is the same IEEE expression
+    tree over identical exact inputs in both engines, and the argmin
+    tie-breaks on (rounded SSE, day) so the winner is engine-stable."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(w_ord).alias("t"),
+        F.sum("y").over(w_cum).alias("s"),
+        F.sum(F.col("y") * F.col("y")).over(w_cum).alias("q"),
+        F.sum("y").over(w_all).alias("sn"),
+        F.sum(F.col("y") * F.col("y")).over(w_all).alias("qn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    t, n = F.col("t").cast("double"), F.col("n").cast("double")
+    s, q = F.col("s").cast("double"), F.col("q").cast("double")
+    sn, qn = F.col("sn").cast("double"), F.col("qn").cast("double")
+    sse = (q - s * s / t) + ((qn - q) - (sn - s) * (sn - s) / (n - t))
+    total = qn - sn * sn / n
+    cand = c.where(F.col("t") < F.col("n")).select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(total, 6).alias("sse_total"),
+        F.round(sse, 6).alias("sse_split"),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy("sse_split", "day")
+    return (
+        cand.withColumn("rk", F.row_number().over(w_pick))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("split_day"),
+            "n_days",
+            "sse_total",
+            "sse_split",
+            F.round(F.col("sse_total") - F.col("sse_split"), 6).alias(
+                "gain"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "ts_changepoint_binseg": ts_changepoint_binseg,
     "ts_holt_linear": ts_holt_linear,
     "ts_croston_intermittent": ts_croston_intermittent,
     "ts_holt_winters_additive": ts_holt_winters_additive,
@@ -1835,4 +1909,45 @@ ORACLE_SQL["ts_croston_intermittent"] = f"""
            ROUND(zp[1] / zp[2], 6) AS croston_rate,
            ROUND((1.0 - {CROSTON_A} / 2.0) * zp[1] / zp[2], 6) AS sba_rate
     FROM folded ORDER BY partkey
+"""
+
+ORACLE_SQL["ts_changepoint_binseg"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    c AS (
+        SELECT event_type, day,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                   AS t,
+               SUM(y) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS s,
+               SUM(y * y) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS q,
+               SUM(y) OVER (PARTITION BY event_type) AS sn,
+               SUM(y * y) OVER (PARTITION BY event_type) AS qn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily),
+    cand AS (
+        SELECT event_type, day,
+               CAST(n AS BIGINT) AS n_days,
+               ROUND(CAST(qn AS DOUBLE)
+                     - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                       / CAST(n AS DOUBLE), 6) AS sse_total,
+               ROUND((CAST(q AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(t AS DOUBLE))
+                     + ((CAST(qn AS DOUBLE) - CAST(q AS DOUBLE))
+                        - (CAST(sn AS DOUBLE) - CAST(s AS DOUBLE))
+                          * (CAST(sn AS DOUBLE) - CAST(s AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))), 6)
+                   AS sse_split
+        FROM c WHERE t < n),
+    pick AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY sse_split, day) AS rk
+        FROM cand)
+    SELECT event_type, day AS split_day, n_days, sse_total, sse_split,
+           ROUND(sse_total - sse_split, 6) AS gain
+    FROM pick WHERE rk = 1
+    ORDER BY event_type
 """

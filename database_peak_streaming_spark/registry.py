@@ -201,6 +201,8 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "udf_arrow_optimized_scalar",
     "stats_spearman_corr",
     "eval_roc_auc",
+    "ts_changepoint_binseg",
+    "ml_logreg_irls_step",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

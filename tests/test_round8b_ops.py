@@ -56,3 +56,49 @@ def test_roc_auc_matches_pairwise_count(spark):
         assert abs(r.auc - auc) < 1e-6, seg
         assert abs(r.gini - (2 * auc - 1)) < 1e-5
         assert (r.n_pos, r.n_neg) == (len(ps), len(ns))
+
+
+def test_changepoint_matches_bruteforce(spark):
+    rows = {
+        r.event_type: r
+        for r in QUERIES["ts_changepoint_binseg"](spark, SF_DIR).collect()
+    }
+    ev = _table("events")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    for etype, g in ev.groupby("event_type"):
+        y = g.groupby("day").size().sort_index()
+        days = list(y.index)
+        y = y.to_numpy(dtype=float)
+        n = len(y)
+
+        def sse(a):
+            return float(((a - a.mean()) ** 2).sum()) if len(a) else 0.0
+
+        # brute force: recompute both segment SSEs per candidate split
+        cand = [(sse(y[:t]) + sse(y[t:]), days[t - 1]) for t in range(1, n)]
+        best = min(cand, key=lambda p: (round(p[0], 6), p[1]))
+        r = rows[etype]
+        assert r.split_day == best[1], etype
+        assert abs(r.sse_split - best[0]) < 1e-4
+        assert abs(r.sse_total - sse(y)) < 1e-4
+        assert r.gain >= 0 and r.n_days == n
+
+
+def test_logreg_irls_step_matches_numpy(spark):
+    row = QUERIES["ml_logreg_irls_step"](spark, SF_DIR).collect()[0]
+    li = _table("lineitem")
+    x1 = np.round(li["l_quantity"]).astype(np.int64)
+    x2 = np.round(li["l_discount"] * 100).astype(np.int64)
+    y = (li["l_returnflag"] == "R").astype(np.int64).to_numpy()
+    X = np.column_stack([np.ones(len(y)), x1, x2]).astype(float)
+    z = 4.0 * (y - 0.5)
+    # one IRLS step from beta=0 == OLS on the +/-2 working response
+    beta = np.linalg.lstsq(X, z, rcond=None)[0]
+    assert abs(row.beta0 - beta[0]) < 1e-4
+    assert abs(row.beta_quantity - beta[1]) < 1e-6
+    assert abs(row.beta_discount_pct - beta[2]) < 1e-5
+    a = X @ beta
+    ll = float(np.mean(np.log1p(np.exp(a)) - y * a))
+    assert abs(row.avg_logloss - ll) < 1e-5
+    # the step must beat the 0-step baseline ln 2
+    assert row.avg_logloss < np.log(2.0)
