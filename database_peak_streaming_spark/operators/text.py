@@ -1050,7 +1050,133 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_trigram_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram language model with STUPID BACKOFF (Brants et al.
+    EMNLP'07 — the count-only smoothing built for distributed corpora:
+    no discount mass to normalize, so n-gram count tables shard freely)
+    scoring HELD-OUT documents: md5 buckets 0-2 train the counts,
+    bucket 3 is scored by mean log S(w3 | w1 w2) with
+    S = ct/cb12 if the trigram was seen, else 0.4 * cb23/cu2, else
+    0.4^2 * cu3/N, else 0.4^2/N for OOV — the next rung above
+    `text_bigram_surprisal` on the cheap-LM corpus-filter ladder, and
+    the train/held-out split is what makes backoff actually fire
+    (self-scoring a corpus never sees a zero trigram count).
+
+    Scale design: n-gram FORMATION is scan-side (nested zip_with over
+    token-array slices — no self-join); the count tables are one
+    groupBy each and vocabulary-bounded; scoring is five hash joins
+    against those tables plus a 1-row broadcast total.  At extreme
+    scale the documented swap is count-min-sketched trigram counts
+    (`sketch_cms_heavy_hitters` pattern) — the backoff CASE ladder is
+    unchanged.
+
+    Exactness: all counts exact BIGINT; each position's log-score is
+    the same expression tree over identical exact inputs, so engines
+    differ only by libm ulps inside the 6-decimal rounded mean."""
+    d = load_table(spark, "documents", sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4
+    )
+    toks = _tokens()
+    n = F.size(toks)
+    docs = d.select("doc_id", "text", bucket.alias("bkt"))
+    train = docs.where(F.col("bkt") <= 2)
+    held = docs.where((F.col("bkt") == 3) & (n >= 3))
+
+    bi_arr = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    tri_arr = F.zip_with(
+        F.zip_with(
+            F.slice(toks, 1, n - 2),
+            F.slice(toks, 2, n - 2),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        F.slice(toks, 3, n - 2),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+
+    uf = (
+        train.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    ntok = uf.agg(F.sum("cu").alias("n_tok"))
+    bf = (
+        train.where(n >= 2)
+        .select(F.explode(bi_arr).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    tf = (
+        train.where(n >= 3)
+        .select(F.explode(tri_arr).alias("tg"))
+        .groupBy("tg")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+
+    w = F.split(F.col("tg"), " ")
+    pos = held.select("doc_id", F.explode(tri_arr).alias("tg")).select(
+        "doc_id",
+        "tg",
+        F.concat(w.getItem(0), F.lit(" "), w.getItem(1)).alias("bi12"),
+        F.concat(w.getItem(1), F.lit(" "), w.getItem(2)).alias("bi23"),
+        w.getItem(1).alias("w2"),
+        w.getItem(2).alias("w3"),
+    )
+    j = (
+        pos.join(tf, "tg", "left")
+        .join(bf.select(F.col("bg").alias("bi12"), F.col("cb").alias("cb12")), "bi12", "left")
+        .join(bf.select(F.col("bg").alias("bi23"), F.col("cb").alias("cb23")), "bi23", "left")
+        .join(uf.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2", "left")
+        .join(uf.select(F.col("w").alias("w3"), F.col("cu").alias("cu3")), "w3", "left")
+        .crossJoin(F.broadcast(ntok))
+    )
+    ct = F.coalesce(F.col("ct"), F.lit(0))
+    cb12 = F.coalesce(F.col("cb12"), F.lit(0))
+    cb23 = F.coalesce(F.col("cb23"), F.lit(0))
+    cu2 = F.coalesce(F.col("cu2"), F.lit(0))
+    cu3 = F.coalesce(F.col("cu3"), F.lit(0))
+    nt = F.col("n_tok")
+    score = (
+        F.when(ct > 0, F.log(ct.cast("double") / cb12))
+        .when(cb23 > 0, F.log(F.lit(0.4) * cb23.cast("double") / cu2))
+        .when(cu3 > 0, F.log(F.lit(0.16) * cu3.cast("double") / nt))
+        .otherwise(F.log(F.lit(0.16) / nt))
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.round(F.avg(score), 6).alias("mean_logscore"),
+            F.sum(F.when(ct > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_tri_hits"),
+            F.sum(F.when((ct == 0) & (cb23 > 0), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bi_backoffs"),
+            F.sum(F.when((ct == 0) & (cb23 == 0) & (cu3 > 0), 1).otherwise(0))
+            .cast("long")
+            .alias("n_uni_backoffs"),
+            F.sum(F.when(cu3 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
+    "text_trigram_backoff_lm": text_trigram_backoff_lm,
     "text_bpe_pair_counts": text_bpe_pair_counts,
     "text_char_entropy": text_char_entropy,
     "text_feature_hashing": text_feature_hashing,
@@ -1587,4 +1713,74 @@ ORACLE_SQL["eval_ndcg_bm25"] = f"""
            ROUND(idcg, 6) AS idcg_at_k,
            ROUND(dcg / idcg, 6) AS ndcg_at_k
     FROM dcg CROSS JOIN idcg
+"""
+
+ORACLE_SQL["text_trigram_backoff_lm"] = """
+    WITH docs AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS tk,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                   % 4 AS bkt
+        FROM documents),
+    train AS (SELECT * FROM docs WHERE bkt <= 2),
+    uf AS (
+        SELECT w, COUNT(*) AS cu
+        FROM (SELECT UNNEST(tk) AS w FROM train) GROUP BY w),
+    ntok AS (SELECT SUM(cu) AS n_tok FROM uf),
+    bf AS (
+        SELECT bg, COUNT(*) AS cb
+        FROM (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                            i -> tk[i] || ' ' || tk[i + 1])) AS bg
+              FROM train WHERE LEN(tk) >= 2) GROUP BY bg),
+    tf AS (
+        SELECT tg, COUNT(*) AS ct
+        FROM (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                            i -> tk[i] || ' ' || tk[i + 1] || ' '
+                                 || tk[i + 2])) AS tg
+              FROM train WHERE LEN(tk) >= 3) GROUP BY tg),
+    pos AS (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i + 1] || ' '
+                           || tk[i + 2])) AS tg
+        FROM docs WHERE bkt = 3 AND LEN(tk) >= 3),
+    px AS (
+        SELECT doc_id, tg,
+               STRING_SPLIT(tg, ' ')[1] || ' '
+                   || STRING_SPLIT(tg, ' ')[2] AS bi12,
+               STRING_SPLIT(tg, ' ')[2] || ' '
+                   || STRING_SPLIT(tg, ' ')[3] AS bi23,
+               STRING_SPLIT(tg, ' ')[2] AS w2,
+               STRING_SPLIT(tg, ' ')[3] AS w3
+        FROM pos),
+    j AS (
+        SELECT px.doc_id,
+               COALESCE(tf.ct, 0) AS ct,
+               COALESCE(b12.cb, 0) AS cb12,
+               COALESCE(b23.cb, 0) AS cb23,
+               COALESCE(u2.cu, 0) AS cu2,
+               COALESCE(u3.cu, 0) AS cu3,
+               n_tok
+        FROM px
+        LEFT JOIN tf USING (tg)
+        LEFT JOIN bf b12 ON b12.bg = px.bi12
+        LEFT JOIN bf b23 ON b23.bg = px.bi23
+        LEFT JOIN uf u2 ON u2.w = px.w2
+        LEFT JOIN uf u3 ON u3.w = px.w3
+        CROSS JOIN ntok)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           ROUND(AVG(CASE
+               WHEN ct > 0 THEN LN(CAST(ct AS DOUBLE) / cb12)
+               WHEN cb23 > 0 THEN LN(0.4 * CAST(cb23 AS DOUBLE) / cu2)
+               WHEN cu3 > 0 THEN LN(0.16 * CAST(cu3 AS DOUBLE) / n_tok)
+               ELSE LN(0.16 / n_tok) END), 6) AS mean_logscore,
+           CAST(SUM(CASE WHEN ct > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tri_hits,
+           CAST(SUM(CASE WHEN ct = 0 AND cb23 > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bi_backoffs,
+           CAST(SUM(CASE WHEN ct = 0 AND cb23 = 0 AND cu3 > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_backoffs,
+           CAST(SUM(CASE WHEN cu3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+    FROM j GROUP BY doc_id ORDER BY doc_id
 """

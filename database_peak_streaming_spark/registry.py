@@ -203,6 +203,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "eval_roc_auc",
     "ts_changepoint_binseg",
     "ml_logreg_irls_step",
+    "text_trigram_backoff_lm",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

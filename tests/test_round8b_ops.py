@@ -102,3 +102,67 @@ def test_logreg_irls_step_matches_numpy(spark):
     assert abs(row.avg_logloss - ll) < 1e-5
     # the step must beat the 0-step baseline ln 2
     assert row.avg_logloss < np.log(2.0)
+
+
+def test_trigram_backoff_matches_pure_python(spark):
+    import hashlib
+    import math
+
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["text_trigram_backoff_lm"](spark, SF_DIR).collect()
+    }
+    docs = _table("documents")
+
+    def bkt(doc_id) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:2], 16) % 4
+
+    uni, bi, tri = {}, {}, {}
+    n_tok = 0
+    held = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        tk = text.split(" ")
+        if bkt(doc_id) <= 2:
+            n_tok += len(tk)
+            for w in tk:
+                uni[w] = uni.get(w, 0) + 1
+            for i in range(len(tk) - 1):
+                b = (tk[i], tk[i + 1])
+                bi[b] = bi.get(b, 0) + 1
+            for i in range(len(tk) - 2):
+                t = (tk[i], tk[i + 1], tk[i + 2])
+                tri[t] = tri.get(t, 0) + 1
+        elif len(tk) >= 3:
+            held.append((doc_id, tk))
+
+    assert set(rows) == {d for d, _ in held}
+    any_backoff = False
+    for doc_id, tk in held:
+        scores, hits, bb, ub, oov = [], 0, 0, 0, 0
+        for i in range(len(tk) - 2):
+            w1, w2, w3 = tk[i], tk[i + 1], tk[i + 2]
+            ct = tri.get((w1, w2, w3), 0)
+            if ct:
+                scores.append(math.log(ct / bi[(w1, w2)]))
+                hits += 1
+            elif bi.get((w2, w3), 0):
+                scores.append(math.log(0.4 * bi[(w2, w3)] / uni[w2]))
+                bb += 1
+            elif uni.get(w3, 0):
+                scores.append(math.log(0.16 * uni[w3] / n_tok))
+                ub += 1
+            else:
+                scores.append(math.log(0.16 / n_tok))
+            if not uni.get(w3, 0):
+                oov += 1
+        r = rows[doc_id]
+        assert abs(r.mean_logscore - sum(scores) / len(scores)) < 1e-5
+        assert (r.n_tri_hits, r.n_bi_backoffs, r.n_uni_backoffs) == (
+            hits,
+            bb,
+            ub,
+        ), doc_id
+        assert r.n_oov == oov and r.n_trigrams == len(scores)
+        any_backoff = any_backoff or bb or ub or oov
+    # the held-out split exists so that backoff actually fires
+    assert any_backoff
