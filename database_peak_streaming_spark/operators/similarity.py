@@ -509,6 +509,135 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bucket_probe_topk(e, _kmeans_bucket(F.col("embedding")))
 
 
+#: Product-quantization geometry: 64-dim vectors cut into PQ_M
+#: subspaces of PQ_SUB dims, PQ_K codes per subspace codebook — the
+#: 8-bits-per-subvector compression regime (Jegou et al. TPAMI'11).
+PQ_M, PQ_SUB, PQ_K = 4, 16, 16
+
+
+def _dist2(a: Column, b: Column) -> Column:
+    """Squared L2 distance with the repo's fixed left-fold order, so
+    both engines accumulate bit-identical doubles."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with ASYMMETRIC DISTANCE (ADC — Jegou et
+    al. TPAMI'11), the compression side of the ANN toolbox beside the
+    bucketed IVF/LSH probes: each vector is encoded as PQ_M=4 one-byte
+    codes (nearest codebook entry per 16-dim subspace), and a query
+    scores a candidate WITHOUT touching the original vector — it sums
+    4 precomputed query-to-centroid distances looked up by the
+    candidate's codes.  At 100 TB this is why PQ exists: the scan
+    reads 4 bytes + id per vector instead of 256 bytes, and the
+    distance work per candidate is M table lookups.
+
+    Everything is in-plan and data-derived (no pinned literals): the
+    codebook is the PQ_K lowest-id vectors' subslices (the
+    deterministic seeding a k-means refinement would start from —
+    swapping in trained centroids changes recall, not the plan),
+    broadcast at 64 rows; encoding is the corpus x (M x K) narrow
+    fan-out every PQ encoder pays (O(N*M*K) multiply-adds), pruned to
+    (id, m, code) before any shuffle; the LUT is queries x 64 rows
+    broadcast; ADC assembly folds the 4 per-subspace terms in fixed m
+    order so the ranking doubles are bit-identical across engines.
+
+    Returns the top-TOP_K ADC neighbors per query (self excluded),
+    with the reconstruction-side distance — compare against
+    `cosine_topk_bruteforce` for the recall trade, exactly how
+    `ann_recall_audit` treats the bucketed quantizers."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "embeddings", sf_dir)
+    ms = F.sequence(F.lit(0), F.lit(PQ_M - 1))
+
+    def _sub(col: str):
+        return F.slice(F.col(col), F.col("m") * PQ_SUB + 1, PQ_SUB)
+
+    cb = (
+        e.where(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").cast("int").alias("j"),
+            F.explode(ms).alias("m"),
+            "embedding",
+        )
+        .select("m", "j", _sub("embedding").alias("c"))
+    )
+    xs = e.select(
+        "vec_id", F.explode(ms).alias("m"), "embedding"
+    ).select("vec_id", "m", _sub("embedding").alias("x"))
+    w_code = Window.partitionBy("vec_id", "m").orderBy("d2", "j")
+    codes = (
+        xs.join(F.broadcast(cb), "m")
+        .select(
+            "vec_id", "m", "j", _dist2(F.col("x"), F.col("c")).alias("d2")
+        )
+        .withColumn("rk", F.row_number().over(w_code))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "m", F.col("j").alias("code"))
+    )
+    lut = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(ms).alias("m"),
+            "embedding",
+        )
+        .select("q_id", "m", _sub("embedding").alias("qx"))
+        .join(F.broadcast(cb), "m")
+        .select(
+            "q_id", "m", "j", _dist2(F.col("qx"), F.col("c")).alias("qd2")
+        )
+    )
+    lut_k = lut.select(
+        "q_id",
+        F.col("m").alias("lm"),
+        F.col("j").alias("lj"),
+        "qd2",
+    )
+    parts = (
+        codes.join(
+            F.broadcast(lut_k),
+            (F.col("m") == F.col("lm")) & (F.col("code") == F.col("lj")),
+        )
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "m", "qd2")
+    )
+    assembled = (
+        parts.groupBy("q_id", "vec_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("m", "qd2"))).alias(
+                "terms"
+            )
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            F.aggregate(
+                F.transform(F.col("terms"), lambda s: s["qd2"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc"),
+        )
+    )
+    w_rank = Window.partitionBy("q_id").orderBy("adc", "vec_id")
+    return (
+        assembled.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= TOP_K)
+        .select("q_id", "vec_id", "rnk", F.round("adc", 6).alias("adc"))
+        .orderBy("q_id", "rnk")
+    )
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector symmetric int8 scalar quantization — the standard
     4x-compression storage transform for embedding corpora (scale =
@@ -1532,3 +1661,50 @@ def _ann_recall_sql() -> str:
 
 ORACLE_SQL["ann_recall_audit"] = _ann_recall_sql()
 QUERIES["ann_recall_audit"] = ann_recall_audit
+
+_PQ_D2 = """LIST_SUM(LIST_TRANSFORM(LIST_ZIP({a}, {b}),
+          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
+
+ORACLE_SQL["ann_pq_adc"] = f"""
+    WITH ms AS (SELECT UNNEST(RANGE(0, {PQ_M})) AS m),
+    cb AS (
+        SELECT m, CAST(vec_id AS INT) AS j,
+               embedding[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS c
+        FROM embeddings CROSS JOIN ms WHERE vec_id < {PQ_K}),
+    xs AS (
+        SELECT vec_id, m,
+               embedding[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS x
+        FROM embeddings CROSS JOIN ms),
+    cand AS (
+        SELECT vec_id, m, j, {_PQ_D2.format(a='x', b='c')} AS d2
+        FROM xs JOIN cb USING (m)),
+    codes AS (
+        SELECT vec_id, m, j AS code
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                           ORDER BY d2, j) AS rk
+              FROM cand)
+        WHERE rk = 1),
+    qs AS (
+        SELECT vec_id AS q_id, m,
+               embedding[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS qx
+        FROM embeddings CROSS JOIN ms WHERE vec_id < {N_QUERIES}),
+    lut AS (
+        SELECT q_id, qs.m, j, {_PQ_D2.format(a='qx', b='c')} AS qd2
+        FROM qs JOIN cb ON cb.m = qs.m),
+    parts AS (
+        SELECT q_id, vec_id, codes.m, qd2
+        FROM codes JOIN lut ON lut.m = codes.m AND lut.j = codes.code
+        WHERE vec_id <> q_id),
+    assembled AS (
+        SELECT q_id, vec_id, LIST_SUM(LIST(qd2 ORDER BY m)) AS adc
+        FROM parts GROUP BY q_id, vec_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY adc, vec_id) AS rnk
+        FROM assembled)
+    SELECT q_id, vec_id, CAST(rnk AS INT) AS rnk, ROUND(adc, 6) AS adc
+    FROM ranked WHERE rnk <= {TOP_K}
+    ORDER BY q_id, rnk
+"""
+QUERIES["ann_pq_adc"] = ann_pq_adc

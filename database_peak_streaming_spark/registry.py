@@ -204,6 +204,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "ts_changepoint_binseg",
     "ml_logreg_irls_step",
     "text_trigram_backoff_lm",
+    "ann_pq_adc",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -166,3 +166,46 @@ def test_trigram_backoff_matches_pure_python(spark):
         any_backoff = any_backoff or bb or ub or oov
     # the held-out split exists so that backoff actually fires
     assert any_backoff
+
+
+def test_pq_adc_matches_numpy(spark):
+    from database_peak_streaming_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        TOP_K,
+    )
+
+    rows = QUERIES["ann_pq_adc"](spark, SF_DIR).collect()
+    emb = _table("embeddings").sort_values("vec_id")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    cb = X[np.argsort(ids)[:PQ_K]]  # vec_id 0..15 in id order
+    # encode: per subspace, nearest codebook subvector (ties -> lowest j)
+    codes = np.empty((len(X), PQ_M), dtype=int)
+    for m in range(PQ_M):
+        sl = slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+        d = ((X[:, None, sl] - cb[None, :, sl]) ** 2).sum(axis=2)
+        codes[:, m] = d.argmin(axis=1)  # argmin takes first == lowest j
+    got = {}
+    for r in rows:
+        got.setdefault(r.q_id, []).append((r.vec_id, r.adc))
+    for q in range(N_QUERIES):
+        qi = int(np.where(ids == q)[0][0])
+        lut = np.empty((PQ_M, PQ_K))
+        for m in range(PQ_M):
+            sl = slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+            lut[m] = ((X[qi, sl] - cb[:, sl]) ** 2).sum(axis=1)
+        adc = np.array(
+            [lut[np.arange(PQ_M), codes[i]].sum() for i in range(len(X))]
+        )
+        order = sorted(
+            (
+                (round(float(adc[i]), 6), int(ids[i]))
+                for i in range(len(X))
+                if ids[i] != q
+            ),
+        )[:TOP_K]
+        want = [(v, a) for a, v in order]
+        assert [(v, a) for v, a in got[q]] == want, q
