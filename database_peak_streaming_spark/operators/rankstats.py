@@ -127,9 +127,98 @@ def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_kendall_tau_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (tie-corrected) between quantity and discount per
+    return flag — the O(n^2)-pairs statistic made distributed-feasible
+    by VOCABULARY COLLAPSE: both variables live on small integer grids
+    (50 quantities x 11 discount points), so the table reduces to
+    (x, y) cells with counts in one data-sized groupBy and every pair
+    count is a product of cell counts.  Concordant/discordant sums run
+    over cell PAIRS (vocab^2, never rows^2); the tie terms come from
+    the x/y marginals.  This is the exact-Kendall recipe for 100 TB:
+    work after the first shuffle is bounded by the value vocabulary,
+    not the data.
+
+    Everything through the final division is exact BIGINT (cell-count
+    products bounded by (rows/cell)^2 — the decimal escalation for
+    beyond ~1e9 rows/cell is the dsum discipline in common.py), so
+    cross-engine agreement is exact up to one rounded divide."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        F.round(F.col("l_quantity"), 0).cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("y"),
+    )
+    cells = li.groupBy("l_returnflag", "x", "y").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = cells.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.col("n").alias("an"),
+    )
+    b = cells.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("n").alias("bn"),
+    )
+    cd = (
+        a.join(b, "flag")
+        .where(F.col("ax") < F.col("bx"))
+        .groupBy("flag")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("by") > F.col("ay"), F.col("an") * F.col("bn")
+                ).otherwise(F.lit(0))
+            ).alias("conc"),
+            F.sum(
+                F.when(
+                    F.col("by") < F.col("ay"), F.col("an") * F.col("bn")
+                ).otherwise(F.lit(0))
+            ).alias("disc"),
+        )
+    )
+    tot = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("nr")
+    )
+    tx = (
+        cells.groupBy(F.col("l_returnflag").alias("flag"), "x")
+        .agg(F.sum("n").alias("t"))
+        .groupBy("flag")
+        .agg(F.sum(F.expr("t * (t - 1) div 2")).alias("n1"))
+    )
+    ty = (
+        cells.groupBy(F.col("l_returnflag").alias("flag"), "y")
+        .agg(F.sum("n").alias("t"))
+        .groupBy("flag")
+        .agg(F.sum(F.expr("t * (t - 1) div 2")).alias("n2"))
+    )
+    n0 = F.expr("nr * (nr - 1) div 2")
+    tau = (F.col("conc") - F.col("disc")).cast("double") / F.sqrt(
+        (n0 - F.col("n1")).cast("double")
+        * (n0 - F.col("n2")).cast("double")
+    )
+    return (
+        cd.join(tot, "flag")
+        .join(tx, "flag")
+        .join(ty, "flag")
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("nr").cast("long").alias("n_rows"),
+            F.col("conc").cast("long").alias("concordant"),
+            F.col("disc").cast("long").alias("discordant"),
+            F.round(tau, 6).alias("kendall_tau_b"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "stats_spearman_corr": stats_spearman_corr,
     "eval_roc_auc": eval_roc_auc,
+    "stats_kendall_tau_vocab": stats_kendall_tau_vocab,
 }
 
 ORACLE_SQL = {
@@ -185,3 +274,38 @@ ORACLE_SQL = {
         ORDER BY c_mktsegment
     """,
 }
+
+ORACLE_SQL["stats_kendall_tau_vocab"] = """
+    WITH base AS (
+        SELECT l_returnflag AS flag,
+               CAST(ROUND(l_quantity, 0) AS BIGINT) AS x,
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS y
+        FROM lineitem),
+    cells AS (
+        SELECT flag, x, y, COUNT(*) AS n FROM base GROUP BY flag, x, y),
+    cd AS (
+        SELECT a.flag,
+               SUM(CASE WHEN b.y > a.y THEN a.n * b.n ELSE 0 END) AS conc,
+               SUM(CASE WHEN b.y < a.y THEN a.n * b.n ELSE 0 END) AS disc
+        FROM cells a JOIN cells b ON a.flag = b.flag AND a.x < b.x
+        GROUP BY a.flag),
+    tot AS (SELECT flag, COUNT(*) AS nr FROM base GROUP BY flag),
+    tx AS (
+        SELECT flag, SUM(t * (t - 1) // 2) AS n1
+        FROM (SELECT flag, x, SUM(n) AS t FROM cells GROUP BY flag, x)
+        GROUP BY flag),
+    ty AS (
+        SELECT flag, SUM(t * (t - 1) // 2) AS n2
+        FROM (SELECT flag, y, SUM(n) AS t FROM cells GROUP BY flag, y)
+        GROUP BY flag)
+    SELECT flag AS l_returnflag,
+           CAST(nr AS BIGINT) AS n_rows,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           ROUND(CAST(conc - disc AS DOUBLE)
+                 / SQRT(CAST(nr * (nr - 1) // 2 - n1 AS DOUBLE)
+                        * CAST(nr * (nr - 1) // 2 - n2 AS DOUBLE)), 6)
+               AS kendall_tau_b
+    FROM cd JOIN tot USING (flag) JOIN tx USING (flag) JOIN ty USING (flag)
+    ORDER BY l_returnflag
+"""

@@ -282,6 +282,57 @@ MIXTURE_TARGET = (
 )
 
 
+#: Temperature for ``corpus_temperature_mixture``: alpha = 0.3 is the
+#: XLM-R / mT5 published setting — small enough to visibly up-weight
+#: tail sources, large enough that head sources still dominate.
+MIX_TEMPERATURE_ALPHA = 0.3
+
+
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-scaled sampling weights per source (Conneau et al.
+    XLM-R '19; Xue et al. mT5 '21): q_i proportional to p_i^alpha with
+    p_i the source's token share — the standard low-resource-boost
+    alternative to `corpus_mixture_weights`' pinned target blend:
+    instead of declaring shares, flatten the natural distribution by
+    alpha < 1 so tail sources are oversampled smoothly.  Emits the
+    natural share, the temperature weight, and the boost factor
+    q_i/p_i a sampler applies per source.
+
+    Scale: one tiny-key groupBy over the corpus (map-side combined),
+    then window sums over the source vocabulary — the corpus is read
+    once.  POWER differs by libm ulps across engines; every published
+    double is rounded to 6 decimals, orders of magnitude above that
+    noise."""
+    d = load_table(spark, "documents", sf_dir)
+    by_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    p = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_all)
+    scored = by_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        p.alias("p"),
+        F.pow(p, F.lit(MIX_TEMPERATURE_ALPHA)).alias("w_raw"),
+    )
+    q = F.col("w_raw") / F.sum("w_raw").over(w_all)
+    return (
+        scored.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("p"), 6).alias("natural_share"),
+            F.round(q, 6).alias("temperature_share"),
+            F.round(q / F.col("p"), 6).alias("boost_factor"),
+        )
+        .orderBy("source")
+    )
+
+
 def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix construction: per-language token counts -> the
     per-language sampling weight that reshapes the corpus into a pinned
@@ -568,6 +619,7 @@ QUERIES = {
     "decontaminate_test_overlap": decontaminate_test_overlap,
     "text_novelty_vs_train": text_novelty_vs_train,
     "corpus_mixture_weights": corpus_mixture_weights,
+    "corpus_temperature_mixture": corpus_temperature_mixture,
 }
 
 _MIX_TGT_SQL = (
@@ -815,4 +867,25 @@ ORACLE_SQL["sample_kfold_assign"] = f"""
     FROM assigned CROSS JOIN total
     GROUP BY fold, lang
     ORDER BY fold, lang
+"""
+
+ORACLE_SQL["corpus_temperature_mixture"] = f"""
+    WITH by_src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source),
+    scored AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS p,
+               POWER(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (),
+                     {MIX_TEMPERATURE_ALPHA}) AS w_raw
+        FROM by_src)
+    SELECT source, n_docs, n_tokens,
+           ROUND(p, 6) AS natural_share,
+           ROUND(w_raw / SUM(w_raw) OVER (), 6) AS temperature_share,
+           ROUND((w_raw / SUM(w_raw) OVER ()) / p, 6) AS boost_factor
+    FROM scored
+    ORDER BY source
 """

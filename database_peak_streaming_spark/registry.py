@@ -205,6 +205,9 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "ml_logreg_irls_step",
     "text_trigram_backoff_lm",
     "ann_pq_adc",
+    "stats_kendall_tau_vocab",
+    "corpus_temperature_mixture",
+    "graph_label_propagation",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

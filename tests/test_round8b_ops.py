@@ -209,3 +209,85 @@ def test_pq_adc_matches_numpy(spark):
         )[:TOP_K]
         want = [(v, a) for a, v in order]
         assert [(v, a) for v, a in got[q]] == want, q
+
+
+def test_kendall_tau_matches_bruteforce(spark):
+    rows = {
+        r.l_returnflag: r
+        for r in QUERIES["stats_kendall_tau_vocab"](spark, SF_DIR).collect()
+    }
+    li = _table("lineitem")
+    li["x"] = np.round(li["l_quantity"]).astype(np.int64)
+    li["y"] = np.round(li["l_discount"] * 100).astype(np.int64)
+    for flag, g in li.groupby("l_returnflag"):
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        # brute force over all row pairs (feasible at sf0.001)
+        dx = np.sign(x[:, None] - x[None, :])
+        dy = np.sign(y[:, None] - y[None, :])
+        iu = np.triu_indices(len(x), k=1)
+        prod = dx[iu] * dy[iu]
+        conc = int((prod > 0).sum())
+        disc = int((prod < 0).sum())
+        n = len(x)
+        n0 = n * (n - 1) // 2
+        n1 = int((dx[iu] == 0).sum())
+        n2 = int((dy[iu] == 0).sum())
+        tau = (conc - disc) / np.sqrt(float(n0 - n1) * float(n0 - n2))
+        r = rows[flag]
+        assert (r.concordant, r.discordant) == (conc, disc), flag
+        assert abs(r.kendall_tau_b - tau) < 1e-6
+        assert r.n_rows == n
+
+
+def test_temperature_mixture_invariants(spark):
+    rows = QUERIES["corpus_temperature_mixture"](spark, SF_DIR).collect()
+    docs = _table("documents")
+    docs["n_tok"] = docs["text"].str.split(" ").str.len()
+    by_src = docs.groupby("source")["n_tok"].sum()
+    p = (by_src / by_src.sum()).to_dict()
+    w = {s: v**0.3 for s, v in p.items()}
+    tot_w = sum(w.values())
+    assert abs(sum(r.temperature_share for r in rows) - 1.0) < 1e-5
+    for r in rows:
+        assert abs(r.natural_share - p[r.source]) < 1e-6
+        assert abs(r.temperature_share - w[r.source] / tot_w) < 1e-6
+        assert abs(r.boost_factor - (w[r.source] / tot_w) / p[r.source]) < 1e-4
+    # alpha < 1 flattens: smallest source must be boosted above 1
+    smallest = min(rows, key=lambda r: r.n_tokens)
+    largest = max(rows, key=lambda r: r.n_tokens)
+    assert smallest.boost_factor > 1.0 > largest.boost_factor
+
+
+def test_label_propagation_matches_pure_python(spark):
+    from database_peak_streaming_spark.operators.graph import LP_ITERS
+
+    rows = QUERIES["graph_label_propagation"](spark, SF_DIR).collect()
+    o = _table("orders")
+    li = _table("lineitem")
+    j = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    pairs = {
+        ("c:%d" % c, "s:%d" % s)
+        for c, s in zip(j["o_custkey"], j["l_suppkey"])
+    }
+    adj = {}
+    for c, s in pairs:
+        adj.setdefault(c, []).append(s)
+        adj.setdefault(s, []).append(c)
+    labels = {n: n for n in adj}
+    for _ in range(LP_ITERS):
+        new = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for nb in nbrs:
+                lb = labels[nb]
+                counts[lb] = counts.get(lb, 0) + 1
+            new[n] = min(counts, key=lambda lb: (-counts[lb], lb))
+        labels = new
+    sizes = {}
+    for lb in labels.values():
+        sizes[lb] = sizes.get(lb, 0) + 1
+    top = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.community, r.n_members) for r in rows]
+    assert got == top
+    assert [r.community_rank for r in rows] == list(range(1, len(top) + 1))
