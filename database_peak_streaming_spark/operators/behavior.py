@@ -2298,3 +2298,88 @@ ORACLE_SQL["stats_mann_whitney"] = """
                AS z_stat
     FROM agg
 """
+
+
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of CONSECUTIVE active days per user — the classic
+    gaps-and-islands engagement metric (daily-active streaks), built
+    from the textbook identity: within a user's sorted distinct active
+    days, day_number - row_number is constant exactly along a
+    consecutive run, so one window pass groups days into islands and
+    one count per island measures every streak.  The islands form
+    beside `sessionize_gap_ids` (time-gap islands) and
+    `intervals_merge_spans` (interval islands); this is the calendar
+    flavor retention dashboards actually report.
+
+    Scale: distinct (user, day) is one data-sized groupBy; the window
+    and island count run on user-day rows (bounded by users x calendar)
+    keyed by user — no skew beyond a user's day count, which the
+    calendar bounds.  Everything is exact integer arithmetic.
+
+    Ties: the longest streak per user picks the EARLIEST start when two
+    streaks tie, so the winner is engine-stable."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("g"),
+    )
+    streaks = islands.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start")
+    )
+    w_pick = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("start").asc()
+    )
+    return (
+        streaks.withColumn("rk", F.row_number().over(w_pick))
+        .groupBy("user_id")
+        .agg(
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max(F.when(F.col("rk") == 1, F.col("len"))).cast("long").alias(
+                "longest_streak"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("start"))).alias(
+                "longest_start"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["events_longest_streak"] = events_longest_streak
+ORACLE_SQL["events_longest_streak"] = """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    islands AS (
+        SELECT user_id, day,
+               CAST(day - DATE '1970-01-01' AS BIGINT)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                   AS g
+        FROM days),
+    streaks AS (
+        SELECT user_id, g, COUNT(*) AS len, MIN(day) AS start
+        FROM islands GROUP BY user_id, g),
+    picked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY len DESC, start) AS rk
+        FROM streaks)
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(CASE WHEN rk = 1 THEN len END) AS BIGINT)
+               AS longest_streak,
+           MAX(CASE WHEN rk = 1 THEN start END) AS longest_start
+    FROM picked
+    GROUP BY user_id
+    ORDER BY user_id
+"""

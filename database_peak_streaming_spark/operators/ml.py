@@ -357,8 +357,78 @@ def ml_logreg_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION of the per-type event-value distributions
+    onto the pooled distribution (the microarray-era standard, Bolstad
+    et al. Bioinformatics'03, now the cross-source feature-alignment
+    step): each value is replaced by the pooled value at its
+    within-group quantile, so every group ends up with an identical
+    marginal distribution while preserving within-group order.
+
+    The mapping is EXACT INTEGER arithmetic end to end: within-group
+    rank r of n_g maps to pooled position
+    ceil((2r-1) * N / (2*n_g)) = ((2r-1)*N + 2*n_g - 1) div (2*n_g)
+    (the midpoint-quantile convention), and the pooled value is looked
+    up by an equi-join on that position — no interpolation doubles, so
+    both engines pick the identical pooled cent value for every row.
+    Emits the per-type audit (raw vs normalized means, normalized
+    range) that shows the marginals converged.
+
+    Scale note: both row_number passes are window sorts (the pooled one
+    global) — at 100 TB swap in broadcast approx-percentile boundaries
+    for the pooled CDF and bin-local ranks (the winsorize pattern);
+    the position algebra is unchanged."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w_g = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    w_gc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w_g).alias("r"),
+        F.count(F.lit(1)).over(w_gc).alias("ng"),
+    )
+    w_p = Window.orderBy("cents", "event_id")
+    pooled = ev.select(
+        F.row_number().over(w_p).alias("pos"),
+        F.col("cents").alias("pooled_cents"),
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    norm = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "pos",
+            F.expr(
+                "((2 * r - 1) * n_total + 2 * ng - 1) div (2 * ng)"
+            ),
+        )
+        .join(pooled, "pos")
+    )
+    return (
+        norm.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("cents") / (100.0 * F.count(F.lit(1))), 6).alias(
+                "mean_raw"
+            ),
+            F.round(
+                F.sum("pooled_cents") / (100.0 * F.count(F.lit(1))), 6
+            ).alias("mean_norm"),
+            F.round(F.min("pooled_cents") / 100.0, 6).alias("min_norm"),
+            F.round(F.max("pooled_cents") / 100.0, 6).alias("max_norm"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "ml_logreg_irls_step": ml_logreg_irls_step,
+    "feature_quantile_normalize": feature_quantile_normalize,
     "ml_linreg_normal_eq": ml_linreg_normal_eq,
     "feature_target_encode_oof": feature_target_encode_oof,
     "feature_woe_iv": feature_woe_iv,
@@ -535,3 +605,35 @@ ORACLE_SQL = {
         ORDER BY ev.event_type
     """,
 }
+
+ORACLE_SQL["feature_quantile_normalize"] = """
+    WITH ev AS (
+        SELECT event_id, event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events),
+    ranked AS (
+        SELECT event_type, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY cents, event_id) AS r,
+               COUNT(*) OVER (PARTITION BY event_type) AS ng
+        FROM ev),
+    pooled AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY cents, event_id) AS pos,
+               cents AS pooled_cents
+        FROM ev),
+    tot AS (SELECT COUNT(*) AS n_total FROM ev),
+    norm AS (
+        SELECT event_type, cents, pooled_cents
+        FROM ranked CROSS JOIN tot
+        JOIN pooled
+          ON pooled.pos = ((2 * r - 1) * n_total + 2 * ng - 1) // (2 * ng))
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(cents) / (100.0 * COUNT(*)), 6) AS mean_raw,
+           ROUND(SUM(pooled_cents) / (100.0 * COUNT(*)), 6) AS mean_norm,
+           ROUND(MIN(pooled_cents) / 100.0, 6) AS min_norm,
+           ROUND(MAX(pooled_cents) / 100.0, 6) AS max_norm
+    FROM norm
+    GROUP BY event_type
+    ORDER BY event_type
+"""

@@ -208,6 +208,9 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "stats_kendall_tau_vocab",
     "corpus_temperature_mixture",
     "graph_label_propagation",
+    "eval_pr_auc",
+    "feature_quantile_normalize",
+    "events_longest_streak",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

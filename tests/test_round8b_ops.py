@@ -291,3 +291,79 @@ def test_label_propagation_matches_pure_python(spark):
     got = [(r.community, r.n_members) for r in rows]
     assert got == top
     assert [r.community_rank for r in rows] == list(range(1, len(top) + 1))
+
+
+def test_pr_auc_matches_pure_python(spark):
+    rows = {
+        r.c_mktsegment: r
+        for r in QUERIES["eval_pr_auc"](spark, SF_DIR).collect()
+    }
+    o = _table("orders")
+    c = _table("customer")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["pos"] = j["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).astype(int)
+    for seg, g in j.groupby("c_mktsegment"):
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        pos = g["pos"].to_numpy()
+        cum = np.cumsum(pos)
+        k = np.arange(1, len(pos) + 1)
+        ap = float((cum[pos == 1] / k[pos == 1]).sum() / pos.sum())
+        r = rows[seg]
+        assert abs(r.avg_precision - ap) < 1e-5, seg
+        # a score with signal must lift AP above prevalence... or at
+        # least match the reported lift identity
+        assert abs(r.lift_over_prevalence - (round(ap, 6) - pos.sum() / len(pos))) < 1e-5
+
+
+def test_quantile_normalize_matches_pure_python(spark):
+    rows = {
+        r.event_type: r
+        for r in QUERIES["feature_quantile_normalize"](spark, SF_DIR).collect()
+    }
+    ev = _table("events")
+    ev["cents"] = np.round(ev["value"] * 100).astype(np.int64)
+    pooled = ev.sort_values(["cents", "event_id"]).reset_index(drop=True)
+    N = len(pooled)
+    for etype, g in ev.groupby("event_type"):
+        g = g.sort_values(["cents", "event_id"]).reset_index(drop=True)
+        ng = len(g)
+        r = np.arange(1, ng + 1)
+        pos = ((2 * r - 1) * N + 2 * ng - 1) // (2 * ng)
+        mapped = pooled["cents"].to_numpy()[pos - 1]
+        row = rows[etype]
+        assert row.n_rows == ng
+        assert abs(row.mean_norm - mapped.sum() / (100.0 * ng)) < 1e-6
+        assert abs(row.mean_raw - g["cents"].sum() / (100.0 * ng)) < 1e-6
+        assert row.min_norm == round(mapped.min() / 100.0, 6)
+        assert row.max_norm == round(mapped.max() / 100.0, 6)
+    # the whole point: normalized marginals converge across types
+    means = [r.mean_norm for r in rows.values()]
+    assert max(means) - min(means) < 0.05 * max(means)
+
+
+def test_longest_streak_matches_pure_python(spark):
+    import datetime
+
+    rows = {
+        r.user_id: r
+        for r in QUERIES["events_longest_streak"](spark, SF_DIR).collect()
+    }
+    ev = _table("events")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    for uid, g in ev.groupby("user_id"):
+        days = sorted(set(g["day"]))
+        streaks = []
+        start, ln = days[0], 1
+        for prev, cur in zip(days, days[1:]):
+            if (cur - prev).days == 1:
+                ln += 1
+            else:
+                streaks.append((ln, start))
+                start, ln = cur, 1
+        streaks.append((ln, start))
+        best = max(streaks, key=lambda s: (s[0], -s[1].toordinal()))
+        r = rows[uid]
+        assert r.n_active_days == len(days)
+        assert r.n_streaks == len(streaks)
+        assert r.longest_streak == best[0]
+        assert r.longest_start == best[1], uid
