@@ -1951,3 +1951,77 @@ ORACLE_SQL["ts_changepoint_binseg"] = """
     FROM pick WHERE rk = 1
     ORDER BY event_type
 """
+
+
+def intervals_active_count_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-interval count over time by SWEEP LINE — "how many orders
+    were in flight on each day": each order spans order date to its
+    latest lineitem shipment, every span contributes +1 at its start and
+    -1 the day after its end, and a prefix sum over the boundary days
+    yields the concurrency series.  This is the stabbing-count dual of
+    the interval JOINS (join_interval_*): no pairing at all, so the
+    operator that looks quadratic is one groupBy + one calendar-bounded
+    window — the backlog/concurrency curve capacity dashboards report.
+
+    Scale: the data-sized stages are the order-span groupBy and the
+    boundary groupBy (both key-partitioned, map-side combinable); the
+    running sum touches only distinct boundary days, bounded by the
+    calendar regardless of data volume.  All counts exact BIGINT."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("start")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("rcpt")
+    )
+    spans = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "start")
+        .agg(F.max("rcpt").alias("end"))
+    )
+    deltas = spans.select(
+        F.col("start").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        spans.select(
+            F.date_add(F.col("end"), 1).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("delta").cast("long").alias("net_change")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily.select(
+            "day",
+            "net_change",
+            F.sum("net_change").over(w).cast("long").alias("open_orders"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["intervals_active_count_daily"] = intervals_active_count_daily
+ORACLE_SQL["intervals_active_count_daily"] = """
+    WITH spans AS (
+        SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS start,
+               MAX(CAST(l.l_shipdate AS DATE)) AS "end"
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)),
+    deltas AS (
+        SELECT start AS day, 1 AS delta FROM spans
+        UNION ALL
+        SELECT "end" + INTERVAL 1 DAY, -1 FROM spans),
+    daily AS (
+        SELECT CAST(day AS DATE) AS day,
+               CAST(SUM(delta) AS BIGINT) AS net_change
+        FROM deltas GROUP BY CAST(day AS DATE))
+    SELECT day, net_change,
+           CAST(SUM(net_change) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_orders
+    FROM daily
+    ORDER BY day
+"""

@@ -211,6 +211,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "eval_pr_auc",
     "feature_quantile_normalize",
     "events_longest_streak",
+    "intervals_active_count_daily",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

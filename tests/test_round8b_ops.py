@@ -367,3 +367,26 @@ def test_longest_streak_matches_pure_python(spark):
         assert r.n_streaks == len(streaks)
         assert r.longest_streak == best[0]
         assert r.longest_start == best[1], uid
+
+
+def test_active_count_matches_pure_python(spark):
+    rows = QUERIES["intervals_active_count_daily"](spark, SF_DIR).collect()
+    o = _table("orders")
+    li = _table("lineitem")
+    j = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    spans = j.groupby("o_orderkey").agg(
+        start=("o_orderdate", "min"), end=("l_shipdate", "max")
+    )
+    deltas = {}
+    one_day = pd.Timedelta(days=1)
+    for s, e in zip(pd.to_datetime(spans["start"]), pd.to_datetime(spans["end"])):
+        deltas[s] = deltas.get(s, 0) + 1
+        deltas[e + one_day] = deltas.get(e + one_day, 0) - 1
+    run, want = 0, []
+    for day in sorted(deltas):
+        run += deltas[day]
+        want.append((day.date(), deltas[day], run))
+    assert [(r.day, r.net_change, r.open_orders) for r in rows] == want
+    # the sweep must return to zero once every order closed
+    assert rows[-1].open_orders == 0
+    assert max(r.open_orders for r in rows) > 0
