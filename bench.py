@@ -102,6 +102,8 @@ HEADLINE = [
     "ml_linreg_normal_eq",
     "orders_promo_uplift_did",
     "ts_croston_intermittent",
+    "text_trigram_backoff_lm",
+    "ann_pq_adc",
 ]
 
 #: Size-stable cross-round comparison set (round-5 VERDICT task 6): the
@@ -166,6 +168,11 @@ R8_ADDITIONS: list[str] = [
     "ml_linreg_normal_eq",
     "orders_promo_uplift_did",
     "ts_croston_intermittent",
+    # round-8 fourth batch: the trigram LM (five hash joins against
+    # n-gram count tables — the heaviest new text op) and PQ-ADC (the
+    # 64x encode fan-out — the heaviest new similarity op)
+    "text_trigram_backoff_lm",
+    "ann_pq_adc",
 ]
 
 #: Round-7-comparable subset (round-7 VERDICT task 8): the EXACT

@@ -2025,3 +2025,57 @@ ORACLE_SQL["intervals_active_count_daily"] = """
     FROM daily
     ORDER BY day
 """
+
+
+def window_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle bars — per (event type, hour): OPEN (first value),
+    HIGH, LOW, CLOSE (last value), volume and turnover — the
+    time-series downsampling shape finance/telemetry dashboards
+    consume, and the canonical use of `min_by`/`max_by` as order-aware
+    aggregates (open/close need the EARLIEST/LATEST row, not an
+    extremum of values).  First/last are tie-broken on (ts, event_id),
+    a total order, so both engines pick the same row.
+
+    Scale: ONE map-side-combinable groupBy on (type, hour) — min_by /
+    max_by / min / max / count / sum all carry O(1) partial state, so
+    the bar build is a single shuffle of bounded keys at any data
+    volume.  Cents arithmetic keeps the turnover sum exact."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.min_by("cents", okey) / 100.0, 6).alias("open"),
+            F.round(F.max("cents") / 100.0, 6).alias("high"),
+            F.round(F.min("cents") / 100.0, 6).alias("low"),
+            F.round(F.max_by("cents", okey) / 100.0, 6).alias("close"),
+            F.round(F.sum("cents") / 100.0, 6).alias("turnover"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+QUERIES["window_ohlc_bars"] = window_ohlc_bars
+ORACLE_SQL["window_ohlc_bars"] = """
+    WITH ev AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS hour, ts, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events)
+    SELECT event_type, hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(FIRST(cents ORDER BY ts, event_id) / 100.0, 6) AS open,
+           ROUND(MAX(cents) / 100.0, 6) AS high,
+           ROUND(MIN(cents) / 100.0, 6) AS low,
+           ROUND(LAST(cents ORDER BY ts, event_id) / 100.0, 6) AS close,
+           ROUND(SUM(cents) / 100.0, 6) AS turnover
+    FROM ev
+    GROUP BY event_type, hour
+    ORDER BY event_type, hour
+"""

@@ -212,6 +212,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "feature_quantile_normalize",
     "events_longest_streak",
     "intervals_active_count_daily",
+    "window_ohlc_bars",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -601,3 +601,30 @@ def test_round8_estimator_plan_budgets(spark):
     ndcg = E.formatted_plan(QUERIES["eval_ndcg_bm25"](spark, SF_DIR))
     # top-k via TakeOrdered, never a global sort of the corpus
     assert "TakeOrderedAndProject" in ndcg, ndcg
+
+
+def test_round8b_plan_budgets(spark):
+    """Scale-design pins for the round-8 fourth-batch operators: the
+    side that must broadcast broadcasts, and shuffle counts stay at the
+    operator's designed budget (a regression here is a 100x-scale
+    performance bug even while hashes stay green)."""
+    # PQ-ADC: codebook + LUT are broadcast; the only exchanges are the
+    # per-(vec, m) argmin, the (q, vec) assembly, the final rank, and
+    # the presentation sort.
+    df = QUERIES["ann_pq_adc"](spark, SF_DIR)
+    assert E.has_broadcast_join(df)
+    assert E.shuffle_count(df) <= 4, E.formatted_plan(df)
+    # Kendall: the cell self-join must broadcast (vocab-sized side) —
+    # a sort-merge here means the vocab collapse stopped working.
+    df = QUERIES["stats_kendall_tau_vocab"](spark, SF_DIR)
+    assert E.has_broadcast_join(df)
+    # sweep line: the span build may broadcast its orders side, but
+    # the sweep itself adds no pairing — exchanges stay at the budget
+    # (span groupBy, boundary groupBy, running sum, presentation).
+    df = QUERIES["intervals_active_count_daily"](spark, SF_DIR)
+    assert E.shuffle_count(df) <= 5, E.formatted_plan(df)
+    # trigram LM: count-table joins are hash joins; the corpus never
+    # cross-joins (one 1-row broadcast for N is the only nest).
+    df = QUERIES["text_trigram_backoff_lm"](spark, SF_DIR)
+    plan = E.formatted_plan(df)
+    assert "CartesianProduct" not in plan

@@ -390,3 +390,21 @@ def test_active_count_matches_pure_python(spark):
     # the sweep must return to zero once every order closed
     assert rows[-1].open_orders == 0
     assert max(r.open_orders for r in rows) > 0
+
+
+def test_ohlc_bars_match_pandas(spark):
+    rows = QUERIES["window_ohlc_bars"](spark, SF_DIR).collect()
+    ev = _table("events")
+    ev["cents"] = np.round(ev["value"] * 100).astype(np.int64)
+    ev["hour"] = pd.to_datetime(ev["ts"]).dt.floor("h")
+    got = {(r.event_type, pd.Timestamp(r.hour)): r for r in rows}
+    assert len(got) == len(rows)
+    for (etype, hour), g in ev.groupby(["event_type", "hour"]):
+        g = g.sort_values(["ts", "event_id"])
+        r = got[(etype, hour)]
+        assert r.n_events == len(g)
+        assert r.open == round(g["cents"].iloc[0] / 100.0, 6)
+        assert r.close == round(g["cents"].iloc[-1] / 100.0, 6)
+        assert r.high == round(g["cents"].max() / 100.0, 6)
+        assert r.low == round(g["cents"].min() / 100.0, 6)
+        assert abs(r.turnover - g["cents"].sum() / 100.0) < 1e-6
