@@ -2383,3 +2383,143 @@ ORACLE_SQL["events_longest_streak"] = """
     GROUP BY user_id
     ORDER BY user_id
 """
+
+
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING (the Social Capital / a16z weekly-active
+    decomposition): every week's active users split into NEW (first
+    week ever), RETAINED (also active the previous week) and
+    RESURRECTED (active before, but not last week), plus the CHURNED
+    count (active last week, gone this week) and the quick ratio
+    (new + resurrected) / churned — the standard product-health
+    decomposition a DAU/WAU/MAU rollup (`events_dau_wau_mau`) cannot
+    answer because it never classifies the FLOW between states.
+
+    Shape: distinct (user, week) once, then one per-user lag/lead
+    window classifies every transition; churn is attributed to the
+    week AFTER the last active week (the standard convention).  All
+    counts are exact; weeks are ISO date_trunc boundaries identical in
+    both engines.
+
+    Scale: the groupBy and the user-keyed window are the only
+    data-sized stages; the weekly rollup is calendar-bounded."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    uw = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    flagged = uw.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w).alias("prev_w"),
+        F.lead("week").over(w).alias("next_w"),
+        F.min("week").over(
+            Window.partitionBy("user_id").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("first_w"),
+    )
+    states = flagged.select(
+        "week",
+        F.when(F.col("week") == F.col("first_w"), 1)
+        .otherwise(0)
+        .alias("is_new"),
+        F.when(F.col("prev_w") == F.date_sub(F.col("week"), 7), 1)
+        .otherwise(0)
+        .alias("is_retained"),
+        F.when(
+            (F.col("week") != F.col("first_w"))
+            & (
+                F.col("prev_w").isNull()
+                | (F.col("prev_w") < F.date_sub(F.col("week"), 7))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_resurrected"),
+    )
+    weekly = states.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum("is_new").cast("long").alias("n_new"),
+        F.sum("is_retained").cast("long").alias("n_retained"),
+        F.sum("is_resurrected").cast("long").alias("n_resurrected"),
+    )
+    churn = (
+        flagged.where(
+            F.col("next_w").isNull()
+            | (F.col("next_w") > F.date_add(F.col("week"), 7))
+        )
+        .select(F.date_add(F.col("week"), 7).alias("week"))
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    return (
+        weekly.join(churn, "week", "left")
+        .select(
+            "week",
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0))
+            .cast("long")
+            .alias("n_churned"),
+            F.round(
+                (F.col("n_new") + F.col("n_resurrected"))
+                / F.nullif(
+                    F.coalesce(F.col("n_churned"), F.lit(0)).cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("quick_ratio"),
+        )
+        .orderBy("week")
+    )
+
+
+QUERIES["events_growth_accounting"] = events_growth_accounting
+ORACLE_SQL["events_growth_accounting"] = """
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(DATE_TRUNC('week', ts) AS DATE) AS week
+        FROM events),
+    flagged AS (
+        SELECT user_id, week,
+               LAG(week) OVER (PARTITION BY user_id ORDER BY week)
+                   AS prev_w,
+               LEAD(week) OVER (PARTITION BY user_id ORDER BY week)
+                   AS next_w,
+               MIN(week) OVER (PARTITION BY user_id) AS first_w
+        FROM uw),
+    weekly AS (
+        SELECT week,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(SUM(CASE WHEN week = first_w THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN prev_w = week - INTERVAL 7 DAY
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+               CAST(SUM(CASE WHEN week <> first_w
+                              AND (prev_w IS NULL
+                                   OR prev_w < week - INTERVAL 7 DAY)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_resurrected
+        FROM flagged GROUP BY week),
+    churn AS (
+        SELECT CAST(week + INTERVAL 7 DAY AS DATE) AS week,
+               CAST(COUNT(*) AS BIGINT) AS n_churned
+        FROM flagged
+        WHERE next_w IS NULL OR next_w > week + INTERVAL 7 DAY
+        GROUP BY CAST(week + INTERVAL 7 DAY AS DATE))
+    SELECT weekly.week, n_active, n_new, n_retained, n_resurrected,
+           CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned,
+           ROUND((n_new + n_resurrected)
+                 / NULLIF(CAST(COALESCE(n_churned, 0) AS DOUBLE), 0.0),
+                 6) AS quick_ratio
+    FROM weekly LEFT JOIN churn ON churn.week = weekly.week
+    ORDER BY weekly.week
+"""

@@ -770,3 +770,104 @@ def _lp_sql() -> str:
 
 QUERIES["graph_label_propagation"] = graph_label_propagation
 ORACLE_SQL["graph_label_propagation"] = _lp_sql()
+
+#: BFS hop budget for ``graph_bfs_distance``: 3 rounds reaches most of
+#: a small-diameter bipartite graph while keeping the operator a FIXED
+#: unrolled plan (each extra hop is one more join round).
+BFS_HOPS = 3
+
+
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first search from the HUB (highest-degree node,
+    ties to the smallest id): exact shortest-path distances within
+    BFS_HOPS hops, reported as the reachability histogram
+    (distance -> node count, plus the beyond-horizon remainder) — the
+    connectivity probe behind "how many suppliers sit within two
+    relationships of our biggest customer", and the unweighted
+    single-source shortest-path primitive beside the label/community
+    operators.
+
+    Each hop is one frontier join (edges keyed by src) + an anti-join
+    against the reached set + a distinct — all node-keyed shuffles, no
+    per-node state beyond (node, dist); `localCheckpoint` cuts lineage
+    per round.  The source is selected IN-PLAN (degree argmax via one
+    aggregation + row_number), never collected."""
+    from pyspark.sql import Window
+
+    edges = bipartite_edges(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    w = Window.orderBy(F.col("d").desc(), F.col("src").asc())
+    source = (
+        deg.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(F.col("src").alias("node"))
+    )
+    reached = source.select("node", F.lit(0).alias("dist"))
+    frontier = reached
+    for k in range(1, BFS_HOPS + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+            .select("node", F.lit(k).alias("dist"))
+            .localCheckpoint()
+        )
+        reached = reached.unionAll(nxt)
+        frontier = nxt
+    total = edges.select(F.col("src").alias("node")).distinct().count()
+    hist = reached.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    reached_total = reached.count()
+    beyond = spark.createDataFrame(
+        [(BFS_HOPS + 1, total - reached_total)], "dist int, n_nodes long"
+    ).select(F.col("dist"), F.col("n_nodes"))
+    return (
+        hist.unionByName(beyond)
+        .select(F.col("dist").cast("int").alias("dist"), "n_nodes")
+        .orderBy("dist")
+    )
+
+
+def _bfs_sql() -> str:
+    hop_tpl = """
+    f{k} AS (
+        SELECT DISTINCT e.dst AS node
+        FROM edges e JOIN f{p} ON e.src = f{p}.node
+        WHERE e.dst NOT IN (SELECT node FROM r{p})),
+    r{k} AS (SELECT node FROM r{p} UNION ALL
+             SELECT node FROM f{k})"""
+    hops = ",".join(hop_tpl.format(k=k, p=k - 1) for k in range(1, BFS_HOPS + 1))
+    dists = "\n        UNION ALL\n".join(
+        f"SELECT {k} AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM f{k}"
+        for k in range(1, BFS_HOPS + 1)
+    )
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+               's:' || CAST(l.l_suppkey AS VARCHAR) AS snode
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    edges AS (
+        SELECT cnode AS src, snode AS dst FROM pairs
+        UNION ALL
+        SELECT snode AS src, cnode AS dst FROM pairs),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    f0 AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 1),
+    r0 AS (SELECT node FROM f0),{hops},
+    hist AS (
+        SELECT 0 AS dist, CAST(1 AS BIGINT) AS n_nodes
+        UNION ALL
+        {dists}
+        UNION ALL
+        SELECT {BFS_HOPS + 1} AS dist,
+               CAST((SELECT COUNT(DISTINCT src) FROM edges)
+                    - (SELECT COUNT(*) FROM r{BFS_HOPS}) AS BIGINT))
+    SELECT CAST(dist AS INT) AS dist, n_nodes FROM hist ORDER BY dist
+"""
+
+
+QUERIES["graph_bfs_distance"] = graph_bfs_distance
+ORACLE_SQL["graph_bfs_distance"] = _bfs_sql()

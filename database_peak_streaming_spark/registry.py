@@ -213,6 +213,8 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "events_longest_streak",
     "intervals_active_count_daily",
     "window_ohlc_bars",
+    "events_growth_accounting",
+    "graph_bfs_distance",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -408,3 +408,85 @@ def test_ohlc_bars_match_pandas(spark):
         assert r.high == round(g["cents"].max() / 100.0, 6)
         assert r.low == round(g["cents"].min() / 100.0, 6)
         assert abs(r.turnover - g["cents"].sum() / 100.0) < 1e-6
+
+
+def test_growth_accounting_matches_pure_python(spark):
+    import datetime
+
+    rows = {
+        r.week: r
+        for r in QUERIES["events_growth_accounting"](spark, SF_DIR).collect()
+    }
+    ev = _table("events")
+    ev["week"] = (
+        pd.to_datetime(ev["ts"]).dt.to_period("W-SUN").dt.start_time.dt.date
+    )
+    uw = {}
+    for uid, wk in set(zip(ev["user_id"], ev["week"])):
+        uw.setdefault(uid, []).append(wk)
+    week7 = datetime.timedelta(days=7)
+    agg = {}
+    for uid, wks in uw.items():
+        wks = sorted(wks)
+        for i, wk in enumerate(wks):
+            a = agg.setdefault(wk, [0, 0, 0, 0, 0])  # act,new,ret,res,chu
+            a[0] += 1
+            if i == 0:
+                a[1] += 1
+            elif wks[i - 1] == wk - week7:
+                a[2] += 1
+            else:
+                a[3] += 1
+            if i == len(wks) - 1 or wks[i + 1] > wk + week7:
+                c = agg.setdefault(wk + week7, [0, 0, 0, 0, 0])
+                c[4] += 1
+    for wk, (act, new, ret, res, chu) in agg.items():
+        if act == 0 and wk not in rows:
+            continue  # churn-only weeks beyond data end have no row
+        r = rows[wk]
+        assert (r.n_active, r.n_new, r.n_retained, r.n_resurrected) == (
+            act,
+            new,
+            ret,
+            res,
+        ), wk
+        if act:
+            assert r.n_churned == chu
+    # identity: every active user is exactly one of new/retained/resurrected
+    for r in rows.values():
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+
+
+def test_bfs_distance_matches_pure_python(spark):
+    from database_peak_streaming_spark.operators.graph import BFS_HOPS
+
+    rows = {r.dist: r.n_nodes for r in QUERIES["graph_bfs_distance"](spark, SF_DIR).collect()}
+    o = _table("orders")
+    li = _table("lineitem")
+    j = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    pairs = {
+        ("c:%d" % c, "s:%d" % s)
+        for c, s in zip(j["o_custkey"], j["l_suppkey"])
+    }
+    adj = {}
+    for c, s in pairs:
+        adj.setdefault(c, set()).add(s)
+        adj.setdefault(s, set()).add(c)
+    deg = {n: len(v) for n, v in adj.items()}
+    # undirected edges materialized both ways -> degree == neighbor count
+    src = min(deg, key=lambda n: (-deg[n], n))
+    dist = {src: 0}
+    frontier = [src]
+    for k in range(1, BFS_HOPS + 1):
+        nxt = []
+        for n in frontier:
+            for nb in adj[n]:
+                if nb not in dist:
+                    dist[nb] = k
+                    nxt.append(nb)
+        frontier = nxt
+    want = {}
+    for d in dist.values():
+        want[d] = want.get(d, 0) + 1
+    want[BFS_HOPS + 1] = len(adj) - len(dist)
+    assert rows == want
