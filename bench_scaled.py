@@ -112,6 +112,11 @@ QUERY_SET = [
     "sketch_mg_heavy_hitters",
     "agg_hll_sketch_merge",
     "ann_ivf_kmeans",
+    # round-8 fourth batch: the two heaviest additions (five-join
+    # trigram LM; 64x PQ encode fan-out) get the same crossover
+    # treatment as every other >2x-at-sf0.1 query with real work
+    "text_trigram_backoff_lm",
+    "ann_pq_adc",
 ]
 
 #: the 10x stragglers (ratio > 2 in the committed 10x run) PLUS the two
@@ -136,6 +141,9 @@ STRAGGLER_SET = [
     "sketch_mg_heavy_hitters",
     "agg_hll_sketch_merge",
     "ann_ivf_kmeans",
+    # round-8 fourth-batch heavies carried to the deep tier too
+    "text_trigram_backoff_lm",
+    "ann_pq_adc",
 ]
 
 
