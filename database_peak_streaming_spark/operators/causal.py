@@ -249,10 +249,116 @@ def causal_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size between the two md5
+    experiment arms, per event type — the magnitude number the
+    significance tests in this pack (z, U, F) deliberately don't give:
+    d = (mean_t - mean_c) / pooled SD, with Hedges' small-sample g
+    correction alongside.  The reporting standard for "significant,
+    but does it matter?".
+
+    One (type, arm) aggregation of exact cent moments; the estimator
+    runs on |types| x 2 cells.  Variances expand from exact BIGINT
+    n/sum/sum-of-squares, so both engines divide identical doubles."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        (
+            F.conv(F.substring(_md5_of("event_id"), 1, 2), 16, 10).cast(
+                "long"
+            )
+            % 2
+        ).alias("arm"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    cells = ev.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    t = cells.where(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("nt"),
+        F.col("s").alias("st"),
+        F.col("ss").alias("sst"),
+    )
+    c = cells.where(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("nc"),
+        F.col("s").alias("sc"),
+        F.col("ss").alias("ssc"),
+    )
+    nt = F.col("nt").cast("double")
+    nc = F.col("nc").cast("double")
+    mt = F.col("st") / (100.0 * nt)
+    mc = F.col("sc") / (100.0 * nc)
+    vt = (F.col("sst") / 10000.0 - nt * mt * mt) / (nt - 1)
+    vc = (F.col("ssc") / 10000.0 - nc * mc * mc) / (nc - 1)
+    sp = F.sqrt(((nt - 1) * vt + (nc - 1) * vc) / (nt + nc - 2))
+    d = (mt - mc) / sp
+    g = d * (1.0 - 3.0 / (4.0 * (nt + nc) - 9.0))
+    return (
+        t.join(c, "event_type")
+        .select(
+            "event_type",
+            F.col("nt").cast("long").alias("n_treat"),
+            F.col("nc").cast("long").alias("n_control"),
+            F.round(mt - mc, 6).alias("mean_diff"),
+            F.round(sp, 6).alias("pooled_sd"),
+            F.round(d, 6).alias("cohens_d"),
+            F.round(g, 6).alias("hedges_g"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) check of the md5 bucketing itself —
+    the FIRST gate of any experiment readout (Fabijan et al. KDD'19
+    diagnoses SRM in ~6% of real experiments; a mismatched split
+    invalidates every downstream estimator in this pack): chi-square
+    of observed arm counts against the expected 50/50 under the
+    assignment rule, per event type, flagged at the conventional
+    chi2 > 3.841 (p < 0.05, 1 dof) bar.
+
+    One tiny-key aggregation; chi-square expands from exact BIGINT
+    counts — the cheapest query in the pack guards all the others."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        (
+            F.conv(F.substring(_md5_of("event_id"), 1, 2), 16, 10).cast(
+                "long"
+            )
+            % 2
+        ).alias("arm"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.sum(F.col("arm")).alias("n_treat"),
+        F.sum(F.lit(1) - F.col("arm")).alias("n_control"),
+    )
+    n = (F.col("n_treat") + F.col("n_control")).cast("double")
+    exp = n / 2.0
+    chi2 = (
+        (F.col("n_treat") - exp) * (F.col("n_treat") - exp) / exp
+        + (F.col("n_control") - exp) * (F.col("n_control") - exp) / exp
+    )
+    return (
+        g.select(
+            "event_type",
+            F.col("n_treat").cast("long").alias("n_treat"),
+            F.col("n_control").cast("long").alias("n_control"),
+            F.round(chi2, 6).alias("chi2"),
+            (chi2 > 3.841).alias("srm_flag"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "orders_promo_uplift_did": orders_promo_uplift_did,
     "ab_test_cuped": ab_test_cuped,
     "causal_stratified_ate": causal_stratified_ate,
+    "stats_cohens_d": stats_cohens_d,
+    "ab_srm_check": ab_srm_check,
 }
 
 ORACLE_SQL = {
@@ -367,3 +473,76 @@ ORACLE_SQL = {
         ORDER BY stratum
     """,
 }
+
+ORACLE_SQL["stats_cohens_d"] = """
+    WITH ev AS (
+        SELECT event_type,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2))
+                   ::BIGINT % 2 AS arm,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events),
+    cells AS (
+        SELECT event_type, arm, COUNT(*) AS n, SUM(cents) AS s,
+               SUM(cents * cents) AS ss
+        FROM ev GROUP BY event_type, arm),
+    t AS (SELECT event_type, n AS nt, s AS st, ss AS sst
+          FROM cells WHERE arm = 1),
+    c AS (SELECT event_type, n AS nc, s AS sc, ss AS ssc
+          FROM cells WHERE arm = 0),
+    est AS (
+        SELECT event_type, nt, nc,
+               st / (100.0 * nt) AS mt,
+               sc / (100.0 * nc) AS mc,
+               (sst / 10000.0 - nt * (st / (100.0 * nt))
+                                   * (st / (100.0 * nt))) / (nt - 1)
+                   AS vt,
+               (ssc / 10000.0 - nc * (sc / (100.0 * nc))
+                                   * (sc / (100.0 * nc))) / (nc - 1)
+                   AS vc
+        FROM t JOIN c USING (event_type)),
+    fin AS (
+        SELECT event_type, nt, nc, mt, mc,
+               SQRT(((nt - 1) * vt + (nc - 1) * vc) / (nt + nc - 2))
+                   AS sp
+        FROM est)
+    SELECT event_type,
+           CAST(nt AS BIGINT) AS n_treat,
+           CAST(nc AS BIGINT) AS n_control,
+           ROUND(mt - mc, 6) AS mean_diff,
+           ROUND(sp, 6) AS pooled_sd,
+           ROUND((mt - mc) / sp, 6) AS cohens_d,
+           ROUND((mt - mc) / sp
+                 * (1.0 - 3.0 / (4.0 * (nt + nc) - 9.0)), 6) AS hedges_g
+    FROM fin
+    ORDER BY event_type
+"""
+
+ORACLE_SQL["ab_srm_check"] = """
+    WITH ev AS (
+        SELECT event_type,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2))
+                   ::BIGINT % 2 AS arm
+        FROM events),
+    g AS (
+        SELECT event_type,
+               SUM(arm) AS n_treat,
+               SUM(1 - arm) AS n_control
+        FROM ev GROUP BY event_type)
+    SELECT event_type,
+           CAST(n_treat AS BIGINT) AS n_treat,
+           CAST(n_control AS BIGINT) AS n_control,
+           ROUND((n_treat - (n_treat + n_control) / 2.0)
+                 * (n_treat - (n_treat + n_control) / 2.0)
+                 / ((n_treat + n_control) / 2.0)
+                 + (n_control - (n_treat + n_control) / 2.0)
+                 * (n_control - (n_treat + n_control) / 2.0)
+                 / ((n_treat + n_control) / 2.0), 6) AS chi2,
+           ((n_treat - (n_treat + n_control) / 2.0)
+            * (n_treat - (n_treat + n_control) / 2.0)
+            / ((n_treat + n_control) / 2.0)
+            + (n_control - (n_treat + n_control) / 2.0)
+            * (n_control - (n_treat + n_control) / 2.0)
+            / ((n_treat + n_control) / 2.0)) > 3.841 AS srm_flag
+    FROM g
+    ORDER BY event_type
+"""

@@ -221,6 +221,27 @@ PICKS = {
         "customer-sized groupBy, one ordered window over avg-value "
         "LEVELS, a level-keyed join — no cartesian, no NOT-EXISTS loop"
     ),
+    "ann_pq_adc": (
+        "codebook and LUT both broadcast (64/512 rows); the encode "
+        "fan-out prunes to (id, m, code) before any exchange; "
+        "WindowGroupLimit pushes the per-(vec, m) argmin below its "
+        "shuffle"
+    ),
+    "stats_kendall_tau_vocab": (
+        "vocabulary collapse makes the pair stage a BROADCAST "
+        "self-join of (x, y) cells — rows never pair; everything "
+        "after the first groupBy is vocab-bounded"
+    ),
+    "intervals_active_count_daily": (
+        "sweep line: two map-side-combinable groupBys + one "
+        "calendar-bounded running sum — the interval operator with "
+        "zero pairing work"
+    ),
+    "text_trigram_backoff_lm": (
+        "n-gram formation is scan-side nested zip_with; the five "
+        "count-table joins are hash joins on vocabulary-bounded "
+        "tables; N enters as a 1-row broadcast"
+    ),
 }
 
 

@@ -215,6 +215,8 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "window_ohlc_bars",
     "events_growth_accounting",
     "graph_bfs_distance",
+    "stats_cohens_d",
+    "ab_srm_check",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

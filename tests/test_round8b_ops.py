@@ -490,3 +490,54 @@ def test_bfs_distance_matches_pure_python(spark):
         want[d] = want.get(d, 0) + 1
     want[BFS_HOPS + 1] = len(adj) - len(dist)
     assert rows == want
+
+
+def test_cohens_d_matches_numpy(spark):
+    import hashlib
+
+    rows = {
+        r.event_type: r
+        for r in QUERIES["stats_cohens_d"](spark, SF_DIR).collect()
+    }
+    ev = _table("events")
+    ev["arm"] = [
+        int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16) % 2
+        for i in ev["event_id"]
+    ]
+    ev["v"] = np.round(ev["value"] * 100).astype(np.int64) / 100.0
+    for etype, g in ev.groupby("event_type"):
+        t = g.loc[g["arm"] == 1, "v"].to_numpy()
+        c = g.loc[g["arm"] == 0, "v"].to_numpy()
+        sp = np.sqrt(
+            ((len(t) - 1) * t.var(ddof=1) + (len(c) - 1) * c.var(ddof=1))
+            / (len(t) + len(c) - 2)
+        )
+        d = (t.mean() - c.mean()) / sp
+        r = rows[etype]
+        assert (r.n_treat, r.n_control) == (len(t), len(c))
+        assert abs(r.cohens_d - d) < 1e-5, etype
+        assert abs(r.hedges_g - d * (1 - 3 / (4 * (len(t) + len(c)) - 9))) < 1e-5
+        assert abs(r.pooled_sd - sp) < 1e-4
+
+
+def test_srm_check_matches_numpy(spark):
+    import hashlib
+
+    rows = {
+        r.event_type: r
+        for r in QUERIES["ab_srm_check"](spark, SF_DIR).collect()
+    }
+    ev = _table("events")
+    ev["arm"] = [
+        int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16) % 2
+        for i in ev["event_id"]
+    ]
+    for etype, g in ev.groupby("event_type"):
+        nt = int(g["arm"].sum())
+        nc = len(g) - nt
+        exp = (nt + nc) / 2.0
+        chi2 = (nt - exp) ** 2 / exp + (nc - exp) ** 2 / exp
+        r = rows[etype]
+        assert (r.n_treat, r.n_control) == (nt, nc)
+        assert abs(r.chi2 - chi2) < 1e-6
+        assert r.srm_flag == (chi2 > 3.841)
