@@ -1708,3 +1708,163 @@ ORACLE_SQL["ann_pq_adc"] = f"""
     ORDER BY q_id, rnk
 """
 QUERIES["ann_pq_adc"] = ann_pq_adc
+
+#: Quantization grid for the Lloyd step: micro-units keep every
+#: cross-row sum (per-dimension centroid sums, inertia) an exact
+#: BIGINT.  |x| <= ~0.2 in the fixture, so q fits easily; the squared
+#: micro-distance sum is bounded ~2.6e17 per bucket at sf0.1-scale —
+#: inside BIGINT with two orders of headroom.
+_LLOYD_SCALE = 1_000_000
+
+
+def ml_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE exact Lloyd iteration of k-means from the pinned centroids —
+    the distributed trainer step behind `ann_ivf_kmeans`'s quantizer
+    (which uses the pinned OUTPUT; this operator is the in-plan form of
+    producing the next one): assign every vector to its nearest
+    centroid (the existing argmin column expression, no UDF), then
+    re-estimate each centroid as the per-dimension member mean, and
+    report per cluster the membership count, the centroid SHIFT
+    (distance between old and new centroid — the convergence monitor)
+    and the mean squared distance (inertia).  A full k-means fit is
+    this operator iterated; one step per corpus pass is exactly the
+    100 TB shape (same discipline as `ml_logreg_irls_step` and the PCA
+    power iteration).
+
+    Exactness: embeddings quantize to the micro-unit grid, so the
+    per-dimension sums and the inertia are exact BIGINTs (both engines
+    compute the identical IEEE double product before the identical
+    half-up round); means and the 64-term shift sum are then identical
+    expression trees, with the final 6-decimal round absorbing the
+    ~1 ulp noise of the 64-double fold.
+
+    Plan shape: assignment + inertia are scan-side HOFs (zero fan-out);
+    the per-dimension sums use ONE 64x posexplode of narrow (bucket,
+    dim, q) rows; everything after is k x 64 cells."""
+    e = load_table(spark, "embeddings", sf_dir)
+    cint = [
+        [int(round(v * _LLOYD_SCALE)) for v in c] for c in _KMEANS_CENTROIDS
+    ]
+    c_arrays = F.array(
+        *[F.array(*[F.lit(v) for v in c]) for c in cint]
+    )
+    q_arr = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _LLOYD_SCALE, 0).cast("long"),
+    )
+    assigned = e.select(
+        _kmeans_bucket(F.col("embedding")).alias("bucket"),
+        q_arr.alias("q"),
+    ).withColumn(
+        "dist2_int",
+        F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.element_at(c_arrays, F.col("bucket").cast("int")),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    per_bucket = assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dist2_int").alias("sd2"),
+    )
+    dims = assigned.select(
+        "bucket", F.posexplode(F.col("q")).alias("pos", "qv")
+    )
+    cells = dims.groupBy("bucket", "pos").agg(F.sum("qv").alias("s"))
+    old_c = F.element_at(
+        F.element_at(c_arrays, F.col("bucket").cast("int")),
+        F.col("pos") + 1,
+    )
+    shift = (
+        cells.join(per_bucket.select("bucket", "n"), "bucket")
+        .select(
+            "bucket",
+            (
+                (
+                    F.col("s").cast("double") / F.col("n")
+                    - old_c.cast("double")
+                )
+                / F.lit(float(_LLOYD_SCALE))
+            ).alias("dmean"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum(F.col("dmean") * F.col("dmean")).alias("shift2"))
+    )
+    scale2 = float(_LLOYD_SCALE) * float(_LLOYD_SCALE)
+    return (
+        per_bucket.join(shift, "bucket")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n").cast("long").alias("n_members"),
+            F.round(F.sqrt(F.col("shift2")), 6).alias("centroid_shift"),
+            F.round(
+                F.col("sd2").cast("double") / (F.col("n") * scale2), 6
+            ).alias("mean_sq_dist"),
+        )
+        .orderBy("bucket")
+    )
+
+def _lloyd_sql() -> str:
+    """Oracle for ``ml_kmeans_lloyd_step``: same pinned-centroid argmin,
+    same micro-unit quantization, unrolled per-dimension re-estimation."""
+    cint = [
+        [int(round(v * _LLOYD_SCALE)) for v in c] for c in _KMEANS_CENTROIDS
+    ]
+    c_lit = (
+        "LIST_VALUE("
+        + ", ".join("[" + ", ".join(str(v) for v in c) + "]" for c in cint)
+        + ")"
+    )
+    dim = len(cint[0])
+    return f"""
+    WITH assigned AS (
+        SELECT CAST(LIST_POSITION(dists, LIST_MIN(dists)) AS BIGINT)
+                   AS bucket,
+               LIST_TRANSFORM(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) * {_LLOYD_SCALE}, 0)
+                             AS BIGINT)) AS q
+        FROM (SELECT embedding,
+                     {_kmeans_dists_sql('embedding')} AS dists
+              FROM embeddings)),
+    with_d AS (
+        SELECT bucket, q,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim + 1}),
+                   i -> (q[i] - {c_lit}[bucket][i])
+                        * (q[i] - {c_lit}[bucket][i]))) AS dist2_int
+        FROM assigned),
+    per_bucket AS (
+        SELECT bucket, COUNT(*) AS n, SUM(dist2_int) AS sd2
+        FROM with_d GROUP BY bucket),
+    dims AS (
+        SELECT bucket, i.pos AS pos, q[i.pos + 1] AS qv
+        FROM assigned
+        CROSS JOIN (SELECT UNNEST(RANGE(0, {dim})) AS pos) i),
+    cells AS (
+        SELECT bucket, pos, SUM(qv) AS s
+        FROM dims GROUP BY bucket, pos),
+    shift AS (
+        SELECT cells.bucket,
+               SUM(((CAST(s AS DOUBLE) / n
+                     - CAST({c_lit}[cells.bucket][pos + 1] AS DOUBLE))
+                    / {float(_LLOYD_SCALE)})
+                   * ((CAST(s AS DOUBLE) / n
+                       - CAST({c_lit}[cells.bucket][pos + 1] AS DOUBLE))
+                      / {float(_LLOYD_SCALE)})) AS shift2
+        FROM cells JOIN per_bucket ON per_bucket.bucket = cells.bucket
+        GROUP BY cells.bucket)
+    SELECT CAST(per_bucket.bucket AS BIGINT) AS bucket,
+           CAST(n AS BIGINT) AS n_members,
+           ROUND(SQRT(shift2), 6) AS centroid_shift,
+           ROUND(CAST(sd2 AS DOUBLE)
+                 / (n * {float(_LLOYD_SCALE) ** 2}), 6) AS mean_sq_dist
+    FROM per_bucket JOIN shift ON shift.bucket = per_bucket.bucket
+    ORDER BY bucket
+"""
+
+
+QUERIES["ml_kmeans_lloyd_step"] = ml_kmeans_lloyd_step
+ORACLE_SQL["ml_kmeans_lloyd_step"] = _lloyd_sql()

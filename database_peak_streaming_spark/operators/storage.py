@@ -1569,3 +1569,75 @@ ORACLE_SQL["partition_overwrite_dynamic"] = """
                AS total_price
     FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
+
+
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized dynamic SQL via ``EXECUTE IMMEDIATE`` (Spark 4 /
+    ANSI SQL/PSM): the query text is a runtime VALUE and the threshold
+    binds as a parameter marker — the injection-safe templating surface
+    dashboards and schedulers build on (string-concatenated SQL is the
+    anti-pattern this exists to kill).  Both marker styles are
+    exercised: the priority-share rollup binds a named ``:cutoff``
+    parameter, and a positional ``?`` form computes the grand total the
+    shares are checked against — composed in one output so the oracle
+    pins that parameter binding changes nothing about semantics.
+
+    Scale: pure SQL surface — the inner plans are the same Catalyst
+    plans the literal SQL produces (parameters fold to literals at
+    parse time); zero runtime cost."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView(
+        "orders_exec_imm"
+    )
+    per = spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT o_orderpriority,
+                COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                    AS revenue
+         FROM orders_exec_imm WHERE o_totalprice > :cutoff
+         GROUP BY o_orderpriority'
+        USING 1000.0 AS cutoff
+        """
+    )
+    tot = spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT COUNT(*) AS n_total FROM orders_exec_imm
+         WHERE o_totalprice > ?'
+        USING 1000.0
+        """
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderpriority",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.round("revenue", 6).alias("revenue"),
+            F.round(
+                F.col("n_orders") / F.col("n_total").cast("double"), 6
+            ).alias("share_of_qualifying"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES["sql_execute_immediate"] = sql_execute_immediate
+ORACLE_SQL["sql_execute_immediate"] = """
+    WITH per AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS revenue
+        FROM orders WHERE o_totalprice > 1000.0
+        GROUP BY o_orderpriority),
+    tot AS (
+        SELECT COUNT(*) AS n_total FROM orders
+        WHERE o_totalprice > 1000.0)
+    SELECT o_orderpriority, n_orders,
+           ROUND(revenue, 6) AS revenue,
+           ROUND(n_orders / CAST(n_total AS DOUBLE), 6)
+               AS share_of_qualifying
+    FROM per CROSS JOIN tot
+    ORDER BY o_orderpriority
+"""

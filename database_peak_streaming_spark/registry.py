@@ -217,6 +217,8 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "graph_bfs_distance",
     "stats_cohens_d",
     "ab_srm_check",
+    "ml_kmeans_lloyd_step",
+    "sql_execute_immediate",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

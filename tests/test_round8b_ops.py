@@ -541,3 +541,38 @@ def test_srm_check_matches_numpy(spark):
         assert (r.n_treat, r.n_control) == (nt, nc)
         assert abs(r.chi2 - chi2) < 1e-6
         assert r.srm_flag == (chi2 > 3.841)
+
+
+def test_lloyd_step_matches_numpy(spark):
+    from database_peak_streaming_spark.operators.similarity import (
+        _KMEANS_CENTROIDS,
+        _LLOYD_SCALE,
+    )
+
+    rows = {
+        r.bucket: r
+        for r in QUERIES["ml_kmeans_lloyd_step"](spark, SF_DIR).collect()
+    }
+    emb = _table("embeddings")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    C = np.array(_KMEANS_CENTROIDS)
+    # same argmin rule: |c|^2 - 2 x.c, first minimum wins (1-based)
+    scores = (np.round((C * C).sum(axis=1), 9)[None, :]
+              - 2.0 * X @ C.T)
+    bucket = scores.argmin(axis=1) + 1
+    Q = np.round(X * _LLOYD_SCALE)
+    Cint = np.round(C * _LLOYD_SCALE)
+    for b in sorted(set(bucket)):
+        mask = bucket == b
+        qb = Q[mask]
+        r = rows[b]
+        assert r.n_members == int(mask.sum())
+        new_c = qb.mean(axis=0)
+        shift = np.sqrt((((new_c - Cint[b - 1]) / _LLOYD_SCALE) ** 2).sum())
+        assert abs(r.centroid_shift - shift) < 1e-5, b
+        msd = ((qb - Cint[b - 1]) ** 2).sum() / (len(qb) * _LLOYD_SCALE**2)
+        assert abs(r.mean_sq_dist - msd) < 1e-6
+    # one step from a trained quantizer should move centroids only a
+    # little relative to the cluster radius
+    for r in rows.values():
+        assert r.centroid_shift < np.sqrt(r.mean_sq_dist)
