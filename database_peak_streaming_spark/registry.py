@@ -158,6 +158,11 @@ _PRIORITY = [
 #: a future window picks it up).  tests/test_registry.py pins that the
 #: never-driver-checked overflow is EXACTLY this list, so any new query
 #: must either enter the window or be added here.
+#:
+#: Round-9 window math: the pool exceeds one 50-slot window, so the
+#: round-9 _PRIORITY should take the FIRST 50 names below (insertion =
+#: age order) and the remainder + round-9 additions roll to round 10 —
+#: drain oldest-first, no re-check slots until the pool fits again.
 ROTATION_POOL_NEXT_ROUND: list[str] = [
     # round-8 additions:
     "join_interval_grid_mixed",

@@ -443,6 +443,13 @@ def test_forced_broadcasts_are_bounded_cardinality():
         # WOE/IV binning (t_pos/t_neg) and the stratified-ATE
         # population count — always the result of .agg() with no keys
         "tot",
+        # round 8 fourth batch: "betas" is the 1-row fitted-coefficient
+        # frame of the IRLS step; "cb" is the PQ codebook (PQ_M x PQ_K
+        # = 64 rows, fixed by the quantizer geometry); "lut_k" is the
+        # PQ query LUT (N_QUERIES x 64 = 512 rows, bounded by the
+        # query-set constant); "ntok" is the trigram LM's 1-row train
+        # token total
+        "betas", "cb", "lut_k", "ntok",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     offenders = []
