@@ -546,3 +546,143 @@ ORACLE_SQL["ab_srm_check"] = """
     FROM g
     ORDER BY event_type
 """
+
+#: Permutation-test replicate count: 200 re-randomizations give a
+#: p-value resolution of ~1/201 — the readout granularity experiment
+#: platforms actually report at; B scales the fan-out linearly.
+PERM_B = 200
+
+
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PERMUTATION TEST (Fisher's exact-randomization
+    logic) for the arm difference in mean event value: the observed
+    md5 split's mean difference is compared against PERM_B fresh
+    md5-derived re-randomizations, p = (1 + #{|diff_r| >= |diff_obs|})
+    / (B + 1) — the assumption-free twin of the z/U/F tests in this
+    pack (no normality, no variance pooling), and with
+    `bootstrap_ci_mean` it completes the resampling family: bootstrap
+    for uncertainty, permutation for the null.
+
+    Shape: ONE B-way map-side fan-out of narrow (replicate, arm, cents)
+    rows — replicate arms derive from md5(r:id), so no shuffle of the
+    data happens per replicate and the whole test is one groupBy on
+    (r, arm) with exact BIGINT sums; the estimator compares B+1 exact
+    ratios.  B*N rows is the honest cost of an exact-logic test at
+    100 TB — and it is a MAP fan, not a join."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    obs_arm = (
+        F.conv(F.substring(_md5_of("event_id"), 1, 2), 16, 10).cast("long")
+        % 2
+    )
+    obs = ev.select(obs_arm.alias("arm"), "cents").groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(F.when(F.col("arm") == 1, F.col("cents")))
+            / (100.0 * F.sum(F.when(F.col("arm") == 1, 1)))
+            - F.sum(F.when(F.col("arm") == 0, F.col("cents")))
+            / (100.0 * F.sum(F.when(F.col("arm") == 0, 1)))
+        ).alias("diff_obs"),
+    )
+    reps = ev.select(
+        "event_id",
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(PERM_B))).alias("r"),
+    ).select(
+        "r",
+        "cents",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("r").cast("string"),
+                            F.lit(":"),
+                            F.col("event_id").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+    )
+    diffs = reps.groupBy("r").agg(
+        (
+            F.sum(F.when(F.col("arm") == 1, F.col("cents")))
+            / (100.0 * F.sum(F.when(F.col("arm") == 1, 1)))
+            - F.sum(F.when(F.col("arm") == 0, F.col("cents")))
+            / (100.0 * F.sum(F.when(F.col("arm") == 0, 1)))
+        ).alias("diff_r")
+    )
+    return (
+        diffs.crossJoin(F.broadcast(obs))
+        .groupBy("n_rows", "diff_obs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("b_reps"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("diff_r")) >= F.abs(F.col("diff_obs")), 1
+                ).otherwise(0)
+            ).alias("n_extreme"),
+        )
+        .select(
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "b_reps",
+            F.round("diff_obs", 6).alias("diff_obs"),
+            F.col("n_extreme").cast("long").alias("n_extreme"),
+            F.round(
+                (F.col("n_extreme") + 1)
+                / (F.col("b_reps").cast("double") + 1),
+                6,
+            ).alias("p_value"),
+        )
+    )
+
+
+QUERIES["stats_permutation_test"] = stats_permutation_test
+ORACLE_SQL["stats_permutation_test"] = f"""
+    WITH ev AS (
+        SELECT event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events),
+    obs AS (
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN arm = 1 THEN cents END)
+               / (100.0 * SUM(CASE WHEN arm = 1 THEN 1 END))
+               - SUM(CASE WHEN arm = 0 THEN cents END)
+               / (100.0 * SUM(CASE WHEN arm = 0 THEN 1 END)) AS diff_obs
+        FROM (SELECT cents,
+                     ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2))
+                         ::BIGINT % 2 AS arm
+              FROM ev)),
+    reps AS (
+        SELECT r.r, cents,
+               ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                                   || CAST(event_id AS VARCHAR)), 1, 2))
+                   ::BIGINT % 2 AS arm
+        FROM ev CROSS JOIN
+             (SELECT UNNEST(RANGE(1, {PERM_B + 1})) AS r) r),
+    diffs AS (
+        SELECT r,
+               SUM(CASE WHEN arm = 1 THEN cents END)
+               / (100.0 * SUM(CASE WHEN arm = 1 THEN 1 END))
+               - SUM(CASE WHEN arm = 0 THEN cents END)
+               / (100.0 * SUM(CASE WHEN arm = 0 THEN 1 END)) AS diff_r
+        FROM reps GROUP BY r)
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS b_reps,
+           ROUND(diff_obs, 6) AS diff_obs,
+           CAST(SUM(CASE WHEN ABS(diff_r) >= ABS(diff_obs)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           ROUND((SUM(CASE WHEN ABS(diff_r) >= ABS(diff_obs)
+                           THEN 1 ELSE 0 END) + 1)
+                 / (COUNT(*) + 1.0), 6) AS p_value
+    FROM diffs CROSS JOIN obs
+    GROUP BY n_rows, diff_obs
+"""

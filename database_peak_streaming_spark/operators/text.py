@@ -1784,3 +1784,160 @@ ORACLE_SQL["text_trigram_backoff_lm"] = """
                AS n_oov
     FROM j GROUP BY doc_id ORDER BY doc_id
 """
+
+#: TextRank configuration (Mihalcea & Tarau EMNLP'04): window-2 word
+#: co-occurrence, PageRank damping 0.85, 3 unrolled iterations (the
+#: graph_pagerank_bipartite discipline — fixed count keeps the plan
+#: finite and the oracle expressible), candidate words bounded by a
+#: min corpus frequency so the graph is vocabulary-sized.
+TEXTRANK_D = 0.85
+TEXTRANK_ITERS = 3
+TEXTRANK_MIN_COUNT = 5
+TEXTRANK_TOP_K = 20
+
+
+def text_keyphrase_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau EMNLP'04): a
+    weighted PageRank over the window-2 word co-occurrence graph —
+    words that co-occur with many well-connected words score high,
+    which separates topical keywords from merely frequent ones (the
+    property raw counts and even TF-IDF lack on a single corpus).
+    The standard unsupervised keyword pass of an annotation pipeline.
+
+    Scale design: bigram FORMATION is scan-side zip_with (the
+    text_bigram_* spine); the frequency floor bounds the graph to the
+    frequent-word vocabulary before any iteration, so each of the 3
+    unrolled rank steps is one vocabulary-sized join + groupBy — the
+    corpus is touched exactly once.  Rank sums of doubles carry ~1e-12
+    cross-engine noise, absorbed by the 6-decimal round-before-sort
+    (the PageRank discipline)."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = _tokens()
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("u"), b.alias("v")),
+    )
+    pairs = d.where(n >= 2).select(F.explode(bigrams).alias("p")).select(
+        F.col("p.u").alias("u"), F.col("p.v").alias("v")
+    )
+    uf = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .where(F.col("cu") >= TEXTRANK_MIN_COUNT)
+        .select("w")
+    )
+    kept = (
+        pairs.join(uf.select(F.col("w").alias("u")), "u")
+        .join(uf.select(F.col("w").alias("v")), "v")
+        .where(F.col("u") != F.col("v"))
+    )
+    und = kept.select("u", "v").unionAll(
+        kept.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    edges = (
+        und.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("wt"))
+        .localCheckpoint()
+    )
+    wout = edges.groupBy("u").agg(F.sum("wt").alias("w_u"))
+    norm = edges.join(wout, "u").select(
+        "u", "v", (F.col("wt") / F.col("w_u")).alias("share")
+    ).localCheckpoint()
+    nodes = edges.select(F.col("u").alias("word")).distinct()
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_words"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "word", (F.lit(1.0) / F.col("n_words")).alias("rank"), "n_words"
+    )
+    for _ in range(TEXTRANK_ITERS):
+        contrib = (
+            norm.join(
+                ranks.select(F.col("word").alias("u"), "rank"), "u"
+            )
+            .groupBy(F.col("v").alias("word"))
+            .agg(F.sum(F.col("share") * F.col("rank")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "word", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "word",
+                (
+                    (1.0 - TEXTRANK_D) / F.col("n_words")
+                    + TEXTRANK_D * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+                "n_words",
+            )
+            .localCheckpoint()
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rank").desc(), F.col("word").asc())
+    return (
+        ranks.select("word", F.round("rank", 6).alias("rank"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TEXTRANK_TOP_K)
+        .select(F.col("rk").cast("int").alias("rnk"), "word", "rank")
+        .orderBy("rnk")
+    )
+
+
+def _textrank_sql() -> str:
+    it_tpl = """
+    r{k} AS (
+        SELECT nodes.word,
+               (1.0 - {d}) / n_words
+               + {d} * COALESCE(SUM(share * r{p}.rank), 0.0) AS rank
+        FROM nodes
+        CROSS JOIN nn
+        LEFT JOIN norm ON norm.v = nodes.word
+        LEFT JOIN r{p} ON r{p}.word = norm.u
+        GROUP BY nodes.word, n_words)"""
+    its = ",".join(
+        it_tpl.format(k=k, p=k - 1, d=TEXTRANK_D)
+        for k in range(1, TEXTRANK_ITERS + 1)
+    )
+    return f"""
+    WITH t AS (SELECT STRING_SPLIT(text, ' ') AS tk FROM documents),
+    pairs AS (
+        SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                      i -> struct_pack(u := tk[i], v := tk[i + 1]))) AS p
+        FROM t WHERE LEN(tk) >= 2),
+    uf AS (
+        SELECT w FROM (
+            SELECT UNNEST(tk) AS w FROM t) GROUP BY w
+        HAVING COUNT(*) >= {TEXTRANK_MIN_COUNT}),
+    kept AS (
+        SELECT p.u AS u, p.v AS v FROM pairs
+        JOIN uf fu ON fu.w = p.u
+        JOIN uf fv ON fv.w = p.v
+        WHERE p.u <> p.v),
+    und AS (
+        SELECT u, v FROM kept
+        UNION ALL
+        SELECT v AS u, u AS v FROM kept),
+    edges AS (SELECT u, v, COUNT(*) AS wt FROM und GROUP BY u, v),
+    wout AS (SELECT u, SUM(wt) AS w_u FROM edges GROUP BY u),
+    norm AS (
+        SELECT edges.u, v, wt / CAST(w_u AS DOUBLE) AS share
+        FROM edges JOIN wout ON wout.u = edges.u),
+    nodes AS (SELECT DISTINCT u AS word FROM edges),
+    nn AS (SELECT COUNT(*) AS n_words FROM nodes),
+    r0 AS (
+        SELECT word, 1.0 / n_words AS rank
+        FROM nodes CROSS JOIN nn),{its},
+    fin AS (
+        SELECT word, ROUND(rank, 6) AS rank,
+               ROW_NUMBER() OVER (ORDER BY ROUND(rank, 6) DESC, word)
+                   AS rnk
+        FROM r{TEXTRANK_ITERS})
+    SELECT CAST(rnk AS INT) AS rnk, word, rank
+    FROM fin WHERE rnk <= {TEXTRANK_TOP_K}
+    ORDER BY rnk
+"""
+
+
+QUERIES["text_keyphrase_textrank"] = text_keyphrase_textrank
+ORACLE_SQL["text_keyphrase_textrank"] = _textrank_sql()

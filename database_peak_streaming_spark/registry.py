@@ -224,6 +224,8 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "ab_srm_check",
     "ml_kmeans_lloyd_step",
     "sql_execute_immediate",
+    "stats_permutation_test",
+    "text_keyphrase_textrank",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -576,3 +576,76 @@ def test_lloyd_step_matches_numpy(spark):
     # little relative to the cluster radius
     for r in rows.values():
         assert r.centroid_shift < np.sqrt(r.mean_sq_dist)
+
+
+def test_permutation_test_matches_pure_python(spark):
+    import hashlib
+
+    row = QUERIES["stats_permutation_test"](spark, SF_DIR).collect()[0]
+    ev = _table("events")
+    cents = np.round(ev["value"] * 100).astype(np.int64).to_numpy()
+    ids = ev["event_id"].to_numpy()
+
+    def arm(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:2], 16) % 2
+
+    def diff(arms):
+        t, c = cents[arms == 1], cents[arms == 0]
+        return t.mean() / 100.0 - c.mean() / 100.0
+
+    obs = diff(np.array([arm(str(i)) for i in ids]))
+    extreme = 0
+    B = row.b_reps
+    for r in range(1, B + 1):
+        dr = diff(np.array([arm(f"{r}:{i}") for i in ids]))
+        if abs(dr) >= abs(obs):
+            extreme += 1
+    assert row.n_rows == len(ids)
+    assert abs(row.diff_obs - obs) < 1e-5
+    assert row.n_extreme == extreme
+    assert abs(row.p_value - (extreme + 1) / (B + 1)) < 1e-6
+    # a null split re-randomized must NOT look significant
+    assert row.p_value > 0.05
+
+
+def test_textrank_matches_pure_python(spark):
+    from database_peak_streaming_spark.operators.text import (
+        TEXTRANK_D,
+        TEXTRANK_ITERS,
+        TEXTRANK_MIN_COUNT,
+        TEXTRANK_TOP_K,
+    )
+
+    rows = QUERIES["text_keyphrase_textrank"](spark, SF_DIR).collect()
+    docs = _table("documents")
+    cu = {}
+    for text in docs["text"]:
+        for w in text.split(" "):
+            cu[w] = cu.get(w, 0) + 1
+    kept = {w for w, c in cu.items() if c >= TEXTRANK_MIN_COUNT}
+    wt = {}
+    for text in docs["text"]:
+        tk = text.split(" ")
+        for a, b in zip(tk, tk[1:]):
+            if a in kept and b in kept and a != b:
+                wt[(a, b)] = wt.get((a, b), 0) + 1
+                wt[(b, a)] = wt.get((b, a), 0) + 1
+    nodes = sorted({u for u, _ in wt})
+    w_u = {}
+    for (u, v), c in wt.items():
+        w_u[u] = w_u.get(u, 0) + c
+    n = len(nodes)
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(TEXTRANK_ITERS):
+        inflow = {u: 0.0 for u in nodes}
+        for (u, v), c in wt.items():
+            inflow[v] += c / w_u[u] * rank[u]
+        rank = {
+            u: (1 - TEXTRANK_D) / n + TEXTRANK_D * inflow[u] for u in nodes
+        }
+    want = sorted(
+        ((round(r, 6), w) for w, r in rank.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:TEXTRANK_TOP_K]
+    got = [(r.rank, r.word) for r in rows]
+    assert got == want
