@@ -1225,3 +1225,178 @@ ORACLE_SQL["dedup_rate_by_source"] = f"""
     FROM tot t LEFT JOIN fl f USING (source)
     ORDER BY t.source
 """
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup admission — the production shape of
+    MinHash-LSH dedup: a NEW batch (md5 bucket 3) is checked against
+    the EXISTING curated corpus (buckets 0-2) and only batch-vs-base
+    band collisions are candidates, so the cost is O(|batch| x
+    collision rate) per ingest, never corpus-squared and never a
+    re-dedup of the base.  This is the continuous-crawl admission gate
+    (the streaming corpus funnel does the exact-hash version;
+    this is its near-dup tier): batch docs whose verified Jaccard
+    against any base doc clears the threshold are DROPPED, the rest
+    are admitted.  Emits one row per batch doc with the decision and
+    the best base match (ties: highest Jaccard, then lowest base id).
+
+    The base side's banded signatures are exactly what a production
+    system PERSISTS as the index; here they are recomputed in-plan so
+    the oracle can mirror the whole pipeline."""
+    d = load_table(spark, "documents", sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4
+    )
+    docs = d.select("doc_id", "text", bucket.alias("bkt"))
+    tok = docs.select(
+        "doc_id", "bkt", F.explode(_distinct_tokens()).alias("tok")
+    )
+    vocab = tok.select("tok").distinct().select(
+        "tok",
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("tok"))).alias(f"h_{i}")
+            for i in range(MINHASH_PERMS)
+        ],
+    )
+    sigs = (
+        tok.join(vocab, "tok")
+        .groupBy("doc_id", "bkt")
+        .agg(
+            *[
+                F.min(f"h_{i}").alias(f"sig_{i}")
+                for i in range(MINHASH_PERMS)
+            ]
+        )
+    )
+    r = MINHASH_PERMS // LSH_BANDS
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"sig_{b * r + i}") for i in range(r)]
+                )
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "bkt", F.posexplode(bands).alias("band", "band_hash")
+    )
+    base_b = banded.where(F.col("bkt") <= 2).select(
+        F.col("doc_id").alias("base_id"), "band", "band_hash"
+    )
+    batch_b = banded.where(F.col("bkt") == 3).select(
+        F.col("doc_id").alias("new_id"), "band", "band_hash"
+    )
+    cand = (
+        batch_b.join(base_b, ["band", "band_hash"])
+        .select("new_id", "base_id")
+        .distinct()
+    )
+    t = docs.select("doc_id", _distinct_tokens().alias("toks"))
+    inter = F.size(F.array_intersect(F.col("tn.toks"), F.col("tb.toks")))
+    jac = inter.cast("double") / (
+        F.size(F.col("tn.toks")) + F.size(F.col("tb.toks")) - inter
+    )
+    verified = (
+        cand.join(t.alias("tn"), cand.new_id == F.col("tn.doc_id"))
+        .join(t.alias("tb"), cand.base_id == F.col("tb.doc_id"))
+        .select("new_id", "base_id", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= LSH_VERIFY_THRESHOLD)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), F.col("base_id").asc()
+    )
+    best = (
+        verified.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("new_id", "base_id", "jaccard")
+    )
+    batch_docs = docs.where(F.col("bkt") == 3).select(
+        F.col("doc_id").alias("new_id")
+    )
+    return (
+        batch_docs.join(best, "new_id", "left")
+        .select(
+            "new_id",
+            F.when(F.col("base_id").isNull(), F.lit("admit"))
+            .otherwise(F.lit("drop"))
+            .alias("decision"),
+            F.col("base_id").alias("matched_base_id"),
+            F.col("jaccard").alias("match_jaccard"),
+        )
+        .orderBy("new_id")
+    )
+
+
+def _incremental_minhash_sql() -> str:
+    r = MINHASH_PERMS // LSH_BANDS
+    sig_exprs = ",\n            ".join(
+        f"list_min(list_transform(toks, s -> md5('{i}:' || s))) AS sig_{i}"
+        for i in range(MINHASH_PERMS)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id, bkt, {b} AS band, md5(concat_ws(','"
+        + "".join(f", sig_{b * r + i}" for i in range(r))
+        + ")) AS band_hash FROM sigs"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, text,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                       ::BIGINT % 4 AS bkt
+            FROM documents),
+        t AS (
+            SELECT doc_id, bkt,
+                   LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks
+            FROM docs),
+        sigs AS (
+            SELECT doc_id, bkt,
+            {sig_exprs}
+            FROM t),
+        banded AS (
+            {band_selects}),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS base_id
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.band_hash = y.band_hash
+            WHERE x.bkt = 3 AND y.bkt <= 2),
+        verified AS (
+            SELECT new_id, base_id,
+                   ROUND(CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+                         / (LEN(a.toks) + LEN(b.toks)
+                            - LEN(LIST_INTERSECT(a.toks, b.toks))), 6)
+                       AS jaccard
+            FROM cand
+            JOIN t a ON cand.new_id = a.doc_id
+            JOIN t b ON cand.base_id = b.doc_id),
+        best AS (
+            SELECT new_id, base_id, jaccard
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY new_id
+                              ORDER BY jaccard DESC, base_id) AS rk
+                  FROM verified
+                  WHERE jaccard >= {LSH_VERIFY_THRESHOLD})
+            WHERE rk = 1)
+        SELECT d.doc_id AS new_id,
+               CASE WHEN best.base_id IS NULL THEN 'admit'
+                    ELSE 'drop' END AS decision,
+               best.base_id AS matched_base_id,
+               best.jaccard AS match_jaccard
+        FROM docs d LEFT JOIN best ON best.new_id = d.doc_id
+        WHERE d.bkt = 3
+        ORDER BY new_id
+    """
+
+
+QUERIES["dedup_incremental_minhash"] = dedup_incremental_minhash
+ORACLE_SQL["dedup_incremental_minhash"] = _incremental_minhash_sql()

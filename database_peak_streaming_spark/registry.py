@@ -226,6 +226,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "sql_execute_immediate",
     "stats_permutation_test",
     "text_keyphrase_textrank",
+    "dedup_incremental_minhash",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
