@@ -686,3 +686,185 @@ ORACLE_SQL["stats_permutation_test"] = f"""
     FROM diffs CROSS JOIN obs
     GROUP BY n_rows, diff_obs
 """
+
+#: Replicates for the per-type permutation p-values feeding the BH
+#: correction; smaller than PERM_B because the fan-out multiplies by
+#: |types| and the BH demo needs p-resolution ~1/100, not 1/200.
+FDR_B = 100
+FDR_ALPHA = 0.1
+
+
+def stats_fdr_bh_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over a FAMILY of permutation
+    tests — the multiple-testing discipline an experimentation platform
+    applies when one readout reports many metrics: a per-event-type
+    permutation p-value (same Fisher-randomization machinery as
+    `stats_permutation_test`, run per type in the SAME fan-out), then
+    the BH step-up — order the m p-values, find the largest k with
+    p_(k) <= k*alpha/m, reject 1..k — which controls the expected
+    fraction of false discoveries at alpha, where per-test thresholds
+    silently inflate it m-fold.
+
+    Everything stays exact: p-values are ratios of exact counts, the
+    BH boundary compare is the identical double expression in both
+    engines, and the step-up's running max is one window over m rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    obs_arm = (
+        F.conv(F.substring(_md5_of("event_id"), 1, 2), 16, 10).cast("long")
+        % 2
+    )
+    diff = (
+        F.sum(F.when(F.col("arm") == 1, F.col("cents")))
+        / (100.0 * F.sum(F.when(F.col("arm") == 1, 1)))
+        - F.sum(F.when(F.col("arm") == 0, F.col("cents")))
+        / (100.0 * F.sum(F.when(F.col("arm") == 0, 1)))
+    )
+    obs = (
+        ev.select("event_type", obs_arm.alias("arm"), "cents")
+        .groupBy("event_type")
+        .agg(diff.alias("diff_obs"))
+    )
+    reps = ev.select(
+        "event_type",
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(FDR_B))).alias("r"),
+        "event_id",
+    ).select(
+        "event_type",
+        "r",
+        "cents",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("r").cast("string"),
+                            F.lit(":"),
+                            F.col("event_id").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+    )
+    diffs = reps.groupBy("event_type", "r").agg(diff.alias("diff_r"))
+    pvals = (
+        diffs.join(F.broadcast(obs), "event_type")
+        .groupBy("event_type", "diff_obs")
+        .agg(
+            (
+                (
+                    F.sum(
+                        F.when(
+                            F.abs(F.col("diff_r"))
+                            >= F.abs(F.col("diff_obs")),
+                            1,
+                        ).otherwise(0)
+                    )
+                    + 1
+                )
+                / (F.count(F.lit(1)).cast("double") + 1)
+            ).alias("p")
+        )
+    )
+    w_rank = Window.orderBy("p", "event_type")
+    w_all = Window.partitionBy()
+    w_suffix = Window.orderBy(F.col("k").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = pvals.select(
+        "event_type",
+        "diff_obs",
+        "p",
+        F.row_number().over(w_rank).alias("k"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+    ).withColumn(
+        "bh_ok",
+        F.col("p") <= F.col("k") * FDR_ALPHA / F.col("m"),
+    )
+    # step-up: reject everything at or below the LARGEST passing k —
+    # a suffix running max of the pass flag
+    stepped = ranked.withColumn(
+        "rejected", F.max(F.when(F.col("bh_ok"), 1).otherwise(0)).over(w_suffix) == 1
+    )
+    return stepped.select(
+        F.col("k").cast("int").alias("rank"),
+        "event_type",
+        F.round("diff_obs", 6).alias("diff_obs"),
+        F.round("p", 6).alias("p_value"),
+        F.round(F.col("k") * FDR_ALPHA / F.col("m"), 6).alias(
+            "bh_threshold"
+        ),
+        "rejected",
+    ).orderBy("rank")
+
+
+QUERIES["stats_fdr_bh_permutation"] = stats_fdr_bh_permutation
+ORACLE_SQL["stats_fdr_bh_permutation"] = f"""
+    WITH ev AS (
+        SELECT event_id, event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events),
+    obs AS (
+        SELECT event_type,
+               SUM(CASE WHEN arm = 1 THEN cents END)
+               / (100.0 * SUM(CASE WHEN arm = 1 THEN 1 END))
+               - SUM(CASE WHEN arm = 0 THEN cents END)
+               / (100.0 * SUM(CASE WHEN arm = 0 THEN 1 END)) AS diff_obs
+        FROM (SELECT event_type, cents,
+                     ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2))
+                         ::BIGINT % 2 AS arm
+              FROM ev)
+        GROUP BY event_type),
+    reps AS (
+        SELECT event_type, r.r, cents,
+               ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                                   || CAST(event_id AS VARCHAR)), 1, 2))
+                   ::BIGINT % 2 AS arm
+        FROM ev CROSS JOIN
+             (SELECT UNNEST(RANGE(1, {FDR_B + 1})) AS r) r),
+    diffs AS (
+        SELECT event_type, r,
+               SUM(CASE WHEN arm = 1 THEN cents END)
+               / (100.0 * SUM(CASE WHEN arm = 1 THEN 1 END))
+               - SUM(CASE WHEN arm = 0 THEN cents END)
+               / (100.0 * SUM(CASE WHEN arm = 0 THEN 1 END)) AS diff_r
+        FROM reps GROUP BY event_type, r),
+    pvals AS (
+        SELECT diffs.event_type, diff_obs,
+               (SUM(CASE WHEN ABS(diff_r) >= ABS(diff_obs)
+                         THEN 1 ELSE 0 END) + 1)
+               / (COUNT(*) + 1.0) AS p
+        FROM diffs JOIN obs ON obs.event_type = diffs.event_type
+        GROUP BY diffs.event_type, diff_obs),
+    ranked AS (
+        SELECT event_type, diff_obs, p,
+               ROW_NUMBER() OVER (ORDER BY p, event_type) AS k,
+               COUNT(*) OVER () AS m
+        FROM pvals),
+    stepped AS (
+        SELECT *,
+               p <= k * {FDR_ALPHA} / m AS bh_ok,
+               MAX(CASE WHEN p <= k * {FDR_ALPHA} / m THEN 1 ELSE 0 END)
+                   OVER (ORDER BY k DESC ROWS UNBOUNDED PRECEDING) = 1
+                   AS rejected
+        FROM ranked)
+    SELECT CAST(k AS INT) AS rank, event_type,
+           ROUND(diff_obs, 6) AS diff_obs,
+           ROUND(p, 6) AS p_value,
+           ROUND(k * {FDR_ALPHA} / m, 6) AS bh_threshold,
+           rejected
+    FROM stepped
+    ORDER BY rank
+"""

@@ -227,6 +227,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "stats_permutation_test",
     "text_keyphrase_textrank",
     "dedup_incremental_minhash",
+    "stats_fdr_bh_permutation",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

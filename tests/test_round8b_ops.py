@@ -695,3 +695,49 @@ def test_incremental_minhash_invariants(spark):
     for nid in batch:
         if frozenset(toks[nid]) in base_sets:
             assert got[nid].decision == "drop", nid
+
+
+def test_fdr_bh_matches_pure_python(spark):
+    import hashlib
+
+    from database_peak_streaming_spark.operators.causal import (
+        FDR_ALPHA,
+        FDR_B,
+    )
+
+    rows = QUERIES["stats_fdr_bh_permutation"](spark, SF_DIR).collect()
+    ev = _table("events")
+    ev["cents"] = np.round(ev["value"] * 100).astype(np.int64)
+
+    def arm_of(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:2], 16) % 2
+
+    pv = {}
+    for etype, g in ev.groupby("event_type"):
+        ids = g["event_id"].to_numpy()
+        cents = g["cents"].to_numpy()
+
+        def diff(arms):
+            t, c = cents[arms == 1], cents[arms == 0]
+            return t.mean() / 100.0 - c.mean() / 100.0
+
+        obs = diff(np.array([arm_of(str(i)) for i in ids]))
+        extreme = sum(
+            1
+            for r in range(1, FDR_B + 1)
+            if abs(diff(np.array([arm_of(f"{r}:{i}") for i in ids])))
+            >= abs(obs)
+        )
+        pv[etype] = (extreme + 1) / (FDR_B + 1)
+    m = len(pv)
+    order = sorted(pv.items(), key=lambda kv: (kv[1], kv[0]))
+    # BH step-up reference
+    kmax = 0
+    for k, (_, p) in enumerate(order, 1):
+        if p <= k * FDR_ALPHA / m:
+            kmax = k
+    got = sorted(rows, key=lambda r: r.rank)
+    assert [r.event_type for r in got] == [t for t, _ in order]
+    for k, r in enumerate(got, 1):
+        assert abs(r.p_value - order[k - 1][1]) < 1e-6
+        assert r.rejected == (k <= kmax), (k, kmax)
