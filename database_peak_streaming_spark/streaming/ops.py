@@ -530,3 +530,36 @@ def rollup_mv_sink(spark, mv_dir: str):
         os.replace(nxt, mv_dir)
 
     return _sink
+
+
+def tumbling_ohlc(
+    stream: DataFrame, ts_col: str, key: str, length: str, delay: str
+) -> DataFrame:
+    """Streaming OHLC candle bars — the continuous form of the batch
+    `window_ohlc_bars` operator: per (key, tumbling window), OPEN/CLOSE
+    via ``min_by``/``max_by`` on the (ts, event_id) total order plus
+    HIGH/LOW/volume.  Every aggregate here carries O(1) partial state
+    (an extremum or an (argument, ordering) pair), so the window state
+    per (key, window) is constant regardless of event volume — the
+    property that makes a candle feed computable on an unbounded
+    stream, emitted exactly once per window when the watermark closes
+    it."""
+    okey = F.struct(F.col(ts_col), F.col("event_id"))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        as_event_time(stream, ts_col)
+        .withWatermark(ts_col, delay)
+        .select(key, ts_col, "event_id", cents.alias("cents"))
+        .groupBy(F.col(key), F.window(ts_col, length).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.min_by("cents", okey) / 100.0, 6).alias("open"),
+            F.round(F.max("cents") / 100.0, 6).alias("high"),
+            F.round(F.min("cents") / 100.0, 6).alias("low"),
+            F.round(F.max_by("cents", okey) / 100.0, 6).alias("close"),
+        )
+        .select(
+            key, F.col("w.start").alias("window_start"),
+            "n_events", "open", "high", "low", "close",
+        )
+    )

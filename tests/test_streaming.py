@@ -1258,3 +1258,70 @@ def test_streaming_psi_drift_matches_batch(spark, tmpdir_):
     for (w, t), (psi, n_prev, n_cur) in got.items():
         assert psi >= 0.0, (w, t, psi)
         assert n_prev >= 0 and n_cur >= 0
+
+
+def test_stream_batch_equivalence_ohlc(spark, tmpdir_):
+    """Streaming OHLC candles (min_by/max_by with O(1) window state)
+    over a chunked replay == the batch bars on the same events —
+    order-aware open/close survive out-of-order micro-batch arrival
+    because the ordering key travels with the aggregate state."""
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.ops import tumbling_ohlc
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = {
+        "event_id": -1,
+        "ts": max_ts + dt.timedelta(hours=2),
+        "event_type": "purchase",
+        "value": 0.0,
+    }
+    stream, replay_dir = replay_dataframe(
+        spark, ev, n_chunks=3, order_col="ts", sentinel_row=sentinel
+    )
+    try:
+        got = _collect_stream(
+            spark,
+            tumbling_ohlc(stream, "ts", "event_type", "1 hour", "10 minutes"),
+            f"{tmpdir_}/ckpt",
+        )
+    finally:
+        cleanup_replay(replay_dir)
+    got_d = {
+        (r.event_type, r.window_start): (
+            r.n_events, r.open, r.high, r.low, r.close,
+        )
+        for r in got
+        if r.window_start <= max_ts
+    }
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    batch = (
+        ev.select("event_type", "ts", "event_id", cents.alias("cents"))
+        .groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.min_by("cents", okey) / 100.0, 6).alias("open"),
+            F.round(F.max("cents") / 100.0, 6).alias("high"),
+            F.round(F.min("cents") / 100.0, 6).alias("low"),
+            F.round(F.max_by("cents", okey) / 100.0, 6).alias("close"),
+        )
+        .select(
+            "event_type", F.col("w.start").alias("window_start"),
+            "n_events", "open", "high", "low", "close",
+        )
+        .collect()
+    )
+    batch_d = {
+        (r.event_type, r.window_start): (
+            r.n_events, r.open, r.high, r.low, r.close,
+        )
+        for r in batch
+    }
+    assert got_d == batch_d
