@@ -1941,3 +1941,83 @@ def _textrank_sql() -> str:
 
 QUERIES["text_keyphrase_textrank"] = text_keyphrase_textrank
 ORACLE_SQL["text_keyphrase_textrank"] = _textrank_sql()
+
+
+def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's KAPPA of the language-ID heuristic against the labeled
+    lang column — chance-corrected agreement, the number that exposes
+    a classifier that looks accurate only because one class dominates
+    (raw accuracy's known failure, and exactly the trap of corpus-level
+    language filters on skewed crawls): kappa = (p_o - p_e)/(1 - p_e)
+    with p_e the marginal-product chance agreement.  Composes the
+    registered confusion matrix, so classifier, confusion, and kappa
+    can never drift apart.
+
+    All counts exact BIGINT from one tiny-key rollup of the confusion
+    cells; p_o/p_e are exact ratios — one row out."""
+    conf = text_langid_confusion(spark, sf_dir)
+    row_m = conf.groupBy(F.col("actual_lang").alias("k")).agg(
+        F.sum("n_docs").alias("n_row")
+    )
+    col_m = conf.groupBy(F.col("lang_guess").alias("k")).agg(
+        F.sum("n_docs").alias("n_col")
+    )
+    marg = row_m.join(col_m, "k", "full").select(
+        F.coalesce(F.col("n_row"), F.lit(0)).alias("n_row"),
+        F.coalesce(F.col("n_col"), F.lit(0)).alias("n_col"),
+    )
+    tot = conf.agg(
+        F.sum("n_docs").alias("n"),
+        F.sum(
+            F.when(
+                F.col("actual_lang") == F.col("lang_guess"),
+                F.col("n_docs"),
+            ).otherwise(0)
+        ).alias("agree"),
+    )
+    pe_num = marg.agg(
+        F.sum(F.col("n_row") * F.col("n_col")).alias("pe_num")
+    )
+    n = F.col("n").cast("double")
+    po = F.col("agree") / n
+    pe = F.col("pe_num") / (n * n)
+    return (
+        tot.crossJoin(F.broadcast(pe_num))
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("agree").cast("long").alias("n_agree"),
+            F.round(po, 6).alias("observed_agreement"),
+            F.round(pe, 6).alias("chance_agreement"),
+            F.round((po - pe) / (1.0 - pe), 6).alias("cohens_kappa"),
+        )
+    )
+
+
+QUERIES["text_langid_kappa"] = text_langid_kappa
+ORACLE_SQL["text_langid_kappa"] = f"""
+    WITH conf AS ({ORACLE_SQL["text_langid_confusion"]}),
+    row_m AS (SELECT actual_lang AS k, SUM(n_docs) AS n_row
+              FROM conf GROUP BY actual_lang),
+    col_m AS (SELECT lang_guess AS k, SUM(n_docs) AS n_col
+              FROM conf GROUP BY lang_guess),
+    marg AS (
+        SELECT COALESCE(n_row, 0) AS n_row, COALESCE(n_col, 0) AS n_col
+        FROM row_m FULL JOIN col_m USING (k)),
+    tot AS (
+        SELECT SUM(n_docs) AS n,
+               SUM(CASE WHEN actual_lang = lang_guess THEN n_docs
+                        ELSE 0 END) AS agree
+        FROM conf),
+    pe AS (SELECT SUM(n_row * n_col) AS pe_num FROM marg)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(agree AS BIGINT) AS n_agree,
+           ROUND(agree / CAST(n AS DOUBLE), 6) AS observed_agreement,
+           ROUND(pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+               AS chance_agreement,
+           ROUND((agree / CAST(n AS DOUBLE)
+                  - pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 - pe_num / (CAST(n AS DOUBLE)
+                                    * CAST(n AS DOUBLE))), 6)
+               AS cohens_kappa
+    FROM tot CROSS JOIN pe
+"""

@@ -228,6 +228,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "text_keyphrase_textrank",
     "dedup_incremental_minhash",
     "stats_fdr_bh_permutation",
+    "text_langid_kappa",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

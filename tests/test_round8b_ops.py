@@ -741,3 +741,26 @@ def test_fdr_bh_matches_pure_python(spark):
     for k, r in enumerate(got, 1):
         assert abs(r.p_value - order[k - 1][1]) < 1e-6
         assert r.rejected == (k <= kmax), (k, kmax)
+
+
+def test_langid_kappa_matches_pure_python(spark):
+    from database_peak_streaming_spark.registry import _ALL_QUERIES
+
+    row = QUERIES["text_langid_kappa"](spark, SF_DIR).collect()[0]
+    conf = _ALL_QUERIES["text_langid_confusion"](spark, SF_DIR).collect()
+    n = sum(r.n_docs for r in conf)
+    agree = sum(r.n_docs for r in conf if r.actual_lang == r.lang_guess)
+    rows_m, cols_m = {}, {}
+    for r in conf:
+        rows_m[r.actual_lang] = rows_m.get(r.actual_lang, 0) + r.n_docs
+        cols_m[r.lang_guess] = cols_m.get(r.lang_guess, 0) + r.n_docs
+    keys = set(rows_m) | set(cols_m)
+    pe = sum(rows_m.get(k, 0) * cols_m.get(k, 0) for k in keys) / (n * n)
+    po = agree / n
+    kappa = (po - pe) / (1 - pe)
+    assert row.n_docs == n and row.n_agree == agree
+    assert abs(row.observed_agreement - po) < 1e-6
+    assert abs(row.chance_agreement - pe) < 1e-6
+    assert abs(row.cohens_kappa - kappa) < 1e-5
+    # kappa must be BELOW raw accuracy (chance correction bites)
+    assert row.cohens_kappa < row.observed_agreement
