@@ -450,6 +450,11 @@ def test_forced_broadcasts_are_bounded_cardinality():
         # query-set constant); "ntok" is the trigram LM's 1-row train
         # token total
         "betas", "cb", "lut_k", "ntok",
+        # round 8 fifth batch: "obs" is the observed-statistic frame of
+        # the permutation tests (1 row global; |types| rows in the FDR
+        # family); "n_nodes" is TextRank's 1-row vocabulary count;
+        # "pe_num" is kappa's 1-row chance-agreement numerator
+        "obs", "n_nodes", "pe_num",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     offenders = []
