@@ -2523,3 +2523,114 @@ ORACLE_SQL["events_growth_accounting"] = """
     FROM weekly LEFT JOIN churn ON churn.week = weekly.week
     ORDER BY weekly.week
 """
+
+
+def revenue_pvm_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE-VOLUME-MIX decomposition of the 1997 -> 1998 revenue change
+    per part class — the FP&A variance-analysis standard: for each
+    class, delta revenue splits into a PRICE effect ((p1 - p0) * q1), a
+    VOLUME effect (p0 * q0 * (T1/T0 - 1): what scaling last year's
+    quantities to this year's total volume would have done) and a MIX
+    effect (p0 * (q1 - q0 * T1/T0): the shift of share between
+    classes) — the three terms sum exactly to the revenue delta per
+    class (pinned by test), which is what makes the decomposition an
+    audit rather than a narrative.
+
+    Scale: ONE (class, year) aggregation of exact quantities and
+    dsum-exact revenue; the decomposition runs on |classes| x 2 cells.
+    Every effect is the identical IEEE tree over exact inputs in both
+    engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).select(
+        "p_partkey",
+        F.split(F.col("p_type"), " ").getItem(0).alias("part_class"),
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .where(F.year("l_shipdate").isin(1997, 1998))
+        .select(
+            "part_class",
+            F.year("l_shipdate").alias("yr"),
+            F.round(F.col("l_quantity"), 0).cast("long").alias("qty"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                0,
+            )
+            .cast("long")
+            .alias("rev_cents"),
+        )
+    )
+    cells = j.groupBy("part_class", "yr").agg(
+        F.sum("qty").alias("q"), F.sum("rev_cents").alias("rc")
+    )
+    c0 = cells.where(F.col("yr") == 1997).select(
+        "part_class", F.col("q").alias("q0"), F.col("rc").alias("rc0")
+    )
+    c1 = cells.where(F.col("yr") == 1998).select(
+        "part_class", F.col("q").alias("q1"), F.col("rc").alias("rc1")
+    )
+    tot = cells.groupBy("yr").agg(F.sum("q").alias("t"))
+    t0 = tot.where(F.col("yr") == 1997).select(F.col("t").alias("t0"))
+    t1 = tot.where(F.col("yr") == 1998).select(F.col("t").alias("t1"))
+    b = (
+        c0.join(c1, "part_class")
+        .crossJoin(F.broadcast(t0))
+        .crossJoin(F.broadcast(t1))
+    )
+    p0 = F.col("rc0") / (100.0 * F.col("q0"))
+    p1 = F.col("rc1") / (100.0 * F.col("q1"))
+    growth = F.col("t1").cast("double") / F.col("t0")
+    price_eff = (p1 - p0) * F.col("q1")
+    volume_eff = p0 * F.col("q0") * (growth - 1.0)
+    mix_eff = p0 * (F.col("q1") - F.col("q0") * growth)
+    return (
+        b.select(
+            "part_class",
+            F.col("q0").cast("long").alias("qty_1997"),
+            F.col("q1").cast("long").alias("qty_1998"),
+            F.round(F.col("rc0") / 100.0, 6).alias("rev_1997"),
+            F.round(F.col("rc1") / 100.0, 6).alias("rev_1998"),
+            F.round(price_eff, 6).alias("price_effect"),
+            F.round(volume_eff, 6).alias("volume_effect"),
+            F.round(mix_eff, 6).alias("mix_effect"),
+        )
+        .orderBy("part_class")
+    )
+
+
+QUERIES["revenue_pvm_decomposition"] = revenue_pvm_decomposition
+ORACLE_SQL["revenue_pvm_decomposition"] = """
+    WITH j AS (
+        SELECT STRING_SPLIT(p.p_type, ' ')[1] AS part_class,
+               EXTRACT(YEAR FROM l.l_shipdate) AS yr,
+               CAST(ROUND(l.l_quantity, 0) AS BIGINT) AS qty,
+               CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                    AS BIGINT) AS rev_cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE EXTRACT(YEAR FROM l.l_shipdate) IN (1997, 1998)),
+    cells AS (
+        SELECT part_class, yr, SUM(qty) AS q, SUM(rev_cents) AS rc
+        FROM j GROUP BY part_class, yr),
+    c0 AS (SELECT part_class, q AS q0, rc AS rc0 FROM cells
+           WHERE yr = 1997),
+    c1 AS (SELECT part_class, q AS q1, rc AS rc1 FROM cells
+           WHERE yr = 1998),
+    t0 AS (SELECT SUM(q) AS t0 FROM cells WHERE yr = 1997),
+    t1 AS (SELECT SUM(q) AS t1 FROM cells WHERE yr = 1998),
+    b AS (
+        SELECT * FROM c0 JOIN c1 USING (part_class)
+        CROSS JOIN t0 CROSS JOIN t1)
+    SELECT part_class,
+           CAST(q0 AS BIGINT) AS qty_1997,
+           CAST(q1 AS BIGINT) AS qty_1998,
+           ROUND(rc0 / 100.0, 6) AS rev_1997,
+           ROUND(rc1 / 100.0, 6) AS rev_1998,
+           ROUND((rc1 / (100.0 * q1) - rc0 / (100.0 * q0)) * q1, 6)
+               AS price_effect,
+           ROUND(rc0 / (100.0 * q0) * q0
+                 * (CAST(t1 AS DOUBLE) / t0 - 1.0), 6) AS volume_effect,
+           ROUND(rc0 / (100.0 * q0)
+                 * (q1 - q0 * (CAST(t1 AS DOUBLE) / t0)), 6) AS mix_effect
+    FROM b
+    ORDER BY part_class
+"""

@@ -229,6 +229,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "dedup_incremental_minhash",
     "stats_fdr_bh_permutation",
     "text_langid_kappa",
+    "revenue_pvm_decomposition",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

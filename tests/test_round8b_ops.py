@@ -764,3 +764,18 @@ def test_langid_kappa_matches_pure_python(spark):
     assert abs(row.cohens_kappa - kappa) < 1e-5
     # kappa must be BELOW raw accuracy (chance correction bites)
     assert row.cohens_kappa < row.observed_agreement
+
+
+def test_pvm_decomposition_sums_to_delta(spark):
+    rows = QUERIES["revenue_pvm_decomposition"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        delta = r.rev_1998 - r.rev_1997
+        total_eff = r.price_effect + r.volume_effect + r.mix_effect
+        # the decomposition identity: the three effects sum to the
+        # revenue delta exactly (up to the published rounding)
+        assert abs(total_eff - delta) < 2e-4, r.part_class
+    # volume effect is a UNIFORM growth fraction of base revenue —
+    # the property that separates it from mix by construction
+    fracs = [r.volume_effect / r.rev_1997 for r in rows]
+    assert max(fracs) - min(fracs) < 1e-6
