@@ -455,6 +455,9 @@ def test_forced_broadcasts_are_bounded_cardinality():
         # family); "n_nodes" is TextRank's 1-row vocabulary count;
         # "pe_num" is kappa's 1-row chance-agreement numerator
         "obs", "n_nodes", "pe_num",
+        # round 8: "t0"/"t1" are the PVM decomposition's 1-row
+        # per-period total-quantity aggregates
+        "t0", "t1",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     offenders = []
