@@ -868,3 +868,122 @@ ORACLE_SQL["stats_fdr_bh_permutation"] = f"""
     FROM stepped
     ORDER BY rank
 """
+
+#: TOST equivalence margin: +/-2% of the control mean — the "no
+#: meaningful difference" band a do-no-harm launch review uses.
+TOST_MARGIN_FRAC = 0.02
+#: one-sided z critical value at alpha = 0.05
+TOST_Z_CRIT = 1.645
+
+
+def ab_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO ONE-SIDED TESTS (TOST, Schuirmann '87) for EQUIVALENCE of
+    the md5 arms per event type — the inverted question the rest of
+    the pack cannot ask: not "is there a difference?" but "can we
+    RULE OUT a meaningful one?" (the do-no-harm launch gate; a
+    non-significant difference test is NOT evidence of equivalence).
+    Equivalence at margin m holds iff z_lower = (delta + m)/se >
+    z_crit AND z_upper = (delta - m)/se < -z_crit.
+
+    One (type, arm) pass of exact cent moments gives means and
+    variances; the margin derives from the control mean so it scales
+    with the metric.  All estimator arithmetic is the identical IEEE
+    tree over exact BIGINT inputs in both engines."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        (
+            F.conv(F.substring(_md5_of("event_id"), 1, 2), 16, 10).cast(
+                "long"
+            )
+            % 2
+        ).alias("arm"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    cells = ev.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    t = cells.where(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("nt"),
+        F.col("s").alias("st"),
+        F.col("ss").alias("sst"),
+    )
+    c = cells.where(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("nc"),
+        F.col("s").alias("sc"),
+        F.col("ss").alias("ssc"),
+    )
+    nt = F.col("nt").cast("double")
+    nc = F.col("nc").cast("double")
+    mt = F.col("st") / (100.0 * nt)
+    mc = F.col("sc") / (100.0 * nc)
+    vt = (F.col("sst") / 10000.0 - nt * mt * mt) / (nt - 1)
+    vc = (F.col("ssc") / 10000.0 - nc * mc * mc) / (nc - 1)
+    se = F.sqrt(vt / nt + vc / nc)
+    delta = mt - mc
+    margin = F.abs(mc) * TOST_MARGIN_FRAC
+    z_lo = (delta + margin) / se
+    z_hi = (delta - margin) / se
+    return (
+        t.join(c, "event_type")
+        .select(
+            "event_type",
+            (F.col("nt") + F.col("nc")).cast("long").alias("n_rows"),
+            F.round(delta, 6).alias("delta"),
+            F.round(margin, 6).alias("margin"),
+            F.round(se, 6).alias("std_err"),
+            F.round(z_lo, 6).alias("z_lower"),
+            F.round(z_hi, 6).alias("z_upper"),
+            (
+                (z_lo > TOST_Z_CRIT) & (z_hi < -TOST_Z_CRIT)
+            ).alias("equivalent"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["ab_tost_equivalence"] = ab_tost_equivalence
+ORACLE_SQL["ab_tost_equivalence"] = f"""
+    WITH ev AS (
+        SELECT event_type,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2))
+                   ::BIGINT % 2 AS arm,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events),
+    cells AS (
+        SELECT event_type, arm, COUNT(*) AS n, SUM(cents) AS s,
+               SUM(cents * cents) AS ss
+        FROM ev GROUP BY event_type, arm),
+    t AS (SELECT event_type, n AS nt, s AS st, ss AS sst
+          FROM cells WHERE arm = 1),
+    c AS (SELECT event_type, n AS nc, s AS sc, ss AS ssc
+          FROM cells WHERE arm = 0),
+    est AS (
+        SELECT event_type, nt, nc,
+               st / (100.0 * nt) AS mt,
+               sc / (100.0 * nc) AS mc,
+               SQRT(((sst / 10000.0 - nt * (st / (100.0 * nt))
+                                         * (st / (100.0 * nt)))
+                     / (nt - 1)) / nt
+                    + ((ssc / 10000.0 - nc * (sc / (100.0 * nc))
+                                           * (sc / (100.0 * nc)))
+                       / (nc - 1)) / nc) AS se
+        FROM t JOIN c USING (event_type))
+    SELECT event_type,
+           CAST(nt + nc AS BIGINT) AS n_rows,
+           ROUND(mt - mc, 6) AS delta,
+           ROUND(ABS(mc) * {TOST_MARGIN_FRAC}, 6) AS margin,
+           ROUND(se, 6) AS std_err,
+           ROUND((mt - mc + ABS(mc) * {TOST_MARGIN_FRAC}) / se, 6)
+               AS z_lower,
+           ROUND((mt - mc - ABS(mc) * {TOST_MARGIN_FRAC}) / se, 6)
+               AS z_upper,
+           ((mt - mc + ABS(mc) * {TOST_MARGIN_FRAC}) / se > {TOST_Z_CRIT}
+            AND (mt - mc - ABS(mc) * {TOST_MARGIN_FRAC}) / se
+                < -{TOST_Z_CRIT}) AS equivalent
+    FROM est
+    ORDER BY event_type
+"""

@@ -889,3 +889,88 @@ ORACLE_SQL["corpus_temperature_mixture"] = f"""
     FROM scored
     ORDER BY source
 """
+
+#: Survey budget for the Neyman allocation demo: the n a pipeline can
+#: afford to label/inspect; allocation shares are budget-independent.
+NEYMAN_BUDGET = 1000
+
+
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN OPTIMAL ALLOCATION of a labeling/inspection budget across
+    strata (Neyman 1934 — the survey-sampling result): for a fixed
+    total n, the variance-minimizing stratified sample takes
+    n_h proportional to N_h * S_h, so big AND volatile strata get more
+    budget — versus proportional allocation's N_h only.  This is how a
+    data-quality team sizes per-source audit samples; the emitted
+    ratio n_neyman / n_proportional is the per-stratum correction.
+
+    One (stratum) pass of exact cent moments (n, sum, sum-of-squares)
+    gives N_h and S_h; allocation arithmetic runs over the stratum
+    vocabulary with window totals.  S_h expands from exact BIGINTs so
+    both engines divide identical doubles."""
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_type").alias("stratum"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    cells = ev.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    nh = F.col("nh").cast("double")
+    mean = F.col("s") / (100.0 * nh)
+    var = (F.col("ss") / 10000.0 - nh * mean * mean) / (nh - 1)
+    scored = cells.select(
+        "stratum", "nh", F.sqrt(var).alias("sd")
+    ).select("stratum", "nh", "sd", (F.col("nh") * F.col("sd")).alias("w"))
+    w_all = Window.partitionBy()
+    neyman = F.lit(NEYMAN_BUDGET) * F.col("w") / F.sum("w").over(w_all)
+    prop = (
+        F.lit(NEYMAN_BUDGET)
+        * F.col("nh").cast("double")
+        / F.sum("nh").over(w_all)
+    )
+    return (
+        scored.select(
+            "stratum",
+            F.col("nh").cast("long").alias("n_stratum"),
+            F.round(F.col("sd"), 6).alias("stddev"),
+            F.round(neyman, 6).alias("n_neyman"),
+            F.round(prop, 6).alias("n_proportional"),
+            F.round(neyman / prop, 6).alias("allocation_ratio"),
+        )
+        .orderBy("stratum")
+    )
+
+
+QUERIES["sample_neyman_allocation"] = sample_neyman_allocation
+ORACLE_SQL["sample_neyman_allocation"] = f"""
+    WITH cells AS (
+        SELECT event_type AS stratum, COUNT(*) AS nh,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS s,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+                   * CAST(ROUND(value * 100, 0) AS BIGINT)) AS ss
+        FROM events GROUP BY event_type),
+    scored AS (
+        SELECT stratum, nh,
+               SQRT((ss / 10000.0
+                     - nh * (s / (100.0 * nh)) * (s / (100.0 * nh)))
+                    / (nh - 1)) AS sd
+        FROM cells),
+    wsum AS (
+        SELECT *, nh * sd AS w,
+               SUM(nh * sd) OVER () AS tw,
+               SUM(nh) OVER () AS tn
+        FROM scored)
+    SELECT stratum,
+           CAST(nh AS BIGINT) AS n_stratum,
+           ROUND(sd, 6) AS stddev,
+           ROUND({NEYMAN_BUDGET} * w / tw, 6) AS n_neyman,
+           ROUND({NEYMAN_BUDGET} * CAST(nh AS DOUBLE) / tn, 6)
+               AS n_proportional,
+           ROUND(({NEYMAN_BUDGET} * w / tw)
+                 / ({NEYMAN_BUDGET} * CAST(nh AS DOUBLE) / tn), 6)
+               AS allocation_ratio
+    FROM wsum
+    ORDER BY stratum
+"""

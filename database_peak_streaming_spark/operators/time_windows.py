@@ -2079,3 +2079,115 @@ ORACLE_SQL["window_ohlc_bars"] = """
     GROUP BY event_type, hour
     ORDER BY event_type, hour
 """
+
+
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum DRAWDOWN of the cumulative per-type value series — the
+    risk metric beside the OHLC bars: with C_t the running total and
+    P_t its running peak, drawdown_t = P_t - C_t and the max over t is
+    the worst peak-to-trough drop; also emits when the trough occurred
+    and the end-of-series recovery gap.  One ordered window pass
+    computes the whole family (two running aggregates + one argmax) —
+    the classic "two prefix scans" shape that needs no self-join.
+
+    Exactness: running sums/maxima of exact cent integers; the trough
+    pick tie-breaks on (drawdown desc, ts asc, event_id) so both
+    engines choose the same row."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.round(F.col("value") * 100, 0).cast("long") - 500).alias(
+            "pnl_cents"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scanned = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("pnl_cents").over(w_cum).alias("cum"),
+    ).select(
+        "event_type",
+        "ts",
+        "event_id",
+        "cum",
+        F.max("cum").over(w_cum).alias("peak"),
+    )
+    dd = scanned.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("peak") - F.col("cum")).alias("dd"),
+        "cum",
+        "peak",
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.col("dd").desc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    last = dd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("dd").alias("max_dd"),
+    )
+    trough = (
+        dd.withColumn("rk", F.row_number().over(w_pick))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("trough_ts"),
+            F.round(F.col("peak") / 100.0, 6).alias("peak_at_trough"),
+        )
+    )
+    return (
+        last.join(trough, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("max_dd") / 100.0, 6).alias("max_drawdown"),
+            "trough_ts",
+            "peak_at_trough",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["win_max_drawdown"] = win_max_drawdown
+ORACLE_SQL["win_max_drawdown"] = """
+    WITH ev AS (
+        SELECT event_type, ts, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) - 500 AS pnl_cents
+        FROM events),
+    scanned AS (
+        SELECT event_type, ts, event_id,
+               SUM(pnl_cents) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+        FROM ev),
+    dd AS (
+        SELECT event_type, ts, event_id, cum,
+               MAX(cum) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS peak
+        FROM scanned),
+    picked AS (
+        SELECT *, peak - cum AS d,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY peak - cum DESC, ts, event_id)
+                   AS rk
+        FROM dd),
+    agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(d) AS max_dd
+        FROM picked GROUP BY event_type)
+    SELECT agg.event_type, n_events,
+           ROUND(max_dd / 100.0, 6) AS max_drawdown,
+           p.ts AS trough_ts,
+           ROUND(p.peak / 100.0, 6) AS peak_at_trough
+    FROM agg JOIN picked p
+      ON p.event_type = agg.event_type AND p.rk = 1
+    ORDER BY agg.event_type
+"""

@@ -230,6 +230,9 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "stats_fdr_bh_permutation",
     "text_langid_kappa",
     "revenue_pvm_decomposition",
+    "win_max_drawdown",
+    "ab_tost_equivalence",
+    "sample_neyman_allocation",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

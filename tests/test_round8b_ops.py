@@ -779,3 +779,82 @@ def test_pvm_decomposition_sums_to_delta(spark):
     # the property that separates it from mix by construction
     fracs = [r.volume_effect / r.rev_1997 for r in rows]
     assert max(fracs) - min(fracs) < 1e-6
+
+
+def test_max_drawdown_matches_pure_python(spark):
+    rows = {
+        r.event_type: r
+        for r in QUERIES["win_max_drawdown"](spark, SF_DIR).collect()
+    }
+    ev = _table("events")
+    ev["pnl"] = np.round(ev["value"] * 100).astype(np.int64) - 500
+    for etype, g in ev.groupby("event_type"):
+        g = g.sort_values(["ts", "event_id"])
+        cum = g["pnl"].cumsum().to_numpy()
+        peak = np.maximum.accumulate(cum)
+        dd = peak - cum
+        r = rows[etype]
+        assert r.n_events == len(g)
+        assert abs(r.max_drawdown - dd.max() / 100.0) < 1e-6
+        i = int(dd.argmax())  # first occurrence == (ts, id) tie-break
+        assert r.trough_ts == g["ts"].iloc[i]
+        assert abs(r.peak_at_trough - peak[i] / 100.0) < 1e-6
+
+
+def test_tost_equivalence_matches_numpy(spark):
+    import hashlib
+
+    rows = {
+        r.event_type: r
+        for r in QUERIES["ab_tost_equivalence"](spark, SF_DIR).collect()
+    }
+    ev = _table("events")
+    ev["arm"] = [
+        int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16) % 2
+        for i in ev["event_id"]
+    ]
+    ev["v"] = np.round(ev["value"] * 100).astype(np.int64) / 100.0
+    for etype, g in ev.groupby("event_type"):
+        t = g.loc[g["arm"] == 1, "v"].to_numpy()
+        c = g.loc[g["arm"] == 0, "v"].to_numpy()
+        se = np.sqrt(t.var(ddof=1) / len(t) + c.var(ddof=1) / len(c))
+        delta = t.mean() - c.mean()
+        m = abs(c.mean()) * 0.02
+        r = rows[etype]
+        assert abs(r.delta - delta) < 1e-5
+        assert abs(r.std_err - se) < 1e-5
+        assert abs(r.z_lower - (delta + m) / se) < 1e-3
+        assert abs(r.z_upper - (delta - m) / se) < 1e-3
+        assert r.equivalent == (
+            (delta + m) / se > 1.645 and (delta - m) / se < -1.645
+        )
+    # margin > 0 forces z_lower > z_upper structurally; at sf0.001's
+    # n (~1k/stratum) the +/-2% margin is below the test's power, so
+    # equivalence is NOT claimed — exactly the honest TOST behavior
+    # (a wide CI proves nothing, in either direction)
+    for r in rows.values():
+        assert r.z_lower > r.z_upper
+        assert r.margin > 0
+
+
+def test_neyman_allocation_matches_numpy(spark):
+    rows = {
+        r.stratum: r
+        for r in QUERIES["sample_neyman_allocation"](spark, SF_DIR).collect()
+    }
+    ev = _table("events")
+    ev["v"] = np.round(ev["value"] * 100).astype(np.int64) / 100.0
+    w = {}
+    nh = {}
+    for etype, g in ev.groupby("event_type"):
+        nh[etype] = len(g)
+        w[etype] = len(g) * g["v"].std(ddof=1)
+    tw, tn = sum(w.values()), sum(nh.values())
+    total_neyman = 0.0
+    for etype, r in rows.items():
+        assert r.n_stratum == nh[etype]
+        assert abs(r.n_neyman - 1000 * w[etype] / tw) < 1e-3
+        assert abs(r.n_proportional - 1000 * nh[etype] / tn) < 1e-3
+        total_neyman += r.n_neyman
+    # allocations exhaust the budget
+    assert abs(total_neyman - 1000) < 1e-2
