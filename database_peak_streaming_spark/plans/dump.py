@@ -242,6 +242,21 @@ PICKS = {
         "count-table joins are hash joins on vocabulary-bounded "
         "tables; N enters as a 1-row broadcast"
     ),
+    "stats_permutation_test": (
+        "all B re-randomizations ride ONE map-side explode (no "
+        "per-replicate shuffle of the data); the observed statistic "
+        "is a 1-row broadcast against B replicate rows"
+    ),
+    "win_max_drawdown": (
+        "running sum, running peak, and the trough argmax share one "
+        "ordered window pass per type — the two-prefix-scan shape, "
+        "no self-join"
+    ),
+    "dedup_incremental_minhash": (
+        "vocabulary-hashed signatures; the candidate join is "
+        "batch-bands x base-bands only — neither side ever pairs "
+        "with itself"
+    ),
 }
 
 
