@@ -408,3 +408,99 @@ ORACLE_SQL["eval_pr_auc"] = """
     FROM g
     ORDER BY c_mktsegment
 """
+
+
+def stats_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-SHAPE profile per event type: skewness g1 =
+    m3/m2^1.5 and excess kurtosis g2 = m4/m2^2 - 3 expanded from exact
+    integer power sums in ONE partial-aggregable pass — the moments
+    that tell you whether the mean/stddev pair (`agg_stats`) is even a
+    faithful summary, and the built-in-free form chosen deliberately:
+    engines disagree on skewness/kurtosis conventions (sample vs
+    population, excess vs raw), so the engine-portable contract is the
+    explicit population-moment expansion both sides compute
+    identically.
+
+    Exactness: cents^4 sums are the binding constraint — |cents| <=
+    ~1e5 gives 1e20 per row, beyond BIGINT at row counts, so the
+    4th-power sum alone goes through DECIMAL(38,0) (exact, mergeable);
+    everything else stays BIGINT.  All divisions are identical IEEE
+    trees over exact inputs."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    cells = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).alias("s3"),
+        F.sum(
+            (F.col("c") * F.col("c")).cast("decimal(38,0)")
+            * (F.col("c") * F.col("c")).cast("decimal(38,0)")
+        ).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / (100.0 * n)
+    # central moments from raw power sums (cents -> dollars at entry)
+    r1 = F.col("s1").cast("double") / 100.0
+    r2 = F.col("s2").cast("double") / 10000.0
+    r3 = F.col("s3").cast("double") / 1000000.0
+    r4 = F.col("s4").cast("double") / 100000000.0
+    m2 = r2 / n - mu * mu
+    m3 = r3 / n - 3.0 * mu * (r2 / n) + 2.0 * mu * mu * mu
+    m4 = (
+        r4 / n
+        - 4.0 * mu * (r3 / n)
+        + 6.0 * mu * mu * (r2 / n)
+        - 3.0 * mu * mu * mu * mu
+    )
+    return (
+        cells.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_rows"),
+            F.round(mu, 6).alias("mean"),
+            F.round(F.sqrt(m2), 6).alias("pop_stddev"),
+            F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
+            F.round(m4 / (m2 * m2) - 3.0, 6).alias("excess_kurtosis"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["stats_skew_kurtosis"] = stats_skew_kurtosis
+ORACLE_SQL["stats_skew_kurtosis"] = """
+    WITH ev AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+        FROM events),
+    cells AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(c) AS s1, SUM(c * c) AS s2, SUM(c * c * c) AS s3,
+               SUM(CAST(c * c AS DECIMAL(38,0))
+                   * CAST(c * c AS DECIMAL(38,0))) AS s4
+        FROM ev GROUP BY event_type),
+    m AS (
+        SELECT event_type, n,
+               s1 / (100.0 * n) AS mu,
+               CAST(s1 AS DOUBLE) / 100.0 AS r1,
+               CAST(s2 AS DOUBLE) / 10000.0 AS r2,
+               CAST(s3 AS DOUBLE) / 1000000.0 AS r3,
+               CAST(s4 AS DOUBLE) / 100000000.0 AS r4
+        FROM cells),
+    cm AS (
+        SELECT event_type, n, mu,
+               r2 / n - mu * mu AS m2,
+               r3 / n - 3.0 * mu * (r2 / n) + 2.0 * mu * mu * mu AS m3,
+               r4 / n - 4.0 * mu * (r3 / n) + 6.0 * mu * mu * (r2 / n)
+                   - 3.0 * mu * mu * mu * mu AS m4
+        FROM m)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_rows,
+           ROUND(mu, 6) AS mean,
+           ROUND(SQRT(m2), 6) AS pop_stddev,
+           ROUND(m3 / POWER(m2, 1.5), 6) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+    FROM cm
+    ORDER BY event_type
+"""

@@ -233,6 +233,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "win_max_drawdown",
     "ab_tost_equivalence",
     "sample_neyman_allocation",
+    "stats_skew_kurtosis",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -858,3 +858,24 @@ def test_neyman_allocation_matches_numpy(spark):
         total_neyman += r.n_neyman
     # allocations exhaust the budget
     assert abs(total_neyman - 1000) < 1e-2
+
+
+def test_skew_kurtosis_matches_numpy(spark):
+    rows = {
+        r.event_type: r
+        for r in QUERIES["stats_skew_kurtosis"](spark, SF_DIR).collect()
+    }
+    ev = _table("events")
+    ev["v"] = np.round(ev["value"] * 100).astype(np.int64) / 100.0
+    for etype, g in ev.groupby("event_type"):
+        x = g["v"].to_numpy()
+        mu = x.mean()
+        m2 = ((x - mu) ** 2).mean()
+        m3 = ((x - mu) ** 3).mean()
+        m4 = ((x - mu) ** 4).mean()
+        r = rows[etype]
+        assert r.n_rows == len(x)
+        assert abs(r.mean - mu) < 1e-6
+        assert abs(r.pop_stddev - np.sqrt(m2)) < 1e-6
+        assert abs(r.skewness - m3 / m2**1.5) < 1e-4, etype
+        assert abs(r.excess_kurtosis - (m4 / m2**2 - 3)) < 1e-4
