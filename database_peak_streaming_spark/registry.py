@@ -85,86 +85,14 @@ _MODULES = [
 #: (round 2 rotated in the multimodal binary-payload kernel and the S4
 #: binary peaks codec in place of two of the five scalar packs).
 _PRIORITY = [
-    # Round-8 rotation (round-7 VERDICT "Next round" #1).  Slots 1-38
-    # drain the ENTIRE round-7 ROTATION_POOL — after this window the
-    # union of driver-hash-checked queries is 268/268 (100%).  The 12
-    # remaining slots are risky RE-checks, exactly the VERDICT's fill
-    # guidance: queries whose plans change this round
-    # (join_interval_binned gets the quantile-sized grid) plus the
-    # round-7 >15%-wall regressions (k-means family, HLL merge,
-    # substring spans, SCD2, DQ suite, decontaminate) and the two
-    # round-7 headline fixes worth a second green row
-    # (training_data_build, build_inverted_index, curate_corpus_pipeline).
-    #
-    # Round-7 rotation pool, drained in full (38):
-    "sketch_mg_heavy_hitters",
-    "training_shard_layout",
-    "text_char_entropy",
-    "bootstrap_ci_mean",
-    "sessionize_dynamic_gap",
-    "join_interval_window_band",
-    "ts_seasonal_decompose_ma",
-    "sql_pipe_syntax_pricing",
-    "ann_hard_negatives",
-    "text_bigram_surprisal",
-    "events_attribution_position",
-    "sql_group_by_all",
-    "graph_kcore_peel",
-    "stats_ks_drift_by_type",
-    "ts_theil_sen_trend",
-    "text_jsd_source_drift",
-    "sql_unpivot_metrics",
-    "multimodal_audio_window_energy",
-    "stats_psi_value_drift",
-    "stats_mutual_information",
-    "dq_benford_first_digit",
-    "ts_acf_hourly",
-    "sql_lateral_topk_per_nation",
-    "text_bigram_pmi",
-    "sql_udf_scalar_and_table",
-    "orders_kaplan_meier_churn",
-    "win_rolling_median",
-    "orders_cohort_ltv",
-    "stats_wasserstein_drift",
-    "join_asof_nearest",
-    "embeddings_pca_power_iteration",
-    "udf_iter_model_score",
-    "graph_link_prediction_jaccard",
-    "win_robust_outliers",
-    "skyline_customers",
-    "sql_pivot_clause",
-    "events_burstiness_fano",
-    "agg_weighted_median",
-    # risky re-checks (12): plan-changed this round first, then the
-    # round-7 >15%-wall regressions and the round-7 headline fixes.
-    "join_interval_binned",
-    "ann_ivf_kmeans",
-    "dedup_semdedup_kmeans",
-    "agg_hll_sketch_merge",
-    "training_data_build",
-    "build_inverted_index",
-    "curate_corpus_pipeline",
-    "dedup_substring_spans",
-    "decontaminate_test_overlap",
-    "scd2_user_state_history",
-    "dq_expectation_suite",
-    "dedup_exact_hash",
-]
-
-#: The round-9 rotation pool.  Empty at round-8 start (the round-8
-#: window drains the whole round-7 pool, closing union driver coverage
-#: at 268/268); queries ADDED during round 8 append here (each is
-#: local-gated by tests/test_differential.py's full DuckDB oracle until
-#: a future window picks it up).  tests/test_registry.py pins that the
-#: never-driver-checked overflow is EXACTLY this list, so any new query
-#: must either enter the window or be added here.
-#:
-#: Round-9 window math: the pool exceeds one 50-slot window, so the
-#: round-9 _PRIORITY should take the FIRST 50 names below (insertion =
-#: age order) and the remainder + round-9 additions roll to round 10 —
-#: drain oldest-first, no re-check slots until the pool fits again.
-ROTATION_POOL_NEXT_ROUND: list[str] = [
-    # round-8 additions:
+    # Round-9 rotation (round-8 VERDICT "Next round" #1).  The round-8
+    # pool held 69 never-driver-checked names — more than one 50-slot
+    # window — so this window takes the FIRST 50 in insertion (= age)
+    # order, exactly the math registry.py documented last round:
+    # oldest-first, no re-check slots until the pool fits again.  After
+    # this window the union of driver-hash-checked queries is 318/337;
+    # the remaining 19 names stay pinned in ROTATION_POOL_NEXT_ROUND
+    # (plus any round-9 additions) for the round-10 window.
     "join_interval_grid_mixed",
     "stats_cramers_v",
     "events_powerlaw_alpha",
@@ -215,6 +143,18 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "graph_label_propagation",
     "eval_pr_auc",
     "feature_quantile_normalize",
+]
+
+#: The round-10 rotation pool.  The round-9 window drained the OLDEST
+#: 50 of the 69-name round-8 pool (oldest-first, the math the round-8
+#: comment prescribed); the 19 names below are the round-8 remainder,
+#: and queries ADDED during round 9 append after them (each is
+#: local-gated by tests/test_differential.py's full DuckDB oracle until
+#: a future window picks it up).  tests/test_registry.py pins that the
+#: never-driver-checked overflow is EXACTLY this list, so any new query
+#: must either enter the window or be added here.
+ROTATION_POOL_NEXT_ROUND: list[str] = [
+    # round-8 remainder (19, age order preserved):
     "events_longest_streak",
     "intervals_active_count_daily",
     "window_ohlc_bars",
