@@ -645,32 +645,35 @@ def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     same user at or before the purchase time (SURVEY.md §2B as-of row —
     the time-series join the reference's domain implies).
 
-    Implementation: union both sides and take ``last(click_ts, ignorenulls)``
-    over (partition by user_id, order by ts with clicks sorting before
-    purchases on ties).  This is the merge-sorted as-of: ONE shuffle on
-    user_id, O(events) total work, and — unlike the naive range-join +
-    max() formulation — no per-purchase fan-out over every earlier click
-    by the same user (a heavy user with k clicks costs k rows here, not
+    Implementation: ONE scan of events derives both roles via
+    conditional projection (a ``when(type='purchase')`` event_id and a
+    ``when(type='click')`` click_ts — no filter+union of two scan
+    subtrees), then ``last(click_ts, ignorenulls)`` over (partition by
+    user_id, order by ts with clicks sorting before purchases on ties).
+    This is the merge-sorted as-of: ONE scan, ONE shuffle on user_id,
+    O(events) total work, and — unlike the naive range-join + max()
+    formulation — no per-purchase fan-out over every earlier click by
+    the same user (a heavy user with k clicks costs k rows here, not
     k x purchases rows).  The window's running state is a single value
-    per user, so skewed users cost a sort, never a blowup.
+    per user, so skewed users cost a sort, never a blowup.  No final
+    presentation sort: the output is purchase-fact-sized, a global
+    range-sort of it is an extra exchange that no 100 TB consumer
+    would ask the engine for, and the differential hash is
+    order-insensitive (round-9 A/B at the 30x tier: two-scan + sort
+    1.87 s -> one-scan no-sort 0.90 s vs DuckDB 0.59 s).
     """
     from pyspark.sql import Window
 
     ev = load_table(spark, "events", sf_dir)
-    ts_type = ev.schema["ts"].dataType
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id",
+    both = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias(
+            "event_id"
+        ),
         "user_id",
         "ts",
-        F.lit(None).cast(ts_type).alias("click_ts"),
-        F.lit(1).alias("is_purchase"),
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.lit(None).cast(ev.schema["event_id"].dataType).alias("event_id"),
-        "user_id",
-        "ts",
-        F.col("ts").alias("click_ts"),
-        F.lit(0).alias("is_purchase"),  # click at ts == purchase ts counts
+        # click at ts == purchase ts counts (clicks sort first on ties)
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -678,11 +681,9 @@ def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        purchases.unionByName(clicks)
-        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        both.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
         .filter(F.col("is_purchase") == 1)
         .select("event_id", "user_id", "ts", "last_click_ts")
-        .orderBy("event_id")
     )
 
 
@@ -949,7 +950,6 @@ ORACLE_SQL = {
                    WHERE event_type = 'click') c
           ON p.user_id = c.c_user_id AND c.click_ts <= p.ts
         GROUP BY p.event_id, p.user_id, p.ts
-        ORDER BY p.event_id
     """,
 }
 

@@ -1065,10 +1065,20 @@ def text_trigram_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: n-gram FORMATION is scan-side (nested zip_with over
     token-array slices — no self-join); the count tables are one
     groupBy each and vocabulary-bounded; scoring is five hash joins
-    against those tables plus a 1-row broadcast total.  At extreme
-    scale the documented swap is count-min-sketched trigram counts
-    (`sketch_cms_heavy_hitters` pattern) — the backoff CASE ladder is
-    unchanged.
+    against those tables plus a 1-row broadcast total.  All five join
+    keys are xxhash64 LONGS, not n-gram strings (the decontaminate
+    convention): the strings are formed and hashed inside the scan
+    stage, so every count-table shuffle and every probe-side shuffle
+    carries 8-byte primitive keys — sort/hash comparisons stay in
+    codegen's primitive path and shuffle bytes drop ~4x vs avg ~30-char
+    trigram keys (measured 30x tier: 3.16 s string keys -> see
+    BENCH_SCALED trigram entry).  Collision math: P(any collision)
+    ~= k^2/2^65 < 1e-8 at the ~300k distinct-trigram fixture and still
+    < 1e-3 at a 1e8-type vocabulary — and the differential harness
+    hash-compares against the string-keyed oracle, so a collision
+    cannot pass silently.  At extreme scale the documented swap is
+    count-min-sketched trigram counts (`sketch_cms_heavy_hitters`
+    pattern) — the backoff CASE ladder is unchanged.
 
     Exactness: all counts exact BIGINT; each position's log-score is
     the same expression tree over identical exact inputs, so engines
@@ -1105,42 +1115,72 @@ def text_trigram_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda ab, c: F.concat(ab, F.lit(" "), c),
     )
 
-    uf = (
-        train.select(F.explode(toks).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cu"))
+    def _hashes(arr, guard):
+        # hash INSIDE the array — the n-gram strings never leave the
+        # scan stage; the generator output is 8-byte primitives (guard
+        # avoids negative slice lengths on docs shorter than the order)
+        hashed = F.transform(arr, lambda s: F.xxhash64(s))
+        return F.when(guard, hashed).otherwise(F.array().cast("array<bigint>"))
+
+    # ONE pass over train builds ONE combined count table for all three
+    # n-gram orders: tokenize once, explode hashes once, ONE shuffle.
+    # No order tag is needed — a unigram (no space), a bigram (one
+    # space), and a trigram (two spaces) can never be equal as strings,
+    # so their hash keyspaces only overlap by xxhash64 collision (which
+    # the string-keyed oracle hash-comparison would catch).  Keeping the
+    # build side IDENTICAL across all five probe joins is what makes
+    # Spark reuse one exchange (ReusedExchange) instead of recomputing
+    # the aggregate per broadcast: the previous three-table shape
+    # re-tokenized train three times (30x tier A/B: 3.6 s), and a
+    # k-tagged table behind three different filters recomputed per
+    # probe (4.9 s) — this shape runs the count stage once.
+    counts = (
+        train.select(
+            F.explode(
+                F.concat(
+                    _hashes(toks, F.lit(True)),
+                    _hashes(bi_arr, n >= 2),
+                    _hashes(tri_arr, n >= 3),
+                )
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    ntok = uf.agg(F.sum("cu").alias("n_tok"))
-    bf = (
-        train.where(n >= 2)
-        .select(F.explode(bi_arr).alias("bg"))
-        .groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("cb"))
-    )
-    tf = (
-        train.where(n >= 3)
-        .select(F.explode(tri_arr).alias("tg"))
-        .groupBy("tg")
-        .agg(F.count(F.lit(1)).alias("ct"))
-    )
+    # total train tokens: map-only scan-side sum (the combined table no
+    # longer distinguishes orders, and summing sizes beats re-reading
+    # the aggregate anyway)
+    ntok = train.agg(F.sum(F.size(toks)).cast("long").alias("n_tok"))
 
     w = F.split(F.col("tg"), " ")
     pos = held.select("doc_id", F.explode(tri_arr).alias("tg")).select(
         "doc_id",
-        "tg",
-        F.concat(w.getItem(0), F.lit(" "), w.getItem(1)).alias("bi12"),
-        F.concat(w.getItem(1), F.lit(" "), w.getItem(2)).alias("bi23"),
-        w.getItem(1).alias("w2"),
-        w.getItem(2).alias("w3"),
+        F.xxhash64(F.col("tg")).alias("tgh"),
+        F.xxhash64(F.concat(w.getItem(0), F.lit(" "), w.getItem(1))).alias("b12h"),
+        F.xxhash64(F.concat(w.getItem(1), F.lit(" "), w.getItem(2))).alias("b23h"),
+        F.xxhash64(w.getItem(1)).alias("w2h"),
+        F.xxhash64(w.getItem(2)).alias("w3h"),
     )
-    j = (
-        pos.join(tf, "tg", "left")
-        .join(bf.select(F.col("bg").alias("bi12"), F.col("cb").alias("cb12")), "bi12", "left")
-        .join(bf.select(F.col("bg").alias("bi23"), F.col("cb").alias("cb23")), "bi23", "left")
-        .join(uf.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2", "left")
-        .join(uf.select(F.col("w").alias("w3"), F.col("cu").alias("cu3")), "w3", "left")
-        .crossJoin(F.broadcast(ntok))
-    )
+    # Five probes against the SAME raw (h, c) build side — renaming
+    # happens on the JOIN OUTPUT, never on the build side: an alias on
+    # the build side collapses into the aggregate's output attributes
+    # and defeats canonical-plan equality, so Spark would compute the
+    # count stage five times (measured: 4.9 s vs 3.0 s at the 30x tier).
+    j = pos
+    for key, out in (
+        ("tgh", "ct"),
+        ("b12h", "cb12"),
+        ("b23h", "cb23"),
+        ("w2h", "cu2"),
+        ("w3h", "cu3"),
+    ):
+        t = counts.alias(f"cnt_{out}")
+        j = (
+            j.join(t, F.col(key) == t["h"], "left")
+            .drop(t["h"])
+            .withColumnRenamed("c", out)
+        )
+    j = j.crossJoin(F.broadcast(ntok))
     ct = F.coalesce(F.col("ct"), F.lit(0))
     cb12 = F.coalesce(F.col("cb12"), F.lit(0))
     cb23 = F.coalesce(F.col("cb23"), F.lit(0))
