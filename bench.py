@@ -180,6 +180,16 @@ R8_ADDITIONS: list[str] = [
 #: directly comparable to round 7's 1.24x even if HEADLINE grows.
 R7_COMPARABLE_SUBSET = [n for n in HEADLINE if n not in R8_ADDITIONS]
 
+#: Names added to HEADLINE during round 9+ — kept separate so the
+#: frozen round-8 subset below stays exactly what BENCH_r08 ran.
+R9_ADDITIONS: list[str] = []
+
+#: Round-8-comparable subset: the EXACT headline set BENCH_r08 ran,
+#: frozen so round 9+ reports a ratio directly comparable to round 8's
+#: committed number even if HEADLINE grows (round-8 VERDICT task 2
+#: asks for exactly this same-subset comparison).
+R8_COMPARABLE_SUBSET = [n for n in HEADLINE if n not in R9_ADDITIONS]
+
 
 def _planning_ms(df) -> float:
     """Sum of Catalyst phase durations (parsing/analysis/optimization/
@@ -369,6 +379,14 @@ def main() -> None:
         out["ratio_vs_oracle_r7_subset"] = round(
             r7_spark / max(r7_oracle, 1e-9), 2
         )
+        r8 = [n for n in R8_COMPARABLE_SUBSET if n in oracle_timings]
+        r8_spark = sum(timings[n] for n in r8)
+        r8_oracle = sum(oracle_timings[n] for n in r8)
+        out["r8_subset_total"] = round(r8_spark, 4)
+        out["r8_subset_oracle_total"] = round(r8_oracle, 4)
+        out["ratio_vs_oracle_r8_subset"] = round(
+            r8_spark / max(r8_oracle, 1e-9), 2
+        )
         # Round-7 VERDICT task 3, closed by decomposition + fix: the
         # +50% dedup_semdedup_kmeans regression was a SERIAL pairs
         # stage — the cell-pair cosines run on the broadcast join's
@@ -485,6 +503,7 @@ def main() -> None:
         "ratio_vs_oracle_r4_subset",
         "ratio_vs_oracle_r6_subset",
         "ratio_vs_oracle_r7_subset",
+        "ratio_vs_oracle_r8_subset",
         "oracle_total",
         "overhead_floor_sec",
     ):

@@ -117,6 +117,9 @@ QUERY_SET = [
     # treatment as every other >2x-at-sf0.1 query with real work
     "text_trigram_backoff_lm",
     "ann_pq_adc",
+    # round-8 VERDICT task 8: ts_croston_intermittent joined the
+    # headline at 2.37 s sf0.1 with no tier evidence — carry it
+    "ts_croston_intermittent",
 ]
 
 #: the 10x stragglers (ratio > 2 in the committed 10x run) PLUS the two
@@ -144,6 +147,8 @@ STRAGGLER_SET = [
     # round-8 fourth-batch heavies carried to the deep tier too
     "text_trigram_backoff_lm",
     "ann_pq_adc",
+    # round-9: new headliner gets the full tier treatment (VERDICT #8)
+    "ts_croston_intermittent",
 ]
 
 
@@ -336,6 +341,68 @@ def main() -> None:
             "agg_hll_sketch_merge alone at 30x: 0.34 s (~1.7x oracle);"
             " its in-suite 2.59 s is session aging after curate/pagerank,"
             " not plan work"
+        ),
+        # round-8 VERDICT #3 closure: q18's deep-tier gap decomposed on
+        # a quiet box (load < 0.2).  The committed 5.62 s was box load:
+        # fresh-plan min-of-3 on the quiet box is 1.77 s vs DuckDB
+        # 0.88 s (~2.0x).  Floor A/B: a bare
+        # lineitem.groupBy(l_orderkey).count() — the irreducible
+        # 18M-row -> 4.5M-group shuffle ANY Spark plan for this query
+        # must pay — measures 1.07 s in the same session; the in-query
+        # HAVING aggregate is 1.0 s (sum representation A/B'd:
+        # micro-long 1.00 s, plain-double 0.99 s, cast-long 1.04 s —
+        # a wash).  The ~0.77 s remainder is the broadcast-survivors
+        # join through orders+customer plus the Arrow fetch.
+        "box_note": (
+            "Round-9 regeneration on a QUIET box (load < 0.2 at start;"
+            " the round-8 file was produced on a ~30-50% slower box)."
+            " Within-run ratios are the comparable quantity; cross-file"
+            " wall-clock deltas are not."
+        ),
+        "pq_note": (
+            "ann_pq_adc's designed shape holds: the 64x encode fan-out"
+            " is narrow (id, m, code) rows and the ADC assembly is"
+            " broadcast-LUT work, so data volume - not floor -"
+            " dominates from 10x on (see scaled/deep ratio entries)."
+        ),
+        "q18_floor_note": (
+            "quiet-box fresh-plan 30x: 1.77 s vs oracle 0.88 s (~2.0x);"
+            " bare groupBy(l_orderkey).count() floor is 1.07 s ~= the"
+            " in-query aggregate (1.0 s), so the agg sits AT the"
+            " 4.5M-group shuffle floor; remainder 0.77 s = survivor"
+            " joins + fetch.  The committed r8 5.62 s was box load."
+        ),
+        # round-8 VERDICT #4 closure: the trigram LM's documented
+        # xxhash64 lever is implemented — and measured to be only part
+        # of the story.  A/B on the quiet box at 30x: string keys
+        # 3.60 s; xxhash64 keys alone 3.26 s; single-pass combined
+        # count table (tokenize train ONCE, one explode, one shuffle,
+        # identical build side reused by all five probes) 3.01 s.
+        # A k-tagged table behind per-order filters recomputed the
+        # aggregate per broadcast (4.9 s) — build-side aliasing defeats
+        # canonical-plan reuse; the committed shape keeps the build
+        # side raw.  Remaining ~6x vs a 0.5 s oracle is stage-count
+        # floor: counts stage ~1.0 s (5.6M hash explode -> 28k groups),
+        # probe+score stage ~1.0 s (1.9M rows x 5 broadcast probes +
+        # per-doc aggregate), ntok + sort + fetch ~0.5 s — each stage
+        # is within ~2x of its bare-equivalent micro-benchmark, there
+        # is no recompute left to remove.
+        "trigram_note": (
+            "xxhash64 keys + single-pass combined count table landed:"
+            " 3.60 s -> 3.01 s at 30x (hash-identical).  Remainder is"
+            " per-stage floor (counts ~1.0 s, probe ~1.0 s, ntok/sort/"
+            "fetch ~0.5 s), not recompute — five probes share ONE"
+            " build-side exchange."
+        ),
+        # round-8 VERDICT #5 closure: join_asof_purchase_click
+        # re-planned — one conditional-projection scan (was filter+
+        # union = two scans) and no global presentation sort of the
+        # purchase-fact-sized output (differential hash is order-
+        # insensitive; oracle ORDER BY removed symmetrically).
+        "asof_note": (
+            "one-scan + no-sort re-plan: 30x 1.87 s -> 0.90 s vs oracle"
+            " 0.59 s (1.5x); 10x 0.87 s -> 0.51 s.  The old gap was the"
+            " second events scan + the global range-sort exchange."
         ),
         "interval_floor_note": (
             "Remaining 30x ratio (~5.8x vs a 0.32 s oracle) is the"

@@ -9,10 +9,13 @@ The pattern a 100 TB training-data pipeline needs (north-star mandated):
   scalars, and the binary column is only *read* for rows that survive;
 * decode / resize / feature-extract run in ``mapInPandas`` batches.
 
-The actual codec calls are STUBBED (no image/audio libs in this
-container): ``decode_image`` raises ``NotImplementedError`` unless given
-the deterministic test codec.  The Spark-side plumbing — schemas, batch
-iteration, partition sizing — is real and tested.
+Codec status: self-contained formats decode for REAL — pure-numpy
+uncompressed-24-bit-BMP and binary-PPM decoders below, pixel-exact and
+oracle-checked (operators/multimodal_queries.py registers a decode
+query whose channel sums DuckDB recomputes from the source bytes).
+Compressed formats (JPEG/PNG/video) still require a media library the
+container does not ship; ``real_codec`` raises ``NotImplementedError``
+for those only, with the injection point documented.
 """
 
 from __future__ import annotations
@@ -54,12 +57,121 @@ def fake_codec(payload: bytes) -> np.ndarray:
     return np.frombuffer(h, dtype=np.uint8).astype(np.float32)
 
 
-def real_codec(payload: bytes) -> np.ndarray:  # pragma: no cover - stub
-    """Production decode hook (PIL/libvips/ffmpeg).  Deliberately stubbed:
-    the container ships no media libraries."""
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-numpy decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    BI_RGB).  Returns an (H, W, 3) uint8 array in RGB channel order,
+    rows top-down — i.e. the orientation every ML pipeline expects,
+    with the file's bottom-up row order and BGR pixel order undone.
+
+    Handles the two quirks real BMP files have: 4-byte row padding and
+    negative ``height`` (top-down files).  Anything fancier (palettes,
+    RLE, BITFIELDS, other bit depths) raises ValueError — this decoder
+    exists to close the sandbox codec gap for the format that needs no
+    compression library, not to reimplement libbmp."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = data_offset + row_bytes * height
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: {len(payload)} < {need} bytes")
+    rows = (
+        np.frombuffer(payload, dtype=np.uint8, count=row_bytes * height,
+                      offset=data_offset)
+        .reshape(height, row_bytes)[:, : width * 3]
+        .reshape(height, width, 3)
+    )
+    if not top_down:
+        rows = rows[::-1]  # file stores bottom-up
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_bmp` — (H, W, 3) uint8 RGB top-down ->
+    uncompressed 24-bit bottom-up BMP bytes.  Exists so the decoder has
+    an independent in-repo round-trip partner and so fixtures can build
+    real BMP payloads without a media library."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("expected (H, W, 3) RGB")
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, flip
+    data = body.tobytes()
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + len(data), 0, 0, 54,
+        40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0,
+    )
+    return header + data
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval <= 255) -> (H, W, 3) uint8 RGB.  PPM is
+    already top-down RGB, so decode is header parse + reshape."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM payload")
+    # header = magic, width, height, maxval separated by whitespace
+    # (comment lines allowed); pixel data starts after the single
+    # whitespace byte that follows maxval
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    need = i + w * h * 3
+    if len(payload) < need:
+        raise ValueError(f"truncated PPM: {len(payload)} < {need} bytes")
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def real_codec(payload: bytes) -> np.ndarray:
+    """Production decode hook.  Self-contained formats (uncompressed
+    24-bit BMP, binary PPM) decode here with the pure-numpy decoders
+    above — pixel-exact, no media library.  Compressed formats
+    (JPEG/PNG/video) still need PIL/libvips/ffmpeg, which this container
+    does not ship: inject via ``extract_features(codec=...)`` in a
+    deployment image."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
     raise NotImplementedError(
-        "media decode requires an image/audio library; inject via "
-        "extract_features(codec=...) in a deployment image"
+        "compressed media decode requires an image/audio library; inject "
+        "via extract_features(codec=...) in a deployment image "
+        "(BMP and PPM decode natively)"
     )
 
 

@@ -250,11 +250,95 @@ def multimodal_meta_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BMP geometry for the decode query: fixed 16-px-wide images (a
+#: 16 x 3 = 48-byte row is already 4-byte aligned, so padding math in
+#: the encoder and the oracle agree trivially).
+BMP_WIDTH = 16
+
+_BMP_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("first_px_r", T.IntegerType()),
+    ]
+)
+
+
+def multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the binary kernel path — no stub: each
+    document's bytes become the RGB pixels of an uncompressed 24-bit BMP
+    (built by ``functions.multimodal.encode_bmp`` — bottom-up rows, BGR,
+    4-byte padding: a real file another tool could open), and
+    ``real_codec`` decodes the file back to (H, W, 3) RGB with the
+    pure-numpy ``decode_bmp``.  Emitted channel sums and the decoded
+    top-left pixel are recomputed by the oracle DIRECTLY from the source
+    text's byte values, so an encoder/decoder disagreement on channel
+    order, row order, or padding is a hash mismatch, not a silent bug
+    (channel sums catch BGR/RGB swaps; ``first_px_r`` catches a missing
+    bottom-up flip).  ASCII-fixture convention as multimodal_frame_sample:
+    the oracle reads char codes, the kernel reads bytes.
+
+    Scale shape: one mapInPandas stage, payload-free immediately after
+    (fixed-width stat rows out), no shuffle at all before the driver
+    fetch — the 100 TB plan is scan -> decode -> stats, embarrassingly
+    parallel."""
+    from database_peak_streaming_spark.functions.multimodal import (
+        encode_bmp,
+        real_codec,
+    )
+
+    import numpy as np
+
+    def _decode_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                raw = bytes(payload)
+                h = max(1, math.ceil(len(raw) / (BMP_WIDTH * 3)))
+                px = np.zeros(h * BMP_WIDTH * 3, dtype=np.uint8)
+                px[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+                img = encode_bmp(px.reshape(h, BMP_WIDTH, 3))
+                dec = real_codec(img)  # dispatches to decode_bmp
+                sums = dec.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out.append(
+                    (
+                        item_id,
+                        int(dec.shape[1]),
+                        int(dec.shape[0]),
+                        int(dec.shape[0] * dec.shape[1]),
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
+                        int(dec[0, 0, 0]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id", "width", "height", "n_px",
+                    "sum_r", "sum_g", "sum_b", "first_px_r",
+                ],
+            )
+
+    d = load_table(spark, "documents", sf_dir)
+    items = d.select(
+        F.col("doc_id").alias("item_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return items.mapInPandas(_decode_stats, schema=_BMP_SCHEMA)
+
+
 QUERIES = {
     "multimodal_payload_fingerprint": multimodal_payload_fingerprint,
     "multimodal_meta_filter_stats": multimodal_meta_filter_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_audio_window_energy": multimodal_audio_window_energy,
+    "multimodal_bmp_decode_stats": multimodal_bmp_decode_stats,
 }
 
 ORACLE_SQL = {
@@ -323,6 +407,38 @@ ORACLE_SQL = {
                SHA256(text) AS sha,
                CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
         FROM documents ORDER BY item_id
+    """,
+    "multimodal_bmp_decode_stats": f"""
+        WITH geom AS (
+            SELECT doc_id, text,
+                   GREATEST(1, CAST(CEIL(OCTET_LENGTH(ENCODE(text))
+                                         / {BMP_WIDTH * 3}.0) AS INT)) AS h
+            FROM documents),
+        b AS (
+            SELECT doc_id,
+                   UNNEST(RANGE(1, LENGTH(text) + 1)) AS i,
+                   text
+            FROM documents),
+        sums AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN (i - 1) % 3 = 0
+                            THEN ORD(SUBSTRING(text, CAST(i AS INT), 1)) END) AS sr,
+                   SUM(CASE WHEN (i - 1) % 3 = 1
+                            THEN ORD(SUBSTRING(text, CAST(i AS INT), 1)) END) AS sg,
+                   SUM(CASE WHEN (i - 1) % 3 = 2
+                            THEN ORD(SUBSTRING(text, CAST(i AS INT), 1)) END) AS sb,
+                   MAX(CASE WHEN i = 1
+                            THEN ORD(SUBSTRING(text, CAST(i AS INT), 1)) END) AS r0
+            FROM b GROUP BY doc_id)
+        SELECT g.doc_id AS item_id,
+               {BMP_WIDTH} AS width,
+               g.h AS height,
+               CAST({BMP_WIDTH} * g.h AS BIGINT) AS n_px,
+               CAST(COALESCE(s.sr, 0) AS BIGINT) AS sum_r,
+               CAST(COALESCE(s.sg, 0) AS BIGINT) AS sum_g,
+               CAST(COALESCE(s.sb, 0) AS BIGINT) AS sum_b,
+               CAST(COALESCE(s.r0, 0) AS INT) AS first_px_r
+        FROM geom g LEFT JOIN sums s ON s.doc_id = g.doc_id
     """,
     "multimodal_meta_filter_stats": """
         WITH meta AS (

@@ -174,6 +174,8 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "ab_tost_equivalence",
     "sample_neyman_allocation",
     "stats_skew_kurtosis",
+    # round-9 additions:
+    "multimodal_bmp_decode_stats",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -126,3 +126,103 @@ def test_multimodal_pipeline_with_fake_codec(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_bmp_roundtrip_pixel_exact():
+    """encode_bmp -> decode_bmp recovers pixels exactly (row order,
+    channel order, 4-byte padding all undone)."""
+    from database_peak_streaming_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (16, 16), (7, 13)]:  # odd widths pad
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_bmp_golden_bytes_layout():
+    """Decode a hand-assembled file (not via encode_bmp) so an
+    encoder/decoder bug pair cannot cancel: 2x1 24-bit BMP, bottom-up,
+    BGR — file row 0 is the BOTTOM image row."""
+    import struct
+
+    from database_peak_streaming_spark.functions.multimodal import decode_bmp
+
+    # bottom row pixel = RGB(1,2,3), top row pixel = RGB(9,8,7)
+    data = bytes([3, 2, 1, 0]) + bytes([7, 8, 9, 0])  # BGR + row pad to 4
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + len(data), 0, 0, 54,
+        40, 1, 2, 1, 24, 0, len(data), 0, 0, 0, 0,
+    )
+    img = decode_bmp(header + data)
+    assert img.shape == (2, 1, 3)
+    assert img[0, 0].tolist() == [9, 8, 7]  # top-down output
+    assert img[1, 0].tolist() == [1, 2, 3]
+    # negative height = top-down file: same bytes, no flip
+    header_td = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + len(data), 0, 0, 54,
+        40, 1, -2, 1, 24, 0, len(data), 0, 0, 0, 0,
+    )
+    img_td = decode_bmp(header_td + data)
+    assert img_td[0, 0].tolist() == [1, 2, 3]
+
+
+def test_ppm_decode_with_comments():
+    from database_peak_streaming_spark.functions.multimodal import (
+        decode_ppm,
+        real_codec,
+    )
+
+    body = bytes(range(2 * 2 * 3))
+    payload = b"P6\n# a comment\n2 2\n255\n" + body
+    img = decode_ppm(payload)
+    assert img.shape == (2, 2, 3)
+    assert img.reshape(-1).tolist() == list(body)
+    assert np.array_equal(real_codec(payload), img)  # dispatch
+
+
+def test_codec_error_paths():
+    import pytest as _pytest
+
+    from database_peak_streaming_spark.functions.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        real_codec,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 100)  # bad header size / bpp
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6 2 2 255 ")  # truncated body
+    with _pytest.raises(NotImplementedError):
+        real_codec(b"\x89PNG\r\n")  # compressed formats stay injected
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    truncated = encode_bmp(px)[:-1]
+    with _pytest.raises(ValueError):
+        decode_bmp(truncated)
+
+
+def test_extract_features_with_real_codec_bmp(spark):
+    """The real_codec path now runs end-to-end on BMP payloads — the
+    former always-raises stub only applies to compressed formats."""
+    from database_peak_streaming_spark.functions.multimodal import (
+        IMAGE_META_SCHEMA,
+        encode_bmp,
+        extract_features,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(8):
+        px = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+        payload = encode_bmp(px)
+        rows.append((i, "image/bmp", 4, 4, len(payload), payload))
+    items = spark.createDataFrame(rows, schema=IMAGE_META_SCHEMA)
+    feats = extract_features(items, dim=16).collect()  # default real_codec
+    assert len(feats) == 8
+    assert all(len(r.feature) == 16 for r in feats)
