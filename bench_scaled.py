@@ -204,9 +204,8 @@ def _planning_ms(df) -> float:
         return 0.0
 
 
-def time_set(spark, sf_dir: str, query_set: list[str] = QUERY_SET) -> dict:
-    from database_peak_streaming_spark.harness.diff import oracle_connection
-    from database_peak_streaming_spark.registry import ORACLE_SQL, QUERIES
+def time_set_spark(spark, sf_dir: str, query_set: list[str]) -> tuple[dict, dict]:
+    from database_peak_streaming_spark.registry import QUERIES
 
     spark_t: dict[str, float] = {}
     spark_exec: dict[str, float] = {}
@@ -225,68 +224,157 @@ def time_set(spark, sf_dir: str, query_set: list[str] = QUERY_SET) -> dict:
                 best_exec = max(wall - _planning_ms(df) / 1000.0, 0.0)
         spark_t[name] = round(best, 3)
         spark_exec[name] = round(best_exec, 3)
-    duck_t: dict[str, float] = {}
+    return spark_t, spark_exec
+
+
+def time_set_duck(sf_dir: str, query_set: list[str]) -> dict:
+    """DuckDB oracle phase — run AFTER the tier's Spark session is
+    STOPPED: with a live multi-GB JVM beside it, DuckDB's default
+    ~80%-of-RAM budget overcommits the box and large-tier oracles die
+    with Out of Memory (observed: the 10x croston LIST fold).  Isolating
+    the phases also keeps either engine's timings free of the other's
+    page-cache pressure."""
+    from database_peak_streaming_spark.harness.diff import oracle_connection
+    from database_peak_streaming_spark.registry import ORACLE_SQL
+
+    duck_t: dict[str, float | None] = {}
     con = oracle_connection(sf_dir)
     for name in query_set:
         sql = ORACLE_SQL[name]
-        con.sql(sql).fetchall()  # warm (page cache, catalogs) — same
-        best = float("inf")      # protocol as the Spark side
-        for _ in range(2):
-            t0 = time.perf_counter()
-            con.sql(sql).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        duck_t[name] = round(best, 3)
-    ratios = {n: round(spark_t[n] / max(duck_t[n], 1e-4), 2) for n in query_set}
+        try:
+            con.sql(sql).fetchall()  # warm (page cache, catalogs) — same
+            best = float("inf")      # protocol as the Spark side
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.sql(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            duck_t[name] = round(best, 3)
+        except Exception as e:  # oracle infeasible at this tier
+            # Recorded, not hidden: a None here means DUCKDB could not
+            # run the query at this volume (observed: the croston
+            # nested-list fold exhausts DuckDB's 100 GiB budget at the
+            # 10x tier while Spark's F.aggregate fold runs it in
+            # seconds) — which is itself scale evidence, but the query
+            # is excluded from ratio totals so the totals stay an
+            # engine-vs-engine comparison on work both completed.
+            duck_t[name] = None
+            print(f"oracle failed at {sf_dir} for {name}: "
+                  f"{type(e).__name__}: {str(e)[:120]}",
+                  file=sys.stderr)
+            con = oracle_connection(sf_dir)  # old con may be poisoned
+    return duck_t
+
+
+def combine_timings(
+    spark_t: dict, spark_exec: dict, duck_t: dict, query_set: list[str]
+) -> dict:
+    both = [n for n in query_set if duck_t.get(n) is not None]
+    ratios = {
+        n: (round(spark_t[n] / max(duck_t[n], 1e-4), 2)
+            if duck_t[n] is not None else None)
+        for n in query_set
+    }
     # DuckDB's planner costs ~1 ms (EXPLAIN-measured), so duck full ~= duck
     # exec and the exec ratio uses the same denominator.
     exec_ratios = {
-        n: round(spark_exec[n] / max(duck_t[n], 1e-4), 2) for n in query_set
+        n: (round(spark_exec[n] / max(duck_t[n], 1e-4), 2)
+            if duck_t[n] is not None else None)
+        for n in query_set
     }
-    return {
+    out = {
         "spark": spark_t,
         "spark_exec": spark_exec,
         "duckdb": duck_t,
         "ratio": ratios,
         "ratio_exec": exec_ratios,
-        "spark_total": round(sum(spark_t.values()), 2),
-        "duckdb_total": round(sum(duck_t.values()), 2),
-        "ratio_total": round(sum(spark_t.values()) / sum(duck_t.values()), 2),
+        # totals over queries BOTH engines completed (see time_set_duck:
+        # a None oracle is an infeasible-at-this-volume DuckDB run)
+        "spark_total": round(sum(spark_t[n] for n in both), 2),
+        "duckdb_total": round(sum(duck_t[n] for n in both), 2),
+        "ratio_total": round(
+            sum(spark_t[n] for n in both) / sum(duck_t[n] for n in both), 2
+        ),
         "ratio_exec_total": round(
-            sum(spark_exec.values()) / sum(duck_t.values()), 2
+            sum(spark_exec[n] for n in both) / sum(duck_t[n] for n in both), 2
         ),
     }
+    failed = [n for n in query_set if duck_t.get(n) is None]
+    if failed:
+        out["oracle_infeasible"] = failed
+    return out
+
+
+def _fresh(name: str):
+    # one session PER PHASE: a single long-lived context accumulates
+    # state (broadcast blocks, localCheckpoint RDDs from the CC
+    # queries) across dozens of runs, and by the second scale point
+    # that memory pressure contaminates timings several-fold —
+    # observed: the same query 4.4 s in a fresh session, 107 s late
+    # in a shared one.
+    from database_peak_streaming_spark import get_spark
+
+    spark = get_spark(name)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def run_phase(phase: str) -> dict:
+    """One phase in THIS process: 'build' materializes the scaled
+    fixtures; 'base'/'scaled'/'deep' time one tier (Spark session
+    stopped before the DuckDB half — see time_set_duck)."""
+    if phase == "build":
+        spark = _fresh("dps-bench-scaled-build")
+        build_scaled(spark)
+        build_scaled(spark, OUT2, COPIES2)
+        spark.stop()
+        return {}
+    sf_dir, query_set = {
+        "base": (BASE, QUERY_SET),
+        "scaled": (str(OUT), QUERY_SET),
+        "deep": (str(OUT2), STRAGGLER_SET),
+    }[phase]
+    spark = _fresh(f"dps-bench-scaled-{phase}")
+    spark_t, spark_exec = time_set_spark(spark, sf_dir, query_set)
+    spark.stop()
+    duck_t = time_set_duck(sf_dir, query_set)
+    return combine_timings(spark_t, spark_exec, duck_t, query_set)
+
+
+def _phase_in_subprocess(phase: str) -> dict:
+    """Each phase runs in its OWN python process: a stopped SparkContext
+    does not return all its threads (py4j gateway, accumulator server)
+    and DuckDB connections keep their worker pools, so the fourth
+    in-process SparkContext of a full run dies with 'can't start new
+    thread' — process isolation frees everything between phases and is
+    the same freshness guarantee the per-phase session comment above
+    argues for, but actually enforced by the OS."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--phase", phase],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"phase {phase} failed rc={r.returncode}:\n{r.stderr[-2000:]}"
+        )
+    sys.stderr.write(r.stderr[-500:])
+    return json.loads(r.stdout.strip().splitlines()[-1]) if phase != "build" else {}
 
 
 def main() -> None:
-    from database_peak_streaming_spark import get_spark
+    if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
+        result = run_phase(sys.argv[2])
+        if sys.argv[2] != "build":
+            print(json.dumps(result))
+        return
 
-    def fresh(name: str):
-        # one session PER PHASE: a single long-lived context accumulates
-        # state (broadcast blocks, localCheckpoint RDDs from the CC
-        # queries) across dozens of runs, and by the second scale point
-        # that memory pressure contaminates timings several-fold —
-        # observed: the same query 4.4 s in a fresh session, 107 s late
-        # in a shared one.
-        spark = get_spark(name)
-        spark.sparkContext.setLogLevel("ERROR")
-        return spark
-
-    spark = fresh("dps-bench-scaled-build")
-    build_scaled(spark)
-    build_scaled(spark, OUT2, COPIES2)
-    spark.stop()
-
-    spark = fresh("dps-bench-scaled-base")
-    base = time_set(spark, BASE)
-    spark.stop()
-
-    spark = fresh("dps-bench-scaled-10x")
-    scaled = time_set(spark, str(OUT))
-    spark.stop()
-
-    spark = fresh(f"dps-bench-scaled-{COPIES2}x")
-    deep = time_set(spark, str(OUT2), STRAGGLER_SET)
-    spark.stop()
+    _phase_in_subprocess("build")
+    base = _phase_in_subprocess("base")
+    scaled = _phase_in_subprocess("scaled")
+    deep = _phase_in_subprocess("deep")
 
     out = {
         "metric": "scaled_crossover",
@@ -353,6 +441,17 @@ def main() -> None:
         # micro-long 1.00 s, plain-double 0.99 s, cast-long 1.04 s —
         # a wash).  The ~0.77 s remainder is the broadcast-survivors
         # join through orders+customer plus the Arrow fetch.
+        "croston_note": (
+            "ts_croston_intermittent (VERDICT r8 #8): Spark runs every"
+            " tier (see spark entries), but the DuckDB oracle's"
+            " per-part nested-list fold exhausts the 100 GiB memory"
+            " budget at the 10x tier (OutOfMemoryException) even in an"
+            " isolated process — recorded as oracle_infeasible and"
+            " excluded from ratio totals.  The Spark F.aggregate fold"
+            " handles the same volume in seconds: the sparse demand-"
+            "point shape scales on the engine, and the crossover"
+            " evidence here is one-sided by the ORACLE's limits."
+        ),
         "box_note": (
             "Round-9 regeneration on a QUIET box (load < 0.2 at start;"
             " the round-8 file was produced on a ~30-50% slower box)."
@@ -366,11 +465,16 @@ def main() -> None:
             " dominates from 10x on (see scaled/deep ratio entries)."
         ),
         "q18_floor_note": (
-            "quiet-box fresh-plan 30x: 1.77 s vs oracle 0.88 s (~2.0x);"
+            "30x wall ~1.6-1.8 s (r8's committed 5.62 s was box load);"
             " bare groupBy(l_orderkey).count() floor is 1.07 s ~= the"
-            " in-query aggregate (1.0 s), so the agg sits AT the"
-            " 4.5M-group shuffle floor; remainder 0.77 s = survivor"
-            " joins + fetch.  The committed r8 5.62 s was box load."
+            " in-query HAVING aggregate (1.0 s; sum representation"
+            " A/B'd: micro-long 1.00, plain-double 0.99, cast-long"
+            " 1.04 - a wash), so the agg sits AT the 4.5M-group shuffle"
+            " floor; remainder ~0.7 s = survivor joins + fetch.  The"
+            " residual ratio vs DuckDB's ~0.25 s in-process int-group"
+            " agg is the shuffle-vs-pointer-swap floor gap"
+            " interval_floor_note documents; the VERDICT's suggested"
+            " aggregate-once re-plan IS the committed shape (since r8)."
         ),
         # round-8 VERDICT #4 closure: the trigram LM's documented
         # xxhash64 lever is implemented — and measured to be only part
@@ -400,9 +504,14 @@ def main() -> None:
         # purchase-fact-sized output (differential hash is order-
         # insensitive; oracle ORDER BY removed symmetrically).
         "asof_note": (
-            "one-scan + no-sort re-plan: 30x 1.87 s -> 0.90 s vs oracle"
-            " 0.59 s (1.5x); 10x 0.87 s -> 0.51 s.  The old gap was the"
-            " second events scan + the global range-sort exchange."
+            "one-scan + no-sort re-plan (VERDICT r8 #5): fresh-session"
+            " 30x min 0.78-0.93 s (was 1.87 s two-scan+sort), 10x"
+            " 0.70 s.  The old gap was the second events scan + the"
+            " global range-sort exchange.  One in-suite deep sample hit"
+            " 4.64 s (both timed runs of a best-of-2) and vanished on an"
+            " immediate same-protocol re-run (1.20 s) AND when run after"
+            " the same q1/q5/q18 prefix in a fresh session (0.78 s min)"
+            " - a transient, recorded here rather than silently retried."
         ),
         "interval_floor_note": (
             "Remaining 30x ratio (~5.8x vs a 0.32 s oracle) is the"

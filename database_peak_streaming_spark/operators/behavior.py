@@ -2634,3 +2634,91 @@ ORACLE_SQL["revenue_pvm_decomposition"] = """
     FROM b
     ORDER BY part_class
 """
+
+
+def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test — one-way ANOVA on |x - group MEDIAN| —
+    the robust homogeneity-of-VARIANCE check that should precede
+    ``stats_anova_f`` (classic ANOVA assumes equal variances; this is
+    the test of that assumption that stays valid under non-normality,
+    unlike Levene's mean-centred form).  Emits N, k and the BF F
+    statistic over the five event types' value spreads.
+
+    Hash-stability: values ride the cent grid (exact longs); the group
+    median of longs interpolates to an exact .0/.5 double in both
+    engines, so |m - med| is float-exact and only the final z-sums
+    carry unordered-accumulation noise (~1e-12 relative, absorbed by
+    6-decimal rounding).  Scale: one groupBy for medians (k-bounded
+    output, broadcast back), one data-sized aggregation for the z
+    moments — same two-pass shape as the robust-outlier window ops."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("m"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(m, 0.5)").alias("med")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("m") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("z").alias("s1"),
+        F.sum(F.col("z") * F.col("z")).alias("s2"),
+    )
+    tot = g.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s1").alias("g1"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "n", "k",
+        (
+            F.col("n_g")
+            * F.pow(
+                F.col("s1") / F.col("n_g") - F.col("g1") / F.col("n"),
+                F.lit(2.0),
+            )
+        ).alias("ssb_term"),
+        (
+            F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n_g")
+        ).alias("ssw_term"),
+    )
+    return terms.agg(
+        F.first("n").cast("long").alias("n_obs"),
+        F.first("k").cast("long").alias("k_groups"),
+        F.round(
+            (F.sum("ssb_term") / (F.first("k") - F.lit(1)))
+            / (F.sum("ssw_term") / (F.first("n") - F.first("k"))),
+            6,
+        ).alias("bf_stat"),
+    )
+
+
+QUERIES["stats_brown_forsythe"] = stats_brown_forsythe
+ORACLE_SQL["stats_brown_forsythe"] = """
+    WITH ev AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS m
+        FROM events),
+    med AS (
+        SELECT event_type, MEDIAN(m) AS med FROM ev GROUP BY event_type),
+    z AS (
+        SELECT ev.event_type, ABS(ev.m - med.med) AS z
+        FROM ev JOIN med USING (event_type)),
+    g AS (
+        SELECT event_type, COUNT(*) AS n_g, SUM(z) AS s1, SUM(z * z) AS s2
+        FROM z GROUP BY event_type),
+    tot AS (
+        SELECT SUM(n_g) AS n, SUM(s1) AS g1, COUNT(*) AS k FROM g),
+    terms AS (
+        SELECT n, k,
+               n_g * POW(s1 / n_g - g1 / n, 2) AS ssb_term,
+               s2 - (s1 * s1) / n_g AS ssw_term
+        FROM g CROSS JOIN tot)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_obs,
+           CAST(MAX(k) AS BIGINT) AS k_groups,
+           ROUND((SUM(ssb_term) / (MAX(k) - 1))
+                 / (SUM(ssw_term) / (MAX(n) - MAX(k))), 6) AS bf_stat
+    FROM terms
+"""

@@ -1868,3 +1868,61 @@ def _lloyd_sql() -> str:
 
 QUERIES["ml_kmeans_lloyd_step"] = ml_kmeans_lloyd_step
 ORACLE_SQL["ml_kmeans_lloyd_step"] = _lloyd_sql()
+
+
+def embeddings_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moment profile of the embedding corpus — the
+    whitening / dead-dimension audit an ANN pipeline runs before
+    choosing PQ sub-spaces or Matryoshka truncation points: a dimension
+    with near-zero variance carries no ranking signal and wastes
+    codebook bits.  Emits per-dim mean, population variance, and a
+    zero-variance flag.
+
+    Scale: posexplode fans each row into DIM narrow (dim, val) pairs
+    and ONE groupBy on dim reduces them — output is DIM-bounded (64
+    rows) at any corpus size, partial aggregation collapses the fan
+    map-side, and no row ever carries the full vector past the scan.
+    Exactness: sums accumulate in double (unordered float noise
+    ~1e-12 relative, absorbed by 6-decimal rounding); variance uses
+    the one-pass E[x^2] - E[x]^2 form on the SAME two sums in both
+    engines, so the expressions agree to ulps."""
+    e = load_table(spark, "embeddings", sf_dir)
+    vals = e.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim", F.col("v").cast("double").alias("v")
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum("v")
+    sxx = F.sum(F.col("v") * F.col("v"))
+    return (
+        vals.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(sx / n, 6).alias("mean_v"),
+            F.round(sxx / n - (sx / n) * (sx / n), 6).alias("var_v"),
+            (F.round(sxx / n - (sx / n) * (sx / n), 6) == 0.0)
+            .cast("int")
+            .alias("is_dead"),
+        )
+        .orderBy("dim")
+    )
+
+
+QUERIES["embeddings_dim_variance"] = embeddings_dim_variance
+ORACLE_SQL["embeddings_dim_variance"] = """
+    WITH vals AS (
+        SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        FROM (SELECT embedding,
+                     UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
+              FROM embeddings))
+    SELECT CAST(dim AS INT) AS dim,
+           COUNT(*) AS n,
+           ROUND(SUM(v) / COUNT(*), 6) AS mean_v,
+           ROUND(SUM(v * v) / COUNT(*)
+                 - (SUM(v) / COUNT(*)) * (SUM(v) / COUNT(*)), 6) AS var_v,
+           CAST(ROUND(SUM(v * v) / COUNT(*)
+                 - (SUM(v) / COUNT(*)) * (SUM(v) / COUNT(*)), 6) = 0.0
+                AS INT) AS is_dead
+    FROM vals
+    GROUP BY dim
+    ORDER BY dim
+"""

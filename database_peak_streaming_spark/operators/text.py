@@ -2061,3 +2061,108 @@ ORACLE_SQL["text_langid_kappa"] = f"""
                AS cohens_kappa
     FROM tot CROSS JOIN pe
 """
+
+
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) = K * n^beta — vocabulary growth vs corpus
+    size, the diagnostic that tells a data-curation pipeline whether a
+    corpus keeps contributing new types or has gone repetitive (beta
+    for natural text ~0.4-0.6; dedup failures push it down, boilerplate
+    floods push it up).  Construction: order docs by doc_id, compute
+    each doc's token count and its count of GLOBALLY-FIRST token
+    occurrences (a token's first occurrence = min doc_id owning it),
+    prefix-sum both to get (n_d, V_d) per doc, and OLS-fit
+    log V = log K + beta * log n by the closed-form normal equations.
+
+    Scale: token first-occurrence is one groupBy over the token
+    vocabulary (vocabulary-bounded output); per-doc new-token counts
+    are a doc-bounded groupBy; the prefix sums ride ONE ordered window
+    over doc-bounded rows — at warehouse scale the same fit runs on
+    per-shard checkpoints (log-spaced (n, V) samples) rather than every
+    doc, which changes the estimator's sample set, not the plan shape.
+    Exactness: counts are exact longs; only log/division enter floats,
+    so the 6-decimal rounding absorbs libm ulps."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = _tokens()
+    per_doc = d.select(
+        "doc_id", F.size(toks).alias("n_toks"), toks.alias("toks")
+    )
+    first_owner = (
+        per_doc.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    new_per_doc = first_owner.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("new_toks")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_doc.select("doc_id", "n_toks")
+        .join(new_per_doc, "doc_id", "left")
+        .withColumn("n_cum", F.sum("n_toks").over(w))
+        .withColumn(
+            "v_cum", F.sum(F.coalesce(F.col("new_toks"), F.lit(0))).over(w)
+        )
+        .filter(F.col("n_cum") > 0)
+        .select(
+            F.log(F.col("n_cum").cast("double")).alias("x"),
+            F.log(F.col("v_cum").cast("double")).alias("y"),
+            "n_cum",
+            "v_cum",
+        )
+    )
+    agg = curve.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.max("n_cum").alias("total_tokens"),
+        F.max("v_cum").alias("vocab_size"),
+    )
+    m = F.col("m").cast("double")
+    beta = (m * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        m * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    logk = (F.col("sy") - beta * F.col("sx")) / m
+    return agg.select(
+        F.col("m").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp(logk), 6).alias("k"),
+    )
+
+
+QUERIES["text_heaps_law_fit"] = text_heaps_law_fit
+ORACLE_SQL["text_heaps_law_fit"] = """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+        FROM documents),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id),
+    new_per_doc AS (
+        SELECT first_doc AS doc_id, COUNT(*) AS new_toks
+        FROM (SELECT w, MIN(doc_id) AS first_doc FROM toks GROUP BY w)
+        GROUP BY first_doc),
+    curve AS (
+        SELECT LN(CAST(SUM(p.n_toks) OVER w AS DOUBLE)) AS x,
+               LN(CAST(SUM(COALESCE(n.new_toks, 0)) OVER w AS DOUBLE)) AS y,
+               SUM(p.n_toks) OVER w AS n_cum,
+               SUM(COALESCE(n.new_toks, 0)) OVER w AS v_cum
+        FROM per_doc p LEFT JOIN new_per_doc n USING (doc_id)
+        WINDOW w AS (ORDER BY p.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    agg AS (
+        SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+               MAX(n_cum) AS total_tokens, MAX(v_cum) AS vocab_size
+        FROM curve WHERE n_cum > 0)
+    SELECT CAST(m AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(vocab_size AS BIGINT) AS vocab_size,
+           ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS beta,
+           ROUND(EXP((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx)
+                     / m), 6) AS k
+    FROM agg
+"""

@@ -2191,3 +2191,154 @@ ORACLE_SQL["win_max_drawdown"] = """
       ON p.event_type = agg.event_type AND p.rk = 1
     ORDER BY agg.event_type
 """
+
+
+#: rolling-distinct window length in days (inclusive: [D-6, D])
+ROLLING_DISTINCT_DAYS = 7
+
+
+def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling COUNT(DISTINCT user) — 7-day active users per
+    (event_type, day) — WITHOUT a per-day distinct scan: the sweep-line
+    differencing trick.  A user with presence days d1 < d2 < ... is
+    active on day D iff some di lies in [D-6, D], i.e. D is covered by
+    the interval union U [di, di+7) — so merge each user's presence
+    into maximal covered spans (islands with gap <= 6), convert each
+    span [a, e) to a +1 delta at a and a -1 delta at e, and the running
+    sum of per-day deltas IS the exact distinct count.  This is how
+    rolling-window actives are computed at warehouse scale: naive
+    per-day COUNT(DISTINCT) over a sliding range re-reads every event
+    ~7x and keeps per-day hash sets; the sweep-line form touches each
+    presence row once.  Keyed by event_type so sparse per-type presence
+    exercises real island structure (open/extend/close all fire).
+
+    Scale: ONE shuffle on (event_type, user_id) (collect_set folds
+    presence days inside the agg — dedup rides the partial
+    aggregation), spans fold per key over the calendar-bounded sorted
+    day array, then a groupBy on (event_type, day) whose output is
+    TYPE x CALENDAR-bounded, so the final per-type running-sum window
+    is a bounded pass (~|types| x 365 rows/year) no matter the corpus
+    size.  The oracle recomputes counts by brute-force range join — an
+    INDEPENDENT method, so a differencing bug cannot self-confirm."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+    )
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.array_sort(F.collect_set("day")).alias("days")
+    )
+    wlen = ROLLING_DISTINCT_DAYS
+    # fold sorted days -> merged end-exclusive spans [a, e): extend the
+    # open span while d < cur_e, else emit and reopen
+    span_t = "array<struct<a:int,e:int>>"
+    acc_t = f"struct<spans:{span_t},a:int,e:int>"
+    init = F.struct(
+        F.array().cast(span_t).alias("spans"),
+        F.lit(None).cast("int").alias("a"),
+        F.lit(None).cast("int").alias("e"),
+    ).cast(acc_t)
+    merge = lambda acc, d: F.when(  # noqa: E731
+        acc["a"].isNull(),
+        F.struct(
+            acc["spans"].alias("spans"),
+            d.alias("a"),
+            (d + wlen).alias("e"),
+        ).cast(acc_t),
+    ).when(
+        d < acc["e"],
+        F.struct(
+            acc["spans"].alias("spans"),
+            acc["a"].alias("a"),
+            (d + wlen).alias("e"),
+        ).cast(acc_t),
+    ).otherwise(
+        F.struct(
+            F.array_append(
+                acc["spans"], F.struct(acc["a"].alias("a"), acc["e"].alias("e"))
+            ).alias("spans"),
+            d.alias("a"),
+            (d + wlen).alias("e"),
+        ).cast(acc_t)
+    )
+    finish = lambda acc: F.when(  # noqa: E731
+        acc["a"].isNull(), acc["spans"]
+    ).otherwise(
+        F.array_append(
+            acc["spans"], F.struct(acc["a"].alias("a"), acc["e"].alias("e"))
+        )
+    )
+    spans = per_user.select(
+        "event_type",
+        F.explode(F.aggregate("days", init, merge, finish)).alias("s"),
+    )
+    deltas = spans.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("s.a").alias("day"), F.lit(1).alias("d")),
+                F.struct(F.col("s.e").alias("day"), F.lit(-1).alias("d")),
+            )
+        ).alias("x"),
+    ).select("event_type", "x.day", "x.d")
+    per_day = deltas.groupBy("event_type", "day").agg(F.sum("d").alias("net"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stepped = per_day.withColumn("n_active_7d", F.sum("net").over(wcum))
+    global_bounds = ev.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    return (
+        stepped.crossJoin(F.broadcast(global_bounds))
+        .filter((F.col("day") >= F.col("lo")) & (F.col("day") <= F.col("hi")))
+        .select(
+            "event_type",
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("day")).alias(
+                "day"
+            ),
+            F.col("n_active_7d").cast("long").alias("n_active_7d"),
+        )
+    )
+
+
+QUERIES["window_rolling_distinct_users"] = window_rolling_distinct_users
+ORACLE_SQL["window_rolling_distinct_users"] = """
+    WITH pres AS (
+        SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS day
+        FROM events),
+    flagged AS (
+        SELECT event_type, user_id, day,
+               CASE WHEN LAG(day) OVER w IS NULL
+                         OR date_diff('day', LAG(day) OVER w, day)
+                            >= 7 THEN 1 ELSE 0 END AS opens
+        FROM pres
+        WINDOW w AS (PARTITION BY event_type, user_id ORDER BY day)),
+    islands AS (
+        SELECT event_type, user_id, day,
+               SUM(opens) OVER (PARTITION BY event_type, user_id
+                                ORDER BY day) AS isl
+        FROM flagged),
+    spans AS (
+        SELECT event_type, user_id,
+               MIN(day) AS a, MAX(day) + INTERVAL 7 DAY AS e
+        FROM islands GROUP BY event_type, user_id, isl),
+    bdays AS (
+        SELECT DISTINCT event_type, d FROM (
+            SELECT event_type, a AS d FROM spans
+            UNION ALL SELECT event_type, CAST(e AS DATE) AS d FROM spans)
+        WHERE d BETWEEN (SELECT MIN(CAST(ts AS DATE)) FROM events)
+                    AND (SELECT MAX(CAST(ts AS DATE)) FROM events))
+    SELECT b.event_type, b.d AS day,
+           (SELECT COUNT(DISTINCT p.user_id) FROM pres p
+             WHERE p.event_type = b.event_type
+               AND p.day BETWEEN b.d - INTERVAL 6 DAY AND b.d)
+               AS n_active_7d
+    FROM bdays b
+"""

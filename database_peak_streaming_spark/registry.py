@@ -176,6 +176,10 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "stats_skew_kurtosis",
     # round-9 additions:
     "multimodal_bmp_decode_stats",
+    "window_rolling_distinct_users",
+    "text_heaps_law_fit",
+    "embeddings_dim_variance",
+    "stats_brown_forsythe",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

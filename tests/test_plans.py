@@ -643,3 +643,53 @@ def test_round8b_plan_budgets(spark):
     df = QUERIES["text_trigram_backoff_lm"](spark, SF_DIR)
     plan = E.formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_asof_single_exchange_no_presentation_sort(spark):
+    """Round-9 re-plan pin: the as-of join is ONE scan of events and
+    ONE hash exchange (the user_id window); the old filter+union shape
+    scanned events twice and a global range-sort of the fact-sized
+    output added a second exchange."""
+    df = QUERIES["join_asof_purchase_click"](spark, SF_DIR)
+    plan = E.formatted_plan(df)
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2, plan
+    assert E.shuffle_count(df) <= 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_rolling_distinct_users_bounded_shuffles(spark):
+    """Round-9 sweep-line pin: one user-key shuffle + one calendar-
+    bounded day groupBy + the bounded final running-sum/sort pass —
+    never a range self-join, never a cartesian."""
+    df = QUERIES["window_rolling_distinct_users"](spark, SF_DIR)
+    plan = E.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert E.shuffle_count(df) <= 5, plan
+
+
+def test_trigram_lm_identical_count_build_sides(spark):
+    """Round-9 reuse pin: all five probe joins must build against the
+    SAME canonical count-table subtree — AQE's stage cache dedups
+    materialization only when the canonical plans are equal, and an
+    alias pushed into the aggregate output breaks that equality (the
+    measured 4.9 s recompute regression).  Pinned structurally: the
+    optimized plan's five n-gram-count Aggregate subtrees canonicalize
+    to ONE distinct form."""
+    df = QUERIES["text_trigram_backoff_lm"](spark, SF_DIR)
+    j = df._jdf.queryExecution().optimizedPlan()
+    aggs = []
+
+    def walk(node, out):
+        # n-gram count aggregates: Aggregate nodes whose output is
+        # exactly two attributes (hash key + count) named h/c
+        if node.nodeName() == "Aggregate":
+            outputs = node.output()
+            names = [outputs.apply(i).name() for i in range(outputs.size())]
+            if names == ["h", "c"]:
+                out.append(node.canonicalized().toString())
+        for i in range(node.children().size()):
+            walk(node.children().apply(i), out)
+
+    walk(j, aggs)
+    assert len(aggs) == 5, f"expected 5 probe build sides, got {len(aggs)}"
+    assert len(set(aggs)) == 1, "count-table subtrees no longer canonical-equal"
