@@ -2722,3 +2722,67 @@ ORACLE_SQL["stats_brown_forsythe"] = """
                  / (SUM(ssw_term) / (MAX(n) - MAX(k))), 6) AS bf_stat
     FROM terms
 """
+
+
+def events_sequence_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex over per-user event SEQUENCES — the MATCH_RECOGNIZE /
+    funnel-pattern primitive: encode each user's time-ordered event
+    stream as a symbol string (one initial per event type) and run
+    ordinary regular expressions over it.  Counts the exact
+    view->click->purchase motif ('vcp'), the view->purchase adjacency
+    ('vp'), and the loose funnel 'v.*c.*p' per user.  This is how
+    sequence-pattern queries compile to a scan engine without a CEP
+    operator: ORDER within user + string encode + regex, all engine-
+    native.
+
+    Scale: the only shuffle is the per-user groupBy; each user's
+    symbol string is events-per-user bytes (bounded by session
+    activity, NOT corpus size), so the regex stage is a map over
+    ~|users| short strings.  The sort is per-group (array_sort on
+    (ts, event_id, symbol) structs), never global.  Determinism:
+    event_id breaks timestamp ties, so the encoded string is unique,
+    and all outputs are integers."""
+    ev = load_table(spark, "events", sf_dir)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("sym"),
+            )
+        )
+    )
+    per = (
+        ev.groupBy("user_id")
+        .agg(arr.alias("seq"))
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform(F.col("seq"), lambda x: x["sym"]), ""
+            ).alias("path"),
+        )
+    )
+    return per.select(
+        "user_id",
+        F.length("path").cast("long").alias("path_len"),
+        F.regexp_count(F.col("path"), F.lit("vcp")).cast("long").alias("n_vcp"),
+        F.regexp_count(F.col("path"), F.lit("vp")).cast("long").alias("n_vp"),
+        F.col("path").rlike("v.*c.*p").cast("long").alias("funnel_vcp"),
+    ).orderBy(F.desc("n_vcp"), "user_id")
+
+
+QUERIES["events_sequence_regex"] = events_sequence_regex
+ORACLE_SQL["events_sequence_regex"] = """
+    WITH per AS (
+        SELECT user_id,
+               STRING_AGG(SUBSTR(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(LENGTH(path) AS BIGINT) AS path_len,
+           CAST(LEN(REGEXP_EXTRACT_ALL(path, 'vcp')) AS BIGINT) AS n_vcp,
+           CAST(LEN(REGEXP_EXTRACT_ALL(path, 'vp')) AS BIGINT) AS n_vp,
+           CAST(REGEXP_MATCHES(path, 'v.*c.*p') AS BIGINT) AS funnel_vcp
+    FROM per
+    ORDER BY n_vcp DESC, user_id
+"""

@@ -450,14 +450,36 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilistic recall trade, and the oracle compare must be exact,
     not probabilistic.  Banding/verify/output contract are identical."""
     d = load_table(spark, "documents", sf_dir)
-    # Hash the VOCABULARY, not the corpus: md5 is ~20x slower than
-    # xxhash64 here, so instead of the per-doc HOF (one md5 per
-    # (doc, token, permutation) occurrence — corpus-sized work), compute
-    # the 20 permuted hashes once per DISTINCT token and join them back,
-    # then min-aggregate per doc.  Token frequency follows a power law,
-    # so |vocabulary| << |token occurrences| and the hash work drops by
-    # the corpus's token reuse factor; the join is hash-partitioned on
-    # the token (AQE broadcasts while the vocabulary is small).
+    cand = _md5_banded_candidates(d)
+    t = d.select("doc_id", _distinct_tokens().alias("toks"))
+    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+    jac = inter.cast("double") / (
+        F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
+    )
+    return (
+        cand.join(t.alias("ta"), cand.doc_a == F.col("ta.doc_id"))
+        .join(t.alias("tb"), cand.doc_b == F.col("tb.doc_id"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= LSH_VERIFY_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _md5_banded_candidates(d: DataFrame) -> DataFrame:
+    """Engine-portable MinHash-LSH candidate pairs (the shared stage of
+    ``dedup_minhash_lsh_md5`` and ``dedup_minhash_recall_audit``):
+    md5-permutation signatures, banded keys, banded equi-join,
+    distinct (doc_a < doc_b) pairs — NO exact verify, that is the
+    caller's contract to apply (or, in the audit, to measure).
+
+    Hash the VOCABULARY, not the corpus: md5 is ~20x slower than
+    xxhash64 here, so instead of the per-doc HOF (one md5 per
+    (doc, token, permutation) occurrence — corpus-sized work), compute
+    the 20 permuted hashes once per DISTINCT token and join them back,
+    then min-aggregate per doc.  Token frequency follows a power law,
+    so |vocabulary| << |token occurrences| and the hash work drops by
+    the corpus's token reuse factor; the join is hash-partitioned on
+    the token (AQE broadcasts while the vocabulary is small)."""
     tok = d.select("doc_id", F.explode(_distinct_tokens()).alias("tok"))
     vocab = tok.select("tok").distinct().select(
         "tok",
@@ -490,18 +512,7 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    t = d.select("doc_id", _distinct_tokens().alias("toks"))
-    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
-    jac = inter.cast("double") / (
-        F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
-    )
-    return (
-        cand.join(t.alias("ta"), cand.doc_a == F.col("ta.doc_id"))
-        .join(t.alias("tb"), cand.doc_b == F.col("tb.doc_id"))
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= LSH_VERIFY_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
-    )
+    return cand
 
 
 def _minhash_lsh_md5_sql() -> str:
@@ -1400,3 +1411,231 @@ def _incremental_minhash_sql() -> str:
 
 QUERIES["dedup_incremental_minhash"] = dedup_incremental_minhash
 ORACLE_SQL["dedup_incremental_minhash"] = _incremental_minhash_sql()
+
+
+def _global_prefix_candidates(t: DataFrame, threshold: float) -> DataFrame:
+    """Unblocked (corpus-global) variant of
+    ``_prefix_filter_candidates``: lossless candidate pairs for
+    global Jaccard >= threshold via the same rarest-token-first prefix
+    filter, minus the (source, lang) block keys — the ground-truth
+    generator for LSH audits, which must cover every pair the banded
+    join COULD have found, not just within-block ones.  Same shuffle
+    ledger (token-keyed equi-joins, documents never shuffle); at
+    100 TB the prefix length grows with (1 - t) so audit truth is run
+    at the verify threshold, never below it."""
+    from pyspark.sql import Window
+
+    tok = t.select("doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("tok"))
+    df_freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
+    pref = (
+        tok.join(df_freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= plen)
+        .select("doc_id", "sz", "tok")
+    )
+    return (
+        pref.alias("pa")
+        .join(
+            pref.alias("pb"),
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (F.col("pa.sz") >= F.lit(threshold) * F.col("pb.sz"))
+            & (F.col("pb.sz") >= F.lit(threshold) * F.col("pa.sz")),
+        )
+        .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured precision/recall of the md5 MinHash-LSH CANDIDATE stage
+    against exact-Jaccard ground truth at the verify threshold — the
+    audit every probabilistic dedup ships with (the ANN twin is
+    ``ann_recall_audit``).  Banding theory predicts detection
+    P = 1 - (1 - j^r)^b per pair — for the 4x5 scheme ~0.52 at
+    j = 0.7 rising to ~0.97 by j = 0.9 — so corpus-level recall
+    depends on where the corpus's similarity mass sits above the
+    threshold; this query MEASURES it instead of integrating the
+    formula over an assumed j distribution (the round-9 fixture
+    answer: 0.76, j mass concentrated just above 0.7 — exactly the
+    evidence that would justify adding bands for a dedup run at
+    this threshold).
+
+    Ground truth comes from the lossless global prefix filter + exact
+    verify (an independent method — different candidate generator, no
+    shared hashing), candidates from the SAME banded join the
+    production query uses (``_md5_banded_candidates``), so the audit
+    exercises the real pipeline stage, not a reimplementation.
+    Outputs one row of counts plus recall (truth hit rate) and
+    precision (candidate yield).  Scale: both sides are token-keyed
+    equi-joins; the three counts are 1-row aggregates crossJoined
+    broadcast — no driver pull."""
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select("doc_id", _distinct_tokens().alias("toks"))
+    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+    jac = inter.cast("double") / (
+        F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
+    )
+    truth = (
+        _global_prefix_candidates(t, LSH_VERIFY_THRESHOLD)
+        .join(t.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(t.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
+        .filter(jac >= F.lit(LSH_VERIFY_THRESHOLD))
+        .select("doc_a", "doc_b")
+    )
+    cand = _md5_banded_candidates(d)
+    n1 = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n2 = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n = (
+        truth.join(cand, ["doc_a", "doc_b"])
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_truth"), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_cand"), 6
+            ).alias("precision"),
+        )
+    )
+
+
+def _recall_audit_sql() -> str:
+    """DuckDB mirror of ``dedup_minhash_recall_audit``; ground truth is
+    the brute-force all-pairs exact Jaccard (a THIRD independent
+    method, feasible single-node at oracle scale), candidates are the
+    same md5 sig/band CTEs as ``_minhash_lsh_md5_sql``."""
+    r = MINHASH_PERMS // LSH_BANDS
+    sig_exprs = ",\n            ".join(
+        f"list_min(list_transform(toks, s -> md5('{i}:' || s))) AS sig_{i}"
+        for i in range(MINHASH_PERMS)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(','"
+        + "".join(f", sig_{b * r + i}" for i in range(r))
+        + ")) AS band_hash FROM sigs"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks
+            FROM documents),
+        sigs AS (
+            SELECT doc_id,
+            {sig_exprs}
+            FROM t),
+        banded AS (
+            {band_selects}),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.band_hash = y.band_hash
+             AND x.doc_id < y.doc_id),
+        truth AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+                  / (LEN(a.toks) + LEN(b.toks)
+                     - LEN(LIST_INTERSECT(a.toks, b.toks)))
+                  >= {LSH_VERIFY_THRESHOLD}),
+        counts AS (
+            SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+                   (SELECT COUNT(*) FROM cand) AS n_cand,
+                   (SELECT COUNT(*) FROM truth tr
+                     JOIN cand c
+                       ON tr.doc_a = c.doc_a AND tr.doc_b = c.doc_b)
+                   AS n_hits)
+        SELECT n_truth, n_cand, n_hits,
+               ROUND(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall,
+               ROUND(CAST(n_hits AS DOUBLE) / n_cand, 6) AS precision
+        FROM counts
+    """
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup COST CURVE: for each Jaccard threshold 0.1..0.9, how many
+    within-block near-dup pairs exist and how many documents they
+    touch — the sensitivity table a curation team reads before pinning
+    a dedup threshold (too low removes legitimate template families;
+    too high keeps paraphrase spam).  Same block/verify semantics as
+    ``dedup_ngram_jaccard``, swept across the threshold grid in ONE
+    pass: candidates are generated ONCE by the lossless prefix filter
+    at the LOWEST threshold in the grid, each verified pair fans out
+    to the thresholds it clears (a 9x map-only explode on an already
+    small pair set), and two tiny aggregations produce the 9-row
+    curve.  At 100 TB the candidate pass dominates exactly like the
+    single-threshold query; the sweep itself is free."""
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select("doc_id", "source", "lang", _distinct_tokens().alias("toks"))
+    cand = _prefix_filter_candidates(t, 0.1)
+    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+    jac = inter.cast("double") / (
+        F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
+    )
+    pairs = (
+        cand.join(t.alias("ta"), cand.doc_a == F.col("ta.doc_id"))
+        .join(t.alias("tb"), cand.doc_b == F.col("tb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jac"))
+    )
+    swept = pairs.withColumn(
+        "tt", F.explode(F.sequence(F.lit(1), F.lit(9)))
+    ).filter(F.col("jac") >= F.col("tt") / F.lit(10.0))
+    n_pairs = swept.groupBy("tt").agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_docs = (
+        swept.select(
+            "tt", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("tt")
+        .agg(F.count_distinct("d").alias("n_docs"))
+    )
+    return (
+        n_pairs.join(n_docs, "tt")
+        .select(
+            F.col("tt").cast("long").alias("threshold_tenths"),
+            "n_pairs",
+            "n_docs",
+        )
+        .orderBy("threshold_tenths")
+    )
+
+
+QUERIES["dedup_minhash_recall_audit"] = dedup_minhash_recall_audit
+ORACLE_SQL["dedup_minhash_recall_audit"] = _recall_audit_sql()
+QUERIES["dedup_threshold_sweep"] = dedup_threshold_sweep
+ORACLE_SQL["dedup_threshold_sweep"] = """
+    WITH t AS (
+        SELECT doc_id, source, lang,
+               LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks
+        FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+               / (LEN(a.toks) + LEN(b.toks)
+                  - LEN(LIST_INTERSECT(a.toks, b.toks))) AS jac
+        FROM t a JOIN t b
+          ON a.source = b.source AND a.lang = b.lang
+         AND a.doc_id < b.doc_id),
+    swept AS (
+        SELECT g.tt, p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN (SELECT UNNEST(RANGE(1, 10)) AS tt) g
+          ON p.jac >= g.tt / 10.0),
+    np AS (SELECT tt, COUNT(*) AS n_pairs FROM swept GROUP BY tt),
+    nd AS (
+        SELECT tt, COUNT(DISTINCT d) AS n_docs
+        FROM (SELECT tt, doc_a AS d FROM swept
+              UNION ALL SELECT tt, doc_b FROM swept)
+        GROUP BY tt)
+    SELECT CAST(np.tt AS BIGINT) AS threshold_tenths, n_pairs, n_docs
+    FROM np JOIN nd ON np.tt = nd.tt
+    ORDER BY threshold_tenths
+"""

@@ -637,3 +637,163 @@ ORACLE_SQL["feature_quantile_normalize"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+def ml_gbdt_histogram_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based best-split finding — the inner loop of every
+    distributed gradient-boosted-tree trainer (XGBoost's approx/hist
+    mode, LightGBM's feature histograms): bucket each feature, reduce
+    the corpus to per-(feature, bin) gradient/hessian sums, and scan
+    bin boundaries for the split maximizing the regularized gain
+        0.5 * (GL^2/(HL+lambda) + GR^2/(HR+lambda) - G^2/(H+lambda)).
+
+    This is the 100 TB shape for tree training: the ONLY data-sized
+    work is one map-side-combinable groupBy producing
+    |features| x |bins| rows (30 here); every candidate split is then a
+    window cumsum over that tiny frame.  Deepening the tree repeats the
+    same pass with a node-id column in the key — the histogram table
+    stays bounded by nodes x features x bins, never by rows.
+
+    Task: one root-node split for label y = (l_returnflag = 'R') at
+    base score p = 0.5, so per-row grad g = p - y and hess h = p(1-p)
+    = 0.25 are RATIONALS on the integer grid: 2*sum(g) = cnt - 2*sum(y)
+    and 4*sum(h) = cnt are exact BIGINTs, and the gain arithmetic runs
+    on doubles derived from identical exact integers in both engines.
+    Features: quantity (10 bins of width 5), discount percent (11
+    bins), ship month (12 bins)."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("dpct"),
+        (F.month("l_shipdate") - 1).cast("long").alias("mbin"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("y"),
+    )
+    binned = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("quantity").alias("feature"),
+                    F.expr("(q - 1) div 5").alias("bin"),
+                ),
+                F.struct(
+                    F.lit("discount_pct").alias("feature"),
+                    F.col("dpct").alias("bin"),
+                ),
+                F.struct(
+                    F.lit("ship_month").alias("feature"),
+                    F.col("mbin").alias("bin"),
+                ),
+            )
+        ).alias("fb"),
+        "y",
+    ).select(F.col("fb.feature").alias("feature"), F.col("fb.bin").alias("bin"), "y")
+    hist = binned.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("sy")
+    )
+    w_cum = (
+        Window.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("feature")
+    cum = hist.select(
+        "feature",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cnt_l"),
+        F.sum("sy").over(w_cum).alias("sy_l"),
+        F.sum("cnt").over(w_all).alias("cnt_t"),
+        F.sum("sy").over(w_all).alias("sy_t"),
+    ).filter(F.col("cnt_l") < F.col("cnt_t"))
+
+    def _gh(cnt, sy):
+        g = (cnt - 2 * sy).cast("double") / F.lit(2.0)
+        h = cnt.cast("double") / F.lit(4.0)
+        return g, h
+
+    gl, hl = _gh(F.col("cnt_l"), F.col("sy_l"))
+    gr, hr = _gh(F.col("cnt_t") - F.col("cnt_l"), F.col("sy_t") - F.col("sy_l"))
+    gt, ht = _gh(F.col("cnt_t"), F.col("sy_t"))
+    gain = F.lit(0.5) * (
+        gl * gl / (hl + F.lit(1.0))
+        + gr * gr / (hr + F.lit(1.0))
+        - gt * gt / (ht + F.lit(1.0))
+    )
+    w_best = Window.partitionBy("feature").orderBy(
+        F.desc("gain"), F.asc("bin")
+    )
+    return (
+        cum.withColumn("gain", gain)
+        .withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "feature",
+            F.col("bin").alias("split_after_bin"),
+            F.col("cnt_l").alias("n_left"),
+            (F.col("cnt_t") - F.col("cnt_l")).alias("n_right"),
+            F.col("sy_l").alias("pos_left"),
+            F.round("gain", 6).alias("gain"),
+        )
+        .orderBy("feature")
+    )
+
+
+QUERIES["ml_gbdt_histogram_split"] = ml_gbdt_histogram_split
+ORACLE_SQL["ml_gbdt_histogram_split"] = """
+    WITH rows_fb AS (
+        SELECT 'quantity' AS feature,
+               (CAST(l_quantity AS BIGINT) - 1) // 5 AS bin,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount_pct',
+               CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT),
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        FROM lineitem
+        UNION ALL
+        SELECT 'ship_month',
+               CAST(MONTH(l_shipdate) - 1 AS BIGINT),
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        FROM lineitem),
+    hist AS (
+        SELECT feature, bin, COUNT(*) AS cnt, SUM(y) AS sy
+        FROM rows_fb GROUP BY feature, bin),
+    cum AS (
+        SELECT feature, bin,
+               SUM(cnt) OVER (PARTITION BY feature ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS cnt_l,
+               SUM(sy) OVER (PARTITION BY feature ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS sy_l,
+               SUM(cnt) OVER (PARTITION BY feature) AS cnt_t,
+               SUM(sy) OVER (PARTITION BY feature) AS sy_t
+        FROM hist),
+    gains AS (
+        SELECT feature, bin, cnt_l, sy_l, cnt_t, sy_t,
+               0.5 * (
+                 (CAST(cnt_l - 2 * sy_l AS DOUBLE) / 2.0)
+               * (CAST(cnt_l - 2 * sy_l AS DOUBLE) / 2.0)
+               / (CAST(cnt_l AS DOUBLE) / 4.0 + 1.0)
+               + (CAST((cnt_t - cnt_l) - 2 * (sy_t - sy_l) AS DOUBLE) / 2.0)
+               * (CAST((cnt_t - cnt_l) - 2 * (sy_t - sy_l) AS DOUBLE) / 2.0)
+               / (CAST(cnt_t - cnt_l AS DOUBLE) / 4.0 + 1.0)
+               - (CAST(cnt_t - 2 * sy_t AS DOUBLE) / 2.0)
+               * (CAST(cnt_t - 2 * sy_t AS DOUBLE) / 2.0)
+               / (CAST(cnt_t AS DOUBLE) / 4.0 + 1.0)) AS gain
+        FROM cum WHERE cnt_l < cnt_t),
+    best AS (
+        SELECT feature, bin, cnt_l, sy_l, cnt_t, gain,
+               ROW_NUMBER() OVER (PARTITION BY feature
+                   ORDER BY gain DESC, bin ASC) AS rn
+        FROM gains)
+    SELECT feature,
+           bin AS split_after_bin,
+           cnt_l AS n_left,
+           cnt_t - cnt_l AS n_right,
+           sy_l AS pos_left,
+           ROUND(gain, 6) AS gain
+    FROM best WHERE rn = 1
+    ORDER BY feature
+"""

@@ -504,3 +504,109 @@ ORACLE_SQL["stats_skew_kurtosis"] = """
     FROM cm
     ORDER BY event_type
 """
+
+
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (purchase vs click
+    spend), with the Welch-Satterthwaite degrees of freedom — the
+    default two-group mean comparison when variances can't be assumed
+    equal (the A/B-testing companion to ``stats_mann_whitney``'s rank
+    form and ``stats_brown_forsythe``'s variance-homogeneity check).
+
+    Scale: ONE conditional-aggregation pass over events produces six
+    exact integer moments (cents-grid counts/sums/sum-of-squares per
+    arm, map-side combinable); the t statistic and df are a handful of
+    double ops on that single row.  No shuffle wider than the 1-row
+    global aggregate — the same sufficient-statistics discipline as
+    ml_linreg_normal_eq.  Products of whole-arm sums go through doubles
+    (exact inputs, correctly-rounded identical IEEE trees in both
+    engines); the normal-approximation reject flag at |t| > 1.96 avoids
+    shipping a t-CDF (df > 1000 here, where t and z agree to 3
+    decimals)."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    is_p = F.col("event_type") == "purchase"
+    m = ev.select(cents.alias("c"), is_p.alias("p")).agg(
+        F.sum(F.when(F.col("p"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("p"), F.col("c")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("p"), F.col("c") * F.col("c")).otherwise(0)).alias(
+            "ss1"
+        ),
+        F.sum(F.when(~F.col("p"), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(~F.col("p"), F.col("c")).otherwise(0)).alias("s2"),
+        F.sum(
+            F.when(~F.col("p"), F.col("c") * F.col("c")).otherwise(0)
+        ).alias("ss2"),
+    )
+
+    def d(c: str):
+        return F.col(c).cast("double")
+
+    m1 = d("s1") / d("n1")
+    m2 = d("s2") / d("n2")
+    v1 = (d("ss1") - d("s1") * d("s1") / d("n1")) / (d("n1") - 1.0)
+    v2 = (d("ss2") - d("s2") * d("s2") / d("n2")) / (d("n2") - 1.0)
+    se1 = v1 / d("n1")
+    se2 = v2 / d("n2")
+    t = (m1 - m2) / F.sqrt(se1 + se2)
+    df = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (d("n1") - 1.0) + se2 * se2 / (d("n2") - 1.0)
+    )
+    return m.select(
+        F.col("n1").alias("n_purchase"),
+        F.col("n2").alias("n_click"),
+        F.round(m1 / 100.0, 6).alias("mean_purchase"),
+        F.round(m2 / 100.0, 6).alias("mean_click"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 3).alias("df_welch"),
+        (F.abs(t) > F.lit(1.96)).cast("long").alias("reject_95"),
+    )
+
+
+QUERIES["stats_welch_ttest"] = stats_welch_ttest
+ORACLE_SQL["stats_welch_ttest"] = """
+    WITH m AS (
+        SELECT
+            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n1,
+            SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+                AS s1,
+            SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                   * CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+                AS ss1,
+            SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n2,
+            SUM(CASE WHEN event_type = 'click'
+                THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+                AS s2,
+            SUM(CASE WHEN event_type = 'click'
+                THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                   * CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+                AS ss2
+        FROM events
+        WHERE event_type IN ('purchase', 'click')),
+    c AS (
+        SELECT n1, n2,
+               CAST(s1 AS DOUBLE) / n1 AS m1,
+               CAST(s2 AS DOUBLE) / n2 AS m2,
+               ((CAST(ss1 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+                / (n1 - 1.0)) / n1 AS se1,
+               ((CAST(ss2 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+                / (n2 - 1.0)) / n2 AS se2
+        FROM m)
+    SELECT n1 AS n_purchase,
+           n2 AS n_click,
+           ROUND(m1 / 100.0, 6) AS mean_purchase,
+           ROUND(m2 / 100.0, 6) AS mean_click,
+           ROUND((m1 - m2) / SQRT(se1 + se2), 6) AS t_stat,
+           ROUND((se1 + se2) * (se1 + se2)
+                 / (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0)), 3)
+               AS df_welch,
+           CAST(ABS((m1 - m2) / SQRT(se1 + se2)) > 1.96 AS BIGINT)
+               AS reject_95
+    FROM c
+"""

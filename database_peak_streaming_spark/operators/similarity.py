@@ -1926,3 +1926,116 @@ ORACLE_SQL["embeddings_dim_variance"] = """
     GROUP BY dim
     ORDER BY dim
 """
+
+
+def embeddings_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-Mahalanobis embedding outlier audit: score each vector
+    by sum_i (x_i - mu_i)^2 / var_i against the corpus's per-dimension
+    mean/variance, and surface the top 20 — the standard pre-training
+    vector-quality gate (mis-embedded, truncated, or out-of-domain
+    vectors land in the tail; a full-covariance Mahalanobis needs the
+    O(d^2) covariance the diagonal form deliberately skips at d=64+).
+
+    Scale: two bounded passes.  Pass 1 is ``embeddings_dim_variance``'s
+    shape — posexplode to (dim, val) and ONE groupBy(dim) producing a
+    DIM-row stats frame (exact integer moments on a 1e-4 grid, so mu
+    and var are identical doubles in both engines).  Pass 2 broadcasts
+    that frame (64 rows, F.broadcast bounded by the embedding
+    dimension) and scores each vector map-side with a FIXED-ORDER
+    left fold over the dims — both engines fold dim 0..63 left to
+    right, so the score doubles are bit-identical, not merely close.
+    No shuffle touches the vectors themselves."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5)).cast("long"),
+    )
+    base = e.select("vec_id", "label", q.alias("q"))
+    vals = base.select(F.posexplode("q").alias("dim", "v"))
+    n = F.count(F.lit(1)).cast("double")
+    s = F.sum("v")
+    ss = F.sum(F.col("v") * F.col("v"))
+    per_dim = vals.groupBy("dim").agg(
+        (s.cast("double") / n).alias("mu"),
+        (
+            (ss.cast("double") - s.cast("double") * s.cast("double") / n)
+            / (n - F.lit(1.0))
+        ).alias("var"),
+    )
+    stats = per_dim.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "mu", "var"))
+        ).alias("dims")
+    ).select(
+        F.transform("dims", lambda x: x["mu"]).alias("mu_arr"),
+        F.transform("dims", lambda x: x["var"]).alias("var_arr"),
+    )
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.size("q") - 1),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(F.col("var_arr"), i + 1) > 0.0,
+            (
+                F.element_at(F.col("q"), i + 1).cast("double")
+                - F.element_at(F.col("mu_arr"), i + 1)
+            )
+            * (
+                F.element_at(F.col("q"), i + 1).cast("double")
+                - F.element_at(F.col("mu_arr"), i + 1)
+            )
+            / F.element_at(F.col("var_arr"), i + 1),
+        ).otherwise(F.lit(0.0)),
+    )
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            "label",
+            F.round(score, 4).alias("maha_score"),
+        )
+        .orderBy(F.desc("maha_score"), "vec_id")
+        .limit(20)
+    )
+
+
+QUERIES["embeddings_mahalanobis_outliers"] = embeddings_mahalanobis_outliers
+ORACLE_SQL["embeddings_mahalanobis_outliers"] = """
+    WITH base AS (
+        SELECT vec_id, label,
+               LIST_TRANSFORM(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5)
+                             AS BIGINT)) AS q
+        FROM embeddings),
+    vals AS (
+        SELECT i - 1 AS dim, q[i] AS v
+        FROM (SELECT q, UNNEST(RANGE(1, LEN(q) + 1)) AS i FROM base)),
+    per_dim AS (
+        SELECT dim,
+               CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mu,
+               (CAST(SUM(v * v) AS DOUBLE)
+                - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)
+                  / COUNT(*))
+               / (COUNT(*) - 1.0) AS var
+        FROM vals GROUP BY dim),
+    stats AS (
+        SELECT LIST(mu ORDER BY dim) AS mu_arr,
+               LIST(var ORDER BY dim) AS var_arr
+        FROM per_dim),
+    scored AS (
+        SELECT b.vec_id, b.label,
+               LIST_REDUCE(
+                   LIST_PREPEND(0.0, LIST_TRANSFORM(
+                       RANGE(1, LEN(b.q) + 1),
+                       i -> CASE WHEN s.var_arr[i] > 0.0 THEN
+                             (CAST(b.q[i] AS DOUBLE) - s.mu_arr[i])
+                           * (CAST(b.q[i] AS DOUBLE) - s.mu_arr[i])
+                           / s.var_arr[i]
+                            ELSE 0.0 END)),
+                   (a, x) -> a + x) AS score
+        FROM base b, stats s)
+    SELECT vec_id, label, ROUND(score, 4) AS maha_score
+    FROM scored
+    ORDER BY maha_score DESC, vec_id
+    LIMIT 20
+"""

@@ -19,6 +19,7 @@ from database_peak_streaming_spark.operators import (
     chunking,
     curation,
     dedup,
+    geo,
     graph,
     joins,
     linkage,
@@ -65,6 +66,7 @@ _MODULES = [
     skew,
     sketches,
     graph,
+    geo,
     linkage,
     ml,
     causal,
@@ -180,6 +182,13 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "text_heaps_law_fit",
     "embeddings_dim_variance",
     "stats_brown_forsythe",
+    "geo_grid_radius_join",
+    "ml_gbdt_histogram_split",
+    "stats_welch_ttest",
+    "events_sequence_regex",
+    "embeddings_mahalanobis_outliers",
+    "dedup_minhash_recall_audit",
+    "dedup_threshold_sweep",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -138,3 +138,186 @@ def test_brown_forsythe_matches_numpy(spark):
     assert row.n_obs == n
     assert row.k_groups == k
     assert abs(row.bf_stat - f) < 1e-4
+
+
+def test_geo_grid_join_matches_bruteforce(spark):
+    """Grid-cell candidate generation loses no pair: the equi-join's
+    verified pairs == the O(n^2) numpy brute force over the same
+    synthesized coordinates (completeness is the property the 3x3
+    neighborhood has to earn; the top-100 is then a plain sort)."""
+    from database_peak_streaming_spark.operators.geo import (
+        KM_PER_DEG_LAT,
+        KM_PER_DEG_LON,
+        LAT0,
+        LAT_SPAN,
+        LON0,
+        LON_SPAN,
+        RADIUS_KM,
+        TOP_PAIRS,
+        _MOD,
+        _MULT_A,
+        _MULT_B,
+    )
+
+    got = QUERIES["geo_grid_radius_join"](spark, SF_DIR).collect()
+    assert 0 < len(got) <= TOP_PAIRS
+
+    keys = _table("customer")["c_custkey"].to_numpy(dtype=np.int64)
+    lat = LAT0 + LAT_SPAN * ((keys * _MULT_A) % _MOD) / float(_MOD)
+    lon = LON0 + LON_SPAN * ((keys * _MULT_B) % _MOD) / float(_MOD)
+    dx = (lon[None, :] - lon[:, None]) * KM_PER_DEG_LON
+    dy = (lat[None, :] - lat[:, None]) * KM_PER_DEG_LAT
+    dist = np.sqrt(dx * dx + dy * dy)
+    ia, ib = np.where(
+        (np.round(dist, 3) <= RADIUS_KM) & (keys[:, None] < keys[None, :])
+    )
+    brute = sorted(
+        (round(float(dist[a, b]), 3), int(keys[a]), int(keys[b]))
+        for a, b in zip(ia, ib)
+    )[:TOP_PAIRS]
+    assert [(r.dist_km, r.id_a, r.id_b) for r in got] == [
+        (d, a, b) for d, a, b in brute
+    ]
+
+
+def test_gbdt_split_matches_bruteforce(spark):
+    """Best split per feature == a pure-Python scan of every bin
+    boundary with the XGBoost gain formula (lambda = 1, base p = 0.5)."""
+    rows = QUERIES["ml_gbdt_histogram_split"](spark, SF_DIR).collect()
+    li = _table("lineitem")
+    y = (li["l_returnflag"] == "R").astype(int).to_numpy()
+    feats = {
+        "quantity": ((li["l_quantity"].astype(int) - 1) // 5).to_numpy(),
+        "discount_pct": np.floor(li["l_discount"] * 100 + 0.5).astype(int),
+        "ship_month": pd.to_datetime(li["l_shipdate"]).dt.month.to_numpy() - 1,
+    }
+    assert {r.feature for r in rows} == set(feats)
+    for r in rows:
+        bins = feats[r.feature]
+        best = None
+        for b in sorted(np.unique(bins))[:-1]:
+            left = bins <= b
+            nl, nr = int(left.sum()), int((~left).sum())
+            gl = 0.5 * nl - y[left].sum()
+            gr = 0.5 * nr - y[~left].sum()
+            g, h = gl + gr, 0.25 * (nl + nr)
+            gain = 0.5 * (
+                gl * gl / (0.25 * nl + 1)
+                + gr * gr / (0.25 * nr + 1)
+                - g * g / (h + 1)
+            )
+            if best is None or gain > best[0] + 1e-12:
+                best = (gain, b, nl, nr, int(y[left].sum()))
+        assert best is not None
+        assert r.split_after_bin == best[1]
+        assert (r.n_left, r.n_right, r.pos_left) == best[2:]
+        assert abs(r.gain - best[0]) < 1e-6
+
+
+def test_welch_ttest_matches_numpy(spark):
+    row = QUERIES["stats_welch_ttest"](spark, SF_DIR).collect()[0]
+    ev = _table("events")
+    c = np.floor(ev["value"].to_numpy() * 100 + 0.5)
+    x = c[(ev["event_type"] == "purchase").to_numpy()]
+    z = c[(ev["event_type"] == "click").to_numpy()]
+    se1 = x.var(ddof=1) / len(x)
+    se2 = z.var(ddof=1) / len(z)
+    t = (x.mean() - z.mean()) / np.sqrt(se1 + se2)
+    df = (se1 + se2) ** 2 / (
+        se1**2 / (len(x) - 1) + se2**2 / (len(z) - 1)
+    )
+    assert (row.n_purchase, row.n_click) == (len(x), len(z))
+    assert abs(row.t_stat - t) < 1e-6
+    assert abs(row.df_welch - df) < 1e-3
+    assert row.reject_95 == int(abs(t) > 1.96)
+
+
+def test_sequence_regex_matches_python_re(spark):
+    import re
+
+    rows = QUERIES["events_sequence_regex"](spark, SF_DIR).collect()
+    ev = _table("events").sort_values(["user_id", "ts", "event_id"])
+    paths = (
+        ev.assign(sym=ev["event_type"].str[0])
+        .groupby("user_id")["sym"]
+        .agg("".join)
+    )
+    assert len(rows) == len(paths)
+    for r in rows:
+        p = paths[r.user_id]
+        assert r.path_len == len(p)
+        assert r.n_vcp == len(re.findall("vcp", p))
+        assert r.n_vp == len(re.findall("vp", p))
+        assert r.funnel_vcp == int(bool(re.search("v.*c.*p", p)))
+    # presentation order: n_vcp desc, user_id asc
+    key = [(-r.n_vcp, r.user_id) for r in rows]
+    assert key == sorted(key)
+
+
+def test_mahalanobis_matches_numpy(spark):
+    rows = QUERIES["embeddings_mahalanobis_outliers"](spark, SF_DIR).collect()
+    emb = _table("embeddings")
+    q = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 10000 + 0.5
+    )
+    mu = q.mean(axis=0)
+    var = q.var(axis=0, ddof=1)
+    nz = var > 0
+    scores = (((q[:, nz] - mu[nz]) ** 2) / var[nz]).sum(axis=1)
+    order = sorted(
+        zip(np.round(scores, 4), emb["vec_id"]), key=lambda t: (-t[0], t[1])
+    )[:20]
+    assert [(r.maha_score, r.vec_id) for r in rows] == [
+        (float(s), int(v)) for s, v in order
+    ]
+
+
+def test_minhash_recall_audit_matches_banding_theory(spark):
+    """The audit's own consistency (hits bounded by both sides), plus
+    the real check: measured recall ~= the banding-theory expectation
+    E[1 - (1 - j^r)^b] integrated over the TRUE pair-Jaccard
+    distribution (computed brute force here).  md5 minhashes are
+    deterministic but behave as the uniform permutations the formula
+    assumes; over tens of thousands of truth pairs the mean detection
+    rate concentrates, so a 5-point window is a strong test that the
+    audit measures what the theory predicts."""
+    from database_peak_streaming_spark.operators.dedup import (
+        LSH_BANDS,
+        LSH_VERIFY_THRESHOLD,
+        MINHASH_PERMS,
+    )
+
+    row = QUERIES["dedup_minhash_recall_audit"](spark, SF_DIR).collect()[0]
+    assert 0 < row.n_hits <= min(row.n_truth, row.n_cand)
+    assert 0 < row.precision <= 1.0
+
+    docs = _table("documents")
+    toks = [set(t.split(" ")) for t in docs["text"]]
+    r = MINHASH_PERMS // LSH_BANDS
+    jacs = []
+    for i in range(len(toks)):
+        for j in range(i + 1, len(toks)):
+            inter = len(toks[i] & toks[j])
+            jac = inter / (len(toks[i]) + len(toks[j]) - inter)
+            if jac >= LSH_VERIFY_THRESHOLD:
+                jacs.append(jac)
+    assert len(jacs) == row.n_truth
+    predicted = float(
+        np.mean([1.0 - (1.0 - j**r) ** LSH_BANDS for j in jacs])
+    )
+    assert abs(row.recall - predicted) < 0.05, (row.recall, predicted)
+
+
+def test_threshold_sweep_monotone(spark):
+    """Cost curve is non-increasing in the threshold and consistent
+    with the single-threshold query at 0.5 (same block semantics)."""
+    rows = QUERIES["dedup_threshold_sweep"](spark, SF_DIR).collect()
+    tt = [r.threshold_tenths for r in rows]
+    assert tt == sorted(tt)
+    pairs = [r.n_pairs for r in rows]
+    docs = [r.n_docs for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+    at5 = {r.threshold_tenths: r.n_pairs for r in rows}.get(5, 0)
+    n_jac = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).count()
+    assert at5 == n_jac
