@@ -104,6 +104,10 @@ HEADLINE = [
     "ts_croston_intermittent",
     "text_trigram_backoff_lm",
     "ann_pq_adc",
+    # round-9 pack representatives (see R9_ADDITIONS)
+    "geo_grid_radius_join",
+    "ml_gbdt_histogram_split",
+    "dedup_threshold_sweep",
 ]
 
 #: Size-stable cross-round comparison set (round-5 VERDICT task 6): the
@@ -182,7 +186,19 @@ R7_COMPARABLE_SUBSET = [n for n in HEADLINE if n not in R8_ADDITIONS]
 
 #: Names added to HEADLINE during round 9+ — kept separate so the
 #: frozen round-8 subset below stays exactly what BENCH_r08 ran.
-R9_ADDITIONS: list[str] = []
+R9_ADDITIONS: list[str] = [
+    # one representative per round-9 pack: the grid-bucketed spatial
+    # self-join (candidate volume = cell occupancy), the GBDT histogram
+    # split (3x feature fan over lineitem into one tiny groupBy), and
+    # the dedup cost curve (prefix-filter candidates at the grid's
+    # lowest threshold — the heaviest new dedup op that is a PIPELINE
+    # stage; the recall AUDIT is deliberately not headline: its oracle
+    # is brute-force all-pairs, a diagnostic you run once per corpus,
+    # not a hot-path query)
+    "geo_grid_radius_join",
+    "ml_gbdt_histogram_split",
+    "dedup_threshold_sweep",
+]
 
 #: Round-8-comparable subset: the EXACT headline set BENCH_r08 ran,
 #: frozen so round 9+ reports a ratio directly comparable to round 8's

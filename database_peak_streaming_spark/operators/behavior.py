@@ -183,6 +183,15 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same discipline a production SCD2 job needs for idempotent
     rebuilds."""
     ev = load_table(spark, "events", sf_dir)
+    return _scd2_history(ev).orderBy("user_id", "version")
+
+
+def _scd2_history(ev: DataFrame) -> DataFrame:
+    """The SCD2 dimension build shared by ``scd2_user_state_history``
+    (which presents it) and ``join_scd2_point_in_time`` (which joins
+    facts against it): collapse consecutive duplicates, open a
+    versioned valid_from/valid_to row per value change.  One user_id
+    shuffle serves the whole window stack."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         ev.select("user_id", "event_type", "ts", "event_id")
@@ -204,7 +213,6 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valid_to").isNull().alias("is_current"),
             "version",
         )
-        .orderBy("user_id", "version")
     )
 
 
@@ -2785,4 +2793,79 @@ ORACLE_SQL["events_sequence_regex"] = """
            CAST(REGEXP_MATCHES(path, 'v.*c.*p') AS BIGINT) AS funnel_vcp
     FROM per
     ORDER BY n_vcp DESC, user_id
+"""
+
+
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join of a fact stream against the SCD2 dimension —
+    the canonical warehouse join: each purchase fact picks up the
+    dimension version that was valid AT its timestamp
+    (valid_from <= ts < valid_to, open-ended current rows match
+    everything after valid_from).  Facts that themselves opened a
+    version match that version; a version closed exactly at the fact's
+    ts loses to its successor (half-open intervals make the match
+    unique and tie-free, even for zero-width versions created by
+    same-timestamp changes).
+
+    Scale shape: a hash EQUI-join on user_id with the interval
+    predicate as a residual filter — per-user version counts are
+    bounded by that user's change count, so the per-key compare volume
+    is small and no range/theta join machinery is needed; the dimension
+    build itself is ``_scd2_history``'s one user_id window stack.  At
+    100 TB both sides co-locate on the same user_id hash exchange."""
+    ev = load_table(spark, "events", sf_dir)
+    dim = _scd2_history(ev)
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("fact_id"),
+        F.col("user_id").alias("fu"),
+        F.col("ts").alias("fact_ts"),
+        F.col("value"),
+    )
+    j = facts.join(
+        dim,
+        (F.col("fu") == F.col("user_id"))
+        & (F.col("valid_from") <= F.col("fact_ts"))
+        & (F.col("valid_to").isNull() | (F.col("fact_ts") < F.col("valid_to"))),
+    )
+    return j.select(
+        "fact_id",
+        F.col("fu").alias("user_id"),
+        "fact_ts",
+        F.round(F.col("value"), 2).alias("fact_value"),
+        "state",
+        "version",
+        F.col("is_current").cast("long").alias("joined_current"),
+    ).orderBy("fact_id")
+
+
+QUERIES["join_scd2_point_in_time"] = join_scd2_point_in_time
+ORACLE_SQL["join_scd2_point_in_time"] = """
+    WITH changes AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    hist AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               LEAD(ts) OVER w AS valid_to,
+               ROW_NUMBER() OVER w AS version
+        FROM changes
+        WHERE prev_type IS NULL OR event_type <> prev_type
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    facts AS (
+        SELECT event_id AS fact_id, user_id, ts AS fact_ts, value
+        FROM events WHERE event_type = 'purchase')
+    SELECT f.fact_id,
+           f.user_id,
+           f.fact_ts,
+           ROUND(f.value, 2) AS fact_value,
+           h.state,
+           h.version,
+           CAST(h.valid_to IS NULL AS BIGINT) AS joined_current
+    FROM facts f
+    JOIN hist h
+      ON f.user_id = h.user_id
+     AND h.valid_from <= f.fact_ts
+     AND (h.valid_to IS NULL OR f.fact_ts < h.valid_to)
+    ORDER BY fact_id
 """

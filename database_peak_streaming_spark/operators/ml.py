@@ -790,9 +790,9 @@ ORACLE_SQL["ml_gbdt_histogram_split"] = """
         FROM gains)
     SELECT feature,
            bin AS split_after_bin,
-           cnt_l AS n_left,
-           cnt_t - cnt_l AS n_right,
-           sy_l AS pos_left,
+           CAST(cnt_l AS BIGINT) AS n_left,
+           CAST(cnt_t - cnt_l AS BIGINT) AS n_right,
+           CAST(sy_l AS BIGINT) AS pos_left,
            ROUND(gain, 6) AS gain
     FROM best WHERE rn = 1
     ORDER BY feature

@@ -598,8 +598,8 @@ ORACLE_SQL["stats_welch_ttest"] = """
                  - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
                 / (n2 - 1.0)) / n2 AS se2
         FROM m)
-    SELECT n1 AS n_purchase,
-           n2 AS n_click,
+    SELECT CAST(n1 AS BIGINT) AS n_purchase,
+           CAST(n2 AS BIGINT) AS n_click,
            ROUND(m1 / 100.0, 6) AS mean_purchase,
            ROUND(m2 / 100.0, 6) AS mean_click,
            ROUND((m1 - m2) / SQRT(se1 + se2), 6) AS t_stat,

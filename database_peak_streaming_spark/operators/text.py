@@ -2166,3 +2166,239 @@ ORACLE_SQL["text_heaps_law_fit"] = """
                      / m), 6) AS k
     FROM agg
 """
+
+
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained AND applied
+    in one composed plan — the generative-classifier counterpart to the
+    IRLS/normal-equation discriminative trainers in operators/ml.py:
+    per-(lang, token) add-one-smoothed log likelihoods plus log priors,
+    each document scored by prior + sum of token log probs, predicted
+    class by argmax, and the lang x predicted confusion matrix emitted
+    (in-sample — the operator under test is the train/apply plumbing;
+    held-out splits compose with ``split_train_test_md5``).
+
+    Scale: training is ONE (lang, token) count aggregation (vocabulary
+    x |langs| cells, map-side combinable) densified by a vocab x langs
+    grid join (the langs side is the distinct-class list — dozens at
+    any corpus size, broadcast); scoring re-joins tokens on the token
+    key and reduces per (doc, lang).  Nothing document-sized survives
+    past the explode.  Determinism: scores are unordered double sums
+    of logs (the ``text_unigram_logprob`` precedent), so the argmax
+    compares scores ROUNDED to 6dp with the class name as tie-break —
+    the pagerank rounding discipline applied to classification.
+
+    Fixture note: the synthetic corpus draws every lang's text from
+    the same vocabulary distribution, so accuracy sits near the prior
+    — the plumbing, exactness, and confusion accounting are what this
+    query pins, not fixture accuracy."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("doc_id", "lang", F.explode(_tokens()).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    cnt = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    langs = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "prior",
+            F.log(
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(Window.partitionBy())
+            ),
+        )
+    )
+    lang_tot = cnt.groupBy("lang").agg(F.sum("c").alias("tot"))
+    vocab = tok.select("tok").distinct()
+    v = vocab.agg(F.count(F.lit(1)).alias("v_size"))
+    table = (
+        vocab.crossJoin(F.broadcast(langs.select("lang")))
+        .join(cnt, ["lang", "tok"], "left")
+        .join(lang_tot, "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "lang",
+            "tok",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("tot") + F.col("v_size")).cast("double")
+            ).alias("logp"),
+        )
+    )
+    scored = (
+        tok.withColumnRenamed("lang", "true_lang")
+        .join(table, "tok")
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(F.sum("logp").alias("loglik"))
+        .join(langs.select("lang", "prior"), "lang")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            F.round(F.col("loglik") + F.col("prior"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "true_lang", F.col("lang").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+QUERIES["ml_naive_bayes_langid"] = ml_naive_bayes_langid
+ORACLE_SQL["ml_naive_bayes_langid"] = """
+    WITH tok AS (
+        SELECT doc_id, lang, t.tok
+        FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS t(tok)
+        WHERE t.tok <> ''),
+    cnt AS (
+        SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY lang, tok),
+    langs AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               LN(CAST(COUNT(*) AS DOUBLE)
+                  / SUM(COUNT(*)) OVER ()) AS prior
+        FROM documents GROUP BY lang),
+    lang_tot AS (SELECT lang, SUM(c) AS tot FROM cnt GROUP BY lang),
+    vocab AS (SELECT DISTINCT tok FROM tok),
+    v AS (SELECT COUNT(*) AS v_size FROM vocab),
+    tbl AS (
+        SELECT l.lang, vo.tok,
+               LN(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                  / CAST(lt.tot + v.v_size AS DOUBLE)) AS logp
+        FROM vocab vo
+        CROSS JOIN (SELECT lang FROM langs) l
+        LEFT JOIN cnt c ON c.lang = l.lang AND c.tok = vo.tok
+        JOIN lang_tot lt ON lt.lang = l.lang
+        CROSS JOIN v),
+    scored AS (
+        SELECT t.doc_id, t.lang AS true_lang, tbl.lang,
+               ROUND(SUM(tbl.logp) + ANY_VALUE(lg.prior), 6) AS score
+        FROM tok t
+        JOIN tbl ON tbl.tok = t.tok
+        JOIN langs lg ON lg.lang = tbl.lang
+        GROUP BY t.doc_id, t.lang, tbl.lang),
+    pred AS (
+        SELECT doc_id, true_lang, lang AS pred_lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, lang ASC) AS rn
+        FROM scored)
+    SELECT true_lang, pred_lang, COUNT(*) AS n
+    FROM pred WHERE rn = 1
+    GROUP BY true_lang, pred_lang
+    ORDER BY true_lang, pred_lang
+"""
+
+
+def corpus_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style PERPLEXITY GATE as a decision operator: score
+    every document by mean unigram surprisal (the
+    ``text_unigram_logprob`` LM), drop the worst decile corpus-wide,
+    and report the per-source funnel (kept/dropped counts, drop rate,
+    mean surprisal each side) — the stage a curation pipeline actually
+    runs, where the score queries are its instrumentation.
+
+    Determinism at the cut: per-doc scores are 6dp-rounded BEFORE
+    ranking (the pagerank discipline) and the decile boundary is a
+    RANK cut — keep the floor(0.9 * n) lowest (rounded score, doc_id)
+    rows — so both engines drop the identical document set even though
+    raw double sums differ in ulps.  Scale: the LM is two shuffles
+    (token freq, doc regroup); the global rank is the one
+    total-order stage — the documented 100 TB swap is a broadcast
+    approx-percentile cutoff with exact ranking only inside the
+    boundary bucket (the WOE/NTILE note in operators/ml.py)."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").alias("total"))
+    per_doc = (
+        toks.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(-F.log(F.col("tf") / F.col("total"))), 6
+            ).alias("s")
+        )
+    )
+    w = Window.partitionBy().orderBy("s", "doc_id")
+    n = per_doc.agg(F.count(F.lit(1)).alias("n_total"))
+    flagged = (
+        per_doc.withColumn("rnk", F.row_number().over(w))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "dropped",
+            (
+                F.col("rnk")
+                > F.floor(F.col("n_total") * F.lit(0.9)).cast("long")
+            ).cast("long"),
+        )
+        .join(load_table(spark, "documents", sf_dir).select("doc_id", "source"), "doc_id")
+        # exact micro-unit copy of the (already 6dp) score: group MEANS
+        # sum exact longs, so the per-source averages can't straddle a
+        # rounding boundary from unordered double addition (one src5
+        # mean measured exactly at .xxxxx95 — the failure this guards)
+        .withColumn(
+            "sm", F.floor(F.col("s") * 1000000 + F.lit(0.5)).cast("long")
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dropped").alias("n_dropped"),
+            F.round(
+                F.sum("dropped").cast("double") / F.count(F.lit(1)), 6
+            ).alias("drop_rate"),
+            F.round(
+                F.avg(F.when(F.col("dropped") == 0, F.col("sm")))
+                / F.lit(1000000.0),
+                6,
+            ).alias("mean_s_kept"),
+            F.round(
+                F.avg(F.when(F.col("dropped") == 1, F.col("sm")))
+                / F.lit(1000000.0),
+                6,
+            ).alias("mean_s_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["corpus_perplexity_gate"] = corpus_perplexity_gate
+ORACLE_SQL["corpus_perplexity_gate"] = """
+    WITH toks AS (
+        SELECT doc_id, t.token
+        FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS t(token)),
+    freq AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY token),
+    tot AS (SELECT SUM(tf) AS total FROM freq),
+    per_doc AS (
+        SELECT doc_id,
+               ROUND(AVG(-LN(CAST(tf AS DOUBLE) / total)), 6) AS s
+        FROM toks JOIN freq USING (token) CROSS JOIN tot
+        GROUP BY doc_id),
+    flagged AS (
+        SELECT doc_id, s,
+               CAST(FLOOR(s * 1000000 + 0.5) AS BIGINT) AS sm,
+               CAST(ROW_NUMBER() OVER (ORDER BY s, doc_id)
+                    > FLOOR((SELECT COUNT(*) FROM per_doc) * 0.9)
+                    AS BIGINT) AS dropped
+        FROM per_doc)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(f.dropped) AS BIGINT) AS n_dropped,
+           ROUND(CAST(SUM(f.dropped) AS DOUBLE) / COUNT(*), 6)
+               AS drop_rate,
+           ROUND(AVG(CASE WHEN f.dropped = 0 THEN f.sm END)
+                 / 1000000.0, 6) AS mean_s_kept,
+           ROUND(AVG(CASE WHEN f.dropped = 1 THEN f.sm END)
+                 / 1000000.0, 6) AS mean_s_dropped
+    FROM flagged f JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    ORDER BY d.source
+"""

@@ -189,6 +189,9 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "embeddings_mahalanobis_outliers",
     "dedup_minhash_recall_audit",
     "dedup_threshold_sweep",
+    "join_scd2_point_in_time",
+    "ml_naive_bayes_langid",
+    "corpus_perplexity_gate",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

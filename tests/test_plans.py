@@ -458,6 +458,11 @@ def test_forced_broadcasts_are_bounded_cardinality():
         # round 8: "t0"/"t1" are the PVM decomposition's 1-row
         # per-period total-quantity aggregates
         "t0", "t1",
+        # round 9: "langs" is the distinct-class list of the Naive
+        # Bayes trainer (|langs| rows — dozens at any corpus size, it
+        # IS the classifier's class set); "v" is its 1-row vocabulary
+        # count; both feed the vocab x class smoothing grid
+        "langs", "v",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     offenders = []
