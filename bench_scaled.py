@@ -120,6 +120,17 @@ QUERY_SET = [
     # round-8 VERDICT task 8: ts_croston_intermittent joined the
     # headline at 2.37 s sf0.1 with no tier evidence — carry it
     "ts_croston_intermittent",
+    # round-9 headline additions (the >5x-at-sf0.1 rule): the GBDT
+    # histogram split (14x at sf0.1 on a 0.74 s wall — pure fan+tiny
+    # agg, the crossover shape), the dedup cost curve (2.8x with real
+    # candidate-verify work; block sizes stay CONSTANT under copy
+    # scaling because copies suffix the `source` block column, so
+    # volume grows linearly — the production shape), and the geo grid
+    # join at the 10x tier only (see the deep-tier exclusion note by
+    # STRAGGLER_SET).
+    "ml_gbdt_histogram_split",
+    "dedup_threshold_sweep",
+    "geo_grid_radius_join",
 ]
 
 #: the 10x stragglers (ratio > 2 in the committed 10x run) PLUS the two
@@ -149,6 +160,16 @@ STRAGGLER_SET = [
     "ann_pq_adc",
     # round-9: new headliner gets the full tier treatment (VERDICT #8)
     "ts_croston_intermittent",
+    # round-9 additions carried to the deep tier.
+    # geo_grid_radius_join is deliberately EXCLUDED from deep (the
+    # semdedup precedent): copy-scaling multiplies point DENSITY inside
+    # the FIXED bounding box, so within-radius pair volume grows
+    # QUADRATICALLY (30x data = ~900x pairs ~ 180M distance verifies on
+    # BOTH engines) — not the production shape, where a growing corpus
+    # grows AREA at ~constant density and cell occupancy stays bounded.
+    # The 10x tier (100x pairs) already shows the trend with real work.
+    "ml_gbdt_histogram_split",
+    "dedup_threshold_sweep",
 ]
 
 

@@ -610,3 +610,103 @@ ORACLE_SQL["stats_welch_ttest"] = """
                AS reject_95
     FROM c
 """
+
+
+def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment POWER ANALYSIS from observed arm variances: the
+    minimum detectable effect (MDE) at alpha = 0.05 two-sided / 80%
+    power for the purchase-vs-click comparison at CURRENT sample
+    sizes, plus the per-arm n required to detect a 2% relative lift —
+    the sizing table every A/B platform prints before a launch
+    decision (completing the pack: CUPED reduces the variance this
+    query turns into required-n, SRM checks the split, TOST reads the
+    equivalence side).
+
+    MDE = (z_{1-a/2} + z_{power}) * sqrt(v1/n1 + v2/n2); required
+    n/arm = (z_{1-a/2} + z_{power})^2 * (v1 + v2) / delta^2.  The z
+    constants are pinned literals (1.959964, 0.841621 — the normal
+    quantiles; exact to 6dp, the same approximation the reject flag in
+    ``stats_welch_ttest`` documents), so the whole query is ONE
+    conditional-aggregation pass producing six exact cent-grid moments
+    and a handful of identical double ops — no data-sized work beyond
+    the single scan at any corpus size."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    is_p = F.col("event_type") == "purchase"
+    m = ev.select(cents.alias("c"), is_p.alias("p")).agg(
+        F.sum(F.when(F.col("p"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("p"), F.col("c")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("p"), F.col("c") * F.col("c")).otherwise(0)).alias(
+            "ss1"
+        ),
+        F.sum(F.when(~F.col("p"), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(~F.col("p"), F.col("c")).otherwise(0)).alias("s2"),
+        F.sum(
+            F.when(~F.col("p"), F.col("c") * F.col("c")).otherwise(0)
+        ).alias("ss2"),
+    )
+
+    def d(c: str):
+        return F.col(c).cast("double")
+
+    z = F.lit(1.959964) + F.lit(0.841621)
+    v1 = (d("ss1") - d("s1") * d("s1") / d("n1")) / (d("n1") - 1.0)
+    v2 = (d("ss2") - d("s2") * d("s2") / d("n2")) / (d("n2") - 1.0)
+    mde_cents = z * F.sqrt(v1 / d("n1") + v2 / d("n2"))
+    m2 = d("s2") / d("n2")
+    delta = F.lit(0.02) * m2
+    n_req = z * z * (v1 + v2) / (delta * delta)
+    return m.select(
+        F.col("n1").alias("n_treat"),
+        F.col("n2").alias("n_control"),
+        F.round(mde_cents / 100.0, 6).alias("mde_abs"),
+        F.round(mde_cents / m2, 6).alias("mde_rel"),
+        F.round(F.ceil(n_req).cast("double"), 1).alias("n_per_arm_2pct"),
+    )
+
+
+QUERIES["stats_power_mde"] = stats_power_mde
+ORACLE_SQL["stats_power_mde"] = """
+    WITH m AS (
+        SELECT
+            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n1,
+            SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+                AS s1,
+            SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                   * CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+                AS ss1,
+            SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n2,
+            SUM(CASE WHEN event_type = 'click'
+                THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+                AS s2,
+            SUM(CASE WHEN event_type = 'click'
+                THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                   * CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+                AS ss2
+        FROM events
+        WHERE event_type IN ('purchase', 'click')),
+    c AS (
+        SELECT n1, n2,
+               (CAST(ss1 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+               / (n1 - 1.0) AS v1,
+               (CAST(ss2 AS DOUBLE)
+                - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+               / (n2 - 1.0) AS v2,
+               CAST(s2 AS DOUBLE) / n2 AS m2
+        FROM m)
+    SELECT CAST(n1 AS BIGINT) AS n_treat,
+           CAST(n2 AS BIGINT) AS n_control,
+           ROUND((1.959964 + 0.841621)
+                 * SQRT(v1 / n1 + v2 / n2) / 100.0, 6) AS mde_abs,
+           ROUND((1.959964 + 0.841621)
+                 * SQRT(v1 / n1 + v2 / n2) / m2, 6) AS mde_rel,
+           ROUND(CAST(CEIL((1.959964 + 0.841621) * (1.959964 + 0.841621)
+                 * (v1 + v2) / ((0.02 * m2) * (0.02 * m2)))
+                 AS DOUBLE), 1) AS n_per_arm_2pct
+    FROM c
+"""

@@ -2342,3 +2342,258 @@ ORACLE_SQL["window_rolling_distinct_users"] = """
                AS n_active_7d
     FROM bdays b
 """
+
+
+def resample_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample with LINEAR interpolation — the other
+    canonical gap-fill beside LOCF (``resample_gap_fill_locf_per_key``):
+    each missing hour gets the straight line between its surrounding
+    observations; leading/trailing gaps (no observation on one side)
+    stay NULL and are flagged.  LOCF answers "what was the state";
+    interpolation answers "what was the level" — sensor calibration and
+    rate series want the latter.
+
+    Scale: identical shape to the LOCF twin — generated (cohort x hour)
+    axis, per-cohort windows carrying ONE (hour, value) pair of state
+    in each direction, so a million keys parallelize across the
+    cohort hash exchange.  Determinism: observed hourly means are the
+    6dp ``davg`` convention, the interpolation weight is a ratio of
+    small integer hour offsets, and both engines evaluate the same
+    IEEE expression tree."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "error"
+    )
+    hourly = ev.groupBy(
+        (F.col("user_id") % 5).alias("cohort"),
+        F.date_trunc("hour", "ts").alias("hour"),
+    ).agg(davg("value", "v"))
+    axis = spark.sql(
+        """SELECT c.cohort, explode(sequence(timestamp'2024-01-01 00:00:00',
+                                             timestamp'2024-01-30 23:00:00',
+                                             interval 1 hour)) AS hour
+           FROM (SELECT explode(sequence(0, 4)) AS cohort) c"""
+    )
+    g = axis.join(hourly, ["cohort", "hour"], "left")
+    wb = (
+        Window.partitionBy("cohort")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("cohort")
+        .orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    prev_v = F.last("v", ignorenulls=True).over(wb)
+    prev_h = F.last(obs_hour, ignorenulls=True).over(wb)
+    next_v = F.first("v", ignorenulls=True).over(wf)
+    next_h = F.first(obs_hour, ignorenulls=True).over(wf)
+    span = (
+        F.unix_timestamp(next_h) - F.unix_timestamp(prev_h)
+    ).cast("double")
+    frac = (
+        F.unix_timestamp("hour") - F.unix_timestamp(prev_h)
+    ).cast("double") / span
+    # floor(x*1e6 + 0.5)/1e6, not round(x, 6): the interpolated value
+    # can land exactly on a half-microunit tie (observed at sf0.001 —
+    # 44.4103125), where engine round conventions diverge; the
+    # explicit half-up floor is identical everywhere
+    interp = F.when(
+        F.col("v").isNotNull(), F.col("v")
+    ).when(
+        prev_v.isNotNull() & next_v.isNotNull(),
+        F.floor(
+            (prev_v + (next_v - prev_v) * frac) * 1000000 + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1000000.0),
+    )
+    return g.select(
+        "cohort",
+        "hour",
+        interp.alias("value_interp"),
+        F.col("v").isNull().cast("long").alias("was_gap"),
+        (F.col("v").isNull() & (prev_v.isNull() | next_v.isNull()))
+        .cast("long")
+        .alias("edge_gap"),
+    ).orderBy("cohort", "hour")
+
+
+QUERIES["resample_interpolate_linear"] = resample_interpolate_linear
+ORACLE_SQL["resample_interpolate_linear"] = """
+    WITH hourly AS (
+        SELECT user_id % 5 AS cohort,
+               DATE_TRUNC('hour', ts) AS hour,
+               ROUND(AVG(value), 6) AS v
+        FROM events
+        WHERE event_type = 'error'
+        GROUP BY user_id % 5, DATE_TRUNC('hour', ts)),
+    axis AS (
+        SELECT c.cohort, h.hour
+        FROM (SELECT UNNEST(RANGE(0, 5)) AS cohort) c,
+             (SELECT UNNEST(GENERATE_SERIES(TIMESTAMP '2024-01-01 00:00:00',
+                                            TIMESTAMP '2024-01-30 23:00:00',
+                                            INTERVAL 1 HOUR)) AS hour) h),
+    g AS (
+        SELECT a.cohort, a.hour, hr.v
+        FROM axis a LEFT JOIN hourly hr
+          ON a.cohort = hr.cohort AND a.hour = hr.hour),
+    st AS (
+        SELECT cohort, hour, v,
+               LAST_VALUE(v IGNORE NULLS) OVER wb AS prev_v,
+               LAST_VALUE(CASE WHEN v IS NOT NULL THEN hour END
+                          IGNORE NULLS) OVER wb AS prev_h,
+               FIRST_VALUE(v IGNORE NULLS) OVER wf AS next_v,
+               FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hour END
+                           IGNORE NULLS) OVER wf AS next_h
+        FROM g
+        WINDOW wb AS (PARTITION BY cohort ORDER BY hour
+                      ROWS UNBOUNDED PRECEDING),
+               wf AS (PARTITION BY cohort ORDER BY hour
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT cohort, hour,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                  CAST(FLOOR((prev_v + (next_v - prev_v)
+                        * (CAST(EPOCH(hour) - EPOCH(prev_h) AS DOUBLE)
+                           / CAST(EPOCH(next_h) - EPOCH(prev_h)
+                                  AS DOUBLE))) * 1000000 + 0.5)
+                       AS DOUBLE) / 1000000.0
+           END AS value_interp,
+           CAST(v IS NULL AS BIGINT) AS was_gap,
+           CAST(v IS NULL AND (prev_v IS NULL OR next_v IS NULL)
+                AS BIGINT) AS edge_gap
+    FROM st
+    ORDER BY cohort, hour
+"""
+
+
+def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization + motif counting (Lin/Keogh '03): each event
+    type's hourly-mean series is z-normalized, discretized to a 4-letter
+    alphabet at the N(0,1) quartile breakpoints (-0.6745, 0, 0.6745),
+    and the top-10 recurring 3-symbol motifs per type are counted — the
+    classic time-series data-mining reduction that turns numeric series
+    into strings so substring machinery (here: the same trigram
+    explode the text pack uses) finds repeated structure.
+
+    Determinism: hourly means are 6dp ``davg`` values copied onto an
+    exact micro-unit grid, so the per-type mean/std come from exact
+    integer moments and the z-breakpoint comparisons are identical
+    doubles in both engines.  Scale: one (type, hour) groupBy is the
+    only data-sized stage; series length is calendar-bounded, so
+    symbolization and motif counting run on |types| x |hours| rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(davg("value", "v"))
+    hourly = hourly.withColumn(
+        "vm", F.floor(F.col("v") * 1000000 + F.lit(0.5)).cast("long")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vm").alias("s"),
+        F.sum(F.col("vm") * F.col("vm")).alias("ss"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n")
+        )
+        / (F.col("n") - F.lit(1.0))
+    )
+    z = (F.col("vm").cast("double") - F.col("mu")) / F.col("sd")
+    sym = (
+        F.when(z < F.lit(-0.6745), F.lit("a"))
+        .when(z < F.lit(0.0), F.lit("b"))
+        .when(z < F.lit(0.6745), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    series = (
+        hourly.join(stats.select("event_type", mu.alias("mu"), sd.alias("sd")), "event_type")
+        .withColumn("sym", sym)
+        .groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("hour", "sym"))
+                    ),
+                    lambda x: x["sym"],
+                ),
+                "",
+            ).alias("sax")
+        )
+    )
+    # substring with a dynamic start needs the expr form (F.substring
+    # takes a literal start); build trigrams via expr over the sequence
+    grams = series.select(
+        "event_type",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(sax) - 2),"
+                " i -> substring(sax, i, 3))"
+            )
+        ).alias("motif"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_occ"), F.asc("motif")
+    )
+    return (
+        grams.groupBy("event_type", "motif")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("event_type", "motif", "n_occ", F.col("rn").cast("long").alias("rank"))
+        .orderBy("event_type", "rank")
+    )
+
+
+QUERIES["ts_sax_motifs"] = ts_sax_motifs
+ORACLE_SQL["ts_sax_motifs"] = """
+    WITH hourly AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+               CAST(FLOOR(ROUND(AVG(value), 6) * 1000000 + 0.5)
+                    AS BIGINT) AS vm
+        FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)),
+    stats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(vm) AS DOUBLE) AS s,
+               CAST(SUM(vm * vm) AS DOUBLE) AS ss
+        FROM hourly GROUP BY event_type),
+    syms AS (
+        SELECT h.event_type, h.hour,
+               CASE WHEN (CAST(h.vm AS DOUBLE) - s.s / s.n)
+                         / SQRT((s.ss - s.s * s.s / s.n) / (s.n - 1.0))
+                         < -0.6745 THEN 'a'
+                    WHEN (CAST(h.vm AS DOUBLE) - s.s / s.n)
+                         / SQRT((s.ss - s.s * s.s / s.n) / (s.n - 1.0))
+                         < 0.0 THEN 'b'
+                    WHEN (CAST(h.vm AS DOUBLE) - s.s / s.n)
+                         / SQRT((s.ss - s.s * s.s / s.n) / (s.n - 1.0))
+                         < 0.6745 THEN 'c'
+                    ELSE 'd' END AS sym
+        FROM hourly h JOIN stats s USING (event_type)),
+    series AS (
+        SELECT event_type,
+               STRING_AGG(sym, '' ORDER BY hour) AS sax
+        FROM syms GROUP BY event_type),
+    grams AS (
+        SELECT event_type, SUBSTR(sax, CAST(i AS INT), 3) AS motif
+        FROM series, UNNEST(RANGE(1, LENGTH(sax) - 1)) AS t(i)),
+    counted AS (
+        SELECT event_type, motif, COUNT(*) AS n_occ,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY COUNT(*) DESC, motif ASC) AS rn
+        FROM grams GROUP BY event_type, motif)
+    SELECT event_type, motif, n_occ, CAST(rn AS BIGINT) AS rank
+    FROM counted WHERE rn <= 10
+    ORDER BY event_type, rank
+"""

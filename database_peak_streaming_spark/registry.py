@@ -192,6 +192,9 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "join_scd2_point_in_time",
     "ml_naive_bayes_langid",
     "corpus_perplexity_gate",
+    "resample_interpolate_linear",
+    "ts_sax_motifs",
+    "stats_power_mde",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -438,3 +438,94 @@ def test_perplexity_gate_decile_exact(spark):
     assert sum(v[1] for v in got.values()) == len(dropped)
     for source, (n_all, n_drop) in got.items():
         assert n_drop == exp_dropped.get(source, 0), source
+
+
+def test_interpolate_linear_matches_pandas(spark):
+    """Interpolated grid == pandas time-interpolation per cohort on the
+    same 6dp hourly means (edges NULL, observed hours pass through)."""
+    rows = QUERIES["resample_interpolate_linear"](spark, SF_DIR).collect()
+    ev = _table("events")
+    ev = ev[ev["event_type"] == "error"].copy()
+    ev["cohort"] = ev["user_id"] % 5
+    ev["hour"] = pd.to_datetime(ev["ts"]).dt.floor("h")
+    hourly = (
+        ev.groupby(["cohort", "hour"])["value"].mean().round(6).rename("v")
+    )
+    axis = pd.date_range("2024-01-01", "2024-01-30 23:00:00", freq="h")
+    got = {(r.cohort, pd.Timestamp(r.hour)): r for r in rows}
+    assert len(rows) == 5 * len(axis)
+    import math
+
+    for cohort in range(5):
+        s = hourly.get(cohort, pd.Series(dtype=float))
+        series = s.reindex(axis)
+        interp = series.interpolate(method="index", limit_area="inside")
+        for h in axis:
+            r = got[(cohort, h)]
+            exp = interp[h]
+            if pd.isna(exp):
+                assert r.value_interp is None
+                assert r.edge_gap == 1 and r.was_gap == 1
+            else:
+                exp6 = math.floor(exp * 1000000 + 0.5) / 1000000.0
+                assert r.value_interp is not None
+                assert abs(r.value_interp - exp6) < 2e-6, (cohort, h)
+                assert r.was_gap == int(pd.isna(series[h]))
+
+
+def test_sax_motifs_matches_python(spark):
+    """SAX symbolization + trigram counts == a from-scratch replication
+    (same 6dp/micro-unit grid, same breakpoints, same tie-breaks)."""
+    import collections
+
+    rows = QUERIES["ts_sax_motifs"](spark, SF_DIR).collect()
+    ev = _table("events")
+    ev["hour"] = pd.to_datetime(ev["ts"]).dt.floor("h")
+    got = {}
+    for r in rows:
+        got.setdefault(r.event_type, []).append((r.rank, r.motif, r.n_occ))
+    for etype, g in ev.groupby("event_type"):
+        vm = (
+            g.groupby("hour")["value"]
+            .mean()
+            .round(6)
+            .mul(1000000)
+            .add(0.5)
+            .pipe(np.floor)
+            .astype(np.int64)
+            .sort_index()
+        )
+        s = float(vm.sum())  # int64 would overflow at s**2 (~1.2e21)
+        mu = s / len(vm)
+        sd = np.sqrt(
+            (float(np.sum(vm.to_numpy() ** 2)) - s * s / len(vm))
+            / (len(vm) - 1)
+        )
+        z = (vm.to_numpy() - mu) / sd
+        sym = np.where(
+            z < -0.6745, "a", np.where(z < 0, "b", np.where(z < 0.6745, "c", "d"))
+        )
+        s = "".join(sym)
+        cnt = collections.Counter(s[i : i + 3] for i in range(len(s) - 2))
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert got[etype] == [
+            (i + 1, m, c) for i, (m, c) in enumerate(top)
+        ], etype
+
+
+def test_power_mde_matches_numpy(spark):
+    row = QUERIES["stats_power_mde"](spark, SF_DIR).collect()[0]
+    ev = _table("events")
+    c = np.floor(ev["value"].to_numpy() * 100 + 0.5)
+    x = c[(ev["event_type"] == "purchase").to_numpy()]
+    z = c[(ev["event_type"] == "click").to_numpy()]
+    zsum = 1.959964 + 0.841621
+    mde = zsum * np.sqrt(x.var(ddof=1) / len(x) + z.var(ddof=1) / len(z))
+    m2 = z.mean()
+    n_req = np.ceil(
+        zsum**2 * (x.var(ddof=1) + z.var(ddof=1)) / (0.02 * m2) ** 2
+    )
+    assert (row.n_treat, row.n_control) == (len(x), len(z))
+    assert abs(row.mde_abs - mde / 100.0) < 1e-5
+    assert abs(row.mde_rel - mde / m2) < 1e-5
+    assert row.n_per_arm_2pct == n_req
