@@ -282,7 +282,21 @@ def time_set_duck(sf_dir: str, query_set: list[str]) -> dict:
             print(f"oracle failed at {sf_dir} for {name}: "
                   f"{type(e).__name__}: {str(e)[:120]}",
                   file=sys.stderr)
-            con = oracle_connection(sf_dir)  # old con may be poisoned
+            # The old connection must be CLOSED, not just replaced: an
+            # OOM'd DuckDB keeps its allocator exhausted until close,
+            # so a merely-reassigned con made every later query (even
+            # trivial ones) report OOM and the replacement connection
+            # itself failed to build views (observed round 9: croston's
+            # 10x OOM cascaded into ml_gbdt_histogram_split and then
+            # killed the phase).
+            try:
+                con.close()
+            except Exception:
+                pass
+            import gc
+
+            gc.collect()
+            con = oracle_connection(sf_dir)  # fresh allocator
     return duck_t
 
 

@@ -257,6 +257,21 @@ PICKS = {
         "batch-bands x base-bands only — neither side ever pairs "
         "with itself"
     ),
+    "geo_grid_radius_join": (
+        "the radius theta-join compiles to ONE hash equi-join on the "
+        "grid-cell key (3x3 neighborhood explode on the probe side); "
+        "distance is a residual filter — no nested loop, no cartesian"
+    ),
+    "join_scd2_point_in_time": (
+        "facts hash-join the SCD2 dimension on user_id; the half-open "
+        "interval predicate rides as a residual filter — per-key "
+        "compare volume bounded by per-user change counts"
+    ),
+    "ml_gbdt_histogram_split": (
+        "one map-side-combinable groupBy reduces the corpus to "
+        "|features| x |bins| grad/hess cells; every split candidate "
+        "is a window cumsum over that tiny frame"
+    ),
 }
 
 

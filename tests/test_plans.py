@@ -698,3 +698,38 @@ def test_trigram_lm_identical_count_build_sides(spark):
     walk(j, aggs)
     assert len(aggs) == 5, f"expected 5 probe build sides, got {len(aggs)}"
     assert len(set(aggs)) == 1, "count-table subtrees no longer canonical-equal"
+
+
+def test_geo_grid_join_is_hash_equi_join(spark):
+    """Round 9: the spatial radius join must stay a HASH equi-join on
+    the cell key — if the distance predicate ever became the join
+    condition itself, Catalyst would plan a nested-loop/cartesian and
+    the operator would be quadratic at scale."""
+    df = QUERIES["geo_grid_radius_join"](spark, SF_DIR)
+    plan = E.formatted_plan(df)
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_pit_join_is_hash_equi_join(spark):
+    """Round 9: the point-in-time join keys on user_id with the
+    interval predicate as a RESIDUAL filter; losing the equi-key to the
+    range condition would degrade it to a nested loop."""
+    df = QUERIES["join_scd2_point_in_time"](spark, SF_DIR)
+    plan = E.formatted_plan(df)
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gbdt_histogram_is_one_partial_agg_pass(spark):
+    """Round 9: the GBDT histogram must reduce map-side — one exchange
+    whose key set is |features| x |bins|, nothing row-sized shuffles.
+    The window/argmax stages run on the tiny histogram frame, so total
+    exchanges stay small (scan fan -> hist exchange -> window sort ->
+    present)."""
+    df = QUERIES["ml_gbdt_histogram_split"](spark, SF_DIR)
+    plan = E.formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert E.shuffle_count(df) <= 4, E.formatted_plan(df)
