@@ -260,7 +260,17 @@ def time_set_duck(sf_dir: str, query_set: list[str]) -> dict:
 
     duck_t: dict[str, float | None] = {}
     con = oracle_connection(sf_dir)
+    poisoned = False
     for name in query_set:
+        if poisoned:
+            # A prior OOM exhausts the PROCESS-level allocator beyond
+            # recovery — close()+gc+reconnect still fails to allocate
+            # kilobytes (observed round 9: croston's 10x OOM cascaded
+            # into trivially-light queries and then into view creation
+            # itself).  Every remaining oracle query gets its own
+            # subprocess: full isolation, same warm+min-of-2 protocol.
+            duck_t[name] = _duck_single_subprocess(sf_dir, name)
+            continue
         sql = ORACLE_SQL[name]
         try:
             con.sql(sql).fetchall()  # warm (page cache, catalogs) — same
@@ -282,22 +292,43 @@ def time_set_duck(sf_dir: str, query_set: list[str]) -> dict:
             print(f"oracle failed at {sf_dir} for {name}: "
                   f"{type(e).__name__}: {str(e)[:120]}",
                   file=sys.stderr)
-            # The old connection must be CLOSED, not just replaced: an
-            # OOM'd DuckDB keeps its allocator exhausted until close,
-            # so a merely-reassigned con made every later query (even
-            # trivial ones) report OOM and the replacement connection
-            # itself failed to build views (observed round 9: croston's
-            # 10x OOM cascaded into ml_gbdt_histogram_split and then
-            # killed the phase).
+            poisoned = True
             try:
                 con.close()
             except Exception:
                 pass
-            import gc
-
-            gc.collect()
-            con = oracle_connection(sf_dir)  # fresh allocator
     return duck_t
+
+
+def _duck_single_subprocess(sf_dir: str, name: str) -> float | None:
+    """Time ONE oracle query in a fresh python subprocess (used after a
+    same-process OOM poisons the allocator).  Returns the min-of-2 wall
+    or None if the query is itself infeasible."""
+    import subprocess
+
+    code = (
+        "import sys, time, json\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
+        "from database_peak_streaming_spark.harness.diff import oracle_connection\n"
+        "from database_peak_streaming_spark.registry import ORACLE_SQL\n"
+        f"con = oracle_connection({sf_dir!r})\n"
+        f"sql = ORACLE_SQL[{name!r}]\n"
+        "con.sql(sql).fetchall()\n"
+        "best = float('inf')\n"
+        "for _ in range(2):\n"
+        "    t0 = time.perf_counter()\n"
+        "    con.sql(sql).fetchall()\n"
+        "    best = min(best, time.perf_counter() - t0)\n"
+        "print(json.dumps(round(best, 3)))\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+    if r.returncode != 0:
+        print(f"oracle failed at {sf_dir} for {name} (subprocess): "
+              f"{r.stderr.strip()[-160:]}", file=sys.stderr)
+        return None
+    return json.loads(r.stdout.strip().splitlines()[-1])
 
 
 def combine_timings(

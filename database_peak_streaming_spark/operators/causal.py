@@ -987,3 +987,83 @@ ORACLE_SQL["ab_tost_equivalence"] = f"""
     FROM est
     ORDER BY event_type
 """
+
+
+def ab_bandit_ucb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-armed-bandit arm summary: per-arm UCB1 exploration bound
+    (Auer '02, mean + sqrt(2 ln N / n)) and the Beta posterior a
+    Thompson sampler would draw from (alpha = 1 + successes,
+    beta = 1 + failures) — the allocation table an adaptive experiment
+    reads each epoch, beside the fixed-horizon tests (CUPED/SRM/MDE)
+    this pack already carries.  Arms are event types; reward is the
+    conversion proxy value > $100.
+
+    One conditional-aggregation pass produces exact (pulls, successes)
+    per arm; UCB/posterior math is |arms| rows of identical double
+    ops (ln over exact integers).  Ranking sorts the 6dp-rounded UCB
+    with the arm name as tie-break."""
+    ev = load_table(spark, "events", sf_dir)
+    arms = ev.groupBy(F.col("event_type").alias("arm")).agg(
+        F.count(F.lit(1)).alias("n_pulls"),
+        F.sum(F.when(F.col("value") > 100.0, 1).otherwise(0)).alias(
+            "n_success"
+        ),
+    )
+    total = arms.agg(F.sum("n_pulls").alias("n_total"))
+    mean = F.col("n_success").cast("double") / F.col("n_pulls")
+    ucb = mean + F.sqrt(
+        F.lit(2.0)
+        * F.log(F.col("n_total").cast("double"))
+        / F.col("n_pulls")
+    )
+    post_mean = (F.col("n_success") + 1).cast("double") / (
+        F.col("n_pulls") + 2
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("ucb1"), F.asc("arm"))
+    return (
+        arms.crossJoin(F.broadcast(total))
+        .select(
+            "arm",
+            "n_pulls",
+            "n_success",
+            F.round(mean, 6).alias("mean_reward"),
+            F.round(ucb, 6).alias("ucb1"),
+            (F.col("n_success") + 1).alias("post_alpha"),
+            (F.col("n_pulls") - F.col("n_success") + 1).alias("post_beta"),
+            F.round(post_mean, 6).alias("post_mean"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .orderBy("rank")
+    )
+
+
+QUERIES["ab_bandit_ucb"] = ab_bandit_ucb
+ORACLE_SQL["ab_bandit_ucb"] = """
+    WITH arms AS (
+        SELECT event_type AS arm,
+               COUNT(*) AS n_pulls,
+               SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS n_success
+        FROM events GROUP BY event_type),
+    t AS (SELECT SUM(n_pulls) AS n_total FROM arms),
+    scored AS (
+        SELECT arm,
+               CAST(n_pulls AS BIGINT) AS n_pulls,
+               CAST(n_success AS BIGINT) AS n_success,
+               ROUND(CAST(n_success AS DOUBLE) / n_pulls, 6) AS mean_reward,
+               ROUND(CAST(n_success AS DOUBLE) / n_pulls
+                     + SQRT(2.0 * LN(CAST(n_total AS DOUBLE)) / n_pulls),
+                     6) AS ucb1,
+               CAST(n_success + 1 AS BIGINT) AS post_alpha,
+               CAST(n_pulls - n_success + 1 AS BIGINT) AS post_beta,
+               ROUND(CAST(n_success + 1 AS DOUBLE) / (n_pulls + 2), 6)
+                   AS post_mean
+        FROM arms CROSS JOIN t)
+    SELECT arm, n_pulls, n_success, mean_reward, ucb1,
+           post_alpha, post_beta, post_mean,
+           CAST(ROW_NUMBER() OVER (ORDER BY ucb1 DESC, arm ASC) AS BIGINT)
+               AS rank
+    FROM scored
+    ORDER BY rank
+"""

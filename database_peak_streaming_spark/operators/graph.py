@@ -698,6 +698,26 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     edges = bipartite_edges(spark, sf_dir).localCheckpoint()
+    labels = _lp_final_labels(edges)
+    w_rank = Window.orderBy(F.col("n_members").desc(), F.col("label").asc())
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .withColumn("community_rank", F.row_number().over(w_rank))
+        .where(F.col("community_rank") <= 20)
+        .select("community_rank", F.col("label").alias("community"), "n_members")
+        .orderBy("community_rank")
+    )
+
+
+def _lp_final_labels(edges: DataFrame) -> DataFrame:
+    """The synchronous LPA rounds shared by ``graph_label_propagation``
+    (community leaderboard) and ``graph_modularity`` (partition-quality
+    score): LP_ITERS deterministic (count DESC, label ASC) argmax
+    rounds; one (node, label) count + one per-node window per round,
+    ``localCheckpoint`` cutting lineage between rounds."""
+    from pyspark.sql import Window
+
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -717,19 +737,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "label")
             .localCheckpoint()
         )
-    w_rank = Window.orderBy(F.col("n_members").desc(), F.col("label").asc())
-    return (
-        labels.groupBy("label")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
-        .withColumn("community_rank", F.row_number().over(w_rank))
-        .where(F.col("community_rank") <= 20)
-        .select("community_rank", F.col("label").alias("community"), "n_members")
-        .orderBy("community_rank")
-    )
+    return labels
 
 
-def _lp_sql() -> str:
-    """Unrolled 3-round LPA oracle over the same bipartite edge CTE."""
+def _lp_rounds_cte() -> str:
+    """The shared WITH-prefix of the LPA oracles: bipartite edges, l0,
+    and the LP_ITERS unrolled rounds (final labels in ``l{LP_ITERS}``)."""
     round_tpl = """
     l{k} AS (
         SELECT node, label FROM (
@@ -753,7 +766,12 @@ def _lp_sql() -> str:
         UNION ALL
         SELECT snode AS src, cnode AS dst FROM pairs),
     l0 AS (
-        SELECT DISTINCT src AS node, src AS label FROM edges),{rounds},
+        SELECT DISTINCT src AS node, src AS label FROM edges),{rounds}"""
+
+
+def _lp_sql() -> str:
+    """Unrolled 3-round LPA oracle over the same bipartite edge CTE."""
+    return f"""{_lp_rounds_cte()},
     sized AS (
         SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
         FROM l{LP_ITERS} GROUP BY label),
@@ -871,3 +889,124 @@ def _bfs_sql() -> str:
 
 QUERIES["graph_bfs_distance"] = graph_bfs_distance
 ORACLE_SQL["graph_bfs_distance"] = _bfs_sql()
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY of the label-propagation partition — the
+    quality score that tells you whether the communities the LPA rounds
+    found are real structure or noise (Q near 0: no better than random;
+    the audit-the-operator pattern of ``ann_recall_audit`` and
+    ``dedup_minhash_recall_audit`` applied to graph clustering).
+    Q = sum_c [ w_c/(2m) - (d_c/(2m))^2 ] over communities, with w_c
+    the directed within-community edge count (2x the undirected), d_c
+    the community degree sum, and 2m the directed edge total — so
+    every term is a ratio of EXACT integers and the doubles agree
+    across engines without rounding tricks.
+
+    Emits the 10 largest communities with their contribution terms
+    plus the partition-wide Q (computed from the exact integer sums
+    W = sum w_c and D2 = sum d_c^2 — one extra 1-row broadcast, never
+    a float accumulation over communities).  Scale: reuses the LPA
+    rounds (node-keyed joins); the modularity stage adds two
+    label-keyed joins and |communities|-sized aggregations."""
+    edges = bipartite_edges(spark, sf_dir).localCheckpoint()
+    labels = _lp_final_labels(edges)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    a = labels.select(F.col("node").alias("src"), F.col("label").alias("la"))
+    b = labels.select(F.col("node").alias("dst"), F.col("label").alias("lb"))
+    within = (
+        edges.join(a, "src")
+        .join(b, "dst")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    comm = (
+        labels.join(deg, labels["node"] == deg["node"])
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("deg").alias("d"),
+        )
+        .join(within, "label", "left")
+        .withColumn("w", F.coalesce(F.col("w"), F.lit(0)))
+    )
+    n = edges.agg(F.count(F.lit(1)).alias("m2"))
+    tot = comm.agg(
+        F.sum("w").alias("big_w"),
+        F.sum(F.col("d") * F.col("d")).alias("d2"),
+    )
+    m2 = F.col("m2").cast("double")
+    q_contrib = F.col("w").cast("double") / m2 - (
+        F.col("d") * F.col("d")
+    ).cast("double") / (m2 * m2)
+    q_total = F.col("big_w").cast("double") / m2 - F.col("d2").cast(
+        "double"
+    ) / (m2 * m2)
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.desc("n_members"), F.asc("label"))
+    return (
+        comm.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 10)
+        .select(
+            F.col("rk").cast("long").alias("community_rank"),
+            F.col("label").alias("community"),
+            "n_members",
+            (F.col("w") / 2).cast("long").alias("internal_edges"),
+            F.col("d").alias("degree_sum"),
+            F.round(q_contrib, 6).alias("q_contrib"),
+            F.round(q_total, 6).alias("q_total"),
+        )
+        .orderBy("community_rank")
+    )
+
+
+QUERIES["graph_modularity"] = graph_modularity
+ORACLE_SQL["graph_modularity"] = f"""{_lp_rounds_cte()},
+    deg AS (
+        SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    within_c AS (
+        SELECT a.label, COUNT(*) AS w
+        FROM edges e
+        JOIN l{LP_ITERS} a ON a.node = e.src
+        JOIN l{LP_ITERS} b ON b.node = e.dst
+        WHERE a.label = b.label
+        GROUP BY a.label),
+    comm AS (
+        SELECT l.label,
+               COUNT(*) AS n_members,
+               SUM(d.deg) AS d,
+               COALESCE(ANY_VALUE(w.w), 0) AS w
+        FROM l{LP_ITERS} l
+        JOIN deg d ON d.node = l.node
+        LEFT JOIN within_c w ON w.label = l.label
+        GROUP BY l.label),
+    n AS (SELECT COUNT(*) AS m2 FROM edges),
+    tot AS (
+        SELECT SUM(w) AS big_w, SUM(d * d) AS d2 FROM comm),
+    ranked AS (
+        SELECT c.*, n.m2, t.big_w, t.d2,
+               ROW_NUMBER() OVER (ORDER BY n_members DESC, label ASC)
+                   AS rk
+        FROM comm c CROSS JOIN n CROSS JOIN tot t)
+    SELECT CAST(rk AS BIGINT) AS community_rank,
+           label AS community,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(w // 2 AS BIGINT) AS internal_edges,
+           CAST(d AS BIGINT) AS degree_sum,
+           ROUND(CAST(w AS DOUBLE) / CAST(m2 AS DOUBLE)
+                 - CAST(d * d AS DOUBLE)
+                   / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 6)
+               AS q_contrib,
+           ROUND(CAST(big_w AS DOUBLE) / CAST(m2 AS DOUBLE)
+                 - CAST(d2 AS DOUBLE)
+                   / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 6)
+               AS q_total
+    FROM ranked WHERE rk <= 10
+    ORDER BY community_rank
+"""

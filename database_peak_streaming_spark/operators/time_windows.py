@@ -541,34 +541,8 @@ def ts_seasonal_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared by the MA sum and count, one 120-cell rollup — at 100 TB the
     hourly series is ~9 K rows per type-year, so everything after the
     first aggregation is dashboard-sized."""
-    from pyspark.sql import Window
-
-    from database_peak_streaming_spark.operators.common import micros
-
     ev = load_table(spark, "events", sf_dir)
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hb")
-    ).agg(
-        F.sum(micros("value")).alias("t"),
-        F.count(F.lit(1)).alias("c"),
-    )
-    m = hourly.withColumn(
-        "m", F.floor(F.col("t") / F.col("c")).cast("long")
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("hb")
-        .rowsBetween(-_MA_HALF, _MA_HALF)
-    )
-    trended = (
-        m.withColumn("ma_sum", F.sum("m").over(w))
-        .withColumn("ma_n", F.count(F.lit(1)).over(w))
-        .where(F.col("ma_n") == 2 * _MA_HALF + 1)
-        .withColumn(
-            "trend",
-            F.floor(F.col("ma_sum") / (2 * _MA_HALF + 1)).cast("long"),
-        )
-    )
+    trended = _hourly_trended(ev)
     return (
         trended.groupBy("event_type", F.hour("hb").alias("hod"))
         .agg(
@@ -586,6 +560,42 @@ def ts_seasonal_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_sm") / 1e6, 6).alias("seasonal_value"),
         )
         .orderBy("event_type", "hod")
+    )
+
+
+def _hourly_trended(ev: DataFrame) -> DataFrame:
+    """The decompose pipeline's shared first half (hourly micro-unit
+    means + centered 25-point MA trend, full frames only), used by
+    ``ts_seasonal_decompose_ma`` (which rolls it up to the seasonal
+    index) and ``ts_stl_residual_outliers`` (which subtracts both
+    components per hour).  All long micro-units with explicit FLOOR at
+    each division — bit-identical in any engine."""
+    from pyspark.sql import Window
+
+    from database_peak_streaming_spark.operators.common import micros
+
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hb")
+    ).agg(
+        F.sum(micros("value")).alias("t"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    m = hourly.withColumn(
+        "m", F.floor(F.col("t") / F.col("c")).cast("long")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hb")
+        .rowsBetween(-_MA_HALF, _MA_HALF)
+    )
+    return (
+        m.withColumn("ma_sum", F.sum("m").over(w))
+        .withColumn("ma_n", F.count(F.lit(1)).over(w))
+        .where(F.col("ma_n") == 2 * _MA_HALF + 1)
+        .withColumn(
+            "trend",
+            F.floor(F.col("ma_sum") / (2 * _MA_HALF + 1)).cast("long"),
+        )
     )
 
 
@@ -2596,4 +2606,127 @@ ORACLE_SQL["ts_sax_motifs"] = """
     SELECT event_type, motif, n_occ, CAST(rn AS BIGINT) AS rank
     FROM counted WHERE rn <= 10
     ORDER BY event_type, rank
+"""
+
+
+def ts_stl_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection on the DECOMPOSED series: residual = hourly
+    mean - MA trend - seasonal index (the ``ts_seasonal_decompose_ma``
+    components, per hour), scored by the robust MAD z-score
+    (z = (r - median) / (1.4826 * MAD)) and the top-20 |z| hours
+    surfaced — the standard "alert on what the trend and the daily
+    cycle can't explain" detector, robust because one true anomaly
+    can't inflate its own threshold the way it would a stddev.
+
+    Exactness: residuals stay in long micro-units (the decompose
+    contract), medians of longs are exact .0/.5 doubles in both
+    engines, and the z arithmetic is the same IEEE tree; |z| is
+    rounded BEFORE the presentation sort (the pagerank discipline).
+    Scale: per-hour frames are calendar-bounded after the one
+    (type, hour) aggregation; the median groupBys are |types|-keyed."""
+    from pyspark.sql import Window as _W  # noqa: F401 (parity w/ module)
+
+    ev = load_table(spark, "events", sf_dir)
+    trended = _hourly_trended(ev)
+    seasonal = trended.groupBy(
+        "event_type", F.hour("hb").alias("hod")
+    ).agg(
+        F.floor(F.sum(F.col("m") - F.col("trend")) / F.count(F.lit(1)))
+        .cast("long")
+        .alias("sm")
+    )
+    resid = (
+        trended.withColumn("hod", F.hour("hb"))
+        .join(seasonal, ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hb",
+            (F.col("m") - F.col("trend") - F.col("sm")).alias("r"),
+        )
+    )
+    med = resid.groupBy("event_type").agg(F.median("r").alias("med"))
+    mad = (
+        resid.join(med, "event_type")
+        .select("event_type", F.abs(F.col("r") - F.col("med")).alias("a"))
+        .groupBy("event_type")
+        .agg(F.median("a").alias("mad"))
+    )
+    z = (F.col("r") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    scored = (
+        resid.join(med, "event_type")
+        .join(mad, "event_type")
+        .filter(F.col("mad") > 0)
+        .select(
+            "event_type",
+            "hb",
+            F.round(F.col("r") / F.lit(1000000.0), 6).alias("residual"),
+            F.round(z, 4).alias("z_mad"),
+            F.round(F.abs(z), 4).alias("abs_z"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("abs_z"), "event_type", "hb")
+        .limit(20)
+        .select(
+            "event_type",
+            "hb",
+            "residual",
+            "z_mad",
+            (F.col("abs_z") > F.lit(3.5)).cast("long").alias("is_anomaly"),
+        )
+    )
+
+
+QUERIES["ts_stl_residual_outliers"] = ts_stl_residual_outliers
+ORACLE_SQL["ts_stl_residual_outliers"] = f"""
+    WITH hourly AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS hb,
+               SUM(CAST(SIGN(value) * FLOOR(ABS(value) * 1e6 + 0.5)
+                        AS BIGINT)) AS t,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+    m AS (
+        SELECT event_type, hb, CAST(FLOOR(t / c) AS BIGINT) AS m
+        FROM hourly),
+    trended AS (
+        SELECT event_type, hb, m,
+               CAST(FLOOR(ma_sum / {2 * _MA_HALF + 1}) AS BIGINT) AS trend
+        FROM (
+            SELECT event_type, hb, m,
+                   SUM(m) OVER w AS ma_sum,
+                   COUNT(*) OVER w AS ma_n
+            FROM m
+            WINDOW w AS (PARTITION BY event_type ORDER BY hb
+                         ROWS BETWEEN {_MA_HALF} PRECEDING
+                              AND {_MA_HALF} FOLLOWING))
+        WHERE ma_n = {2 * _MA_HALF + 1}),
+    seasonal AS (
+        SELECT event_type, HOUR(hb) AS hod,
+               CAST(FLOOR(SUM(m - trend) / COUNT(*)) AS BIGINT) AS sm
+        FROM trended GROUP BY event_type, HOUR(hb)),
+    resid AS (
+        SELECT t.event_type, t.hb, t.m - t.trend - s.sm AS r
+        FROM trended t
+        JOIN seasonal s
+          ON s.event_type = t.event_type AND s.hod = HOUR(t.hb)),
+    med AS (
+        SELECT event_type, MEDIAN(r) AS med FROM resid GROUP BY event_type),
+    mad AS (
+        SELECT r.event_type, MEDIAN(ABS(r.r - m.med)) AS mad
+        FROM resid r JOIN med m USING (event_type)
+        GROUP BY r.event_type),
+    scored AS (
+        SELECT r.event_type, r.hb,
+               ROUND(r.r / 1000000.0, 6) AS residual,
+               ROUND((r.r - m.med) / (1.4826 * d.mad), 4) AS z_mad,
+               ROUND(ABS((r.r - m.med) / (1.4826 * d.mad)), 4) AS abs_z
+        FROM resid r
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+        WHERE d.mad > 0)
+    SELECT event_type, hb, residual, z_mad,
+           CAST(abs_z > 3.5 AS BIGINT) AS is_anomaly
+    FROM scored
+    ORDER BY abs_z DESC, event_type, hb
+    LIMIT 20
 """

@@ -195,6 +195,9 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "resample_interpolate_linear",
     "ts_sax_motifs",
     "stats_power_mde",
+    "ts_stl_residual_outliers",
+    "ab_bandit_ucb",
+    "graph_modularity",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -529,3 +529,114 @@ def test_power_mde_matches_numpy(spark):
     assert abs(row.mde_abs - mde / 100.0) < 1e-5
     assert abs(row.mde_rel - mde / m2) < 1e-5
     assert row.n_per_arm_2pct == n_req
+
+
+def test_bandit_ucb_matches_numpy(spark):
+    rows = QUERIES["ab_bandit_ucb"](spark, SF_DIR).collect()
+    ev = _table("events")
+    got = {r.arm: r for r in rows}
+    n_total = len(ev)
+    exp = {}
+    for arm, g in ev.groupby("event_type"):
+        n = len(g)
+        s = int((g["value"] > 100.0).sum())
+        ucb = round(s / n + np.sqrt(2 * np.log(n_total) / n), 6)
+        exp[arm] = (n, s, ucb, s + 1, n - s + 1)
+    assert set(got) == set(exp)
+    for arm, (n, s, ucb, a, b) in exp.items():
+        r = got[arm]
+        assert (r.n_pulls, r.n_success) == (n, s)
+        assert abs(r.ucb1 - ucb) < 1e-6
+        assert (r.post_alpha, r.post_beta) == (a, b)
+    # ranks follow (rounded ucb desc, arm asc)
+    order = sorted(exp, key=lambda k: (-exp[k][2], k))
+    assert [r.arm for r in sorted(rows, key=lambda r: r.rank)] == order
+
+
+def test_stl_residual_outliers_matches_pandas(spark):
+    """Residual MAD-z replication: micro-unit hourly means, centered
+    25-point MA (full frames), hour-of-day seasonal index, per-type
+    median/MAD, identical top-20 ordering."""
+    rows = QUERIES["ts_stl_residual_outliers"](spark, SF_DIR).collect()
+    ev = _table("events")
+    ev["hb"] = pd.to_datetime(ev["ts"]).dt.floor("h")
+    ev["micro"] = (np.sign(ev["value"]) * np.floor(np.abs(ev["value"]) * 1e6 + 0.5)).astype(np.int64)
+    cand = []
+    for etype, g in ev.groupby("event_type"):
+        h = g.groupby("hb")["micro"].agg(["sum", "count"]).sort_index()
+        m = np.floor(h["sum"] / h["count"]).astype(np.int64)
+        ma = m.rolling(25, center=True).sum()
+        full = ma.notna()
+        trend = np.floor(ma[full] / 25).astype(np.int64)
+        mm = m[full]
+        hod = mm.index.hour
+        det = mm - trend
+        seas = {}
+        for hd in np.unique(hod):
+            v = det[hod == hd]
+            seas[hd] = int(np.floor(v.sum() / len(v)))
+        r = det - pd.Series([seas[h_] for h_ in hod], index=det.index)
+        med = float(np.median(r))
+        mad = float(np.median(np.abs(r - med)))
+        if mad <= 0:
+            continue
+        z = (r - med) / (1.4826 * mad)
+        for hb, (ri, zi) in zip(r.index, zip(r, z)):
+            cand.append(
+                (round(abs(zi), 4), etype, hb, round(ri / 1e6, 6), round(zi, 4))
+            )
+    top = sorted(cand, key=lambda t: (-t[0], t[1], t[2]))[:20]
+    assert [(r.event_type, pd.Timestamp(r.hb), r.residual, r.z_mad) for r in rows] == [
+        (e, h, res, z) for _, e, h, res, z in top
+    ]
+    for r, (az, *_rest) in zip(rows, top):
+        assert r.is_anomaly == int(az > 3.5)
+
+
+def test_graph_modularity_matches_python(spark):
+    """Q and per-community terms == a from-scratch LPA + modularity on
+    the same bipartite graph (deterministic tie-breaks)."""
+    import collections
+
+    rows = QUERIES["graph_modularity"](spark, SF_DIR).collect()
+    orders = _table("orders")[["o_orderkey", "o_custkey"]]
+    li = _table("lineitem")[["l_orderkey", "l_suppkey"]]
+    j = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    pairs = {
+        (f"c:{c}", f"s:{s}")
+        for c, s in zip(j["o_custkey"], j["l_suppkey"])
+    }
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    adj = collections.defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n in adj:
+            cnt = collections.Counter(labels[x] for x in adj[n])
+            # tie-break: count desc, label ASC
+            top_c = max(cnt.values())
+            new[n] = min(lbl for lbl, c in cnt.items() if c == top_c)
+        labels = new
+    m2 = len(edges)
+    deg = {n: len(adj[n]) for n in adj}
+    comm = collections.defaultdict(lambda: [0, 0, 0])  # members, d, w
+    for n in adj:
+        comm[labels[n]][0] += 1
+        comm[labels[n]][1] += deg[n]
+    for a, b in edges:
+        if labels[a] == labels[b]:
+            comm[labels[a]][2] += 1
+    big_w = sum(v[2] for v in comm.values())
+    d2 = sum(v[1] ** 2 for v in comm.values())
+    q_total = round(big_w / m2 - d2 / (m2 * m2), 6)
+    top = sorted(comm.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+    assert len(rows) == len(top)
+    for r, (lbl, (nm, d, w)) in zip(rows, top):
+        assert r.community == lbl
+        assert r.n_members == nm
+        assert r.internal_edges == w // 2
+        assert r.degree_sum == d
+        assert abs(r.q_contrib - round(w / m2 - d * d / (m2 * m2), 6)) < 2e-6
+        assert r.q_total == q_total
