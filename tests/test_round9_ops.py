@@ -167,17 +167,20 @@ def test_geo_grid_join_matches_bruteforce(spark):
     lon = LON0 + LON_SPAN * ((keys * _MULT_B) % _MOD) / float(_MOD)
     dx = (lon[None, :] - lon[:, None]) * KM_PER_DEG_LON
     dy = (lat[None, :] - lat[:, None]) * KM_PER_DEG_LAT
-    dist = np.sqrt(dx * dx + dy * dy)
+    d2 = dx * dx + dy * dy
     ia, ib = np.where(
-        (np.round(dist, 3) <= RADIUS_KM) & (keys[:, None] < keys[None, :])
+        (d2 <= RADIUS_KM * RADIUS_KM) & (keys[:, None] < keys[None, :])
     )
     brute = sorted(
-        (round(float(dist[a, b]), 3), int(keys[a]), int(keys[b]))
+        (float(np.sqrt(d2[a, b])), int(keys[a]), int(keys[b]))
         for a, b in zip(ia, ib)
     )[:TOP_PAIRS]
-    assert [(r.dist_km, r.id_a, r.id_b) for r in got] == [
-        (d, a, b) for d, a, b in brute
-    ]
+    # compare as sorted sets: the engine's row order after the
+    # post-limit projection is not contractual (the synthetic lattice
+    # coordinates produce many exactly-tied distances)
+    assert sorted((r.dist_km, r.id_a, r.id_b) for r in got) == sorted(
+        (round(d, 3), a, b) for d, a, b in brute
+    )
 
 
 def test_gbdt_split_matches_bruteforce(spark):
