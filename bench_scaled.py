@@ -579,6 +579,37 @@ def main() -> None:
             " the same q1/q5/q18 prefix in a fresh session (0.78 s min)"
             " - a transient, recorded here rather than silently retried."
         ),
+        # round-9 additions' tier evidence (first regen carrying them):
+        "geo_note": (
+            "geo_grid_radius_join after the hot-loop fix (squared-"
+            "distance verify, forward half-neighborhood, round only the"
+            " presented rows; was 23.8 s at 10x with the round-per-"
+            "candidate form): 0.63 s / 3.4 s at 1x/10x vs DuckDB"
+            " 0.19 / 1.38 — ratio FALLS 3.3x -> 2.5x as candidate"
+            " volume grows 100x, i.e. real verify work dominates the"
+            " per-query floor.  Deep tier deliberately excluded:"
+            " copy-scaling grows point density in the FIXED box, so"
+            " pair volume is quadratic-by-construction (the semdedup"
+            " precedent), not the production grow-the-area shape."
+        ),
+        "gbdt_note": (
+            "ml_gbdt_histogram_split Spark wall is FLAT across tiers"
+            " (0.76 / 0.63 / 1.10 s at 1x/10x/30x — the map-side"
+            " combine means the exchange always carries 33 cells) while"
+            " DuckDB grows linearly from a 34 ms base; the rising ratio"
+            " is the sub-second floor pattern the 'finding' documents,"
+            " not a data-path gap.  At any volume where the scan itself"
+            " is minutes, the histogram pass is scan-bound on both"
+            " engines."
+        ),
+        "sweep_note": (
+            "dedup_threshold_sweep holds ~2.3-2.9x at every tier with"
+            " BOTH engines growing linearly — block sizes stay constant"
+            " under copy scaling (copies suffix the source block key),"
+            " so candidate volume is linear by design; the constant"
+            " ratio is the prefix-filter verify loop's per-candidate"
+            " cost difference, already inside 3x."
+        ),
         "interval_floor_note": (
             "Remaining 30x ratio (~5.8x vs a 0.32 s oracle) is the"
             " co-location floor, not plan fat: pair production alone"
