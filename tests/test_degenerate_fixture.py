@@ -99,3 +99,32 @@ def test_ab_test_single_arm_yields_null_row(spark, degenerate_dir):
     — the pre-fix crossJoin of two filtered arms returned 0 rows."""
     res = _check(spark, degenerate_dir, "ab_test_lift_ztest")
     assert res.engine_rows == res.oracle_rows == 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # round-9 document-pipeline ops: the empty-text doc must flow
+        # through tokenize/score/classify identically in both engines
+        "corpus_perplexity_gate",
+        "ml_naive_bayes_langid",
+        "dedup_threshold_sweep",
+        "dedup_minhash_recall_audit",
+        # round-9 event ops on the single-arm (even-user) event log
+        "stats_welch_ttest",
+        "stats_power_mde",
+        "events_sequence_regex",
+        "ts_sax_motifs",
+        "ts_stl_residual_outliers",
+        "ab_bandit_ucb",
+        "join_scd2_point_in_time",
+        "resample_interpolate_linear",
+    ],
+)
+def test_round9_ops_survive_degenerate_fixture(spark, degenerate_dir, name):
+    """Round-9 operators keep engine==oracle on the degenerate corpus
+    (empty-text document; user-parity-restricted events).  Divergent
+    empty-string tokenization or a non-total kernel shows up as a hash
+    mismatch or a raise here before it can show up on a driver
+    fixture."""
+    _check(spark, degenerate_dir, name)
