@@ -2402,3 +2402,84 @@ ORACLE_SQL["corpus_perplexity_gate"] = """
     GROUP BY d.source
     ORDER BY d.source
 """
+
+
+def eval_mrr_recall_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and recall@10 of the BM25 ranking — the two binary-relevance
+    companions to ``eval_ndcg_bm25``'s graded view (MRR: how quickly
+    does the FIRST relevant document appear; recall@10: what share of
+    the relevant set was retrieved at all), completing the IR-eval
+    triple a retrieval stack reports.  Relevant = grade >= 2 (document
+    contains at least two distinct query terms — same proxy grading,
+    binarized).
+
+    Same drift-proofing as NDCG: the retrieved arm IS the registered
+    BM25 query and the oracle embeds the registered BM25 oracle CTE.
+    Scale: grading is scan-side; everything after the TakeOrdered
+    top-k is <= 10 rows plus one corpus-relevance count."""
+    retrieved = text_bm25_topk(spark, sf_dir)
+    wr = Window.orderBy(F.desc("bm25"), "doc_id")
+    ranked = retrieved.select(
+        "doc_id",
+        "n_terms_hit",
+        F.row_number().over(wr).alias("rk"),
+    )
+    first_rel = ranked.filter(F.col("n_terms_hit") >= 2).agg(
+        F.min("rk").alias("first_rel_rank"),
+        F.count(F.lit(1)).alias("n_rel_retrieved"),
+    )
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split("text", " ")
+    grade = None
+    for t in BM25_TERMS:
+        term_hit = (F.size(F.filter(toks, _eq_term(t))) > 0).cast("long")
+        grade = term_hit if grade is None else grade + term_hit
+    n_rel = d.select(grade.alias("rel")).filter(F.col("rel") >= 2).agg(
+        F.count(F.lit(1)).alias("n_rel_total")
+    )
+    return (
+        first_rel.crossJoin(F.broadcast(n_rel))
+        .select(
+            F.col("first_rel_rank").cast("long").alias("first_rel_rank"),
+            F.round(
+                F.when(
+                    F.col("first_rel_rank").isNotNull(),
+                    F.lit(1.0) / F.col("first_rel_rank"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("mrr"),
+            "n_rel_retrieved",
+            "n_rel_total",
+            F.round(
+                F.col("n_rel_retrieved").cast("double")
+                / F.col("n_rel_total"),
+                6,
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+QUERIES["eval_mrr_recall_bm25"] = eval_mrr_recall_bm25
+ORACLE_SQL["eval_mrr_recall_bm25"] = f"""
+    WITH retrieved AS ({{bm25}}),
+    ranked AS (
+        SELECT doc_id, n_terms_hit,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+        FROM retrieved),
+    first_rel AS (
+        SELECT MIN(rk) AS first_rel_rank,
+               COUNT(*) AS n_rel_retrieved
+        FROM ranked WHERE n_terms_hit >= 2),
+    nrel AS (
+        SELECT COUNT(*) AS n_rel_total
+        FROM (SELECT {_NDCG_NHITS_SQL} AS rel FROM documents)
+        WHERE rel >= 2)
+    SELECT CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
+           ROUND(CASE WHEN first_rel_rank IS NOT NULL
+                      THEN 1.0 / first_rel_rank ELSE 0.0 END, 6) AS mrr,
+           CAST(n_rel_retrieved AS BIGINT) AS n_rel_retrieved,
+           CAST(n_rel_total AS BIGINT) AS n_rel_total,
+           ROUND(CAST(n_rel_retrieved AS DOUBLE) / n_rel_total, 6)
+               AS recall_at_10
+    FROM first_rel CROSS JOIN nrel
+""".replace("{bm25}", ORACLE_SQL["text_bm25_topk"])

@@ -198,6 +198,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "ts_stl_residual_outliers",
     "ab_bandit_ucb",
     "graph_modularity",
+    "eval_mrr_recall_bm25",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

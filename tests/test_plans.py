@@ -461,8 +461,9 @@ def test_forced_broadcasts_are_bounded_cardinality():
         # round 9: "langs" is the distinct-class list of the Naive
         # Bayes trainer (|langs| rows — dozens at any corpus size, it
         # IS the classifier's class set); "v" is its 1-row vocabulary
-        # count; both feed the vocab x class smoothing grid
-        "langs", "v",
+        # count; both feed the vocab x class smoothing grid.  "n_rel"
+        # is the MRR eval's 1-row corpus relevant-document count.
+        "langs", "v", "n_rel",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     offenders = []
