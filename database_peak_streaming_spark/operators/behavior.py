@@ -2869,3 +2869,157 @@ ORACLE_SQL["join_scd2_point_in_time"] = """
      AND (h.valid_to IS NULL OR f.fact_ts < h.valid_to)
     ORDER BY fact_id
 """
+
+
+#: isotonic-calibration bin count (finer than the reliability table's
+#: 10 so the pool-adjacent-violators step has structure to smooth)
+ISO_BINS = 20
+
+
+def model_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) probability calibration of the pinned sigmoid
+    scorer against the urgent/high-priority label: scores are bucketed
+    into 20 fixed-width bins and the empirical positive rate is
+    replaced by its isotonic regression — the nonparametric calibrator
+    (Zadrozny & Elkan KDD'02) that, unlike Platt scaling, cannot be
+    mis-specified.  Emits the reliability table with the PAV-fitted
+    monotone probability beside the raw rate.
+
+    The pool-adjacent-violators solution is computed by the minimax
+    identity  iso_b = max_{j<=b} min_{k>=b} mean(y, bins j..k)  over
+    interval means from PREFIX SUMS — closed-form, no iterative
+    pooling, so it is expressible identically in both engines.  Every
+    interval mean is one division of exact BIGINT prefix-sum
+    differences; min/max over exact doubles are order-free, so the
+    fit is engine-exact before the 6-dp presentation round.
+
+    Scale: ONE data-sized pass (bin assignment is a map-only
+    expression, the rollup is a 20-key agg); the minimax enumeration
+    is bins^3 = 8000 tuples of arithmetic on a broadcast-sized table —
+    invariant to corpus size."""
+    from database_peak_streaming_spark.functions.udfs import (
+        _MODEL_A,
+        _MODEL_B,
+    )
+
+    o = load_table(spark, "orders", sf_dir)
+    score = F.round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(
+                -(
+                    F.lit(_MODEL_A) * F.log1p("o_totalprice")
+                    + F.lit(_MODEL_B)
+                )
+            )
+        ),
+        6,
+    )
+    label = (
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    )
+    scored = o.select(score.alias("score"), label.alias("label"))
+    bin_ = F.least(
+        F.floor(F.col("score") * ISO_BINS).cast("long"),
+        F.lit(ISO_BINS - 1),
+    )
+    bins = (
+        scored.withColumn("bin", bin_)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("w"),
+            F.sum("label").alias("p"),
+            F.round(F.avg("score"), 6).alias("mean_predicted"),
+        )
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = bins.select(
+        "bin", "w", "p", "mean_predicted",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("p").over(w_cum).alias("cp"),
+    )
+    j = cum.select(
+        F.col("bin").alias("jb"),
+        F.col("w").alias("jw"),
+        F.col("p").alias("jp"),
+        F.col("cw").alias("jcw"),
+        F.col("cp").alias("jcp"),
+    )
+    k = cum.select(
+        F.col("bin").alias("kb"),
+        F.col("cw").alias("kcw"),
+        F.col("cp").alias("kcp"),
+    )
+    pairs = j.join(k, F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        (
+            (F.col("kcp") - F.col("jcp") + F.col("jp"))
+            / (F.col("kcw") - F.col("jcw") + F.col("jw"))
+        ).alias("m"),
+    )
+    b = cum.select(F.col("bin").alias("bb"))
+    trip = pairs.join(
+        b, (F.col("jb") <= F.col("bb")) & (F.col("kb") >= F.col("bb"))
+    )
+    inner = trip.groupBy("bb", "jb").agg(F.min("m").alias("mn"))
+    iso = inner.groupBy("bb").agg(F.max("mn").alias("iso"))
+    return (
+        cum.join(iso, cum["bin"] == iso["bb"])
+        .select(
+            "bin",
+            F.col("w").cast("long").alias("n"),
+            "mean_predicted",
+            F.round(F.col("p") / F.col("w"), 6).alias("frac_positive"),
+            F.round("iso", 6).alias("iso_prob"),
+        )
+        .orderBy("bin")
+    )
+
+
+QUERIES["model_isotonic_calibration"] = model_isotonic_calibration
+
+ORACLE_SQL["model_isotonic_calibration"] = f"""
+    WITH scored AS (
+        SELECT ROUND(1.0 / (1.0 + EXP(-(0.35 * LN(1.0 + o_totalprice)
+                                        + -2.0))), 6) AS score,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS label
+        FROM orders),
+    bins AS (
+        SELECT LEAST(CAST(FLOOR(score * {ISO_BINS}) AS BIGINT),
+                     {ISO_BINS - 1}) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS w,
+               CAST(SUM(label) AS BIGINT) AS p,
+               ROUND(AVG(score), 6) AS mean_predicted
+        FROM scored GROUP BY 1),
+    cum AS (
+        SELECT bin, w, p, mean_predicted,
+               CAST(SUM(w) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cw,
+               CAST(SUM(p) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cp
+        FROM bins),
+    pairs AS (
+        SELECT j.bin AS jb, k.bin AS kb,
+               (k.cp - j.cp + j.p) / (k.cw - j.cw + j.w) AS m
+        FROM cum j JOIN cum k ON j.bin <= k.bin),
+    inner_min AS (
+        SELECT b.bin AS bb, pr.jb, MIN(pr.m) AS mn
+        FROM pairs pr JOIN cum b
+          ON pr.jb <= b.bin AND pr.kb >= b.bin
+        GROUP BY 1, 2),
+    iso AS (SELECT bb, MAX(mn) AS iso FROM inner_min GROUP BY 1)
+    SELECT c.bin,
+           c.w AS n,
+           c.mean_predicted,
+           ROUND(c.p / c.w, 6) AS frac_positive,
+           ROUND(i.iso, 6) AS iso_prob
+    FROM cum c JOIN iso i ON i.bb = c.bin
+    ORDER BY c.bin
+"""

@@ -1010,3 +1010,242 @@ ORACLE_SQL["graph_modularity"] = f"""{_lp_rounds_cte()},
     FROM ranked WHERE rk <= 10
     ORDER BY community_rank
 """
+
+
+#: presentation cap for the per-node clustering-coefficient table
+LCC_TOP_K = 20
+
+
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient on the part co-occurrence graph:
+    per node, cc(v) = 2 * tri(v) / (deg(v) * (deg(v) - 1)) — the
+    neighborhood-density measure that turns the global
+    ``graph_triangle_count`` into a per-node community signal (Watts &
+    Strogatz '98), presented as the top-20 most-triangled parts.
+
+    Same degree-ordered edge orientation as ``graph_triangle_count``
+    (Suri & Vassilvitskii WWW'11 — out-degrees bounded O(sqrt(m)), no
+    hub wedge explosion); the only addition is keeping the wedge APEX
+    through the closing join, so each closed triangle credits its
+    three vertices via one 3-arm explode and a node-keyed count.  All
+    presented ratios are single divisions of exact BIGINTs — engine-
+    exact before the 6-dp round.
+
+    The ORACLE enumerates the same triangles with the naive id-ordered
+    a<b<c SQL (per-node credit is orientation-invariant)."""
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    ranked = und.join(du, "u").join(dv, "v")
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias(
+            "dst_deg"
+        ),
+    )
+    e1 = oriented.select(
+        "src", F.col("dst").alias("b"), F.col("dst_deg").alias("deg_b")
+    )
+    e2 = oriented.select(
+        "src", F.col("dst").alias("c"), F.col("dst_deg").alias("deg_c")
+    )
+    wedges = (
+        e1.join(e2, "src")
+        .where(
+            (F.col("deg_b") < F.col("deg_c"))
+            | ((F.col("deg_b") == F.col("deg_c")) & (F.col("b") < F.col("c")))
+        )
+        .select(
+            "src",
+            F.least("b", "c").alias("u"),
+            F.greatest("b", "c").alias("v"),
+        )
+    )
+    closed = wedges.join(und, ["u", "v"]).select(
+        F.explode(F.array("src", "u", "v")).alias("node")
+    )
+    tri = closed.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    cc = (F.lit(2.0) * F.col("n_tri")) / (
+        F.col("deg") * (F.col("deg") - F.lit(1))
+    )
+    return (
+        deg.join(tri, "node")
+        .select(
+            F.col("node").alias("partkey"),
+            F.col("deg").cast("long").alias("degree"),
+            F.col("n_tri").cast("long").alias("n_triangles"),
+            F.round(cc, 6).alias("local_cc"),
+        )
+        .orderBy(F.desc("n_triangles"), "partkey")
+        .limit(LCC_TOP_K)
+    )
+
+
+QUERIES["graph_clustering_coefficient"] = graph_clustering_coefficient
+
+ORACLE_SQL["graph_clustering_coefficient"] = f"""
+    WITH und AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tris AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM und e1
+        JOIN und e2 ON e1.v = e2.u
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+    credit AS (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris),
+    tri AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM credit GROUP BY 1),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node FROM und
+            UNION ALL SELECT v FROM und) GROUP BY 1)
+    SELECT deg.node AS partkey,
+           deg AS degree,
+           n_tri AS n_triangles,
+           ROUND((2.0 * n_tri) / (deg * (deg - 1)), 6) AS local_cc
+    FROM deg JOIN tri ON tri.node = deg.node
+    ORDER BY n_triangles DESC, partkey
+    LIMIT {LCC_TOP_K}
+"""
+
+
+#: HITS presentation cap per role
+HITS_TOP_K = 20
+
+
+def graph_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg JACM'99), two unnormalized
+    iterations on the directed customer->supplier purchase graph:
+    customers are hubs (they point at suppliers), suppliers are
+    authorities.  With h_0 = 1 the recursion a = A^T h, h = A a stays
+    in EXACT BIGINT arithmetic (a_1 = indegree, h_1 = sum of neighbor
+    a_1, a_2 = sum of neighbor h_1, h_2 = sum of neighbor a_2) — the
+    eigenvector direction emerges without any float accumulation, and
+    scores are normalized by the per-role max only at presentation
+    (one exact division, 6-dp round).  The power-iteration companion
+    to the PageRank module: same join+agg-per-iteration shape, same
+    reused edge partitioning, no damping teleport.
+
+    Scale: the edge list is built once (one distinct); each half-step
+    is one equi-join + groupBy on a reusable key — identical cost
+    profile to ``graph_pagerank_bipartite``."""
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint()
+    )
+    a1 = edges.groupBy("s").agg(F.count(F.lit(1)).alias("a1"))
+    h1 = (
+        edges.join(a1, "s")
+        .groupBy("c")
+        .agg(F.sum("a1").alias("h1"))
+    )
+    a2 = (
+        edges.join(h1, "c")
+        .groupBy("s")
+        .agg(F.sum("h1").alias("a2"))
+    )
+    h2 = (
+        edges.join(a2, "s")
+        .groupBy("c")
+        .agg(F.sum("a2").alias("h2"))
+    )
+    hubs = h2.select(
+        F.lit("hub").alias("role"),
+        F.col("c").alias("node"),
+        F.col("h2").alias("raw_score"),
+    )
+    auth = a2.select(
+        F.lit("authority").alias("role"),
+        F.col("s").alias("node"),
+        F.col("a2").alias("raw_score"),
+    )
+    both = hubs.unionAll(auth)
+    w_rank = Window.partitionBy("role").orderBy(
+        F.desc("raw_score"), "node"
+    )
+    w_max = Window.partitionBy("role")
+    return (
+        both.select(
+            "role",
+            "node",
+            F.col("raw_score").cast("long").alias("raw_score"),
+            F.row_number().over(w_rank).alias("rank"),
+            F.round(
+                F.col("raw_score") / F.max("raw_score").over(w_max), 6
+            ).alias("score"),
+        )
+        .filter(F.col("rank") <= HITS_TOP_K)
+        .select("role", "rank", "node", "raw_score", "score")
+        .orderBy("role", "rank")
+    )
+
+
+QUERIES["graph_hits_hub_authority"] = graph_hits_hub_authority
+
+ORACLE_SQL["graph_hits_hub_authority"] = f"""
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    a1 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS a1 FROM edges GROUP BY 1),
+    h1 AS (
+        SELECT e.c, CAST(SUM(a1.a1) AS BIGINT) AS h1
+        FROM edges e JOIN a1 USING (s) GROUP BY 1),
+    a2 AS (
+        SELECT e.s, CAST(SUM(h1.h1) AS BIGINT) AS a2
+        FROM edges e JOIN h1 USING (c) GROUP BY 1),
+    h2 AS (
+        SELECT e.c, CAST(SUM(a2.a2) AS BIGINT) AS h2
+        FROM edges e JOIN a2 USING (s) GROUP BY 1),
+    both_roles AS (
+        SELECT 'hub' AS role, c AS node, h2 AS raw_score FROM h2
+        UNION ALL
+        SELECT 'authority' AS role, s AS node, a2 AS raw_score FROM a2),
+    ranked AS (
+        SELECT role, node, raw_score,
+               ROW_NUMBER() OVER (PARTITION BY role
+                                  ORDER BY raw_score DESC, node) AS rank,
+               MAX(raw_score) OVER (PARTITION BY role) AS mx
+        FROM both_roles)
+    SELECT role, CAST(rank AS INT) AS rank, node, raw_score,
+           ROUND(raw_score / mx, 6) AS score
+    FROM ranked WHERE rank <= {HITS_TOP_K}
+    ORDER BY role, rank
+"""

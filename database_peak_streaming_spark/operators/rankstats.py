@@ -710,3 +710,424 @@ ORACLE_SQL["stats_power_mde"] = """
                  AS DOUBLE), 1) AS n_per_arm_2pct
     FROM c
 """
+
+
+#: chi-square 95th percentile at k-1 = 4 degrees of freedom
+FRIEDMAN_CHI2_95_DF4 = 9.4877
+
+
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test across the five event types BLOCKED by day:
+    the nonparametric repeated-measures ANOVA ("do the treatments
+    differ, controlling for the day effect?") that completes the
+    hypothesis-test shelf beside the unblocked one-way ANOVA
+    (``stats_anova_f``) and the two-sample Mann-Whitney U.  Blocks are
+    calendar days with all k types present; the response is the daily
+    event count; ranks use the mid-rank tie convention.
+
+    Tie-corrected statistic:  Q = (k-1) * sum_j (R_j - n(k+1)/2)^2 /
+    (sum_ij r_ij^2 - n k (k+1)^2 / 4)  — with mid-ranks every quantity
+    is an exact multiple of 1/4 in double, so all sums are exact and
+    order-free; the single float division happens once at the end.
+    Rejection is against the fixed chi-square(4) 95% critical value
+    carried as a literal in both engines.
+
+    Scale: one data-sized groupBy to (day, type) counts; everything
+    downstream runs on the calendar-bounded block grid.  The per-block
+    rank window sorts k=5 values per day — trivially parallel by
+    block."""
+    ev = load_table(spark, "events", sf_dir).select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    daily = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    stats = daily.agg(F.countDistinct("event_type").alias("k"))
+    present = daily.groupBy("day").agg(F.count(F.lit(1)).alias("present"))
+    complete = (
+        daily.join(present, "day")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("present") == F.col("k"))
+    )
+    ranked = complete.select(
+        "day",
+        "event_type",
+        "k",
+        _mid_rank(["day"], "x").alias("r"),
+    )
+    g = ranked.groupBy("event_type").agg(
+        F.sum("r").alias("rj"),
+        F.sum(F.col("r") * F.col("r")).alias("rsqj"),
+        F.count(F.lit(1)).alias("nb"),
+        F.max("k").alias("k"),
+    )
+    total = g.groupBy().agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("nb").alias("n"),
+        F.sum("rsqj").alias("rsq"),
+    )
+    d = F.col("rj") - (F.col("n") * (F.col("k") + F.lit(1))) / F.lit(2.0)
+    terms = (
+        g.drop("k")
+        .crossJoin(F.broadcast(total))
+        .select("k", "n", "rsq", (d * d).alias("term"))
+    )
+    agg = terms.groupBy("k", "n", "rsq").agg(F.sum("term").alias("num"))
+    den = F.col("rsq") - (
+        F.col("n") * F.col("k") * (F.col("k") + F.lit(1)) * (F.col("k") + F.lit(1))
+    ) / F.lit(4.0)
+    q_stat = F.round(((F.col("k") - F.lit(1)) * F.col("num")) / den, 6)
+    return agg.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.col("k").cast("long").alias("k_treatments"),
+        q_stat.alias("q_stat"),
+        (q_stat > F.lit(FRIEDMAN_CHI2_95_DF4)).cast("long").alias(
+            "rejected_95"
+        ),
+    )
+
+
+QUERIES["stats_friedman_test"] = stats_friedman_test
+ORACLE_SQL["stats_friedman_test"] = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+    kk AS (SELECT COUNT(DISTINCT event_type) AS k FROM daily),
+    present AS (SELECT day, COUNT(*) AS present FROM daily GROUP BY 1),
+    complete AS (
+        SELECT d.day, d.event_type, d.x, kk.k
+        FROM daily d JOIN present p USING (day) CROSS JOIN kk
+        WHERE p.present = kk.k),
+    ranked AS (
+        SELECT day, event_type, k,
+               RANK() OVER (PARTITION BY day ORDER BY x)
+                   + (COUNT(*) OVER (PARTITION BY day, x) - 1) / 2.0 AS r
+        FROM complete),
+    g AS (
+        SELECT event_type,
+               SUM(r) AS rj,
+               SUM(r * r) AS rsqj,
+               CAST(COUNT(*) AS BIGINT) AS nb
+        FROM ranked GROUP BY 1),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(MAX(nb) AS BIGINT) AS n,
+               SUM(rsqj) AS rsq
+        FROM g),
+    terms AS (
+        SELECT t.k, t.n, t.rsq,
+               (g.rj - (t.n * (t.k + 1)) / 2.0)
+                   * (g.rj - (t.n * (t.k + 1)) / 2.0) AS term
+        FROM g CROSS JOIN t),
+    agg AS (
+        SELECT k, n, rsq, SUM(term) AS num
+        FROM terms GROUP BY 1, 2, 3)
+    SELECT n AS n_blocks,
+           k AS k_treatments,
+           ROUND(((k - 1) * num)
+                 / (rsq - (n * k * (k + 1) * (k + 1)) / 4.0), 6) AS q_stat,
+           CAST(ROUND(((k - 1) * num)
+                      / (rsq - (n * k * (k + 1) * (k + 1)) / 4.0), 6)
+                > {FRIEDMAN_CHI2_95_DF4} AS BIGINT) AS rejected_95
+    FROM agg
+"""
+
+
+def model_lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table of the pinned sigmoid scorer
+    against the urgent/high-priority label: orders are ranked by score
+    into deciles (NTILE over (score desc, key) — engine-identical
+    bucket sizes and assignment) and each decile reports its positive
+    count, the cumulative capture rate ("top 30% of scores captures
+    G% of all positives") and the lift over random targeting — the
+    campaign-planning view of the same ranking that
+    ``eval_roc_auc``/``eval_pr_auc`` summarize to one number.
+
+    Every presented ratio is a single division of exact BIGINT
+    products (gain = cum_pos/total_pos; lift = (cum_pos * total_n) /
+    (total_pos * cum_n)), so both engines agree exactly before the
+    6-dp round.
+
+    Scale note: the global NTILE is a full sort at the limit; the
+    documented swap is approx-percentile score boundaries broadcast to
+    a map-only bucketizer (the module-docstring binned-rank design) —
+    decile populations then come from the same tiny rollup."""
+    from database_peak_streaming_spark.functions.udfs import (
+        _MODEL_A,
+        _MODEL_B,
+    )
+
+    o = load_table(spark, "orders", sf_dir)
+    score = F.round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(
+                -(
+                    F.lit(_MODEL_A) * F.log1p("o_totalprice")
+                    + F.lit(_MODEL_B)
+                )
+            )
+        ),
+        6,
+    )
+    label = (
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    )
+    scored = o.select(
+        "o_orderkey", score.alias("score"), label.alias("label")
+    )
+    w_rank = Window.orderBy(F.desc("score"), "o_orderkey")
+    g = (
+        scored.withColumn("decile", F.ntile(10).over(w_rank))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").alias("n_pos"),
+        )
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    c = g.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n_pos").over(w_cum).alias("cum_pos"),
+        F.sum("n").over(w_all).alias("tot_n"),
+        F.sum("n_pos").over(w_all).alias("tot_pos"),
+    )
+    return c.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("cum_pos").cast("long").alias("cum_pos"),
+        F.round(F.col("cum_pos") / F.col("tot_pos"), 6).alias("gain"),
+        F.round(
+            (F.col("cum_pos") * F.col("tot_n"))
+            / (F.col("tot_pos") * F.col("cum_n")),
+            6,
+        ).alias("lift"),
+    ).orderBy("decile")
+
+
+QUERIES["model_lift_gains_deciles"] = model_lift_gains_deciles
+ORACLE_SQL["model_lift_gains_deciles"] = """
+    WITH scored AS (
+        SELECT o_orderkey,
+               ROUND(1.0 / (1.0 + EXP(-(0.35 * LN(1.0 + o_totalprice)
+                                        + -2.0))), 6) AS score,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS label
+        FROM orders),
+    dec AS (
+        SELECT NTILE(10) OVER (ORDER BY score DESC, o_orderkey) AS decile,
+               label
+        FROM scored),
+    g AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(label) AS BIGINT) AS n_pos
+        FROM dec GROUP BY 1),
+    c AS (
+        SELECT decile, n, n_pos,
+               CAST(SUM(n) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_n,
+               CAST(SUM(n_pos) OVER (ORDER BY decile ROWS BETWEEN
+                                     UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_pos,
+               CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+               CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+        FROM g)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           n, n_pos, cum_pos,
+           ROUND(cum_pos / tot_pos, 6) AS gain,
+           ROUND((cum_pos * tot_n) / (tot_pos * cum_n), 6) AS lift
+    FROM c ORDER BY decile
+"""
+
+
+#: two-sided normal 95% critical value (shared literal, both engines)
+CA_Z_95 = 1.959964
+
+
+def stats_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for a LINEAR TREND in proportions across
+    ordered groups: is the purchase share drifting across the days of
+    the month?  The ordered-alternative test that a plain chi-square
+    homogeneity check (``source_lang_drift_chi2``) has no power for —
+    the standard epidemiology/conversion-funnel dose-response check.
+
+    With integer day scores s_i, positives r_i and totals n_i, the
+    statistic is  Z = (A - R*B/N) / sqrt((R(N-R)/N) * (C - B^2/N))
+    from five exact BIGINT moments (A = sum s_i r_i, B = sum s_i n_i,
+    C = sum s_i^2 n_i) — both engines evaluate the identical IEEE
+    expression tree on identical integers, and sqrt is
+    correctly-rounded, so the result is engine-exact before the 6-dp
+    round.
+
+    Scale: ONE conditional-aggregation pass over events (map-side
+    combinable, 31-key rollup); the statistic assembles on one row."""
+    ev = load_table(spark, "events", sf_dir).select(
+        F.dayofmonth("ts").alias("s"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    g = ev.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum("pos").alias("r_i"),
+    )
+    m = g.agg(
+        F.sum("n_i").alias("n"),
+        F.sum("r_i").alias("r"),
+        F.sum(F.col("s") * F.col("r_i")).alias("a"),
+        F.sum(F.col("s") * F.col("n_i")).alias("b"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_i")).alias("c"),
+        F.count(F.lit(1)).alias("k_groups"),
+    )
+    t_num = F.col("a") - (F.col("r") * F.col("b")) / F.col("n")
+    v1 = (F.col("r") * (F.col("n") - F.col("r"))) / F.col("n")
+    v2 = F.col("c") - (F.col("b") * F.col("b")) / F.col("n")
+    z = F.round(t_num / F.sqrt(v1 * v2), 6)
+    return m.select(
+        F.col("n").cast("long").alias("n_total"),
+        F.col("r").cast("long").alias("n_pos"),
+        F.col("k_groups").cast("long").alias("k_groups"),
+        z.alias("z_trend"),
+        (F.abs(z) > F.lit(CA_Z_95)).cast("long").alias("rejected_95"),
+    )
+
+
+QUERIES["stats_cochran_armitage_trend"] = stats_cochran_armitage_trend
+ORACLE_SQL["stats_cochran_armitage_trend"] = f"""
+    WITH ev AS (
+        SELECT CAST(DAY(ts) AS BIGINT) AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events),
+    g AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS n_i,
+               CAST(SUM(pos) AS BIGINT) AS r_i
+        FROM ev GROUP BY 1),
+    m AS (
+        SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+               CAST(SUM(r_i) AS BIGINT) AS r,
+               CAST(SUM(s * r_i) AS BIGINT) AS a,
+               CAST(SUM(s * n_i) AS BIGINT) AS b,
+               CAST(SUM(s * s * n_i) AS BIGINT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS k_groups
+        FROM g)
+    SELECT n AS n_total,
+           r AS n_pos,
+           k_groups,
+           ROUND((a - (r * b) / n)
+                 / SQRT(((r * (n - r)) / n) * (c - (b * b) / n)), 6)
+               AS z_trend,
+           CAST(ABS(ROUND((a - (r * b) / n)
+                          / SQRT(((r * (n - r)) / n)
+                                 * (c - (b * b) / n)), 6))
+                > {CA_Z_95} AS BIGINT) AS rejected_95
+    FROM m
+"""
+
+
+def stats_hodges_lehmann_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudo-median of the per-type DAILY event volume:
+    the median of all Walsh averages (x_i + x_j)/2 over day pairs
+    i <= j — the robust location estimate associated with the Wilcoxon
+    signed-rank test (~95% Gaussian efficiency vs the plain median's
+    64%), presented beside the plain median as the level summary a
+    volume monitor should alarm on.
+
+    Determinism: daily counts are exact BIGINTs, Walsh averages exact
+    half-integers, the median pick is a fully tie-broken order
+    statistic (value, i, j), and an even pair count averages two exact
+    halves — no float accumulation anywhere.
+
+    Scale: the pair fan-out is over the CALENDAR (days^2 per type
+    after the one data-sized daily rollup), the Theil-Sen bounding
+    argument exactly."""
+    ev = load_table(spark, "events", sf_dir).select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("x").alias("x1")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("d2"), F.col("x").alias("x2")
+    )
+    walsh = (
+        a.join(b, "event_type")
+        .where(F.col("d1") <= F.col("d2"))
+        .select(
+            "event_type",
+            "d1",
+            "d2",
+            ((F.col("x1") + F.col("x2")) / F.lit(2.0)).alias("w"),
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("w", "d1", "d2")
+    w_all = Window.partitionBy("event_type")
+    ranked = walsh.select(
+        "event_type",
+        "w",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+    )
+    mids = ranked.where(
+        (F.col("rn") == F.expr("(m + 1) div 2"))
+        | (F.col("rn") == F.expr("m div 2 + 1"))
+    )
+    hl = mids.groupBy("event_type").agg(
+        F.round(F.avg("w"), 6).alias("hl_center"),
+        F.max("m").cast("long").alias("n_pairs"),
+    )
+    med = daily.groupBy("event_type").agg(
+        F.round(F.median("x"), 6).alias("plain_median"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    return (
+        hl.join(med, "event_type")
+        .select("event_type", "n_days", "n_pairs", "hl_center", "plain_median")
+        .orderBy("event_type")
+    )
+
+
+QUERIES["stats_hodges_lehmann_daily"] = stats_hodges_lehmann_daily
+ORACLE_SQL["stats_hodges_lehmann_daily"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+    walsh AS (
+        SELECT a.event_type, a.day AS d1, b.day AS d2,
+               (a.x + b.x) / 2.0 AS w
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day <= b.day),
+    ranked AS (
+        SELECT event_type, w,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY w, d1, d2) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+        FROM walsh),
+    hl AS (
+        SELECT event_type,
+               ROUND(AVG(w), 6) AS hl_center,
+               CAST(MAX(m) AS BIGINT) AS n_pairs
+        FROM ranked
+        WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+        GROUP BY 1),
+    med AS (
+        SELECT event_type,
+               ROUND(MEDIAN(x), 6) AS plain_median,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1)
+    SELECT h.event_type, m.n_days, h.n_pairs, h.hl_center, m.plain_median
+    FROM hl h JOIN med m USING (event_type)
+    ORDER BY h.event_type
+"""

@@ -2039,3 +2039,108 @@ ORACLE_SQL["embeddings_mahalanobis_outliers"] = """
     ORDER BY maha_score DESC, vec_id
     LIMIT 20
 """
+
+
+#: leave-one-out k-NN eval: pinned query block and neighborhood size
+KNN_LOO_QUERIES = 16
+KNN_LOO_K = 5
+
+
+def sim_knn_loo_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN leave-one-out label prediction over the embedding corpus:
+    for each of the first 16 vectors, the 5 nearest neighbors by
+    cosine (self excluded) vote on its label — the standard
+    embedding-quality smoke test (a good representation should be
+    locally label-pure; cf. the linear/knn probes used to audit
+    representation collapse).  Complements ``ann_recall_audit`` (which
+    audits the INDEX against brute force) by auditing the EMBEDDINGS
+    against their labels.
+
+    Determinism: rank key is (rounded cosine desc, vec_id); the vote
+    is (count desc, label asc) — every tie broken on an integer.
+
+    Scale: the query block broadcasts (bounded by construction); the
+    corpus side streams through the scan exactly as
+    ``cosine_topk_bruteforce`` — and at production scale the corpus arm
+    swaps to the registered IVF/LSH probe joins, which is what
+    ``ann_recall_audit`` prices."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "embeddings", sf_dir)
+    base = e.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("norm")
+    )
+    queries = base.filter(F.col("vec_id") < KNN_LOO_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_norm") * F.col("norm")
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    neighbors = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "q_label", "label", "vec_id",
+            F.round(cos, 6).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= KNN_LOO_K)
+    )
+    votes = neighbors.groupBy("q_id", "q_label", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w_vote = Window.partitionBy("q_id").orderBy(
+        F.desc("votes"), F.col("label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select(
+            "q_id",
+            F.col("q_label").cast("long").alias("label_true"),
+            F.col("label").cast("long").alias("label_pred"),
+            F.col("votes").cast("long").alias("votes"),
+            (F.col("label") == F.col("q_label")).cast("long").alias("correct"),
+        )
+        .orderBy("q_id")
+    )
+
+
+QUERIES["sim_knn_loo_classify"] = sim_knn_loo_classify
+
+ORACLE_SQL["sim_knn_loo_classify"] = f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+        FROM embeddings WHERE vec_id < {KNN_LOO_QUERIES}),
+    scored AS (
+        SELECT q.q_id, q.q_label, e.label, e.vec_id,
+               ROUND({_cos_sql('q.q_emb', 'e.embedding')}, 6) AS cosine
+        FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+    ranked AS (
+        SELECT q_id, q_label, label,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored),
+    votes AS (
+        SELECT q_id, q_label, label, CAST(COUNT(*) AS BIGINT) AS votes
+        FROM ranked WHERE rnk <= {KNN_LOO_K}
+        GROUP BY 1, 2, 3),
+    pick AS (
+        SELECT q_id, q_label, label, votes,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY votes DESC, label) AS vr
+        FROM votes)
+    SELECT q_id,
+           CAST(q_label AS BIGINT) AS label_true,
+           CAST(label AS BIGINT) AS label_pred,
+           votes,
+           CAST(label = q_label AS BIGINT) AS correct
+    FROM pick WHERE vr = 1
+    ORDER BY q_id
+"""

@@ -2483,3 +2483,107 @@ ORACLE_SQL["eval_mrr_recall_bm25"] = f"""
                AS recall_at_10
     FROM first_rel CROSS JOIN nrel
 """.replace("{bm25}", ORACLE_SQL["text_bm25_topk"])
+
+
+#: Good-Turing count-of-counts table depth (frequency classes 1..10)
+GT_MAX_R = 10
+
+
+def text_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency smoothing over the corpus word-4-gram
+    vocabulary: the count-of-counts table N_r and the adjusted count
+    r* = (r+1) N_{r+1} / N_r for frequency classes r = 1..10 — the
+    classical LM mass-reallocation estimate (Good '53; the
+    Katz-backoff ingredient) that complements the add-one smoothing
+    the bigram-surprisal query uses and the stupid backoff the trigram
+    LM uses.  ``p_unseen = N_1 / N`` (the GT unseen-mass estimate)
+    rides along; a healthy tail shows N_1 >> N_2 >> N_3 and r* < r.
+    4-grams, not unigrams, because GT lives where the singleton tail
+    is — this fixture's unigram vocabulary is tiny and saturated
+    (every token appears 26+ times; classes 1..10 would be empty),
+    while its 4-gram types are ~94% singletons, the textbook regime.
+
+    All quantities are exact BIGINTs (gram counts, class counts)
+    with one division per presented ratio — engine-exact before the
+    6-dp round.  A missing class r+1 yields r* = 0 via the left join,
+    identically on both engines.
+
+    Scale: one gram explode -> gram-keyed count, then a
+    count-of-counts rollup whose key space is the tiny frequency
+    domain; the presented table is GT_MAX_R rows at any corpus size
+    (at 100 TB the gram key becomes xxhash64 — the decontaminate
+    convention — since only its equality matters here)."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(toks) >= 4, F.sequence(F.lit(0), F.size(toks) - 4)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = d.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda j: F.concat_ws(
+                    " ", toks[j], toks[j + 1], toks[j + 2], toks[j + 3]
+                ),
+            )
+        ).alias("gram")
+    )
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("r"))
+    coc = freq.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    total = freq.agg(F.sum("r").alias("n_tokens"))
+    nxt = coc.select(
+        (F.col("r") - F.lit(1)).alias("r"), F.col("n_r").alias("n_next")
+    )
+    base = (
+        coc.join(nxt, "r", "left")
+        .fillna(0, subset=["n_next"])
+        .filter(F.col("r") <= GT_MAX_R)
+        .crossJoin(F.broadcast(total))
+    )
+    n1 = F.max(F.when(F.col("r") == 1, F.col("n_r"))).over(
+        Window.partitionBy()
+    )
+    return (
+        base.select(
+            F.col("r").cast("long").alias("r"),
+            F.col("n_r").cast("long").alias("n_r"),
+            F.col("n_next").cast("long").alias("n_next"),
+            F.round(
+                ((F.col("r") + F.lit(1)) * F.col("n_next")) / F.col("n_r"), 6
+            ).alias("r_star"),
+            F.round(n1 / F.col("n_tokens"), 6).alias("p_unseen"),
+        )
+        .orderBy("r")
+    )
+
+
+QUERIES["text_good_turing_smoothing"] = text_good_turing_smoothing
+
+ORACLE_SQL["text_good_turing_smoothing"] = f"""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS a FROM documents),
+    grams AS (
+        SELECT a[i] || ' ' || a[i + 1] || ' ' || a[i + 2]
+                    || ' ' || a[i + 3] AS gram
+        FROM toks, UNNEST(generate_series(1, LEN(a) - 3)) AS s(i)),
+    freq AS (
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS r
+        FROM grams GROUP BY 1),
+    coc AS (
+        SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM freq GROUP BY 1),
+    tot AS (SELECT CAST(SUM(r) AS BIGINT) AS n_tokens FROM freq),
+    base AS (
+        SELECT c.r, c.n_r,
+               CAST(COALESCE(nx.n_r, 0) AS BIGINT) AS n_next,
+               t.n_tokens
+        FROM coc c
+        LEFT JOIN coc nx ON nx.r = c.r + 1
+        CROSS JOIN tot t
+        WHERE c.r <= {GT_MAX_R})
+    SELECT r, n_r, n_next,
+           ROUND(((r + 1) * n_next) / n_r, 6) AS r_star,
+           ROUND(MAX(CASE WHEN r = 1 THEN n_r END) OVER ()
+                 / n_tokens, 6) AS p_unseen
+    FROM base
+    ORDER BY r
+"""

@@ -2730,3 +2730,397 @@ ORACLE_SQL["ts_stl_residual_outliers"] = f"""
     ORDER BY abs_z DESC, event_type, hb
     LIMIT 20
 """
+
+
+#: Candidate cycle lengths (hours) probed by the DFT periodogram:
+#: quarter-day through weekly.  A fixed, calendar-motivated grid keeps
+#: the spectrum oracle-expressible (one unpivot arm per period) and is
+#: what a monitoring pipeline actually asks ("is there a daily cycle?"),
+#: not a full FFT bin sweep.
+PERIODOGRAM_PERIODS = (6, 8, 12, 24, 84, 168)
+_TWO_PI = 6.283185307179586
+
+
+def ts_periodogram_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier periodogram of the hourly event-count series
+    per event type at six calendar periods (6 h .. weekly): the
+    frequency-domain twin of ``ts_acf_hourly``'s lag-domain seasonality
+    probe.  For period P the spectral mass is
+    ``power = C^2 + S^2`` with ``C = sum_t (x_t - mean) cos(2 pi t/P)``
+    (and S the sine sum), presented as the FRACTION of total variance
+    at that line, ``n (C/n)^2 + (S/n)^2) / sum (x-mean)^2`` — the
+    quantity a seasonality detector thresholds.  The dominant period
+    per series is flagged.
+
+    Determinism: the trig sums are ORDER-SENSITIVE float folds, so both
+    engines fold the SAME t-ordered array left-to-right
+    (``F.aggregate`` here, ``LIST_REDUCE`` in the oracle — the Croston
+    convention), normalize by n, and round to the 6-decimal canon grid
+    BEFORE squaring; the variance denominator is assembled from exact
+    BIGINT moments (n, s, q) by one fixed-order expression.  Remaining
+    cross-engine risk is libm cos/sin ulps, ~1e-13 relative after the
+    /n normalization — far inside the rounding grid.
+
+    Scale: ONE data-sized aggregation (events -> hourly counts, map-side
+    combinable); the dense grid and the per-type fold arrays are
+    calendar-bounded (hours x types, never event-count-sized), exactly
+    the ``ts_acf_hourly`` argument."""
+    hourly = (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    global_bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(global_bounds))
+        .select(
+            "event_type",
+            "h0",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+        )
+    )
+    dense = (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .fillna(0, subset=["x"])
+        .select(
+            "event_type",
+            F.expr("timestampdiff(HOUR, h0, h)").cast("long").alias("t"),
+            "x",
+        )
+    )
+    arr = dense.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("t").alias("t"), F.col("x").alias("x")))
+        ).alias("sv"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    mean = F.col("s") / F.col("n")
+
+    def _fold(trig, period):
+        return F.round(
+            F.aggregate(
+                "sv",
+                F.lit(0.0),
+                lambda acc, e: acc
+                + (e["x"].cast("double") - mean)
+                * trig(
+                    F.lit(_TWO_PI) * e["t"].cast("double") / F.lit(float(period))
+                ),
+            )
+            / F.col("n"),
+            6,
+        )
+
+    wide = arr.select(
+        "event_type",
+        "n",
+        "s",
+        "q",
+        *[
+            c
+            for P in PERIODOGRAM_PERIODS
+            for c in (
+                _fold(F.cos, P).alias(f"c{P}"),
+                _fold(F.sin, P).alias(f"s{P}"),
+            )
+        ],
+    )
+    varsum = F.col("q") - mean * F.col("s")
+    pf = wide.select(
+        "event_type",
+        "n",
+        *[
+            F.round(
+                (
+                    F.col("n")
+                    * (
+                        F.col(f"c{P}") * F.col(f"c{P}")
+                        + F.col(f"s{P}") * F.col(f"s{P}")
+                    )
+                )
+                / varsum,
+                6,
+            ).alias(f"pf{P}")
+            for P in PERIODOGRAM_PERIODS
+        ],
+    )
+    stack_args = ", ".join(f"{P}, pf{P}" for P in PERIODOGRAM_PERIODS)
+    long = pf.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.expr(
+            f"stack({len(PERIODOGRAM_PERIODS)}, {stack_args})"
+            " AS (period_hours, power_frac)"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w_dom = Window.partitionBy("event_type").orderBy(
+        F.desc("power_frac"), "period_hours"
+    )
+    return (
+        long.select(
+            "event_type",
+            F.col("period_hours").cast("long").alias("period_hours"),
+            "power_frac",
+            (F.row_number().over(w_dom) == 1).cast("long").alias("is_dominant"),
+            "n_hours",
+        )
+        .orderBy("event_type", "period_hours")
+    )
+
+
+QUERIES["ts_periodogram_dft"] = ts_periodogram_dft
+
+
+def _periodogram_sql() -> str:
+    """Mirror of ts_periodogram_dft: LIST_REDUCE left folds over the
+    same t-ordered arrays, /n normalization and 6-dp rounding before
+    squaring, exact-BIGINT variance denominator."""
+    fold_cols = ",\n               ".join(
+        f"ROUND(LIST_REDUCE(LIST_TRANSFORM(generate_series(1, LEN(xs)),"
+        f" i -> (xs[i] - s * 1.0 / n) * {trig}("
+        f"6.283185307179586 * ts_[i] / {P}.0)),"
+        f" (a, b) -> a + b) / n, 6) AS {pre}{P}"
+        for P in PERIODOGRAM_PERIODS
+        for trig, pre in (("COS", "c"), ("SIN", "s"))
+    )
+    pf_cols = ",\n               ".join(
+        f"ROUND((n * (c{P} * c{P} + s{P} * s{P}))"
+        f" / (q - (s * 1.0 / n) * s), 6) AS pf{P}"
+        for P in PERIODOGRAM_PERIODS
+    )
+    unpivot = "\n            UNION ALL\n            ".join(
+        f"SELECT event_type, n, {P} AS period_hours, pf{P} AS power_frac"
+        f" FROM pf"
+        for P in PERIODOGRAM_PERIODS
+    )
+    return f"""
+        WITH hourly AS (
+            SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+        bnds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+        grid AS (
+            SELECT t.event_type, b.h0,
+                   UNNEST(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+            FROM (SELECT DISTINCT event_type FROM hourly) t
+            CROSS JOIN bnds b),
+        dense AS (
+            SELECT g.event_type,
+                   CAST(DATE_DIFF('hour', g.h0, g.h) AS BIGINT) AS t,
+                   COALESCE(hourly.x, 0) AS x
+            FROM grid g LEFT JOIN hourly
+              ON hourly.event_type = g.event_type AND hourly.h = g.h),
+        arr AS (
+            SELECT event_type,
+                   LIST(CAST(t AS DOUBLE) ORDER BY t) AS ts_,
+                   LIST(CAST(x AS DOUBLE) ORDER BY t) AS xs,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS q
+            FROM dense GROUP BY 1),
+        wide AS (
+            SELECT event_type, n, s, q,
+               {fold_cols}
+            FROM arr),
+        pf AS (
+            SELECT event_type, n, s, q,
+               {pf_cols}
+            FROM wide),
+        longf AS (
+            {unpivot})
+        SELECT event_type,
+               CAST(period_hours AS BIGINT) AS period_hours,
+               power_frac,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY power_frac DESC,
+                                                period_hours) = 1
+                    AS BIGINT) AS is_dominant,
+               CAST(n AS BIGINT) AS n_hours
+        FROM longf
+        ORDER BY event_type, period_hours
+    """
+
+
+ORACLE_SQL["ts_periodogram_dft"] = _periodogram_sql()
+
+#: Ljung-Box portmanteau lag span (consecutive 1..12 h) and the
+#: chi-square 95th-percentile critical value at 12 degrees of freedom.
+LB_MAX_LAG = 12
+LB_CHI2_95_DF12 = 21.0261
+
+
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau white-noise test on the hourly event-count
+    series per event type: Q = n(n+2) sum_{k=1..12} r_k^2 / (n-k),
+    the standard "is there ANY autocorrelation in the first m lags?"
+    omnibus that complements ``ts_acf_hourly``'s per-lag view (and is
+    the residual-whiteness gate a forecaster like ``ts_holt_linear``
+    should pass before its intervals are trusted).  Rejection is
+    against the fixed chi-square(12) 95% critical value, carried as a
+    literal in both engines.
+
+    Determinism: identical exact-BIGINT moment pipeline as
+    ``ts_acf_hourly`` (per-lag P/A/B sums over the dense grid), each
+    r_k rounded to the 6-dp canon grid first, then ONE fixed-order
+    left-to-right chain of the twelve r_k^2/(n-k) terms — no unordered
+    float aggregation anywhere.
+
+    Scale: one data-sized groupBy to hourly counts; the 12-lag window
+    and moment rollup run on the calendar-bounded grid, sharing a
+    single per-type sort."""
+    hourly = (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    global_bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(global_bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+        )
+    )
+    dense = grid.join(hourly, ["event_type", "h"], "left").fillna(
+        0, subset=["x"]
+    )
+    from pyspark.sql import Window
+
+    lags = range(1, LB_MAX_LAG + 1)
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = dense.select(
+        "event_type",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"l{k}") for k in lags],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    ]
+    for k in lags:
+        aggs += [
+            F.sum(F.col("x") * F.col(f"l{k}")).alias(f"p{k}"),
+            F.sum(F.when(F.col(f"l{k}").isNotNull(), F.col("x"))).alias(
+                f"a{k}"
+            ),
+            F.sum(f"l{k}").alias(f"b{k}"),
+        ]
+    st = lagged.groupBy("event_type").agg(*aggs)
+    mean = F.col("s") / F.col("n")
+    den = F.col("q") - mean * F.col("s")
+    rks = st.select(
+        "event_type",
+        "n",
+        *[
+            F.round(
+                (
+                    F.col(f"p{k}")
+                    - mean * (F.col(f"a{k}") + F.col(f"b{k}"))
+                    + (F.col("n") - F.lit(k)) * mean * mean
+                )
+                / den,
+                6,
+            ).alias(f"r{k}")
+            for k in lags
+        ],
+    )
+    chain = None
+    for k in lags:
+        term = (F.col(f"r{k}") * F.col(f"r{k}")) / (F.col("n") - F.lit(k))
+        chain = term if chain is None else chain + term
+    q_stat = F.round((F.col("n") * (F.col("n") + F.lit(2))) * chain, 6)
+    return (
+        rks.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_hours"),
+            F.lit(LB_MAX_LAG).cast("long").alias("m_lags"),
+            q_stat.alias("q_stat"),
+            (q_stat > F.lit(LB_CHI2_95_DF12)).cast("long").alias(
+                "white_noise_rejected"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["ts_ljung_box"] = ts_ljung_box
+
+
+def _ljung_box_sql() -> str:
+    """Mirror of ts_ljung_box: the ts_acf_hourly moment CTEs widened to
+    twelve consecutive lags, each r_k rounded to 6 dp, then one
+    left-to-right term chain — fixed evaluation order in both engines."""
+    lags = range(1, LB_MAX_LAG + 1)
+    lag_cols = ",\n                   ".join(
+        f"LAG(x, {k}) OVER w AS l{k}" for k in lags
+    )
+    moment_cols = ",\n                   ".join(
+        f"CAST(SUM(x * l{k}) AS BIGINT) AS p{k},\n"
+        f"                   CAST(SUM(CASE WHEN l{k} IS NOT NULL "
+        f"THEN x END) AS BIGINT) AS a{k},\n"
+        f"                   CAST(SUM(l{k}) AS BIGINT) AS b{k}"
+        for k in lags
+    )
+    rk_cols = ",\n                   ".join(
+        f"ROUND((p{k} - (s * 1.0 / n) * (a{k} + b{k})"
+        f" + (n - {k}) * (s * 1.0 / n) * (s * 1.0 / n))"
+        f" / (q - (s * 1.0 / n) * s), 6) AS r{k}"
+        for k in lags
+    )
+    chain = " + ".join(f"(r{k} * r{k}) / (n - {k})" for k in lags)
+    return f"""
+        WITH hourly AS (
+            SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+        bnds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+        grid AS (
+            SELECT t.event_type, g.h
+            FROM (SELECT DISTINCT event_type FROM hourly) t
+            CROSS JOIN (SELECT UNNEST(generate_series(h0, h1,
+                                      INTERVAL 1 HOUR)) AS h
+                        FROM bnds) g),
+        dense AS (
+            SELECT grid.event_type, grid.h, COALESCE(hourly.x, 0) AS x
+            FROM grid LEFT JOIN hourly
+              ON hourly.event_type = grid.event_type
+             AND hourly.h = grid.h),
+        lagged AS (
+            SELECT event_type, x,
+                   {lag_cols}
+            FROM dense
+            WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        st AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS q,
+                   {moment_cols}
+            FROM lagged GROUP BY 1),
+        rks AS (
+            SELECT event_type, n,
+                   {rk_cols}
+            FROM st)
+        SELECT event_type,
+               n AS n_hours,
+               CAST({LB_MAX_LAG} AS BIGINT) AS m_lags,
+               ROUND((n * (n + 2)) * ({chain}), 6) AS q_stat,
+               CAST(ROUND((n * (n + 2)) * ({chain}), 6)
+                    > {LB_CHI2_95_DF12} AS BIGINT) AS white_noise_rejected
+        FROM rks
+        ORDER BY event_type
+    """
+
+
+ORACLE_SQL["ts_ljung_box"] = _ljung_box_sql()

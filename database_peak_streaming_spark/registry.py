@@ -199,6 +199,17 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "ab_bandit_ucb",
     "graph_modularity",
     "eval_mrr_recall_bm25",
+    "ts_periodogram_dft",
+    "ts_ljung_box",
+    "graph_clustering_coefficient",
+    "sim_knn_loo_classify",
+    "model_isotonic_calibration",
+    "stats_friedman_test",
+    "model_lift_gains_deciles",
+    "graph_hits_hub_authority",
+    "text_good_turing_smoothing",
+    "stats_cochran_armitage_trend",
+    "stats_hodges_lehmann_daily",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -1,0 +1,336 @@
+"""Invariant tests for the round-9 second batch (DFT periodogram,
+Ljung-Box, local clustering coefficient, k-NN LOO eval, isotonic
+calibration, Friedman test, lift/gains deciles).
+
+Hash-vs-DuckDB equivalence is covered by tests/test_differential.py;
+these pin the semantics the value hash hides — agreement with an
+independent numpy/pandas computation of the same statistic, plus the
+structural invariants (monotone PAV fit, lift-table identities).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from database_peak_streaming_spark.registry import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _table(name: str) -> pd.DataFrame:
+    return pq.read_table(f"{SF_DIR}/{name}.parquet").to_pandas()
+
+
+def _dense_hourly() -> dict[str, np.ndarray]:
+    """Dense per-type hourly count series over the global hour span."""
+    ev = _table("events")
+    ev["h"] = pd.to_datetime(ev["ts"]).dt.floor("h")
+    h0, h1 = ev["h"].min(), ev["h"].max()
+    idx = pd.date_range(h0, h1, freq="h")
+    out = {}
+    for etype, g in ev.groupby("event_type"):
+        counts = g.groupby("h").size().reindex(idx, fill_value=0)
+        out[etype] = counts.to_numpy(dtype=float)
+    return out
+
+
+def test_periodogram_matches_numpy(spark):
+    """DFT line powers == direct numpy trig sums on the same dense
+    series (to rounding), and exactly one dominant flag per type."""
+    rows = QUERIES["ts_periodogram_dft"](spark, SF_DIR).collect()
+    assert rows
+    series = _dense_hourly()
+    dom_count: dict[str, int] = {}
+    for r in rows:
+        x = series[r.event_type]
+        n = len(x)
+        assert r.n_hours == n
+        t = np.arange(n, dtype=float)
+        xc = x - x.mean()
+        w = 2.0 * math.pi * t / r.period_hours
+        c = round(float((xc * np.cos(w)).sum()) / n, 6)
+        s = round(float((xc * np.sin(w)).sum()) / n, 6)
+        expect = n * (c * c + s * s) / float((xc * xc).sum())
+        assert abs(r.power_frac - expect) < 1e-5, (r, expect)
+        assert 0.0 <= r.power_frac <= 1.0 + 1e-9
+        dom_count[r.event_type] = dom_count.get(r.event_type, 0) + r.is_dominant
+    assert all(v == 1 for v in dom_count.values())
+
+
+def test_ljung_box_matches_numpy(spark):
+    """Q statistic == the textbook n(n+2) sum r_k^2/(n-k) computed by
+    numpy from the same dense series with 6dp-rounded r_k."""
+    rows = QUERIES["ts_ljung_box"](spark, SF_DIR).collect()
+    assert rows
+    series = _dense_hourly()
+    for r in rows:
+        x = series[r.event_type]
+        n = len(x)
+        assert r.n_hours == n and r.m_lags == 12
+        xc = x - x.mean()
+        den = float((xc * xc).sum())
+        q = 0.0
+        for k in range(1, 13):
+            rk = round(float((xc[k:] * xc[:-k]).sum()) / den, 6)
+            q += rk * rk / (n - k)
+        q *= n * (n + 2)
+        assert abs(r.q_stat - q) < 1e-4, (r, q)
+        assert r.white_noise_rejected == int(r.q_stat > 21.0261)
+
+
+def test_clustering_coefficient_matches_bruteforce(spark):
+    """Top-20 per-node triangle counts and cc == brute-force adjacency
+    sets on the same part co-occurrence graph."""
+    rows = QUERIES["graph_clustering_coefficient"](spark, SF_DIR).collect()
+    assert rows
+    li = _table("lineitem")[["l_orderkey", "l_partkey"]].drop_duplicates()
+    adj: dict[int, set[int]] = {}
+    for _, g in li.groupby("l_orderkey"):
+        parts = sorted(g["l_partkey"].unique())
+        for i, u in enumerate(parts):
+            for v in parts[i + 1 :]:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+    tri = {
+        node: sum(len(adj[node] & adj[nbr]) for nbr in nbrs) // 2
+        for node, nbrs in adj.items()
+    }
+    expect = sorted(
+        ((t, node) for node, t in tri.items() if t > 0),
+        key=lambda p: (-p[0], p[1]),
+    )[:20]
+    got = [(r.n_triangles, r.partkey) for r in rows]
+    assert got == expect
+    for r in rows:
+        d = len(adj[r.partkey])
+        assert r.degree == d
+        assert abs(r.local_cc - round(2.0 * r.n_triangles / (d * (d - 1)), 6)) < 1e-9
+        assert 0.0 <= r.local_cc <= 1.0
+
+
+def test_knn_loo_matches_numpy(spark):
+    """5-NN majority vote == numpy cosine ranking with the same
+    (rounded cosine desc, vec_id) and (votes desc, label) tie-breaks."""
+    rows = QUERIES["sim_knn_loo_classify"](spark, SF_DIR).collect()
+    assert len(rows) == 16
+    emb = _table("embeddings")
+    vecs = np.stack(emb["embedding"].to_numpy())
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    by_id = {int(i): k for k, i in enumerate(ids)}
+    for r in rows:
+        qi = by_id[r.q_id]
+        cos = np.round((vecs @ vecs[qi]) / (norms * norms[qi]), 6)
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != r.q_id),
+            key=lambda i: (-cos[i], ids[i]),
+        )[:5]
+        votes: dict[int, int] = {}
+        for i in order:
+            votes[int(labels[i])] = votes.get(int(labels[i]), 0) + 1
+        pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert r.label_pred == pred[0] and r.votes == pred[1], r
+        assert r.label_true == int(labels[qi])
+        assert r.correct == int(r.label_pred == r.label_true)
+
+
+def _pav_pool(w: list[int], y: list[int]) -> list[float]:
+    """Classic stack-based pool-adjacent-violators on weighted bins."""
+    blocks: list[list[float]] = []  # [sum_y, sum_w]
+    for wi, yi in zip(w, y):
+        blocks.append([float(yi), float(wi)])
+        while (
+            len(blocks) > 1
+            and blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+    out: list[float] = []
+    i = 0
+    for sy, sw in blocks:
+        acc = 0.0
+        members = 0
+        while acc < sw - 1e-9:
+            acc += w[i]
+            i += 1
+            members += 1
+        out.extend([sy / sw] * members)
+    return out
+
+
+def test_isotonic_matches_stack_pav(spark):
+    """The minimax closed form == the classic iterative PAV pooling,
+    and the fit is monotone non-decreasing."""
+    rows = QUERIES["model_isotonic_calibration"](spark, SF_DIR).collect()
+    assert rows
+    w = [r.n for r in rows]
+    y = [int(round(r.frac_positive * r.n)) for r in rows]
+    expect = _pav_pool(w, y)
+    prev = -1.0
+    for r, e in zip(rows, expect):
+        assert abs(r.iso_prob - round(e, 6)) < 1e-9, (r, e)
+        assert r.iso_prob >= prev - 1e-12
+        prev = r.iso_prob
+
+
+def test_friedman_matches_pandas(spark):
+    """Q == the tie-corrected formula on pandas average ranks."""
+    [r] = QUERIES["stats_friedman_test"](spark, SF_DIR).collect()
+    ev = _table("events")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    daily = ev.groupby(["day", "event_type"]).size().unstack()
+    daily = daily.dropna()  # complete blocks only
+    n, k = daily.shape
+    assert r.n_blocks == n and r.k_treatments == k
+    ranks = daily.rank(axis=1, method="average")
+    rj = ranks.sum(axis=0).to_numpy()
+    rsq = float((ranks**2).to_numpy().sum())
+    num = float(((rj - n * (k + 1) / 2.0) ** 2).sum())
+    q = (k - 1) * num / (rsq - n * k * (k + 1) ** 2 / 4.0)
+    assert abs(r.q_stat - q) < 1e-4, (r.q_stat, q)
+    assert r.rejected_95 == int(r.q_stat > 9.4877)
+
+
+def test_lift_gains_matches_pandas(spark):
+    """Decile table == pandas replication of NTILE + cumulative
+    ratios; lift is a weighted-monotone summary ending at exactly 1."""
+    rows = QUERIES["model_lift_gains_deciles"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    o = _table("orders")
+    score = np.round(
+        1.0 / (1.0 + np.exp(-(0.35 * np.log1p(o["o_totalprice"]) - 2.0))), 6
+    )
+    label = o["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).astype(int)
+    df = pd.DataFrame(
+        {"key": o["o_orderkey"], "score": score, "label": label}
+    ).sort_values(["score", "key"], ascending=[False, True])
+    nrows = len(df)
+    base, extra = divmod(nrows, 10)
+    sizes = [base + (1 if i < extra else 0) for i in range(10)]
+    pos = df["label"].to_numpy()
+    tot_pos = int(pos.sum())
+    start = 0
+    cum_n = cum_pos = 0
+    for r, sz in zip(rows, sizes):
+        seg = pos[start : start + sz]
+        start += sz
+        cum_n += sz
+        cum_pos += int(seg.sum())
+        assert r.n == sz and r.n_pos == int(seg.sum()), r
+        assert r.cum_pos == cum_pos
+        assert abs(r.gain - round(cum_pos / tot_pos, 6)) < 1e-9
+        assert abs(r.lift - round(cum_pos * nrows / (tot_pos * cum_n), 6)) < 1e-9
+    assert rows[-1].gain == 1.0 and rows[-1].lift == 1.0
+
+
+def test_hits_matches_python(spark):
+    """Two unnormalized HITS iterations == a dict-based replication;
+    integer raw scores, per-role max normalization."""
+    rows = QUERIES["graph_hits_hub_authority"](spark, SF_DIR).collect()
+    assert rows
+    o = _table("orders")[["o_orderkey", "o_custkey"]]
+    li = _table("lineitem")[["l_orderkey", "l_suppkey"]]
+    e = (
+        o.merge(li, left_on="o_orderkey", right_on="l_orderkey")[
+            ["o_custkey", "l_suppkey"]
+        ]
+        .drop_duplicates()
+        .to_numpy()
+    )
+    a1: dict[int, int] = {}
+    for c, s in e:
+        a1[s] = a1.get(s, 0) + 1
+    h1: dict[int, int] = {}
+    for c, s in e:
+        h1[c] = h1.get(c, 0) + a1[s]
+    a2: dict[int, int] = {}
+    for c, s in e:
+        a2[s] = a2.get(s, 0) + h1[c]
+    h2: dict[int, int] = {}
+    for c, s in e:
+        h2[c] = h2.get(c, 0) + a2[s]
+    for role, table in (("hub", h2), ("authority", a2)):
+        expect = sorted(table.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        mx = max(table.values())
+        got = [r for r in rows if r.role == role]
+        assert [(r.node, r.raw_score) for r in got] == expect
+        for r, (node, raw) in zip(got, expect):
+            assert abs(r.score - round(raw / mx, 6)) < 1e-9
+        assert got[0].score == 1.0
+
+
+def test_good_turing_matches_counter(spark):
+    """4-gram count-of-counts table == collections.Counter replication;
+    the singleton class dominates (the regime GT exists for) and r* < r
+    on the singleton class."""
+    from collections import Counter
+
+    rows = QUERIES["text_good_turing_smoothing"](spark, SF_DIR).collect()
+    assert rows and rows[0].r == 1
+    d = _table("documents")
+    freq: Counter = Counter()
+    for txt in d["text"]:
+        t = txt.split(" ")
+        for i in range(len(t) - 3):
+            freq[" ".join(t[i : i + 4])] += 1
+    coc = Counter(freq.values())
+    n_tokens = sum(freq.values())
+    for r in rows:
+        assert r.n_r == coc[r.r], r
+        assert r.n_next == coc.get(r.r + 1, 0)
+        assert abs(r.r_star - round((r.r + 1) * r.n_next / r.n_r, 6)) < 1e-9
+        assert abs(r.p_unseen - round(coc[1] / n_tokens, 6)) < 1e-9
+    assert rows[0].n_r > sum(r.n_r for r in rows[1:])  # singleton-heavy
+    assert rows[0].r_star < 1.0
+
+
+def test_cochran_armitage_matches_numpy(spark):
+    """Z == the textbook formula computed by numpy on day cells."""
+    [r] = QUERIES["stats_cochran_armitage_trend"](spark, SF_DIR).collect()
+    ev = _table("events")
+    day = pd.to_datetime(ev["ts"]).dt.day.to_numpy()
+    pos = (ev["event_type"] == "purchase").to_numpy().astype(int)
+    days = np.unique(day)
+    n_i = np.array([(day == s).sum() for s in days], dtype=float)
+    r_i = np.array([pos[day == s].sum() for s in days], dtype=float)
+    n, rr = n_i.sum(), r_i.sum()
+    a = float((days * r_i).sum())
+    b = float((days * n_i).sum())
+    c = float((days * days * n_i).sum())
+    z = (a - rr * b / n) / math.sqrt(
+        (rr * (n - rr) / n) * (c - b * b / n)
+    )
+    assert r.n_total == int(n) and r.n_pos == int(rr)
+    assert abs(r.z_trend - z) < 1e-4
+    assert r.rejected_95 == int(abs(r.z_trend) > 1.959964)
+
+
+def test_hodges_lehmann_matches_bruteforce(spark):
+    """HL center == brute-force median of all Walsh averages."""
+    rows = QUERIES["stats_hodges_lehmann_daily"](spark, SF_DIR).collect()
+    assert rows
+    ev = _table("events")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    for r in rows:
+        x = (
+            ev[ev["event_type"] == r.event_type]
+            .groupby("day")
+            .size()
+            .to_numpy()
+        )
+        assert r.n_days == len(x)
+        w = sorted(
+            (x[i] + x[j]) / 2.0
+            for i in range(len(x))
+            for j in range(i, len(x))
+        )
+        m = len(w)
+        assert r.n_pairs == m
+        hl = (w[(m + 1) // 2 - 1] + w[m // 2]) / 2.0
+        assert abs(r.hl_center - round(hl, 6)) < 1e-9
+        assert abs(r.plain_median - float(np.median(x))) < 1e-9
