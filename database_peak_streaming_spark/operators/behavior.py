@@ -3023,3 +3023,100 @@ ORACLE_SQL["model_isotonic_calibration"] = f"""
     FROM cum c JOIN iso i ON i.bb = c.bin
     ORDER BY c.bin
 """
+
+
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy RATE of the first-order Markov chain over per-user event
+    sequences: H = -sum_i pi_i sum_j p_ij ln p_ij with the empirical
+    prev-state distribution as pi — the one-number predictability
+    summary of the transition matrix ``events_markov_transitions``
+    materializes (H near 0 = deterministic flows, H near ln(k) =
+    uniform wandering).  Emitted beside the stationary upper bound
+    ln(k) and the normalized efficiency H/ln(k), the metric an
+    anomaly-detection or session-model baseline reads first.
+
+    Identity used:  H = -sum_ij (c_ij/C) ln(c_ij/c_i.)  over exact
+    BIGINT transition counts (C = total transitions, c_i. = row
+    marginal) — the ``stats_mutual_information`` contingency
+    discipline; the <= k^2 = 25 float terms sum with ~1 ulp noise,
+    far inside the 6-dp round.
+
+    Scale: one user-keyed window shuffle for the lag pairs, one tiny
+    (prev, next) rollup; the statistic assembles on k^2 rows."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.partitionBy("prev_type")
+    wall = Window.partitionBy()
+    terms = trans.select(
+        F.col("c"),
+        F.sum("c").over(wr).alias("ci"),
+        F.sum("c").over(wall).alias("ctot"),
+        F.count(F.col("c")).over(wall).alias("n_cells"),
+    )
+    agg = terms.groupBy().agg(
+        F.max("ctot").alias("n_transitions"),
+        F.max("n_cells").alias("n_cells"),
+        F.sum(
+            (F.col("c") / F.col("ctot"))
+            * F.log(F.col("c") / F.col("ci"))
+        ).alias("neg_h"),
+    )
+    keys = load_table(spark, "events", sf_dir).agg(
+        F.countDistinct("event_type").alias("k")
+    )
+    h = -F.col("neg_h")
+    hmax = F.log(F.col("k").cast("double"))
+    return agg.crossJoin(F.broadcast(keys)).select(
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.col("k").cast("long").alias("k_states"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.round(h, 6).alias("entropy_rate_nats"),
+        F.round(hmax, 6).alias("max_entropy_nats"),
+        F.round(h / hmax, 6).alias("efficiency"),
+    )
+
+
+QUERIES["events_entropy_rate"] = events_entropy_rate
+
+ORACLE_SQL["events_entropy_rate"] = """
+    WITH seq AS (
+        SELECT event_type AS next_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    trans AS (
+        SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2),
+    terms AS (
+        SELECT c,
+               CAST(SUM(c) OVER (PARTITION BY prev_type) AS BIGINT) AS ci,
+               CAST(SUM(c) OVER () AS BIGINT) AS ctot,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_cells
+        FROM trans),
+    agg AS (
+        SELECT CAST(MAX(ctot) AS BIGINT) AS n_transitions,
+               CAST(MAX(n_cells) AS BIGINT) AS n_cells,
+               SUM((c / ctot) * LN(c / ci)) AS neg_h
+        FROM terms),
+    kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+           FROM events)
+    SELECT a.n_transitions,
+           kk.k AS k_states,
+           a.n_cells,
+           ROUND(-a.neg_h, 6) AS entropy_rate_nats,
+           ROUND(LN(kk.k), 6) AS max_entropy_nats,
+           ROUND(-a.neg_h / LN(kk.k), 6) AS efficiency
+    FROM agg a CROSS JOIN kk
+"""

@@ -1131,3 +1131,120 @@ ORACLE_SQL["stats_hodges_lehmann_daily"] = """
     FROM hl h JOIN med m USING (event_type)
     ORDER BY h.event_type
 """
+
+
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the per-type daily
+    volume series: days are signed above/below the per-type median
+    (equal-to-median days excluded, the standard convention), R = the
+    number of sign runs, and Z = (R - mu)/sigma with
+    mu = 2 n1 n2/(n1+n2) + 1 and
+    sigma^2 = 2 n1 n2 (2 n1 n2 - n1 - n2) / ((n1+n2)^2 (n1+n2-1)) —
+    the serial-dependence check that complements Ljung-Box's
+    magnitude-based view with a sign-based one (trend/clustering shows
+    up as too FEW runs, oscillation as too MANY).
+
+    Determinism: daily counts are exact BIGINTs, the median of longs
+    is an exact .0/.5 double, sign comparisons and the run count are
+    integers, and mu/sigma assemble from exact integers through one
+    fixed IEEE expression tree per type (sqrt correctly rounded).
+
+    Scale: one data-sized groupBy to (type, day); the sign/lag window
+    and the closed-form statistic run on the calendar-bounded grid."""
+    ev = load_table(spark, "events", sf_dir).select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    med = daily.groupBy("event_type").agg(F.median("x").alias("med"))
+    signed = (
+        daily.join(med, "event_type")
+        .filter(F.col("x") != F.col("med"))
+        .select(
+            "event_type",
+            "day",
+            (F.col("x") > F.col("med")).cast("int").alias("sgn"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    flagged = signed.select(
+        "event_type",
+        "sgn",
+        F.when(
+            F.lag("sgn").over(w).isNull()
+            | (F.lag("sgn").over(w) != F.col("sgn")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    g = flagged.groupBy("event_type").agg(
+        F.sum("new_run").alias("runs"),
+        F.sum("sgn").alias("n1"),
+        F.sum(F.lit(1) - F.col("sgn")).alias("n2"),
+    )
+    n = F.col("n1") + F.col("n2")
+    mu = (F.lit(2) * F.col("n1") * F.col("n2")) / n + F.lit(1)
+    var = (
+        F.lit(2)
+        * F.col("n1")
+        * F.col("n2")
+        * (F.lit(2) * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
+    ) / (n * n * (n - F.lit(1)))
+    z = F.round((F.col("runs") - mu) / F.sqrt(var), 6)
+    return (
+        g.select(
+            "event_type",
+            F.col("runs").cast("long").alias("n_runs"),
+            F.col("n1").cast("long").alias("n_above"),
+            F.col("n2").cast("long").alias("n_below"),
+            z.alias("z_runs"),
+            (F.abs(z) > F.lit(CA_Z_95)).cast("long").alias("rejected_95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["stats_runs_test"] = stats_runs_test
+ORACLE_SQL["stats_runs_test"] = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+    med AS (
+        SELECT event_type, MEDIAN(x) AS med FROM daily GROUP BY 1),
+    signed AS (
+        SELECT d.event_type, d.day,
+               CASE WHEN d.x > m.med THEN 1 ELSE 0 END AS sgn
+        FROM daily d JOIN med m USING (event_type)
+        WHERE d.x <> m.med),
+    flagged AS (
+        SELECT event_type, sgn,
+               CASE WHEN LAG(sgn) OVER w IS NULL
+                      OR LAG(sgn) OVER w <> sgn THEN 1 ELSE 0 END
+                   AS new_run
+        FROM signed
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    g AS (
+        SELECT event_type,
+               CAST(SUM(new_run) AS BIGINT) AS runs,
+               CAST(SUM(sgn) AS BIGINT) AS n1,
+               CAST(SUM(1 - sgn) AS BIGINT) AS n2
+        FROM flagged GROUP BY 1)
+    SELECT event_type,
+           runs AS n_runs,
+           n1 AS n_above,
+           n2 AS n_below,
+           ROUND((runs - ((2 * n1 * n2) / (n1 + n2) + 1))
+                 / SQRT((2 * n1 * n2 * (2 * n1 * n2 - n1 - n2))
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))), 6)
+               AS z_runs,
+           CAST(ABS(ROUND((runs - ((2 * n1 * n2) / (n1 + n2) + 1))
+                          / SQRT((2 * n1 * n2 * (2 * n1 * n2 - n1 - n2))
+                                 / ((n1 + n2) * (n1 + n2)
+                                    * (n1 + n2 - 1))), 6))
+                > {CA_Z_95} AS BIGINT) AS rejected_95
+    FROM g
+    ORDER BY event_type
+"""

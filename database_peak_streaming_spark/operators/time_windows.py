@@ -3124,3 +3124,200 @@ def _ljung_box_sql() -> str:
 
 
 ORACLE_SQL["ts_ljung_box"] = _ljung_box_sql()
+
+
+#: cross-correlation lags probed (hours; negative = x leads y)
+XCORR_LAGS = (-24, -12, -6, -3, -1, 0, 1, 3, 6, 12, 24)
+XCORR_X, XCORR_Y = "click", "purchase"
+
+
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the hourly click and purchase
+    count series: r_xy(k) over k in -24..+24 h — the LEAD-LAG detector
+    ("do clicks lead purchases, and by how much?") that the
+    single-series ACF (``ts_acf_hourly``) cannot answer, and the
+    time-domain justification for attribution windows
+    (``events_time_to_convert`` measures per-pair latency; this
+    measures population-level phase shift).  The peak lag is flagged.
+
+    Same exact-BIGINT moment discipline as the ACF: per lag,
+    P_k = sum x_t y_{t+k} plus the overlap boundary sums A_k/B_k are
+    exact integers over the dense grid; full-series means/variances
+    come from exact n/Sx/Qx/Sy/Qy; every float op is one fixed-order
+    expression per lag, identical in both engines.
+
+    Scale: one data-sized groupBy to hourly counts; the lag windows
+    and moment rollup run on the calendar-bounded two-column grid
+    (one sort serves every lag)."""
+    from pyspark.sql import Window
+
+    hourly = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type").isin(XCORR_X, XCORR_Y))
+        .select("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.sum((F.col("event_type") == XCORR_X).cast("long")).alias("xr"),
+            F.sum((F.col("event_type") == XCORR_Y).cast("long")).alias("yr"),
+        )
+    )
+    global_bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        global_bounds.select(
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+        )
+    )
+    dense = grid.join(hourly, ["h"], "left").fillna(0, subset=["xr", "yr"])
+    w = Window.orderBy("h")
+    shift_cols = []
+    for k in XCORR_LAGS:
+        yk = (
+            F.lead("yr", k).over(w) if k >= 0 else F.lag("yr", -k).over(w)
+        )
+        shift_cols.append(yk.alias(f"y{k}"))
+    lagged = dense.select("xr", "yr", *shift_cols)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xr").alias("sx"),
+        F.sum(F.col("xr") * F.col("xr")).alias("qx"),
+        F.sum("yr").alias("sy"),
+        F.sum(F.col("yr") * F.col("yr")).alias("qy"),
+    ]
+    for k in XCORR_LAGS:
+        yc = F.col(f"y{k}")
+        aggs += [
+            F.sum(F.col("xr") * yc).alias(f"p{k}"),
+            F.sum(F.when(yc.isNotNull(), F.col("xr"))).alias(f"a{k}"),
+            F.sum(yc).alias(f"b{k}"),
+        ]
+    st = lagged.groupBy().agg(*aggs)
+    mx = F.col("sx") / F.col("n")
+    my = F.col("sy") / F.col("n")
+    den = F.sqrt(
+        (F.col("qx") - mx * F.col("sx")) * (F.col("qy") - my * F.col("sy"))
+    )
+    def _suf(k: int) -> str:
+        return f"m{-k}" if k < 0 else str(k)
+
+    rks = st.select(
+        "n",
+        *[
+            F.round(
+                (
+                    F.col(f"p{k}")
+                    - mx * F.col(f"b{k}")
+                    - my * F.col(f"a{k}")
+                    + (F.col("n") - F.lit(abs(k))) * mx * my
+                )
+                / den,
+                6,
+            ).alias(f"r{_suf(k)}")
+            for k in XCORR_LAGS
+        ],
+    )
+    stack_args = ", ".join(f"{k}, r{_suf(k)}" for k in XCORR_LAGS)
+    long = rks.select(
+        F.col("n").cast("long").alias("n_hours"),
+        F.expr(
+            f"stack({len(XCORR_LAGS)}, {stack_args}) AS (lag_hours, xcorr)"
+        ),
+    )
+    w_peak = Window.partitionBy().orderBy(
+        F.desc("xcorr"), "lag_hours"
+    )
+    return (
+        long.select(
+            F.col("lag_hours").cast("long").alias("lag_hours"),
+            "xcorr",
+            (F.row_number().over(w_peak) == 1).cast("long").alias("is_peak"),
+            "n_hours",
+        )
+        .orderBy("lag_hours")
+    )
+
+
+QUERIES["ts_cross_correlation"] = ts_cross_correlation
+
+
+def _xcorr_sql() -> str:
+    """Mirror of ts_cross_correlation: same exact-moment expansion per
+    lag, same fixed-order float expressions."""
+    shift_cols = ",\n                   ".join(
+        (
+            f"LEAD(yr, {k}) OVER w AS y{k}"
+            if k >= 0
+            else f"LAG(yr, {-k}) OVER w AS y{k}"
+        ).replace("y-", "ym")
+        for k in XCORR_LAGS
+    )
+    def yn(k):
+        return f"ym{-k}" if k < 0 else f"y{k}"
+    moment_cols = ",\n                   ".join(
+        f"CAST(SUM(xr * {yn(k)}) AS BIGINT) AS p{('m'+str(-k)) if k<0 else k},\n"
+        f"                   CAST(SUM(CASE WHEN {yn(k)} IS NOT NULL "
+        f"THEN xr END) AS BIGINT) AS a{('m'+str(-k)) if k<0 else k},\n"
+        f"                   CAST(SUM({yn(k)}) AS BIGINT) AS b{('m'+str(-k)) if k<0 else k}"
+        for k in XCORR_LAGS
+    )
+    def suf(k):
+        return f"m{-k}" if k < 0 else str(k)
+    rk_cols = ",\n                   ".join(
+        f"ROUND((p{suf(k)} - (sx * 1.0 / n) * b{suf(k)}"
+        f" - (sy * 1.0 / n) * a{suf(k)}"
+        f" + (n - {abs(k)}) * (sx * 1.0 / n) * (sy * 1.0 / n))"
+        f" / SQRT((qx - (sx * 1.0 / n) * sx)"
+        f" * (qy - (sy * 1.0 / n) * sy)), 6) AS r{suf(k)}"
+        for k in XCORR_LAGS
+    )
+    unpivot = "\n            UNION ALL\n            ".join(
+        f"SELECT n, {k} AS lag_hours, r{suf(k)} AS xcorr FROM rks"
+        for k in XCORR_LAGS
+    )
+    return f"""
+        WITH hourly AS (
+            SELECT DATE_TRUNC('hour', ts) AS h,
+                   CAST(SUM(CASE WHEN event_type = '{XCORR_X}'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS xr,
+                   CAST(SUM(CASE WHEN event_type = '{XCORR_Y}'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS yr
+            FROM events
+            WHERE event_type IN ('{XCORR_X}', '{XCORR_Y}')
+            GROUP BY 1),
+        bnds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+        grid AS (
+            SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM bnds),
+        dense AS (
+            SELECT g.h, COALESCE(hourly.xr, 0) AS xr,
+                   COALESCE(hourly.yr, 0) AS yr
+            FROM grid g LEFT JOIN hourly ON hourly.h = g.h),
+        lagged AS (
+            SELECT xr, yr,
+                   {shift_cols}
+            FROM dense
+            WINDOW w AS (ORDER BY h)),
+        st AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(xr) AS BIGINT) AS sx,
+                   CAST(SUM(xr * xr) AS BIGINT) AS qx,
+                   CAST(SUM(yr) AS BIGINT) AS sy,
+                   CAST(SUM(yr * yr) AS BIGINT) AS qy,
+                   {moment_cols}
+            FROM lagged),
+        rks AS (
+            SELECT n,
+                   {rk_cols}
+            FROM st),
+        longf AS (
+            {unpivot})
+        SELECT CAST(lag_hours AS BIGINT) AS lag_hours,
+               xcorr,
+               CAST(ROW_NUMBER() OVER (ORDER BY xcorr DESC, lag_hours) = 1
+                    AS BIGINT) AS is_peak,
+               n AS n_hours
+        FROM longf
+        ORDER BY lag_hours
+    """
+
+
+ORACLE_SQL["ts_cross_correlation"] = _xcorr_sql()

@@ -210,6 +210,9 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "text_good_turing_smoothing",
     "stats_cochran_armitage_trend",
     "stats_hodges_lehmann_daily",
+    "ts_cross_correlation",
+    "stats_runs_test",
+    "events_entropy_rate",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

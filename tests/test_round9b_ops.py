@@ -334,3 +334,86 @@ def test_hodges_lehmann_matches_bruteforce(spark):
         hl = (w[(m + 1) // 2 - 1] + w[m // 2]) / 2.0
         assert abs(r.hl_center - round(hl, 6)) < 1e-9
         assert abs(r.plain_median - float(np.median(x))) < 1e-9
+
+
+def test_cross_correlation_matches_numpy(spark):
+    """Lagged cross-correlation == numpy replication on the same dense
+    two-column series; lag 0 equals the plain Pearson correlation and
+    exactly one peak is flagged."""
+    rows = QUERIES["ts_cross_correlation"](spark, SF_DIR).collect()
+    assert rows and sum(r.is_peak for r in rows) == 1
+    ev = _table("events")
+    ev["h"] = pd.to_datetime(ev["ts"]).dt.floor("h")
+    sub = ev[ev["event_type"].isin(["click", "purchase"])]
+    h0, h1 = sub["h"].min(), sub["h"].max()
+    idx = pd.date_range(h0, h1, freq="h")
+    x = (
+        sub[sub["event_type"] == "click"].groupby("h").size()
+        .reindex(idx, fill_value=0).to_numpy(dtype=float)
+    )
+    y = (
+        sub[sub["event_type"] == "purchase"].groupby("h").size()
+        .reindex(idx, fill_value=0).to_numpy(dtype=float)
+    )
+    n = len(x)
+    xc, yc = x - x.mean(), y - y.mean()
+    den = math.sqrt(float((xc * xc).sum()) * float((yc * yc).sum()))
+    for r in rows:
+        k = r.lag_hours
+        if k >= 0:
+            num = float((xc[: n - k] * yc[k:]).sum())
+        else:
+            num = float((xc[-k:] * yc[: n + k]).sum())
+        assert abs(r.xcorr - num / den) < 1e-5, (r, num / den)
+    r0 = next(r for r in rows if r.lag_hours == 0)
+    assert abs(r0.xcorr - float(np.corrcoef(x, y)[0, 1])) < 1e-5
+
+
+def test_runs_test_matches_python(spark):
+    """Run count and z == a plain-Python replication with the same
+    above/below-median sign convention."""
+    rows = QUERIES["stats_runs_test"](spark, SF_DIR).collect()
+    assert rows
+    ev = _table("events")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    for r in rows:
+        x = (
+            ev[ev["event_type"] == r.event_type]
+            .groupby("day").size().sort_index().to_numpy()
+        )
+        med = float(np.median(x))
+        signs = [1 if v > med else 0 for v in x if v != med]
+        runs = 1 + sum(
+            1 for i in range(1, len(signs)) if signs[i] != signs[i - 1]
+        )
+        n1, n2 = sum(signs), len(signs) - sum(signs)
+        assert (r.n_runs, r.n_above, r.n_below) == (runs, n1, n2), r
+        mu = 2 * n1 * n2 / (n1 + n2) + 1
+        var = (
+            2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+            / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+        )
+        assert abs(r.z_runs - (runs - mu) / math.sqrt(var)) < 1e-5
+
+
+def test_entropy_rate_matches_python(spark):
+    """Entropy rate == Counter replication; bounded by ln(k) and by
+    the marginal next-state entropy (conditioning reduces entropy)."""
+    from collections import Counter
+
+    [r] = QUERIES["events_entropy_rate"](spark, SF_DIR).collect()
+    ev = _table("events").sort_values(["user_id", "ts", "event_id"])
+    trans: Counter = Counter()
+    for _, g in ev.groupby("user_id"):
+        seq = g["event_type"].tolist()
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    ctot = sum(trans.values())
+    ci: Counter = Counter()
+    for (a, _), c in trans.items():
+        ci[a] += c
+    h = -sum((c / ctot) * math.log(c / ci[a]) for (a, _), c in trans.items())
+    assert r.n_transitions == ctot and r.n_cells == len(trans)
+    assert abs(r.entropy_rate_nats - h) < 1e-5
+    assert 0.0 <= r.entropy_rate_nats <= r.max_entropy_nats + 1e-9
+    assert abs(r.efficiency - r.entropy_rate_nats / r.max_entropy_nats) < 1e-4
