@@ -2531,12 +2531,15 @@ def text_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("r"))
     coc = freq.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
     total = freq.agg(F.sum("r").alias("n_tokens"))
-    nxt = coc.select(
-        (F.col("r") - F.lit(1)).alias("r"), F.col("n_r").alias("n_next")
-    )
+    # n_{r+1} via one LEAD over the tiny frequency-class frame (classes
+    # may have gaps, so the lead only counts when it lands on r+1) —
+    # a self-join here would re-run the corpus-sized gram count twice
+    w_r = Window.orderBy("r")
+    n_next = F.when(
+        F.lead("r").over(w_r) == F.col("r") + 1, F.lead("n_r").over(w_r)
+    ).otherwise(F.lit(0))
     base = (
-        coc.join(nxt, "r", "left")
-        .fillna(0, subset=["n_next"])
+        coc.select("r", "n_r", n_next.alias("n_next"))
         .filter(F.col("r") <= GT_MAX_R)
         .crossJoin(F.broadcast(total))
     )
@@ -2572,13 +2575,15 @@ ORACLE_SQL["text_good_turing_smoothing"] = f"""
     coc AS (
         SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM freq GROUP BY 1),
     tot AS (SELECT CAST(SUM(r) AS BIGINT) AS n_tokens FROM freq),
+    led AS (
+        SELECT r, n_r,
+               CAST(CASE WHEN LEAD(r) OVER (ORDER BY r) = r + 1
+                         THEN LEAD(n_r) OVER (ORDER BY r)
+                         ELSE 0 END AS BIGINT) AS n_next
+        FROM coc),
     base AS (
-        SELECT c.r, c.n_r,
-               CAST(COALESCE(nx.n_r, 0) AS BIGINT) AS n_next,
-               t.n_tokens
-        FROM coc c
-        LEFT JOIN coc nx ON nx.r = c.r + 1
-        CROSS JOIN tot t
+        SELECT c.r, c.n_r, c.n_next, t.n_tokens
+        FROM led c CROSS JOIN tot t
         WHERE c.r <= {GT_MAX_R})
     SELECT r, n_r, n_next,
            ROUND(((r + 1) * n_next) / n_r, 6) AS r_star,

@@ -734,3 +734,54 @@ def test_gbdt_histogram_is_one_partial_agg_pass(spark):
     plan = E.formatted_plan(df)
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
     assert E.shuffle_count(df) <= 4, E.formatted_plan(df)
+
+
+def test_round9b_ops_no_cartesian(spark):
+    """The round-9 second/third-batch operators must never emit an
+    unbounded CartesianProduct: every cross join is a broadcast 1-row
+    scalar / bounded query block (BroadcastNestedLoopJoin on bounded
+    frames is the accepted scalar-injection shape; a CartesianProduct
+    means both sides were data-sized)."""
+    for name in (
+        "ts_periodogram_dft", "ts_ljung_box", "ts_cross_correlation",
+        "graph_clustering_coefficient", "graph_hits_hub_authority",
+        "sim_knn_loo_classify", "model_isotonic_calibration",
+        "stats_friedman_test", "model_lift_gains_deciles",
+        "text_good_turing_smoothing", "stats_cochran_armitage_trend",
+        "stats_hodges_lehmann_daily", "stats_runs_test",
+        "events_entropy_rate",
+    ):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = E.formatted_plan(df)
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+def test_round9b_single_pass_shuffle_budgets(spark):
+    """The one-data-sized-pass contract for the new statistics: each
+    query's exchange count stays at its designed budget — a regression
+    here means a corpus-sized subtree got duplicated (the Good-Turing
+    self-join hazard) or an extra data shuffle crept in."""
+    budgets = {
+        "ts_periodogram_dft": 4,       # hourly agg + bounds + grid join + collect fold
+        "ts_cross_correlation": 2,     # hourly agg + calendar window sort
+        "model_lift_gains_deciles": 1, # one global rank exchange
+        "stats_cochran_armitage_trend": 2,  # day rollup + 1-row assembly
+        "text_good_turing_smoothing": 5,    # gram count + count-of-counts + lead + total bcast
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, SF_DIR)
+        assert E.shuffle_count(df) <= budget, (
+            f"{name}: {E.shuffle_count(df)} > {budget}\n"
+            + E.formatted_plan(df)
+        )
+
+
+def test_hits_and_lcc_are_equi_join_iterations(spark):
+    """HITS and the local clustering coefficient follow the PageRank /
+    triangle-count spine: hash equi-joins only — no broadcast nested
+    loop on a data-sized side, no cartesian."""
+    for name in ("graph_hits_hub_authority", "graph_clustering_coefficient"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = E.formatted_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}:\n{plan}"
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
