@@ -3120,3 +3120,82 @@ ORACLE_SQL["events_entropy_rate"] = """
            ROUND(-a.neg_h / LN(kk.k), 6) AS efficiency
     FROM agg a CROSS JOIN kk
 """
+
+
+def events_interarrival_gamma_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments Gamma fit of per-user inter-arrival times, per
+    event type: shape k = mean^2/var, scale theta = var/mean over the
+    pooled within-user gaps — the parametric companion to the Fano
+    burstiness diagnostic (k < 1 = clumpier than Poisson, k = 1 =
+    exponential/memoryless, k > 1 = more regular), and the
+    distribution a capacity planner actually samples from.
+
+    Determinism: gaps are exact integer seconds, so n / sum / sum-sq
+    are exact BIGINTs; mean, variance (sample, n-1), k and theta are
+    a fixed IEEE expression tree over those integers — engine-exact
+    before the 6-dp round.
+
+    Scale: one user-keyed window shuffle for the lag gaps, then one
+    map-side-combinable moment aggregation per type."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    g = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap").alias("s"),
+        F.sum(F.col("gap") * F.col("gap")).alias("q"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("q") - mean * F.col("s")) / (F.col("n") - F.lit(1))
+    return (
+        g.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_gaps"),
+            F.round(mean, 6).alias("mean_gap_sec"),
+            F.round(var, 6).alias("var_gap"),
+            F.round((mean * mean) / var, 6).alias("gamma_shape_k"),
+            F.round(var / mean, 6).alias("gamma_scale_theta"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["events_interarrival_gamma_mom"] = events_interarrival_gamma_mom
+
+ORACLE_SQL["events_interarrival_gamma_mom"] = """
+    WITH gaps AS (
+        SELECT event_type,
+               CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                   - CAST(FLOOR(EPOCH(LAG(ts) OVER (PARTITION BY user_id,
+                                                    event_type
+                                                    ORDER BY ts,
+                                                             event_id)))
+                          AS BIGINT) AS gap
+        FROM events),
+    g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(gap) AS BIGINT) AS s,
+               CAST(SUM(gap * gap) AS BIGINT) AS q
+        FROM gaps WHERE gap IS NOT NULL
+        GROUP BY 1)
+    SELECT event_type,
+           n AS n_gaps,
+           ROUND(s * 1.0 / n, 6) AS mean_gap_sec,
+           ROUND((q - (s * 1.0 / n) * s) / (n - 1), 6) AS var_gap,
+           ROUND(((s * 1.0 / n) * (s * 1.0 / n))
+                 / ((q - (s * 1.0 / n) * s) / (n - 1)), 6)
+               AS gamma_shape_k,
+           ROUND(((q - (s * 1.0 / n) * s) / (n - 1)) / (s * 1.0 / n), 6)
+               AS gamma_scale_theta
+    FROM g
+    ORDER BY event_type
+"""

@@ -1248,3 +1248,91 @@ ORACLE_SQL["stats_runs_test"] = f"""
     FROM g
     ORDER BY event_type
 """
+
+
+def stats_g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood ratio) of independence between document
+    language and source: G = 2 sum_ij O_ij ln(O_ij / E_ij) with
+    E_ij = row_i * col_j / N — the information-theoretic twin of the
+    Pearson chi-square already surfaced (``source_lang_drift_chi2`` /
+    ``stats_cramers_v``); G = 2N * MI(nats), so this also cross-checks
+    ``stats_mutual_information``.  Both statistics are emitted side by
+    side: they agree asymptotically and diverge on sparse cells, which
+    is itself diagnostic.
+
+    Determinism: contingency cells and marginals are exact BIGINTs
+    (one pass); the <= langs x sources float terms use LN over exact
+    integer ratios (the MI discipline) and sum inside the 6-dp round.
+
+    Scale: one data-sized groupBy to the contingency table; everything
+    after runs on vocabulary-bounded cells."""
+    d = load_table(spark, "documents", sf_dir)
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    wr = Window.partitionBy("lang")
+    wc = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    t = cells.select(
+        "o",
+        F.sum("o").over(wr).alias("ri"),
+        F.sum("o").over(wc).alias("cj"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    e = (F.col("ri") * F.col("cj")) / F.col("n")
+    terms = t.select(
+        "o",
+        "n",
+        (F.col("o") * F.log(F.col("o") / e)).alias("g_term"),
+        (((F.col("o") - e) * (F.col("o") - e)) / e).alias("x2_term"),
+    )
+    sizes = cells.agg(
+        F.countDistinct("lang").alias("r"),
+        F.countDistinct("source").alias("c"),
+    )
+    agg = terms.groupBy("n").agg(
+        F.sum("g_term").alias("g_half"),
+        F.sum("x2_term").alias("x2"),
+    )
+    return agg.crossJoin(F.broadcast(sizes)).select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("r").cast("long").alias("r_langs"),
+        F.col("c").cast("long").alias("c_sources"),
+        ((F.col("r") - F.lit(1)) * (F.col("c") - F.lit(1)))
+        .cast("long")
+        .alias("dof"),
+        F.round(F.lit(2.0) * F.col("g_half"), 6).alias("g_stat"),
+        F.round(F.col("x2"), 6).alias("chi2_stat"),
+    )
+
+
+QUERIES["stats_g_test_independence"] = stats_g_test_independence
+ORACLE_SQL["stats_g_test_independence"] = """
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY 1, 2),
+    t AS (
+        SELECT o,
+               CAST(SUM(o) OVER (PARTITION BY lang) AS BIGINT) AS ri,
+               CAST(SUM(o) OVER (PARTITION BY source) AS BIGINT) AS cj,
+               CAST(SUM(o) OVER () AS BIGINT) AS n
+        FROM cells),
+    terms AS (
+        SELECT o, n,
+               o * LN(o / ((ri * cj) / n)) AS g_term,
+               ((o - (ri * cj) / n) * (o - (ri * cj) / n))
+                   / ((ri * cj) / n) AS x2_term
+        FROM t),
+    dims AS (
+        SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS c
+        FROM cells),
+    agg AS (
+        SELECT n, SUM(g_term) AS g_half, SUM(x2_term) AS x2
+        FROM terms GROUP BY 1)
+    SELECT n AS n_docs,
+           dims.r AS r_langs,
+           dims.c AS c_sources,
+           (dims.r - 1) * (dims.c - 1) AS dof,
+           ROUND(2.0 * g_half, 6) AS g_stat,
+           ROUND(x2, 6) AS chi2_stat
+    FROM agg CROSS JOIN dims
+"""

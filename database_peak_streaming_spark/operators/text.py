@@ -2592,3 +2592,93 @@ ORACLE_SQL["text_good_turing_smoothing"] = f"""
     FROM base
     ORDER BY r
 """
+
+
+#: burstiness table size and minimum corpus frequency for stability
+BURST_TOP_K = 20
+BURST_MIN_CF = 10
+
+
+def text_burstiness_church_gale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness over word bigrams: observed document
+    frequency vs the Poisson expectation E[df] = D (1 - (1 - 1/D)^cf)
+    — the classic "words come in bursts" audit (Church & Gale '95).
+    A term whose df is far BELOW expectation clumps into few documents
+    (topical/boilerplate — the repetition signal dedup and quality
+    gates act on); df at expectation means the term scatters like
+    background vocabulary.  Top-20 most-bursty terms (lowest df/E[df])
+    with the ratio.  On this fixture's synthetic near-random text the
+    ratios sit ~1 (no within-doc repetition) — the audit correctly
+    reports an unbursty corpus; on natural text the interesting tail
+    is exactly what this surfaces.
+
+    Determinism: df/cf/D are exact BIGINTs; E[df] is one fixed
+    expression through EXP/LN per term (correctly-rounded transcendental
+    parity, the text-pack convention), rounded with the ratio to 6 dp;
+    ordering ties break on the term string.
+
+    Scale: one gram explode -> (term, doc) dedup -> vocabulary-keyed
+    df/cf aggregation; D enters as a broadcast scalar; the ranked
+    output is TOP_K rows."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda j: F.concat_ws(" ", toks[j], toks[j + 1]))
+        ).alias("term"),
+    )
+    f = grams.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("cf"),
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("d_total"))
+    base = f.filter(F.col("cf") >= BURST_MIN_CF).crossJoin(
+        F.broadcast(n_docs)
+    )
+    dd = F.col("d_total").cast("double")
+    e_df = dd * (
+        F.lit(1.0)
+        - F.exp(F.col("cf") * F.log(F.lit(1.0) - F.lit(1.0) / dd))
+    )
+    return (
+        base.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+            F.round(e_df, 6).alias("expected_df"),
+            F.round(F.col("df") / e_df, 6).alias("burstiness"),
+        )
+        .orderBy("burstiness", "term")
+        .limit(BURST_TOP_K)
+    )
+
+
+QUERIES["text_burstiness_church_gale"] = text_burstiness_church_gale
+
+ORACLE_SQL["text_burstiness_church_gale"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    grams AS (
+        SELECT doc_id, a[i] || ' ' || a[i + 1] AS term
+        FROM toks, UNNEST(generate_series(1, LEN(a) - 1)) AS s(i)),
+    f AS (
+        SELECT term,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(COUNT(*) AS BIGINT) AS cf
+        FROM grams GROUP BY 1),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d_total FROM documents)
+    SELECT term, df, cf,
+           ROUND(d_total * (1.0 - EXP(cf * LN(1.0 - 1.0 / d_total))), 6)
+               AS expected_df,
+           ROUND(df / (d_total * (1.0 - EXP(cf * LN(1.0 - 1.0
+                                                    / d_total)))), 6)
+               AS burstiness
+    FROM f CROSS JOIN nd
+    WHERE cf >= {BURST_MIN_CF}
+    ORDER BY burstiness, term
+    LIMIT {BURST_TOP_K}
+"""

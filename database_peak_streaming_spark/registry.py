@@ -213,6 +213,9 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "ts_cross_correlation",
     "stats_runs_test",
     "events_entropy_rate",
+    "text_burstiness_church_gale",
+    "events_interarrival_gamma_mom",
+    "stats_g_test_independence",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

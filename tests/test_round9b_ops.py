@@ -417,3 +417,74 @@ def test_entropy_rate_matches_python(spark):
     assert abs(r.entropy_rate_nats - h) < 1e-5
     assert 0.0 <= r.entropy_rate_nats <= r.max_entropy_nats + 1e-9
     assert abs(r.efficiency - r.entropy_rate_nats / r.max_entropy_nats) < 1e-4
+
+
+def test_burstiness_matches_python(spark):
+    """Burstiness ratios == Counter replication of df/cf and the
+    Poisson expected-df formula."""
+    from collections import Counter
+
+    rows = QUERIES["text_burstiness_church_gale"](spark, SF_DIR).collect()
+    assert rows
+    d = _table("documents")
+    df_c: Counter = Counter()
+    cf_c: Counter = Counter()
+    for _, row in d.iterrows():
+        t = row["text"].split(" ")
+        grams = [" ".join(t[i : i + 2]) for i in range(len(t) - 1)]
+        cf_c.update(grams)
+        df_c.update(set(grams))
+    dd = len(d)
+    for r in rows:
+        assert r.df == df_c[r.term] and r.cf == cf_c[r.term], r
+        e = dd * (1.0 - math.exp(r.cf * math.log(1.0 - 1.0 / dd)))
+        assert abs(r.expected_df - e) < 1e-4
+        assert abs(r.burstiness - r.df / e) < 1e-4
+        assert r.cf >= 10
+
+
+def test_gamma_mom_matches_numpy(spark):
+    """Gamma shape/scale == numpy moments of the same within-user
+    integer-second gaps."""
+    rows = QUERIES["events_interarrival_gamma_mom"](spark, SF_DIR).collect()
+    assert rows
+    ev = _table("events").sort_values(["user_id", "ts", "event_id"])
+    # fixture ts is timestamp[us]: int64 view is MICROseconds
+    ev["sec"] = pd.to_datetime(ev["ts"]).astype("int64") // 10**6
+    for r in rows:
+        sub = ev[ev["event_type"] == r.event_type]
+        gaps = []
+        for _, g in sub.groupby("user_id"):
+            s = g["sec"].to_numpy()
+            gaps.extend((s[1:] - s[:-1]).tolist())
+        gaps = np.array(gaps, dtype=float)
+        assert r.n_gaps == len(gaps)
+        mean, var = gaps.mean(), gaps.var(ddof=1)
+        assert abs(r.mean_gap_sec - mean) < 1e-4
+        assert abs(r.gamma_shape_k - mean * mean / var) < 1e-4
+        assert abs(r.gamma_scale_theta - var / mean) < 1e-4
+
+
+def test_g_test_matches_python(spark):
+    """G == 2*N*MI identity against the Counter contingency, and the
+    X2 companion matches the direct formula."""
+    from collections import Counter
+
+    [r] = QUERIES["stats_g_test_independence"](spark, SF_DIR).collect()
+    d = _table("documents")
+    cells = Counter(zip(d["lang"], d["source"]))
+    ri: Counter = Counter(d["lang"])
+    cj: Counter = Counter(d["source"])
+    n = len(d)
+    g = 2.0 * sum(
+        o * math.log(o / (ri[a] * cj[b] / n)) for (a, b), o in cells.items()
+    )
+    x2 = sum(
+        (o - ri[a] * cj[b] / n) ** 2 / (ri[a] * cj[b] / n)
+        for (a, b), o in cells.items()
+    )
+    assert r.n_docs == n
+    assert r.dof == (len(ri) - 1) * (len(cj) - 1)
+    assert abs(r.g_stat - g) < 1e-4
+    assert abs(r.chi2_stat - x2) < 1e-4
+    assert r.g_stat >= 0.0
