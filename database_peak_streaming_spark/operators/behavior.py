@@ -3154,15 +3154,21 @@ def events_interarrival_gamma_mom(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.col("gap") * F.col("gap")).alias("q"),
     )
     mean = F.col("s") / F.col("n")
-    var = (F.col("q") - mean * F.col("s")) / (F.col("n") - F.lit(1))
+    var = (F.col("q") - mean * F.col("s")) / F.nullif(
+        (F.col("n") - F.lit(1)).cast("double"), F.lit(0.0)
+    )
     return (
         g.select(
             "event_type",
             F.col("n").cast("long").alias("n_gaps"),
             F.round(mean, 6).alias("mean_gap_sec"),
             F.round(var, 6).alias("var_gap"),
-            F.round((mean * mean) / var, 6).alias("gamma_shape_k"),
-            F.round(var / mean, 6).alias("gamma_scale_theta"),
+            F.round((mean * mean) / F.nullif(var, F.lit(0.0)), 6).alias(
+                "gamma_shape_k"
+            ),
+            F.round(var / F.nullif(mean, F.lit(0.0)), 6).alias(
+                "gamma_scale_theta"
+            ),
         )
         .orderBy("event_type")
     )

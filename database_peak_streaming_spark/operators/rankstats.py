@@ -773,9 +773,17 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "n", "rsq", (d * d).alias("term"))
     )
     agg = terms.groupBy("k", "n", "rsq").agg(F.sum("term").alias("num"))
-    den = F.col("rsq") - (
-        F.col("n") * F.col("k") * (F.col("k") + F.lit(1)) * (F.col("k") + F.lit(1))
-    ) / F.lit(4.0)
+    den = F.nullif(
+        F.col("rsq")
+        - (
+            F.col("n")
+            * F.col("k")
+            * (F.col("k") + F.lit(1))
+            * (F.col("k") + F.lit(1))
+        )
+        / F.lit(4.0),
+        F.lit(0.0),
+    )
     q_stat = F.round(((F.col("k") - F.lit(1)) * F.col("num")) / den, 6)
     return agg.select(
         F.col("n").cast("long").alias("n_blocks"),
@@ -905,10 +913,15 @@ def model_lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("cum_pos").cast("long").alias("cum_pos"),
-        F.round(F.col("cum_pos") / F.col("tot_pos"), 6).alias("gain"),
+        F.round(
+            F.col("cum_pos") / F.nullif(F.col("tot_pos").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("gain"),
         F.round(
             (F.col("cum_pos") * F.col("tot_n"))
-            / (F.col("tot_pos") * F.col("cum_n")),
+            / F.nullif(
+                (F.col("tot_pos") * F.col("cum_n")).cast("double"), F.lit(0.0)
+            ),
             6,
         ).alias("lift"),
     ).orderBy("decile")
@@ -991,7 +1004,7 @@ def stats_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_num = F.col("a") - (F.col("r") * F.col("b")) / F.col("n")
     v1 = (F.col("r") * (F.col("n") - F.col("r"))) / F.col("n")
     v2 = F.col("c") - (F.col("b") * F.col("b")) / F.col("n")
-    z = F.round(t_num / F.sqrt(v1 * v2), 6)
+    z = F.round(t_num / F.nullif(F.sqrt(v1 * v2), F.lit(0.0)), 6)
     return m.select(
         F.col("n").cast("long").alias("n_total"),
         F.col("r").cast("long").alias("n_pos"),
@@ -1191,8 +1204,8 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("n1")
         * F.col("n2")
         * (F.lit(2) * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
-    ) / (n * n * (n - F.lit(1)))
-    z = F.round((F.col("runs") - mu) / F.sqrt(var), 6)
+    ) / F.nullif((n * n * (n - F.lit(1))).cast("double"), F.lit(0.0))
+    z = F.round((F.col("runs") - mu) / F.nullif(F.sqrt(var), F.lit(0.0)), 6)
     return (
         g.select(
             "event_type",

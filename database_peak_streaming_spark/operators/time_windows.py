@@ -2830,7 +2830,9 @@ def ts_periodogram_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
-    varsum = F.col("q") - mean * F.col("s")
+    # a constant series has zero variance: NULL the ratio (DuckDB's
+    # native x/0 behavior) instead of raising under Spark ANSI mode
+    varsum = F.nullif(F.col("q") - mean * F.col("s"), F.lit(0.0))
     pf = wide.select(
         "event_type",
         "n",
@@ -3018,7 +3020,7 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     st = lagged.groupBy("event_type").agg(*aggs)
     mean = F.col("s") / F.col("n")
-    den = F.col("q") - mean * F.col("s")
+    den = F.nullif(F.col("q") - mean * F.col("s"), F.lit(0.0))
     rks = st.select(
         "event_type",
         "n",
@@ -3037,7 +3039,9 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chain = None
     for k in lags:
-        term = (F.col(f"r{k}") * F.col(f"r{k}")) / (F.col("n") - F.lit(k))
+        term = (F.col(f"r{k}") * F.col(f"r{k}")) / F.nullif(
+            (F.col("n") - F.lit(k)).cast("double"), F.lit(0.0)
+        )
         chain = term if chain is None else chain + term
     q_stat = F.round((F.col("n") * (F.col("n") + F.lit(2))) * chain, 6)
     return (
@@ -3193,8 +3197,12 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = lagged.groupBy().agg(*aggs)
     mx = F.col("sx") / F.col("n")
     my = F.col("sy") / F.col("n")
-    den = F.sqrt(
-        (F.col("qx") - mx * F.col("sx")) * (F.col("qy") - my * F.col("sy"))
+    den = F.nullif(
+        F.sqrt(
+            (F.col("qx") - mx * F.col("sx"))
+            * (F.col("qy") - my * F.col("sy"))
+        ),
+        F.lit(0.0),
     )
     def _suf(k: int) -> str:
         return f"m{-k}" if k < 0 else str(k)

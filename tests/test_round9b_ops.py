@@ -488,3 +488,62 @@ def test_g_test_matches_python(spark):
     assert abs(r.g_stat - g) < 1e-4
     assert abs(r.chi2_stat - x2) < 1e-4
     assert r.g_stat >= 0.0
+
+
+def test_round9_stats_survive_constant_series(spark, tmp_path):
+    """Degenerate-corpus guard (the ANSI divide-by-zero hazard): on a
+    metronome fixture — every type fires exactly once per hour, every
+    user's gaps constant — zero-variance denominators must yield NULL
+    on BOTH engines (Spark nullif == DuckDB x/0), never raise."""
+    import datetime as dt
+    import os
+
+    from database_peak_streaming_spark.harness.diff import (
+        diff_query,
+        oracle_connection,
+    )
+    from database_peak_streaming_spark.registry import ORACLE_SQL
+    from database_peak_streaming_spark.sources.batch import TABLES
+
+    d = tmp_path / "metronome"
+    d.mkdir()
+    for t in TABLES:
+        if t == "events":
+            continue
+        os.symlink(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(48):
+        for i, etype in enumerate(
+            ["click", "purchase", "view", "signup", "error"]
+        ):
+            rows.append(
+                (
+                    eid,
+                    base + dt.timedelta(hours=h, minutes=i),
+                    100 + i,
+                    etype,
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    con = oracle_connection(str(d))
+    try:
+        for name in (
+            "ts_periodogram_dft",
+            "ts_ljung_box",
+            "stats_runs_test",
+            "events_interarrival_gamma_mom",
+            "stats_friedman_test",
+        ):
+            df = QUERIES[name](spark, str(d))
+            res = diff_query(name, df, ORACLE_SQL[name], con)
+            assert res.rows_match and res.hash_match, (name, res.describe())
+    finally:
+        con.close()
