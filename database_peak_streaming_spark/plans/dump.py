@@ -272,6 +272,23 @@ PICKS = {
         "|features| x |bins| grad/hess cells; every split candidate "
         "is a window cumsum over that tiny frame"
     ),
+    "graph_clustering_coefficient": (
+        "triangle count's degree-ordered orientation with the wedge apex "
+        "kept: hash equi-joins only, per-node credit via one 3-arm explode"
+    ),
+    "graph_hits_hub_authority": (
+        "two HITS iterations = four equi-join+agg half-steps on the reused "
+        "edge key, all integer arithmetic; no normalization until the "
+        "presented per-role max"
+    ),
+    "ts_periodogram_dft": (
+        "ONE data-sized agg (events -> hourly counts); trig folds run over "
+        "calendar-bounded per-type arrays, never event rows"
+    ),
+    "model_isotonic_calibration": (
+        "bin assignment is map-only, the rollup is 20 keys; the PAV "
+        "minimax enumerates bins^3 tuples on broadcast-sized frames"
+    ),
 }
 
 
