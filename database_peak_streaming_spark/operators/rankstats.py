@@ -1349,3 +1349,223 @@ ORACLE_SQL["stats_g_test_independence"] = """
            ROUND(x2, 6) AS chi2_stat
     FROM agg CROSS JOIN dims
 """
+
+
+#: chi-square(2) 95th percentile — Jarque-Bera rejection bar
+JB_CHI2_95_DF2 = 5.9915
+
+
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per event type:
+    JB = n/6 (g1^2 + g2^2/4) from the same exact-integer power-sum
+    pipeline as ``stats_skew_kurtosis`` — the omnibus "is Gaussian
+    even plausible?" gate that decides whether the parametric shelf
+    (ANOVA, Welch t) or the rank shelf (Mann-Whitney, Friedman)
+    applies.  Rejection against the fixed chi-square(2) 95% critical
+    value, a shared literal.
+
+    g1/g2 are rounded to the 6-dp canon grid FIRST (the published
+    skew/kurtosis surface), then JB is one fixed expression of those
+    rounded values — deterministic by construction.
+
+    Scale: identical ONE-pass moment aggregation as the shape profile;
+    the statistic assembles on k rows."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    cells = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).alias("s3"),
+        F.sum(
+            (F.col("c") * F.col("c")).cast("decimal(38,0)")
+            * (F.col("c") * F.col("c")).cast("decimal(38,0)")
+        ).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / (100.0 * n)
+    r2 = F.col("s2").cast("double") / 10000.0
+    r3 = F.col("s3").cast("double") / 1000000.0
+    r4 = F.col("s4").cast("double") / 100000000.0
+    m2 = r2 / n - mu * mu
+    m3 = r3 / n - 3.0 * mu * (r2 / n) + 2.0 * mu * mu * mu
+    m4 = (
+        r4 / n
+        - 4.0 * mu * (r3 / n)
+        + 6.0 * mu * mu * (r2 / n)
+        - 3.0 * mu * mu * mu * mu
+    )
+    g1 = F.round(m3 / F.pow(m2, F.lit(1.5)), 6)
+    g2 = F.round(m4 / (m2 * m2) - 3.0, 6)
+    jb = F.round((n / F.lit(6.0)) * (g1 * g1 + (g2 * g2) / F.lit(4.0)), 6)
+    return (
+        cells.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_rows"),
+            g1.alias("skewness"),
+            g2.alias("excess_kurtosis"),
+            jb.alias("jb_stat"),
+            (jb > F.lit(JB_CHI2_95_DF2)).cast("long").alias(
+                "normality_rejected_95"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["stats_jarque_bera"] = stats_jarque_bera
+ORACLE_SQL["stats_jarque_bera"] = f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+        FROM events),
+    cells AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(c) AS s1, SUM(c * c) AS s2, SUM(c * c * c) AS s3,
+               SUM(CAST(c * c AS DECIMAL(38,0))
+                   * CAST(c * c AS DECIMAL(38,0))) AS s4
+        FROM ev GROUP BY event_type),
+    m AS (
+        SELECT event_type, n,
+               s1 / (100.0 * n) AS mu,
+               CAST(s2 AS DOUBLE) / 10000.0 AS r2,
+               CAST(s3 AS DOUBLE) / 1000000.0 AS r3,
+               CAST(s4 AS DOUBLE) / 100000000.0 AS r4
+        FROM cells),
+    cm AS (
+        SELECT event_type, n, mu,
+               r2 / n - mu * mu AS m2,
+               r3 / n - 3.0 * mu * (r2 / n) + 2.0 * mu * mu * mu AS m3,
+               r4 / n - 4.0 * mu * (r3 / n) + 6.0 * mu * mu * (r2 / n)
+                   - 3.0 * mu * mu * mu * mu AS m4
+        FROM m),
+    g AS (
+        SELECT event_type, n,
+               ROUND(m3 / POWER(m2, 1.5), 6) AS g1,
+               ROUND(m4 / (m2 * m2) - 3.0, 6) AS g2
+        FROM cm)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_rows,
+           g1 AS skewness,
+           g2 AS excess_kurtosis,
+           ROUND((n / 6.0) * (g1 * g1 + (g2 * g2) / 4.0), 6) AS jb_stat,
+           CAST(ROUND((n / 6.0) * (g1 * g1 + (g2 * g2) / 4.0), 6)
+                > {JB_CHI2_95_DF2} AS BIGINT) AS normality_rejected_95
+    FROM g
+    ORDER BY event_type
+"""
+
+
+def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the per-type daily volume:
+    S = sum over day pairs i<j of sign(x_j - x_i), tie-corrected
+    variance, and the continuity-corrected Z — the nonparametric
+    SIGNIFICANCE companion to ``ts_theil_sen_trend``'s slope estimate
+    (the standard pairing in environmental/monitoring statistics:
+    Theil-Sen says how steep, Mann-Kendall says whether it's real).
+
+    Everything through the final division is exact integers: S from
+    sign comparisons, var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)]/18
+    from the tie-group counts; Z applies the +/-1 continuity
+    correction by exact CASE.
+
+    Scale: pair fan-out over the CALENDAR (the Theil-Sen bounding
+    argument); tie groups come from a value-vocabulary rollup."""
+    ev = load_table(spark, "events", sf_dir).select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("x").alias("x1")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("d2"), F.col("x").alias("x2")
+    )
+    s_stat = (
+        a.join(b, "event_type")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum(F.col("x2") - F.col("x1")).cast("long")).alias(
+                "s"
+            ),
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+            F.sum("t").alias("n"),
+        )
+    )
+    j = s_stat.join(ties, "event_type")
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ) / F.lit(18.0)
+    sd = F.nullif(F.sqrt(var_s), F.lit(0.0))
+    z = F.round(
+        F.when(F.col("s") > 0, (F.col("s") - 1) / sd)
+        .when(F.col("s") < 0, (F.col("s") + 1) / sd)
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        j.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("s").cast("long").alias("s_stat"),
+            z.alias("z_mk"),
+            (F.abs(z) > F.lit(CA_Z_95)).cast("long").alias("rejected_95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["stats_mann_kendall_trend"] = stats_mann_kendall_trend
+ORACLE_SQL["stats_mann_kendall_trend"] = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+    s_stat AS (
+        SELECT a.event_type,
+               CAST(SUM(SIGN(b.x - a.x)) AS BIGINT) AS s
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+        GROUP BY 1),
+    ties AS (
+        SELECT event_type,
+               CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+               CAST(SUM(t) AS BIGINT) AS n
+        FROM (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS t
+              FROM daily GROUP BY 1, 2)
+        GROUP BY 1),
+    j AS (
+        SELECT s_stat.event_type, s, tie_term, n,
+               (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0 AS var_s
+        FROM s_stat JOIN ties USING (event_type)),
+    zz AS (
+        SELECT event_type, n, s,
+               ROUND(CASE WHEN s > 0
+                          THEN (s - 1) / NULLIF(SQRT(var_s), 0.0)
+                          WHEN s < 0
+                          THEN (s + 1) / NULLIF(SQRT(var_s), 0.0)
+                          ELSE 0.0 END, 6) AS z_mk
+        FROM j)
+    SELECT event_type,
+           n AS n_days,
+           s AS s_stat,
+           z_mk,
+           CAST(ABS(z_mk) > {CA_Z_95} AS BIGINT) AS rejected_95
+    FROM zz
+    ORDER BY event_type
+"""

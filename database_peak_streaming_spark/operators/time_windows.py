@@ -3329,3 +3329,152 @@ def _xcorr_sql() -> str:
 
 
 ORACLE_SQL["ts_cross_correlation"] = _xcorr_sql()
+
+
+#: Dickey-Fuller tau-mu 5% critical value (constant, no trend; large n)
+ADF_TAU_MU_95 = -2.86
+
+
+def ts_adf_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test on the hourly event-count series
+    per type: OLS of delta_x_t on x_{t-1} with a constant, the
+    coefficient rho = phi - 1 and its t-statistic against the
+    tau-mu 5% critical value — the STATIONARITY gate that decides
+    whether level models (EMA/Holt, ``ts_acf_hourly``'s stationary
+    ACF reading) apply or the series needs differencing first.  A
+    stationary count series rejects the unit root (t << -2.86); a
+    random-walk-like one does not.
+
+    All OLS sufficient statistics (m, Sx, Sy, Sxx, Syy, Sxy over the
+    m = n-1 lag pairs) are exact BIGINTs on the dense grid; rho, the
+    regression SSE and the t-statistic are one fixed IEEE tree over
+    those integers — engine-exact before the 6-dp round.  Zero-variance
+    denominators NULL via nullif (the ANSI-mode convention).
+
+    Scale: one data-sized groupBy to hourly counts; the lag pairing
+    and moment rollup run on the calendar-bounded grid."""
+    from pyspark.sql import Window
+
+    hourly = (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("xc"))
+    )
+    global_bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(global_bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+        )
+    )
+    dense = grid.join(hourly, ["event_type", "h"], "left").fillna(
+        0, subset=["xc"]
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    pairs = dense.select(
+        "event_type",
+        F.lag("xc").over(w).alias("x"),
+        (F.col("xc") - F.lag("xc").over(w)).alias("y"),
+    ).where(F.col("x").isNotNull())
+    g = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    m = F.col("m").cast("double")
+    d_int = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    rho = (
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / F.nullif(d_int.cast("double"), F.lit(0.0))
+    )
+    cxx = F.col("sxx") - (F.col("sx") * F.col("sx")).cast("double") / m
+    cxy = F.col("sxy") - (F.col("sx") * F.col("sy")).cast("double") / m
+    cyy = F.col("syy") - (F.col("sy") * F.col("sy")).cast("double") / m
+    sse = cyy - rho * cxy
+    sigma2 = sse / F.nullif(m - F.lit(2.0), F.lit(0.0))
+    t_stat = F.round(
+        rho
+        / F.nullif(
+            F.sqrt(sigma2 / F.nullif(cxx, F.lit(0.0))), F.lit(0.0)
+        ),
+        6,
+    )
+    return (
+        g.select(
+            "event_type",
+            F.col("m").cast("long").alias("n_obs"),
+            F.round(rho, 6).alias("rho"),
+            t_stat.alias("t_df"),
+            (t_stat < F.lit(ADF_TAU_MU_95)).cast("long").alias(
+                "unit_root_rejected_95"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["ts_adf_unit_root"] = ts_adf_unit_root
+
+ORACLE_SQL["ts_adf_unit_root"] = f"""
+    WITH hourly AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS xc
+        FROM events GROUP BY 1, 2),
+    bnds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+    grid AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM hourly) t
+        CROSS JOIN (SELECT UNNEST(generate_series(h0, h1,
+                                  INTERVAL 1 HOUR)) AS h
+                    FROM bnds) g),
+    dense AS (
+        SELECT grid.event_type, grid.h, COALESCE(hourly.xc, 0) AS xc
+        FROM grid LEFT JOIN hourly
+          ON hourly.event_type = grid.event_type AND hourly.h = grid.h),
+    pairs AS (
+        SELECT event_type,
+               LAG(xc) OVER w AS x,
+               xc - LAG(xc) OVER w AS y
+        FROM dense
+        WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+    g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pairs WHERE x IS NOT NULL
+        GROUP BY 1),
+    est AS (
+        SELECT event_type, m,
+               CAST(m * sxy - sx * sy AS DOUBLE)
+                   / NULLIF(CAST(m * sxx - sx * sx AS DOUBLE), 0.0) AS rho,
+               sxx - CAST(sx * sx AS DOUBLE) / m AS cxx,
+               sxy - CAST(sx * sy AS DOUBLE) / m AS cxy,
+               syy - CAST(sy * sy AS DOUBLE) / m AS cyy
+        FROM g),
+    tt AS (
+        SELECT event_type, m, rho,
+               ROUND(rho / NULLIF(SQRT(((cyy - rho * cxy)
+                                        / NULLIF(m - 2.0, 0.0))
+                                       / NULLIF(cxx, 0.0)), 0.0), 6)
+                   AS t_df
+        FROM est)
+    SELECT event_type,
+           m AS n_obs,
+           ROUND(rho, 6) AS rho,
+           t_df,
+           CAST(t_df < {ADF_TAU_MU_95} AS BIGINT)
+               AS unit_root_rejected_95
+    FROM tt
+    ORDER BY event_type
+"""

@@ -157,8 +157,8 @@ _PRIORITY = [
 #: must either enter the window or be added here.
 #:
 #: Round-10 window math (same oldest-first rule): the pool now holds
-#: 19 + 39 = 58 names — again more than one 50-slot window — so the
-#: round-10 _PRIORITY takes the FIRST 50 below and the remaining 8
+#: 19 + 42 = 61 names — again more than one 50-slot window — so the
+#: round-10 _PRIORITY takes the FIRST 50 below and the remaining 11
 #: (+ any round-10 additions) roll to round 11.
 ROTATION_POOL_NEXT_ROUND: list[str] = [
     # round-8 remainder (19, age order preserved):
@@ -221,6 +221,9 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "text_burstiness_church_gale",
     "events_interarrival_gamma_mom",
     "stats_g_test_independence",
+    "stats_jarque_bera",
+    "stats_mann_kendall_trend",
+    "ts_adf_unit_root",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

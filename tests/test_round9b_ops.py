@@ -547,3 +547,87 @@ def test_round9_stats_survive_constant_series(spark, tmp_path):
             assert res.rows_match and res.hash_match, (name, res.describe())
     finally:
         con.close()
+
+
+def test_jarque_bera_matches_numpy(spark):
+    """JB == the n/6(g1^2 + g2^2/4) formula on numpy population
+    moments of the cent-quantized values."""
+    rows = QUERIES["stats_jarque_bera"](spark, SF_DIR).collect()
+    assert rows
+    ev = _table("events")
+    for r in rows:
+        c = np.round(
+            ev.loc[ev["event_type"] == r.event_type, "value"].to_numpy() * 100
+        ) / 100.0
+        n = len(c)
+        assert r.n_rows == n
+        mu = c.mean()
+        m2 = ((c - mu) ** 2).mean()
+        m3 = ((c - mu) ** 3).mean()
+        m4 = ((c - mu) ** 4).mean()
+        g1 = round(m3 / m2**1.5, 6)
+        g2 = round(m4 / m2**2 - 3.0, 6)
+        jb = n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+        assert abs(r.skewness - g1) < 1e-4
+        assert abs(r.excess_kurtosis - g2) < 1e-4
+        assert abs(r.jb_stat - jb) < 1e-2
+        assert r.normality_rejected_95 == int(r.jb_stat > 5.9915)
+
+
+def test_mann_kendall_matches_python(spark):
+    """S, tie-corrected variance and Z == brute-force pair loop."""
+    rows = QUERIES["stats_mann_kendall_trend"](spark, SF_DIR).collect()
+    assert rows
+    ev = _table("events")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    for r in rows:
+        x = (
+            ev[ev["event_type"] == r.event_type]
+            .groupby("day").size().sort_index().to_numpy()
+        )
+        n = len(x)
+        s = sum(
+            np.sign(x[j] - x[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        ties = Counter(x.tolist())
+        tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+        if s > 0:
+            z = (s - 1) / math.sqrt(var)
+        elif s < 0:
+            z = (s + 1) / math.sqrt(var)
+        else:
+            z = 0.0
+        assert r.n_days == n and r.s_stat == int(s), r
+        assert abs(r.z_mk - z) < 1e-5
+        assert r.rejected_95 == int(abs(r.z_mk) > 1.959964)
+
+
+def test_adf_matches_numpy(spark):
+    """DF rho and t == numpy least squares on the same dense hourly
+    series; a mean-reverting count series rejects the unit root."""
+    rows = QUERIES["ts_adf_unit_root"](spark, SF_DIR).collect()
+    assert rows
+    series = _dense_hourly()
+    for r in rows:
+        xs = series[r.event_type]
+        x = xs[:-1]
+        y = np.diff(xs)
+        m = len(x)
+        assert r.n_obs == m
+        A = np.column_stack([np.ones(m), x])
+        coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+        rho = coef[1]
+        resid = y - A @ coef
+        sigma2 = float(resid @ resid) / (m - 2)
+        cxx = float(((x - x.mean()) ** 2).sum())
+        t = rho / math.sqrt(sigma2 / cxx)
+        assert abs(r.rho - rho) < 1e-5, (r, rho)
+        assert abs(r.t_df - t) < 1e-3, (r, t)
+        assert r.unit_root_rejected_95 == int(r.t_df < -2.86)
+        # hourly event counts mean-revert hard: the unit root must fall
+        assert r.unit_root_rejected_95 == 1
