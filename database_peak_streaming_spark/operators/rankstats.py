@@ -461,8 +461,12 @@ def stats_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_rows"),
             F.round(mu, 6).alias("mean"),
             F.round(F.sqrt(m2), 6).alias("pop_stddev"),
-            F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
-            F.round(m4 / (m2 * m2) - 3.0, 6).alias("excess_kurtosis"),
+            F.round(
+                m3 / F.nullif(F.pow(m2, F.lit(1.5)), F.lit(0.0)), 6
+            ).alias("skewness"),
+            F.round(
+                m4 / F.nullif(m2 * m2, F.lit(0.0)) - 3.0, 6
+            ).alias("excess_kurtosis"),
         )
         .orderBy("event_type")
     )
@@ -499,8 +503,8 @@ ORACLE_SQL["stats_skew_kurtosis"] = """
            CAST(n AS BIGINT) AS n_rows,
            ROUND(mu, 6) AS mean,
            ROUND(SQRT(m2), 6) AS pop_stddev,
-           ROUND(m3 / POWER(m2, 1.5), 6) AS skewness,
-           ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+           ROUND(m3 / NULLIF(POWER(m2, 1.5), 0.0), 6) AS skewness,
+           ROUND(m4 / NULLIF(m2 * m2, 0.0) - 3.0, 6) AS excess_kurtosis
     FROM cm
     ORDER BY event_type
 """
@@ -1397,8 +1401,8 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 6.0 * mu * mu * (r2 / n)
         - 3.0 * mu * mu * mu * mu
     )
-    g1 = F.round(m3 / F.pow(m2, F.lit(1.5)), 6)
-    g2 = F.round(m4 / (m2 * m2) - 3.0, 6)
+    g1 = F.round(m3 / F.nullif(F.pow(m2, F.lit(1.5)), F.lit(0.0)), 6)
+    g2 = F.round(m4 / F.nullif(m2 * m2, F.lit(0.0)) - 3.0, 6)
     jb = F.round((n / F.lit(6.0)) * (g1 * g1 + (g2 * g2) / F.lit(4.0)), 6)
     return (
         cells.select(
@@ -1443,8 +1447,8 @@ ORACLE_SQL["stats_jarque_bera"] = f"""
         FROM m),
     g AS (
         SELECT event_type, n,
-               ROUND(m3 / POWER(m2, 1.5), 6) AS g1,
-               ROUND(m4 / (m2 * m2) - 3.0, 6) AS g2
+               ROUND(m3 / NULLIF(POWER(m2, 1.5), 0.0), 6) AS g1,
+               ROUND(m4 / NULLIF(m2 * m2, 0.0) - 3.0, 6) AS g2
         FROM cm)
     SELECT event_type,
            CAST(n AS BIGINT) AS n_rows,

@@ -3478,3 +3478,145 @@ ORACLE_SQL["ts_adf_unit_root"] = f"""
     FROM tt
     ORDER BY event_type
 """
+
+
+#: KPSS level-stationarity 5% critical value (Kwiatkowski et al. '92)
+KPSS_CRIT_95 = 0.463
+
+
+def ts_kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test on the hourly event-count series
+    per type: eta = sum_t S_t^2 / (n^2 sigma^2) with S_t the partial
+    sums of deviations from the mean — the REVERSED-null complement to
+    ``ts_adf_unit_root`` (ADF's null is a unit root, KPSS's null is
+    stationarity; agreement of both is the textbook confirmation
+    protocol).  Short-run variance form (lag-truncation l = 0, iid
+    residuals) so the statistic is closed-form exact; rejection
+    against the published 5% level-stationarity critical value 0.463.
+
+    Exactness: S_t = cum_t - t*mean has the exact-integer numerator
+    N_t = n*cum_t - t*s, so sum S_t^2 = sum N_t^2 / n^2 with the
+    squares accumulated in DECIMAL(38,0) (the 4th-moment discipline —
+    N_t^2 outgrows BIGINT on multi-year calendars); eta is then ONE
+    fixed IEEE tree over exact inputs.  The cumulative sum itself is
+    an ordered window fold — sequential in both engines.
+
+    Scale: one data-sized groupBy to hourly counts; cumsum + moment
+    rollup on the calendar-bounded grid."""
+    from pyspark.sql import Window
+
+    hourly = (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("xc"))
+    )
+    global_bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(global_bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+        )
+    )
+    dense = grid.join(hourly, ["event_type", "h"], "left").fillna(
+        0, subset=["xc"]
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("event_type")
+    staged = dense.select(
+        "event_type",
+        "xc",
+        F.sum("xc").over(w_cum).alias("cum"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("h"))
+        .alias("t"),
+        F.sum("xc").over(w_all).alias("s"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    num = F.col("n") * F.col("cum") - F.col("t") * F.col("s")
+    g = staged.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.sum(F.col("xc") * F.col("xc")).alias("q"),
+        F.sum(
+            num.cast("decimal(19,0)") * num.cast("decimal(19,0)")
+        ).alias("sumnum2"),
+    )
+    n = F.col("n")
+    sigma2 = (
+        F.col("q") - (F.col("s") / n.cast("double")) * F.col("s")
+    ) / n.cast("double")
+    n4 = (n * n) * (n * n)
+    eta = F.round(
+        F.col("sumnum2").cast("double")
+        / F.nullif(n4.cast("double") * sigma2, F.lit(0.0)),
+        6,
+    )
+    return (
+        g.select(
+            "event_type",
+            n.cast("long").alias("n_hours"),
+            eta.alias("kpss_eta"),
+            (eta > F.lit(KPSS_CRIT_95)).cast("long").alias(
+                "stationarity_rejected_95"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["ts_kpss_stationarity"] = ts_kpss_stationarity
+
+ORACLE_SQL["ts_kpss_stationarity"] = f"""
+    WITH hourly AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS xc
+        FROM events GROUP BY 1, 2),
+    bnds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+    grid AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM hourly) t
+        CROSS JOIN (SELECT UNNEST(generate_series(h0, h1,
+                                  INTERVAL 1 HOUR)) AS h
+                    FROM bnds) g),
+    dense AS (
+        SELECT grid.event_type, grid.h, COALESCE(hourly.xc, 0) AS xc
+        FROM grid LEFT JOIN hourly
+          ON hourly.event_type = grid.event_type AND hourly.h = grid.h),
+    staged AS (
+        SELECT event_type, xc,
+               CAST(SUM(xc) OVER (PARTITION BY event_type ORDER BY h
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY h) AS BIGINT) AS t,
+               CAST(SUM(xc) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM dense),
+    g AS (
+        SELECT event_type,
+               MAX(n) AS n,
+               MAX(s) AS s,
+               CAST(SUM(xc * xc) AS BIGINT) AS q,
+               SUM(CAST(n * cum - t * s AS DECIMAL(19,0))
+                   * CAST(n * cum - t * s AS DECIMAL(19,0))) AS sumnum2
+        FROM staged GROUP BY 1)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           ROUND(CAST(sumnum2 AS DOUBLE)
+                 / NULLIF(CAST((n * n) * (n * n) AS DOUBLE)
+                          * ((q - (s / CAST(n AS DOUBLE)) * s)
+                             / CAST(n AS DOUBLE)), 0.0), 6) AS kpss_eta,
+           CAST(ROUND(CAST(sumnum2 AS DOUBLE)
+                      / NULLIF(CAST((n * n) * (n * n) AS DOUBLE)
+                               * ((q - (s / CAST(n AS DOUBLE)) * s)
+                                  / CAST(n AS DOUBLE)), 0.0), 6)
+                > {KPSS_CRIT_95} AS BIGINT) AS stationarity_rejected_95
+    FROM g
+    ORDER BY event_type
+"""

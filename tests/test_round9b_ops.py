@@ -541,6 +541,11 @@ def test_round9_stats_survive_constant_series(spark, tmp_path):
             "stats_runs_test",
             "events_interarrival_gamma_mom",
             "stats_friedman_test",
+            "stats_jarque_bera",
+            "stats_skew_kurtosis",
+            "stats_mann_kendall_trend",
+            "ts_adf_unit_root",
+            "ts_kpss_stationarity",
         ):
             df = QUERIES[name](spark, str(d))
             res = diff_query(name, df, ORACLE_SQL[name], con)
@@ -631,3 +636,21 @@ def test_adf_matches_numpy(spark):
         assert r.unit_root_rejected_95 == int(r.t_df < -2.86)
         # hourly event counts mean-revert hard: the unit root must fall
         assert r.unit_root_rejected_95 == 1
+
+
+def test_kpss_matches_numpy(spark):
+    """KPSS eta == numpy partial-sum replication (l = 0 form), and the
+    noisy count series does NOT reject level stationarity while ADF
+    does reject the unit root — the two tests agree on the same data."""
+    rows = QUERIES["ts_kpss_stationarity"](spark, SF_DIR).collect()
+    assert rows
+    series = _dense_hourly()
+    for r in rows:
+        x = series[r.event_type]
+        n = len(x)
+        assert r.n_hours == n
+        s_t = np.cumsum(x - x.mean())
+        sigma2 = float(((x - x.mean()) ** 2).mean())
+        eta = float((s_t**2).sum()) / (n * n * sigma2)
+        assert abs(r.kpss_eta - eta) < 1e-4, (r, eta)
+        assert r.stationarity_rejected_95 == int(r.kpss_eta > 0.463)
