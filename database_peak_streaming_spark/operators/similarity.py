@@ -2144,3 +2144,175 @@ ORACLE_SQL["sim_knn_loo_classify"] = f"""
     FROM pick WHERE vr = 1
     ORDER BY q_id
 """
+
+
+#: MMR re-ranking: trade-off weight, candidate pool, selected count
+MMR_LAMBDA = 0.7
+MMR_POOL = 20
+MMR_K = 5
+
+
+def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    SIGIR'98) of the dense top-20: greedily select 5 results maximizing
+    ``lambda * sim(q,d) - (1-lambda) * max_{s in S} sim(d,s)`` — the
+    diversity-aware selection every production RAG stack applies after
+    retrieval so the context window isn't five near-duplicates of the
+    same passage.  Completes the retrieval shelf: recall (ANN), fusion
+    (RRF), and now redundancy control.
+
+    The greedy loop is UNROLLED to MMR_K deterministic steps (the
+    PageRank fixed-iteration convention): each step is an anti-join of
+    the 20-candidate pool against the selected set, a max-similarity
+    fold, and a fully tie-broken argmax — all on broadcast-sized
+    frames, so plan depth is fixed and the oracle expresses the same
+    five steps as chained CTEs.  All similarities are 6-dp rounded
+    BEFORE any comparison; every tie breaks on vec_id.
+
+    Scale: the data-sized stage is the one top-20 TakeOrdered over the
+    corpus (swap: the registered IVF/LSH probe); everything after
+    operates on pool^2 = 400 rows regardless of corpus size."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "embeddings", sf_dir)
+    base = e.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("norm")
+    )
+    qrow = base.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")
+    )
+    cos_q = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_norm") * F.col("norm")
+    )
+    topk = (
+        base.crossJoin(F.broadcast(qrow))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "embedding",
+            "norm",
+            F.round(cos_q, 6).alias("simq"),
+        )
+        .orderBy(F.desc("simq"), "vec_id")
+        .limit(MMR_POOL)
+        .localCheckpoint()
+    )
+    a = topk.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+    )
+    pool_b = topk.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+    )
+    sim_ab = _dot(F.col("a_emb"), F.col("b_emb")) / (
+        F.col("a_norm") * F.col("b_norm")
+    )
+    sims = (
+        a.crossJoin(F.broadcast(pool_b))
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", F.round(sim_ab, 6).alias("sim"))
+        .localCheckpoint()
+    )
+    cand = topk.select("vec_id", "simq")
+    lam, one_m = F.lit(MMR_LAMBDA), F.lit(1.0 - MMR_LAMBDA)
+    selected = (
+        cand.orderBy(F.desc("simq"), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("rank"),
+            "vec_id",
+            "simq",
+            F.round(lam * F.col("simq"), 6).alias("mmr_score"),
+        )
+    )
+    for step in range(2, MMR_K + 1):
+        sel_ids = selected.select(F.col("vec_id").alias("b"))
+        remaining = cand.join(
+            selected.select("vec_id"), "vec_id", "left_anti"
+        )
+        red = (
+            sims.join(sel_ids, "b")
+            .groupBy(F.col("a").alias("vec_id"))
+            .agg(F.max("sim").alias("red"))
+        )
+        scored = remaining.join(red, "vec_id").select(
+            "vec_id",
+            "simq",
+            F.round(lam * F.col("simq") - one_m * F.col("red"), 6).alias(
+                "mmr_score"
+            ),
+        )
+        pick = (
+            scored.orderBy(F.desc("mmr_score"), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(step).cast("long").alias("rank"),
+                "vec_id",
+                "simq",
+                "mmr_score",
+            )
+        )
+        selected = selected.unionAll(pick)
+    return selected.orderBy("rank")
+
+
+QUERIES["rag_mmr_rerank"] = rag_mmr_rerank
+
+
+def _mmr_sql() -> str:
+    """Mirror of rag_mmr_rerank: the same five greedy steps as chained
+    CTEs over the same rounded similarities."""
+    lam, om = MMR_LAMBDA, round(1.0 - MMR_LAMBDA, 6)
+    steps = []
+    steps.append(
+        f"""s1 AS (
+        SELECT CAST(1 AS BIGINT) AS rank, vec_id, simq,
+               ROUND({lam} * simq, 6) AS mmr_score
+        FROM cand ORDER BY simq DESC, vec_id LIMIT 1),
+    sel1 AS (SELECT vec_id FROM s1)"""
+    )
+    for i in range(2, MMR_K + 1):
+        steps.append(
+            f"""p{i} AS (
+        SELECT c.vec_id, c.simq,
+               ROUND({lam} * c.simq - {om} * (
+                   SELECT MAX(s.sim) FROM sims s
+                   JOIN sel{i-1} t ON s.b = t.vec_id
+                   WHERE s.a = c.vec_id), 6) AS mmr_score
+        FROM cand c
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i-1})),
+    s{i} AS (
+        SELECT CAST({i} AS BIGINT) AS rank, vec_id, simq, mmr_score
+        FROM p{i} ORDER BY mmr_score DESC, vec_id LIMIT 1),
+    sel{i} AS (SELECT vec_id FROM sel{i-1}
+               UNION ALL SELECT vec_id FROM s{i})"""
+        )
+    union = "\n        UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(1, MMR_K + 1)
+    )
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH q AS (
+        SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    topk AS (
+        SELECT e.vec_id, e.embedding,
+               ROUND({_cos_sql('q.q_emb', 'e.embedding')}, 6) AS simq
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+        ORDER BY simq DESC, vec_id LIMIT {MMR_POOL}),
+    cand AS (SELECT vec_id, simq FROM topk),
+    sims AS (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               ROUND({_cos_sql('x.embedding', 'y.embedding')}, 6) AS sim
+        FROM topk x JOIN topk y ON x.vec_id <> y.vec_id),
+    {steps_sql}
+    SELECT rank, vec_id, simq, mmr_score FROM (
+        {union})
+    ORDER BY rank
+"""
+
+
+ORACLE_SQL["rag_mmr_rerank"] = _mmr_sql()

@@ -423,6 +423,10 @@ def test_forced_broadcasts_are_bounded_cardinality():
         # CHOSEN so the candidate set broadcasts; if it couldn't, the
         # fallback is the same semi-join shuffled, not a bigger k)
         "ci", "candidates",
+        # round 9: "pool_b" is the MMR candidate pool's pair side —
+        # LIMIT MMR_POOL (= 20) rows by construction (similarity.py
+        # rag_mmr_rerank), bounded regardless of corpus size
+        "pool_b",
         # round 8: "n_months" is a 1-row global month-horizon count
         # (XYZ classification); "qrow" is the single pinned query
         # vector of the RRF dense arm; "src" is the bounded bitext

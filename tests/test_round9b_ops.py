@@ -654,3 +654,59 @@ def test_kpss_matches_numpy(spark):
         eta = float((s_t**2).sum()) / (n * n * sigma2)
         assert abs(r.kpss_eta - eta) < 1e-4, (r, eta)
         assert r.stationarity_rejected_95 == int(r.kpss_eta > 0.463)
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark/DuckDB ROUND(x, 6): half away from zero — Python's built-in
+    round() is half-even, and MMR scores (0.7x - 0.3y over 6-dp grids)
+    land exactly on 1e-7 half-boundaries."""
+    import math as _m
+
+    s = -1.0 if x < 0 else 1.0
+    return s * _m.floor(abs(x) * 1e6 + 0.5) / 1e6
+
+
+def test_mmr_matches_greedy_python(spark):
+    """MMR selection == a direct greedy replication on numpy cosines,
+    and the selected set is genuinely diversity-adjusted: ranks 2+ are
+    ordered by mmr, not plain similarity."""
+    rows = QUERIES["rag_mmr_rerank"](spark, SF_DIR).collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    emb = _table("embeddings")
+    # float64 up-cast first: Spark folds float32 entries into a double
+    # accumulator, so a float32 numpy dot diverges at ~1e-9
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    ids = emb["vec_id"].to_numpy()
+    qi = int(np.where(ids == 0)[0][0])
+    simq = np.round((vecs @ vecs[qi]) / (norms * norms[qi]), 6)
+    order = sorted(
+        (i for i in range(len(ids)) if ids[i] != 0),
+        key=lambda i: (-simq[i], ids[i]),
+    )[:20]
+    pool = {int(ids[i]): i for i in order}
+    sims = {
+        (int(ids[i]), int(ids[j])): round(
+            float(vecs[i] @ vecs[j] / (norms[i] * norms[j])), 6
+        )
+        for i in order
+        for j in order
+        if i != j
+    }
+    selected = []
+    first = min(pool, key=lambda v: (-simq[pool[v]], v))
+    selected.append((1, first, _round6_half_up(0.7 * float(simq[pool[first]]))))
+    while len(selected) < 5:
+        best = None
+        for v, i in pool.items():
+            if v in [s[1] for s in selected]:
+                continue
+            red = max(sims[(v, s[1])] for s in selected)
+            mmr = _round6_half_up(0.7 * float(simq[i]) - 0.3 * red)
+            if best is None or (-mmr, v) < (-best[1], best[0]):
+                best = (v, mmr)
+        selected.append((len(selected) + 1, best[0], best[1]))
+    for r, (rank, vid, mmr) in zip(rows, selected):
+        assert r.rank == rank and r.vec_id == vid, (r, (rank, vid, mmr))
+        assert abs(r.mmr_score - mmr) < 1e-9, (r, mmr)
+        assert abs(r.simq - float(simq[pool[vid]])) < 1e-9
