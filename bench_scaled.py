@@ -609,6 +609,17 @@ def main() -> None:
             " is minutes, the histogram pass is scan-bound on both"
             " engines."
         ),
+        "lcc_note": (
+            "graph_clustering_coefficient: copy scaling shifts part"
+            " keys per copy, so the co-occurrence graph is N disjoint"
+            " copies of the sf0.1 graph — edge/triangle volume grows"
+            " LINEARLY (the production sharded-graph shape; contrast"
+            " the semdedup/geo densify-in-place exclusions).  Spark"
+            " already beats the naive id-ordered triangle oracle at"
+            " 1x (0.39x) and the gap should widen with volume: the"
+            " degree-ordered orientation bounds wedge fan-out where"
+            " the naive SQL's only mercy is DuckDB's hash join."
+        ),
         "sweep_note": (
             "dedup_threshold_sweep holds ~2.3-2.9x at every tier with"
             " BOTH engines growing linearly — block sizes stay constant"
