@@ -1573,3 +1573,113 @@ ORACLE_SQL["stats_mann_kendall_trend"] = f"""
     FROM zz
     ORDER BY event_type
 """
+
+
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five event types' values — the
+    k-sample rank ANOVA that completes the rank-test family:
+    Mann-Whitney is its two-sample case, Friedman its blocked cousin,
+    and it answers the one-way ANOVA question (``stats_anova_f``)
+    without the normality assumption the Jarque-Bera gate may reject.
+    Tie-corrected: H / (1 - sum(t^3 - t)/(N^3 - N)); rejection against
+    chi-square(4) 95%.
+
+    Mid-ranks over the pooled cent-quantized values are exact
+    half-integers (the module's rank discipline), so every sum is
+    order-free; the tie correction uses the value-vocabulary collapse;
+    one float division chain at the end.
+
+    Scale: the global rank window is the module-note single-sort
+    bound, with the documented binned-rank swap; everything after the
+    rank sums is k-bounded."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("m"),
+    )
+    ranked = ev.select(
+        "event_type",
+        _mid_rank([], "m").alias("r"),
+    )
+    g = ranked.groupBy("event_type").agg(
+        F.sum("r").alias("rj"),
+        F.count(F.lit(1)).alias("nj"),
+    )
+    total = (
+        ev.groupBy("m")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tie_sum"),
+            F.sum("t").alias("n"),
+        )
+    )
+    terms = g.crossJoin(F.broadcast(total)).select(
+        "n",
+        "tie_sum",
+        ((F.col("rj") * F.col("rj")) / F.col("nj").cast("double")).alias(
+            "term"
+        ),
+        F.lit(1).alias("one"),
+    )
+    agg = terms.groupBy("n", "tie_sum").agg(
+        F.sum("term").alias("rsum"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    n = F.col("n")
+    h_raw = (F.lit(12.0) / (n * (n + F.lit(1)))) * F.col("rsum") - F.lit(
+        3.0
+    ) * (n + F.lit(1))
+    corr = F.lit(1.0) - F.col("tie_sum") / F.nullif(
+        (n * n * n - n).cast("double"), F.lit(0.0)
+    )
+    h = F.round(h_raw / F.nullif(corr, F.lit(0.0)), 6)
+    return agg.select(
+        n.cast("long").alias("n_total"),
+        F.col("k").cast("long").alias("k_groups"),
+        h.alias("h_stat"),
+        (h > F.lit(FRIEDMAN_CHI2_95_DF4)).cast("long").alias(
+            "rejected_95"
+        ),
+    )
+
+
+QUERIES["stats_kruskal_wallis"] = stats_kruskal_wallis
+ORACLE_SQL["stats_kruskal_wallis"] = f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS m
+        FROM events),
+    ranked AS (
+        SELECT event_type,
+               RANK() OVER (ORDER BY m)
+                   + (COUNT(*) OVER (PARTITION BY m) - 1) / 2.0 AS r
+        FROM ev),
+    g AS (
+        SELECT event_type, SUM(r) AS rj,
+               CAST(COUNT(*) AS BIGINT) AS nj
+        FROM ranked GROUP BY 1),
+    ties AS (
+        SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum,
+               CAST(SUM(t) AS BIGINT) AS n
+        FROM (SELECT m, CAST(COUNT(*) AS BIGINT) AS t
+              FROM ev GROUP BY 1)),
+    agg AS (
+        SELECT t.n, t.tie_sum,
+               SUM((g.rj * g.rj) / CAST(g.nj AS DOUBLE)) AS rsum,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM g CROSS JOIN ties t
+        GROUP BY 1, 2)
+    SELECT n AS n_total,
+           k AS k_groups,
+           ROUND(((12.0 / (n * (n + 1))) * rsum - 3.0 * (n + 1))
+                 / NULLIF(1.0 - tie_sum
+                          / NULLIF(CAST(n * n * n - n AS DOUBLE), 0.0),
+                          0.0), 6) AS h_stat,
+           CAST(ROUND(((12.0 / (n * (n + 1))) * rsum - 3.0 * (n + 1))
+                      / NULLIF(1.0 - tie_sum
+                               / NULLIF(CAST(n * n * n - n AS DOUBLE),
+                                        0.0), 0.0), 6)
+                > {FRIEDMAN_CHI2_95_DF4} AS BIGINT) AS rejected_95
+    FROM agg
+"""

@@ -3620,3 +3620,206 @@ ORACLE_SQL["ts_kpss_stationarity"] = f"""
     FROM g
     ORDER BY event_type
 """
+
+
+#: F(1, large-df) 95% critical value for the one-extra-lag Granger F
+GRANGER_F_95 = 3.8415
+
+
+def ts_granger_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-lag Granger-style predictive test between the hourly click
+    and purchase series, BOTH directions: does adding x_{t-1} to an
+    AR(1) of y reduce the residual sum of squares more than chance?
+    F = (SSE_restricted - SSE_full) / (SSE_full / (m - 3)) — the
+    PREDICTIVE upgrade of ``ts_cross_correlation``'s descriptive
+    lead-lag (correlation says the series co-move; this says the lag
+    of one helps forecast the other beyond its own history).  Both
+    directions come from ONE moment row since the sufficient
+    statistics are symmetric.
+
+    All nine raw moments over the (y_t, y_{t-1}, x_{t-1}) triples are
+    exact BIGINTs on the dense grid; centered moments, the Cramer
+    2x2 solve (the ``ml_linreg_normal_eq`` convention), both SSEs and
+    F are fixed IEEE trees with nullif zero guards.
+
+    Scale: one data-sized groupBy to hourly counts; the lag window
+    and one moment rollup on the calendar-bounded grid."""
+    from pyspark.sql import Window
+
+    hourly = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type").isin(XCORR_X, XCORR_Y))
+        .select("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.sum((F.col("event_type") == XCORR_X).cast("long")).alias("xr"),
+            F.sum((F.col("event_type") == XCORR_Y).cast("long")).alias("yr"),
+        )
+    )
+    global_bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = global_bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    dense = grid.join(hourly, ["h"], "left").fillna(0, subset=["xr", "yr"])
+    w = Window.orderBy("h")
+    trip = dense.select(
+        F.col("xr").alias("xc"),
+        F.col("yr").alias("yc"),
+        F.lag("xr").over(w).alias("xl"),
+        F.lag("yr").over(w).alias("yl"),
+    ).where(F.col("xl").isNotNull())
+    mom = trip.groupBy().agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("xc").alias("sxc"),
+        F.sum("yc").alias("syc"),
+        F.sum("xl").alias("sxl"),
+        F.sum("yl").alias("syl"),
+        F.sum(F.col("xc") * F.col("xc")).alias("sxcxc"),
+        F.sum(F.col("yc") * F.col("yc")).alias("sycyc"),
+        F.sum(F.col("xl") * F.col("xl")).alias("sxlxl"),
+        F.sum(F.col("yl") * F.col("yl")).alias("sylyl"),
+        F.sum(F.col("xl") * F.col("yl")).alias("sxlyl"),
+        F.sum(F.col("yc") * F.col("yl")).alias("sycyl"),
+        F.sum(F.col("yc") * F.col("xl")).alias("sycxl"),
+        F.sum(F.col("xc") * F.col("xl")).alias("sxcxl"),
+        F.sum(F.col("xc") * F.col("yl")).alias("sxcyl"),
+    )
+
+    m = F.col("m").cast("double")
+
+    def centered(sa, sb, sab):
+        return F.col(sab) - (F.col(sa) * F.col(sb)).cast("double") / m
+
+    def f_stat(sy, syy, su, suu, syu, sv, svv, syv, suv):
+        cyy = centered(sy, sy, syy)
+        cuu = centered(su, su, suu)
+        cvv = centered(sv, sv, svv)
+        cyu = centered(sy, su, syu)
+        cyv = centered(sy, sv, syv)
+        cuv = centered(su, sv, suv)
+        sse_r = cyy - (cyu * cyu) / F.nullif(cuu, F.lit(0.0))
+        det = cuu * cvv - cuv * cuv
+        b = (cyu * cvv - cyv * cuv) / F.nullif(det, F.lit(0.0))
+        c = (cyv * cuu - cyu * cuv) / F.nullif(det, F.lit(0.0))
+        sse_u = cyy - b * cyu - c * cyv
+        return F.round(
+            (sse_r - sse_u)
+            / F.nullif(sse_u / (m - F.lit(3.0)), F.lit(0.0)),
+            6,
+        )
+
+    f_xy = f_stat(
+        "syc", "sycyc", "syl", "sylyl", "sycyl", "sxl", "sxlxl",
+        "sycxl", "sxlyl",
+    )
+    f_yx = f_stat(
+        "sxc", "sxcxc", "sxl", "sxlxl", "sxcxl", "syl", "sylyl",
+        "sxcyl", "sxlyl",
+    )
+    one = mom.select(
+        F.col("m").cast("long").alias("n_obs"),
+        f_xy.alias("f_click_to_purchase"),
+        f_yx.alias("f_purchase_to_click"),
+    )
+    return one.select(
+        "n_obs",
+        F.expr(
+            "stack(2, 'click->purchase', f_click_to_purchase,"
+            " 'purchase->click', f_purchase_to_click)"
+            " AS (direction, f_stat)"
+        ),
+    ).select(
+        "direction",
+        "n_obs",
+        "f_stat",
+        (F.col("f_stat") > F.lit(GRANGER_F_95)).cast("long").alias(
+            "predictive_95"
+        ),
+    ).orderBy("direction")
+
+
+QUERIES["ts_granger_lead"] = ts_granger_lead
+
+ORACLE_SQL["ts_granger_lead"] = f"""
+    WITH hourly AS (
+        SELECT DATE_TRUNC('hour', ts) AS h,
+               CAST(SUM(CASE WHEN event_type = '{XCORR_X}'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS xr,
+               CAST(SUM(CASE WHEN event_type = '{XCORR_Y}'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS yr
+        FROM events
+        WHERE event_type IN ('{XCORR_X}', '{XCORR_Y}')
+        GROUP BY 1),
+    bnds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+    grid AS (
+        SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bnds),
+    dense AS (
+        SELECT g.h, COALESCE(hourly.xr, 0) AS xr,
+               COALESCE(hourly.yr, 0) AS yr
+        FROM grid g LEFT JOIN hourly ON hourly.h = g.h),
+    trip AS (
+        SELECT xr AS xc, yr AS yc,
+               LAG(xr) OVER (ORDER BY h) AS xl,
+               LAG(yr) OVER (ORDER BY h) AS yl
+        FROM dense),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(xc) AS BIGINT) AS sxc,
+               CAST(SUM(yc) AS BIGINT) AS syc,
+               CAST(SUM(xl) AS BIGINT) AS sxl,
+               CAST(SUM(yl) AS BIGINT) AS syl,
+               CAST(SUM(xc * xc) AS BIGINT) AS sxcxc,
+               CAST(SUM(yc * yc) AS BIGINT) AS sycyc,
+               CAST(SUM(xl * xl) AS BIGINT) AS sxlxl,
+               CAST(SUM(yl * yl) AS BIGINT) AS sylyl,
+               CAST(SUM(xl * yl) AS BIGINT) AS sxlyl,
+               CAST(SUM(yc * yl) AS BIGINT) AS sycyl,
+               CAST(SUM(yc * xl) AS BIGINT) AS sycxl,
+               CAST(SUM(xc * xl) AS BIGINT) AS sxcxl,
+               CAST(SUM(xc * yl) AS BIGINT) AS sxcyl
+        FROM trip WHERE xl IS NOT NULL),
+    cen AS (
+        SELECT m,
+               sycyc - CAST(syc * syc AS DOUBLE) / m AS cyy_p,
+               sxcxc - CAST(sxc * sxc AS DOUBLE) / m AS cyy_c,
+               sylyl - CAST(syl * syl AS DOUBLE) / m AS cuu_p,
+               sxlxl - CAST(sxl * sxl AS DOUBLE) / m AS cuu_c,
+               sycyl - CAST(syc * syl AS DOUBLE) / m AS cyu_p,
+               sxcxl - CAST(sxc * sxl AS DOUBLE) / m AS cyu_c,
+               sycxl - CAST(syc * sxl AS DOUBLE) / m AS cyv_p,
+               sxcyl - CAST(sxc * syl AS DOUBLE) / m AS cyv_c,
+               sxlyl - CAST(sxl * syl AS DOUBLE) / m AS cuv
+        FROM mom),
+    fs AS (
+        SELECT m,
+               (cyy_p - (cyu_p * cyu_p) / NULLIF(cuu_p, 0.0)) AS sse_r_p,
+               (cyy_p
+                - ((cyu_p * cuu_c - cyv_p * cuv)
+                   / NULLIF(cuu_p * cuu_c - cuv * cuv, 0.0)) * cyu_p
+                - ((cyv_p * cuu_p - cyu_p * cuv)
+                   / NULLIF(cuu_p * cuu_c - cuv * cuv, 0.0)) * cyv_p)
+                   AS sse_u_p,
+               (cyy_c - (cyu_c * cyu_c) / NULLIF(cuu_c, 0.0)) AS sse_r_c,
+               (cyy_c
+                - ((cyu_c * cuu_p - cyv_c * cuv)
+                   / NULLIF(cuu_c * cuu_p - cuv * cuv, 0.0)) * cyu_c
+                - ((cyv_c * cuu_c - cyu_c * cuv)
+                   / NULLIF(cuu_c * cuu_p - cuv * cuv, 0.0)) * cyv_c)
+                   AS sse_u_c
+        FROM cen),
+    both_dirs AS (
+        SELECT 'click->purchase' AS direction, m AS n_obs,
+               ROUND((sse_r_p - sse_u_p)
+                     / NULLIF(sse_u_p / (m - 3.0), 0.0), 6) AS f_stat
+        FROM fs
+        UNION ALL
+        SELECT 'purchase->click', m,
+               ROUND((sse_r_c - sse_u_c)
+                     / NULLIF(sse_u_c / (m - 3.0), 0.0), 6)
+        FROM fs)
+    SELECT direction, n_obs, f_stat,
+           CAST(f_stat > {GRANGER_F_95} AS BIGINT) AS predictive_95
+    FROM both_dirs
+    ORDER BY direction
+"""

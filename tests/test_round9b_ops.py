@@ -710,3 +710,70 @@ def test_mmr_matches_greedy_python(spark):
         assert r.rank == rank and r.vec_id == vid, (r, (rank, vid, mmr))
         assert abs(r.mmr_score - mmr) < 1e-9, (r, mmr)
         assert abs(r.simq - float(simq[pool[vid]])) < 1e-9
+
+
+def test_kruskal_wallis_matches_pandas(spark):
+    """Tie-corrected H == pandas pooled average ranks replication."""
+    [r] = QUERIES["stats_kruskal_wallis"](spark, SF_DIR).collect()
+    ev = _table("events")
+    m = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    types = ev["event_type"].to_numpy()
+    ranks = pd.Series(m).rank(method="average").to_numpy()
+    n = len(m)
+    rsum = 0.0
+    k = 0
+    for et in np.unique(types):
+        mask = types == et
+        rsum += ranks[mask].sum() ** 2 / mask.sum()
+        k += 1
+    h_raw = 12.0 / (n * (n + 1)) * rsum - 3 * (n + 1)
+    from collections import Counter
+
+    ties = Counter(m.tolist())
+    corr = 1.0 - sum(t**3 - t for t in ties.values()) / (n**3 - n)
+    h = h_raw / corr
+    assert r.n_total == n and r.k_groups == k
+    assert abs(r.h_stat - h) < 1e-4, (r.h_stat, h)
+    assert r.rejected_95 == int(r.h_stat > 9.4877)
+
+
+def test_granger_matches_numpy(spark):
+    """Both direction F statistics == numpy OLS SSE comparison on the
+    same dense hourly pair; the restricted model never beats the full
+    one (F >= 0 up to rounding)."""
+    rows = QUERIES["ts_granger_lead"](spark, SF_DIR).collect()
+    assert [r.direction for r in rows] == [
+        "click->purchase",
+        "purchase->click",
+    ]
+    ev = _table("events")
+    ev["h"] = pd.to_datetime(ev["ts"]).dt.floor("h")
+    sub = ev[ev["event_type"].isin(["click", "purchase"])]
+    idx = pd.date_range(sub["h"].min(), sub["h"].max(), freq="h")
+    x = (
+        sub[sub["event_type"] == "click"].groupby("h").size()
+        .reindex(idx, fill_value=0).to_numpy(dtype=float)
+    )
+    y = (
+        sub[sub["event_type"] == "purchase"].groupby("h").size()
+        .reindex(idx, fill_value=0).to_numpy(dtype=float)
+    )
+
+    def f_stat(target, own_lag, other_lag):
+        mn = len(target)
+        a_r = np.column_stack([np.ones(mn), own_lag])
+        c_r, *_ = np.linalg.lstsq(a_r, target, rcond=None)
+        sse_r = float(((target - a_r @ c_r) ** 2).sum())
+        a_u = np.column_stack([np.ones(mn), own_lag, other_lag])
+        c_u, *_ = np.linalg.lstsq(a_u, target, rcond=None)
+        sse_u = float(((target - a_u @ c_u) ** 2).sum())
+        return (sse_r - sse_u) / (sse_u / (mn - 3))
+
+    f_xy = f_stat(y[1:], y[:-1], x[:-1])
+    f_yx = f_stat(x[1:], x[:-1], y[:-1])
+    assert rows[0].n_obs == len(y) - 1
+    assert abs(rows[0].f_stat - f_xy) < 1e-3, (rows[0], f_xy)
+    assert abs(rows[1].f_stat - f_yx) < 1e-3, (rows[1], f_yx)
+    for r in rows:
+        assert r.f_stat >= -1e-9
+        assert r.predictive_95 == int(r.f_stat > 3.8415)
