@@ -457,3 +457,129 @@ ORACLE_SQL = {
         ORDER BY media_type
     """,
 }
+
+
+#: nearest-neighbor resize target (out x out pixels)
+BMP_RESIZE_OUT = 4
+
+_BMP_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("out_size", T.IntegerType()),
+        T.StructField("rs_r", T.LongType()),
+        T.StructField("rs_g", T.LongType()),
+        T.StructField("rs_b", T.LongType()),
+        T.StructField("px00_r", T.IntegerType()),
+    ]
+)
+
+
+def multimodal_bmp_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE through the real codec path — the remaining verb of
+    the multimodal mandate (decode / feature-extract / RESIZE /
+    frame-sample): each document's bytes become a real 24-bit BMP
+    (``multimodal_bmp_decode_stats``'s encode), the pure-numpy decoder
+    recovers (H, 16, 3) RGB, and a NEAREST-NEIGHBOR downsample to 4x4
+    picks rows floor(k*H/4) and cols floor(j*16/4) — the thumbnail
+    kernel every vision-data pipeline runs before dedup or CLIP
+    scoring.  Emitted: per-channel sums over the 16 sampled pixels and
+    the resized top-left R, all recomputed by the oracle DIRECTLY from
+    source byte offsets ((row*16 + col)*3 + channel), so a wrong
+    sampling grid, channel order, or row flip is a hash mismatch.
+
+    Scale shape: identical to the decode pass — one mapInPandas stage,
+    payload-free immediately after, embarrassingly parallel."""
+    from database_peak_streaming_spark.functions.multimodal import (
+        encode_bmp,
+        real_codec,
+    )
+
+    import numpy as np
+
+    out_n = BMP_RESIZE_OUT
+
+    def _resize_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                raw = bytes(payload)
+                h = max(1, math.ceil(len(raw) / (BMP_WIDTH * 3)))
+                px = np.zeros(h * BMP_WIDTH * 3, dtype=np.uint8)
+                px[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+                img = encode_bmp(px.reshape(h, BMP_WIDTH, 3))
+                dec = real_codec(img)
+                rows = (np.arange(out_n) * dec.shape[0]) // out_n
+                cols = (np.arange(out_n) * dec.shape[1]) // out_n
+                small = dec[np.ix_(rows, cols)]
+                sums = small.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out.append(
+                    (
+                        item_id,
+                        int(dec.shape[0]),
+                        out_n,
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
+                        int(small[0, 0, 0]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id", "src_height", "out_size",
+                    "rs_r", "rs_g", "rs_b", "px00_r",
+                ],
+            )
+
+    d = load_table(spark, "documents", sf_dir)
+    items = d.select(
+        F.col("doc_id").alias("item_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return items.mapInPandas(_resize_stats, schema=_BMP_RESIZE_SCHEMA)
+
+
+QUERIES["multimodal_bmp_resize_stats"] = multimodal_bmp_resize_stats
+
+ORACLE_SQL["multimodal_bmp_resize_stats"] = f"""
+    WITH geom AS (
+        SELECT doc_id, text,
+               GREATEST(1, CAST(CEIL(OCTET_LENGTH(ENCODE(text))
+                                     / {BMP_WIDTH * 3}.0) AS INT)) AS h
+        FROM documents),
+    grid AS (
+        SELECT g.doc_id, g.text, g.h,
+               (k.k * g.h) // {BMP_RESIZE_OUT} AS r,
+               (j.j * {BMP_WIDTH}) // {BMP_RESIZE_OUT} AS c
+        FROM geom g
+        CROSS JOIN (SELECT UNNEST(RANGE(0, {BMP_RESIZE_OUT})) AS k) k
+        CROSS JOIN (SELECT UNNEST(RANGE(0, {BMP_RESIZE_OUT})) AS j) j),
+    px AS (
+        SELECT doc_id, h, r, c,
+               (r * {BMP_WIDTH} + c) * 3 + 1 AS i0,
+               LENGTH(text) AS len, text
+        FROM grid),
+    vals AS (
+        SELECT doc_id, h, r, c,
+               CASE WHEN i0 <= len
+                    THEN ORD(SUBSTRING(text, CAST(i0 AS INT), 1))
+                    ELSE 0 END AS vr,
+               CASE WHEN i0 + 1 <= len
+                    THEN ORD(SUBSTRING(text, CAST(i0 + 1 AS INT), 1))
+                    ELSE 0 END AS vg,
+               CASE WHEN i0 + 2 <= len
+                    THEN ORD(SUBSTRING(text, CAST(i0 + 2 AS INT), 1))
+                    ELSE 0 END AS vb
+        FROM px)
+    SELECT doc_id AS item_id,
+           CAST(MAX(h) AS INT) AS src_height,
+           {BMP_RESIZE_OUT} AS out_size,
+           CAST(SUM(vr) AS BIGINT) AS rs_r,
+           CAST(SUM(vg) AS BIGINT) AS rs_g,
+           CAST(SUM(vb) AS BIGINT) AS rs_b,
+           CAST(MAX(CASE WHEN r = 0 AND c = 0 THEN vr END) AS INT)
+               AS px00_r
+    FROM vals
+    GROUP BY doc_id
+"""

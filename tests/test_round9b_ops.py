@@ -777,3 +777,29 @@ def test_granger_matches_numpy(spark):
     for r in rows:
         assert r.f_stat >= -1e-9
         assert r.predictive_95 == int(r.f_stat > 3.8415)
+
+
+def test_bmp_resize_matches_direct_sampling(spark):
+    """The resize path (text -> pixels -> BMP encode -> decode ->
+    nearest-neighbor 4x4) == directly sampling the source characters at
+    the grid offsets — proves the codec round-trip preserves geometry
+    and the sampling grid is floor(k*H/4) x floor(j*16/4)."""
+    rows = QUERIES["multimodal_bmp_resize_stats"](spark, SF_DIR).collect()
+    assert rows
+    d = _table("documents").set_index("doc_id")
+    for r in rows[:50]:
+        text = d.loc[r.item_id, "text"]
+        raw = text.encode("utf-8")
+        h = max(1, -(-len(raw) // 48))
+        assert r.src_height == h and r.out_size == 4
+        sums = [0, 0, 0]
+        for k in range(4):
+            for j in range(4):
+                row_, col = (k * h) // 4, (j * 16) // 4
+                base = (row_ * 16 + col) * 3
+                for ch in range(3):
+                    v = raw[base + ch] if base + ch < len(raw) else 0
+                    sums[ch] += v
+                    if k == 0 and j == 0 and ch == 0:
+                        assert r.px00_r == v
+        assert (r.rs_r, r.rs_g, r.rs_b) == tuple(sums), r
