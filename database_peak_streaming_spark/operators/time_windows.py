@@ -3823,3 +3823,219 @@ ORACLE_SQL["ts_granger_lead"] = f"""
     FROM both_dirs
     ORDER BY direction
 """
+
+
+#: R/S block sizes and the precomputed OLS-slope coefficients of
+#: ln(R/S) on ln(size) (uniform ln-2 spacing -> fixed weights)
+HURST_SIZES = (16, 32, 64, 128)
+_HURST_COEF = {
+    16: -0.432808512266689,
+    32: -0.14426950408889622,
+    64: 0.14426950408889638,
+    128: 0.43280851226668915,
+}
+
+
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent via rescaled-range (R/S) analysis on the hourly
+    event-count series per type: mean R/S over non-overlapping blocks
+    of 16/32/64/128 hours, H = the log-log OLS slope — the LONG-MEMORY
+    diagnostic completing the series-diagnostics shelf (ADF/KPSS test
+    stationarity, Ljung-Box short-range correlation; Hurst reads
+    persistence: H ~ 0.5 random walk increments, H > 0.5 trending,
+    H < 0.5 mean-reverting).
+
+    Exactness: within-block cumulative deviations have the exact
+    integer numerator M_i = b*cum_i - i*s_block (the KPSS trick), so
+    the range R = (max M - min M)/b is one exact-int difference and
+    one division; S is the population std from exact block moments;
+    per-(type, size) mean R/S is rounded to 6 dp BEFORE the log, and
+    H is a fixed 4-term chain with PRECOMPUTED literal weights (the
+    ln-spacing is uniform, so the OLS slope collapses to fixed
+    coefficients shared by both engines).
+
+    Scale: the dense grid fans out x|SIZES| (calendar-bounded); one
+    window stack per size partition, tiny rollups after."""
+    from pyspark.sql import Window
+
+    hourly = (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("xc"))
+    )
+    global_bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(global_bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+        )
+    )
+    dense = grid.join(hourly, ["event_type", "h"], "left").fillna(
+        0, subset=["xc"]
+    )
+    w_t = Window.partitionBy("event_type").orderBy("h")
+    indexed = dense.select(
+        "event_type",
+        "xc",
+        (F.row_number().over(w_t) - F.lit(1)).alias("t"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    sized = indexed.select(
+        "event_type",
+        "xc",
+        "t",
+        "n",
+        F.explode(
+            F.array(*[F.lit(b) for b in HURST_SIZES])
+        ).alias("b"),
+    ).withColumn("g", F.expr("t div b")).filter(
+        (F.col("g") + 1) * F.col("b") <= F.col("n")
+    )
+    w_blk = Window.partitionBy("event_type", "b", "g").orderBy("t")
+    w_blk_all = Window.partitionBy("event_type", "b", "g")
+    staged = sized.select(
+        "event_type",
+        "b",
+        "g",
+        F.sum("xc").over(
+            w_blk.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        (F.col("t") - F.col("g") * F.col("b") + F.lit(1)).alias("i"),
+        F.sum("xc").over(w_blk_all).alias("s"),
+        F.sum(F.col("xc") * F.col("xc")).over(w_blk_all).alias("q"),
+    )
+    m_i = F.col("b") * F.col("cum") - F.col("i") * F.col("s")
+    blocks = staged.groupBy("event_type", "b", "g").agg(
+        F.max(m_i).alias("mx"),
+        F.min(m_i).alias("mn"),
+        F.max("s").alias("s"),
+        F.max("q").alias("q"),
+    )
+    bD = F.col("b").cast("double")
+    s_std = F.sqrt(
+        F.col("q") / bD - (F.col("s") / bD) * (F.col("s") / bD)
+    )
+    rs = (
+        (F.col("mx") - F.col("mn")).cast("double") / bD
+    ) / F.nullif(s_std, F.lit(0.0))
+    mrs = (
+        blocks.select("event_type", "b", rs.alias("rs"))
+        .groupBy("event_type", "b")
+        .agg(F.round(F.avg("rs"), 6).alias("mrs"))
+    )
+    wide = mrs.groupBy("event_type").agg(
+        *[
+            F.max(
+                F.when(F.col("b") == b, F.col("mrs"))
+            ).alias(f"m{b}")
+            for b in HURST_SIZES
+        ]
+    )
+    h_expr = None
+    for b in HURST_SIZES:
+        term = F.lit(_HURST_COEF[b]) * F.log(F.col(f"m{b}"))
+        h_expr = term if h_expr is None else h_expr + term
+    h = F.round(h_expr, 6)
+    return (
+        wide.select(
+            "event_type",
+            *[F.col(f"m{b}").alias(f"rs_{b}") for b in HURST_SIZES],
+            h.alias("hurst_h"),
+            (h > F.lit(0.5)).cast("long").alias("persistent"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["ts_hurst_rs"] = ts_hurst_rs
+
+
+def _hurst_sql() -> str:
+    coef = ", ".join(str(_HURST_COEF[b]) for b in HURST_SIZES)
+    sizes_vals = ", ".join(f"({b})" for b in HURST_SIZES)
+    m_cols = ",\n               ".join(
+        f"MAX(CASE WHEN b = {b} THEN mrs END) AS m{b}"
+        for b in HURST_SIZES
+    )
+    h_chain = " + ".join(
+        f"{_HURST_COEF[b]} * LN(m{b})" for b in HURST_SIZES
+    )
+    out_cols = ",\n           ".join(
+        f"m{b} AS rs_{b}" for b in HURST_SIZES
+    )
+    return f"""
+    WITH hourly AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS xc
+        FROM events GROUP BY 1, 2),
+    bnds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+    grid AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM hourly) t
+        CROSS JOIN (SELECT UNNEST(generate_series(h0, h1,
+                                  INTERVAL 1 HOUR)) AS h
+                    FROM bnds) g),
+    dense AS (
+        SELECT grid.event_type, grid.h, COALESCE(hourly.xc, 0) AS xc
+        FROM grid LEFT JOIN hourly
+          ON hourly.event_type = grid.event_type AND hourly.h = grid.h),
+    indexed AS (
+        SELECT event_type, xc,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY h) - 1 AS BIGINT) AS t,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n
+        FROM dense),
+    sized AS (
+        SELECT i.event_type, i.xc, i.t, sz.b, i.t // sz.b AS g
+        FROM indexed i
+        CROSS JOIN (SELECT * FROM (VALUES {sizes_vals}) AS v(b)) sz
+        WHERE (i.t // sz.b + 1) * sz.b <= i.n),
+    staged AS (
+        SELECT event_type, b, g,
+               CAST(SUM(xc) OVER (PARTITION BY event_type, b, g
+                                  ORDER BY t ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum,
+               t - g * b + 1 AS i,
+               CAST(SUM(xc) OVER (PARTITION BY event_type, b, g)
+                    AS BIGINT) AS s,
+               CAST(SUM(xc * xc) OVER (PARTITION BY event_type, b, g)
+                    AS BIGINT) AS q
+        FROM sized),
+    blocks AS (
+        SELECT event_type, b, g,
+               CAST(MAX(b * cum - i * s) AS BIGINT) AS mx,
+               CAST(MIN(b * cum - i * s) AS BIGINT) AS mn,
+               CAST(MAX(s) AS BIGINT) AS s,
+               CAST(MAX(q) AS BIGINT) AS q
+        FROM staged GROUP BY 1, 2, 3),
+    rsv AS (
+        SELECT event_type, b,
+               (CAST(mx - mn AS DOUBLE) / b)
+                   / NULLIF(SQRT(q / CAST(b AS DOUBLE)
+                                 - (s / CAST(b AS DOUBLE))
+                                   * (s / CAST(b AS DOUBLE))), 0.0)
+                   AS rs
+        FROM blocks),
+    mrs AS (
+        SELECT event_type, b, ROUND(AVG(rs), 6) AS mrs
+        FROM rsv GROUP BY 1, 2),
+    wide AS (
+        SELECT event_type,
+               {m_cols}
+        FROM mrs GROUP BY 1)
+    SELECT event_type,
+           {out_cols},
+           ROUND({h_chain}, 6) AS hurst_h,
+           CAST(ROUND({h_chain}, 6) > 0.5 AS BIGINT) AS persistent
+    FROM wide
+    ORDER BY event_type
+"""
+
+
+ORACLE_SQL["ts_hurst_rs"] = _hurst_sql()

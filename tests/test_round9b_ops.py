@@ -803,3 +803,44 @@ def test_bmp_resize_matches_direct_sampling(spark):
                     if k == 0 and j == 0 and ch == 0:
                         assert r.px00_r == v
         assert (r.rs_r, r.rs_g, r.rs_b) == tuple(sums), r
+
+
+def test_hurst_matches_numpy(spark):
+    """Mean R/S per block size and the log-log slope == a direct numpy
+    replication of the textbook R/S procedure."""
+    rows = QUERIES["ts_hurst_rs"](spark, SF_DIR).collect()
+    assert rows
+    series = _dense_hourly()
+    ln = math.log
+    xs = [ln(b) for b in (16, 32, 64, 128)]
+    xbar = sum(xs) / 4
+    sxx = sum((v - xbar) ** 2 for v in xs)
+    for r in rows:
+        x = series[r.event_type]
+        mrs_vals = []
+        for b in (16, 32, 64, 128):
+            nblk = len(x) // b
+            rss = []
+            for g in range(nblk):
+                blk = x[g * b : (g + 1) * b]
+                dev = np.cumsum(blk - blk.mean())
+                rng = float(dev.max() - dev.min())
+                # include the implicit 0 start? the engine's M_i runs
+                # i=1..b with M_b = 0 exactly, matching cumsum of
+                # demeaned values whose last entry is ~0 — no extra 0
+                std = float(blk.std())  # population
+                if std == 0.0:
+                    # engines emit NULL R/S for a constant block
+                    # (nullif), and AVG skips NULLs — mirror that
+                    continue
+                rss.append(rng / std)
+            mrs = round(sum(rss) / len(rss), 6)
+            mrs_vals.append(mrs)
+            got = getattr(r, f"rs_{b}")
+            assert abs(got - mrs) < 1e-4, (r.event_type, b, got, mrs)
+        h = sum(
+            (xi - xbar) / sxx * ln(m) for xi, m in zip(xs, mrs_vals)
+        )
+        assert abs(r.hurst_h - h) < 1e-4, (r, h)
+        assert 0.0 < r.hurst_h < 1.0
+        assert r.persistent == int(r.hurst_h > 0.5)
