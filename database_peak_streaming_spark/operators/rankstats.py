@@ -1683,3 +1683,144 @@ ORACLE_SQL["stats_kruskal_wallis"] = f"""
                 > {FRIEDMAN_CHI2_95_DF4} AS BIGINT) AS rejected_95
     FROM agg
 """
+
+
+#: Bonferroni-adjusted two-sided 5% critical value for k=5 groups
+#: (m = k(k-1)/2 = 10 comparisons -> alpha/2m = 0.0025 -> z = 2.807)
+DUNN_Z_BONF_95 = 2.807
+
+
+def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons after Kruskal-Wallis: for
+    every pair of event types, z = (Rbar_i - Rbar_j) / SE with the
+    tie-corrected pooled-rank standard error
+    SE^2 = (N(N+1)/12 - sum(t^3 - t)/(12(N-1))) (1/n_i + 1/n_j),
+    Bonferroni-gated — the "WHICH groups differ?" answer the omnibus H
+    (``stats_kruskal_wallis``) deliberately doesn't give; the standard
+    pairing in any stats package.
+
+    Mid-rank sums are exact halves, group sizes and the tie term exact
+    BIGINTs; each z is one fixed IEEE tree per pair.  Pairs are formed
+    on the k-bounded group frame (k(k-1)/2 = 10 rows), every ordering
+    lexicographic on the type names.
+
+    Scale: shares Kruskal-Wallis's one global rank window (binned-rank
+    swap documented in the module note); everything after is k^2."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("m"),
+    )
+    ranked = ev.select(
+        "event_type",
+        _mid_rank([], "m").alias("r"),
+    )
+    g = ranked.groupBy("event_type").agg(
+        F.sum("r").alias("rj"),
+        F.count(F.lit(1)).alias("nj"),
+    )
+    total = (
+        ev.groupBy("m")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tie_sum"),
+            F.sum("t").alias("n"),
+        )
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("rj").alias("ra"),
+        F.col("nj").alias("na"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("rj").alias("rb"),
+        F.col("nj").alias("nb"),
+    )
+    pairs = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(total))
+    )
+    n = F.col("n").cast("double")
+    se2 = (
+        (F.col("n") * (F.col("n") + F.lit(1))).cast("double") / F.lit(12.0)
+        - F.col("tie_sum").cast("double")
+        / (F.lit(12.0) * (n - F.lit(1.0)))
+    ) * (
+        F.lit(1.0) / F.col("na").cast("double")
+        + F.lit(1.0) / F.col("nb").cast("double")
+    )
+    z = F.round(
+        (
+            F.col("ra") / F.col("na").cast("double")
+            - F.col("rb") / F.col("nb").cast("double")
+        )
+        / F.nullif(F.sqrt(se2), F.lit(0.0)),
+        6,
+    )
+    return (
+        pairs.select(
+            "type_a",
+            "type_b",
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            z.alias("z_dunn"),
+            (F.abs(z) > F.lit(DUNN_Z_BONF_95)).cast("long").alias(
+                "rejected_bonf_95"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+QUERIES["stats_dunn_posthoc"] = stats_dunn_posthoc
+ORACLE_SQL["stats_dunn_posthoc"] = f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS m
+        FROM events),
+    ranked AS (
+        SELECT event_type,
+               RANK() OVER (ORDER BY m)
+                   + (COUNT(*) OVER (PARTITION BY m) - 1) / 2.0 AS r
+        FROM ev),
+    g AS (
+        SELECT event_type, SUM(r) AS rj,
+               CAST(COUNT(*) AS BIGINT) AS nj
+        FROM ranked GROUP BY 1),
+    total AS (
+        SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum,
+               CAST(SUM(t) AS BIGINT) AS n
+        FROM (SELECT m, CAST(COUNT(*) AS BIGINT) AS t
+              FROM ev GROUP BY 1)),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.rj AS ra, a.nj AS na, b.rj AS rb, b.nj AS nb,
+               t.tie_sum, t.n
+        FROM g a JOIN g b ON a.event_type < b.event_type
+        CROSS JOIN total t)
+    SELECT type_a, type_b,
+           na AS n_a,
+           nb AS n_b,
+           ROUND((ra / CAST(na AS DOUBLE) - rb / CAST(nb AS DOUBLE))
+                 / NULLIF(SQRT((CAST(n * (n + 1) AS DOUBLE) / 12.0
+                                - CAST(tie_sum AS DOUBLE)
+                                  / (12.0 * (CAST(n AS DOUBLE) - 1.0)))
+                               * (1.0 / CAST(na AS DOUBLE)
+                                  + 1.0 / CAST(nb AS DOUBLE))), 0.0),
+                 6) AS z_dunn,
+           CAST(ABS(ROUND((ra / CAST(na AS DOUBLE)
+                           - rb / CAST(nb AS DOUBLE))
+                          / NULLIF(SQRT((CAST(n * (n + 1) AS DOUBLE)
+                                         / 12.0
+                                         - CAST(tie_sum AS DOUBLE)
+                                           / (12.0 * (CAST(n AS DOUBLE)
+                                                      - 1.0)))
+                                        * (1.0 / CAST(na AS DOUBLE)
+                                           + 1.0 / CAST(nb AS DOUBLE))),
+                                   0.0), 6))
+                > {DUNN_Z_BONF_95} AS BIGINT) AS rejected_bonf_95
+    FROM pairs
+    ORDER BY type_a, type_b
+"""

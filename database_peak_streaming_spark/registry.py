@@ -157,8 +157,8 @@ _PRIORITY = [
 #: must either enter the window or be added here.
 #:
 #: Round-10 window math (same oldest-first rule): the pool now holds
-#: 19 + 48 = 67 names — again more than one 50-slot window — so the
-#: round-10 _PRIORITY takes the FIRST 50 below and the remaining 17
+#: 19 + 49 = 68 names — again more than one 50-slot window — so the
+#: round-10 _PRIORITY takes the FIRST 50 below and the remaining 18
 #: (+ any round-10 additions) roll to round 11.
 ROTATION_POOL_NEXT_ROUND: list[str] = [
     # round-8 remainder (19, age order preserved):
@@ -230,6 +230,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "ts_granger_lead",
     "multimodal_bmp_resize_stats",
     "ts_hurst_rs",
+    "stats_dunn_posthoc",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

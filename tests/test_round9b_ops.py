@@ -844,3 +844,36 @@ def test_hurst_matches_numpy(spark):
         assert abs(r.hurst_h - h) < 1e-4, (r, h)
         assert 0.0 < r.hurst_h < 1.0
         assert r.persistent == int(r.hurst_h > 0.5)
+
+
+def test_dunn_posthoc_matches_pandas(spark):
+    """Pairwise Dunn z == pandas pooled-rank replication, and the pair
+    frame covers exactly k(k-1)/2 lexicographic pairs."""
+    rows = QUERIES["stats_dunn_posthoc"](spark, SF_DIR).collect()
+    ev = _table("events")
+    m = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    types = ev["event_type"].to_numpy()
+    ranks = pd.Series(m).rank(method="average").to_numpy()
+    n = len(m)
+    groups = sorted(np.unique(types))
+    k = len(groups)
+    assert len(rows) == k * (k - 1) // 2
+    from collections import Counter
+
+    ties = Counter(m.tolist())
+    tie_sum = sum(t**3 - t for t in ties.values())
+    base = n * (n + 1) / 12.0 - tie_sum / (12.0 * (n - 1))
+    stats = {
+        et: (ranks[types == et].mean(), int((types == et).sum()))
+        for et in groups
+    }
+    it = iter(rows)
+    for i in range(k):
+        for j in range(i + 1, k):
+            r = next(it)
+            assert (r.type_a, r.type_b) == (groups[i], groups[j])
+            (ra, na), (rb, nb) = stats[groups[i]], stats[groups[j]]
+            z = (ra - rb) / math.sqrt(base * (1.0 / na + 1.0 / nb))
+            assert r.n_a == na and r.n_b == nb
+            assert abs(r.z_dunn - z) < 1e-4, (r, z)
+            assert r.rejected_bonf_95 == int(abs(r.z_dunn) > 2.807)
