@@ -492,3 +492,123 @@ ORACLE_SQL["orders_xyz_classification"] = """
                 ELSE 'Z' END AS xyz_class
     FROM stats ORDER BY l_partkey
 """
+
+
+def orders_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC-XYZ inventory planning matrix: every part classified on
+    BOTH axes — revenue concentration (``abc_pareto_classification``'s
+    cumulative-share bands) and demand predictability
+    (``orders_xyz_classification``'s coefficient-of-variation bands) —
+    rolled up to the canonical 3x3 planning grid with part counts,
+    cell revenue, and revenue share.  AX cells (high value, steady
+    demand) get tight service levels; CZ cells (low value, erratic)
+    get make-to-order — this matrix IS the inventory-policy input, and
+    it is the audit-the-operator composition pattern: both axes reuse
+    the registered classifiers' exact logic, and the oracle mirrors
+    both registered oracles, so the matrix can never drift from its
+    parents.
+
+    Scale: the two part-keyed rollups are each one fact shuffle
+    (already proven separately); the join and the 3x3 rollup are
+    part-vocabulary sized."""
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).alias("rev")
+    )
+    total = rev.agg(F.sum("rev").alias("total"))
+    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    abc = (
+        rev.withColumn("cum", F.sum("rev").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "rev",
+            "total",
+            (
+                F.col("cum").cast("double") / F.col("total").cast("double")
+            ).alias("cum_share"),
+        )
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_share") <= 0.80, "A")
+            .when(F.col("cum_share") <= 0.95, "B")
+            .otherwise("C"),
+        )
+    )
+    xyz = orders_xyz_classification(spark, sf_dir).select(
+        "l_partkey", "xyz_class"
+    )
+    joined = abc.join(xyz, "l_partkey")
+    return (
+        joined.groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.sum("rev").cast("double"), 6).alias("cell_revenue"),
+            F.round(
+                F.sum("rev").cast("double") / F.max("total").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
+
+
+QUERIES["orders_abc_xyz_matrix"] = orders_abc_xyz_matrix
+
+ORACLE_SQL["orders_abc_xyz_matrix"] = """
+    WITH rev AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS rev
+        FROM lineitem GROUP BY l_partkey),
+    classed AS (
+        SELECT l_partkey, rev,
+               CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS DOUBLE)
+               / CAST((SELECT SUM(rev) FROM rev) AS DOUBLE) AS cum_share
+        FROM rev),
+    abc AS (
+        SELECT l_partkey, rev,
+               CASE WHEN cum_share <= 0.80 THEN 'A'
+                    WHEN cum_share <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM classed),
+    monthly AS (
+        SELECT l_partkey, DATE_TRUNC('month', l_shipdate) AS month,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS m
+        FROM lineitem GROUP BY l_partkey, DATE_TRUNC('month', l_shipdate)),
+    n_months AS (
+        SELECT COUNT(DISTINCT month) AS n_periods FROM monthly),
+    per_part AS (
+        SELECT l_partkey,
+               SUM(m) AS sum_m,
+               SUM(m * m) AS sum_m2
+        FROM monthly GROUP BY l_partkey),
+    xyz AS (
+        SELECT l_partkey,
+               CASE WHEN ROUND(SQRT(CAST(sum_m2 AS DOUBLE) / n_periods
+                                    - (CAST(sum_m AS DOUBLE) / n_periods)
+                                      * (CAST(sum_m AS DOUBLE)
+                                         / n_periods))
+                               / (CAST(sum_m AS DOUBLE) / n_periods), 6)
+                         <= 0.5 THEN 'X'
+                    WHEN ROUND(SQRT(CAST(sum_m2 AS DOUBLE) / n_periods
+                                    - (CAST(sum_m AS DOUBLE) / n_periods)
+                                      * (CAST(sum_m AS DOUBLE)
+                                         / n_periods))
+                               / (CAST(sum_m AS DOUBLE) / n_periods), 6)
+                         <= 1.0 THEN 'Y'
+                    ELSE 'Z' END AS xyz_class
+        FROM per_part CROSS JOIN n_months)
+    SELECT a.abc_class, x.xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(a.rev) AS DOUBLE), 6) AS cell_revenue,
+           ROUND(CAST(SUM(a.rev) AS DOUBLE)
+                 / CAST((SELECT SUM(rev) FROM rev) AS DOUBLE), 6)
+               AS revenue_share
+    FROM abc a JOIN xyz x USING (l_partkey)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

@@ -157,8 +157,8 @@ _PRIORITY = [
 #: must either enter the window or be added here.
 #:
 #: Round-10 window math (same oldest-first rule): the pool now holds
-#: 19 + 49 = 68 names — again more than one 50-slot window — so the
-#: round-10 _PRIORITY takes the FIRST 50 below and the remaining 18
+#: 19 + 50 = 69 names — again more than one 50-slot window — so the
+#: round-10 _PRIORITY takes the FIRST 50 below and the remaining 19
 #: (+ any round-10 additions) roll to round 11.
 ROTATION_POOL_NEXT_ROUND: list[str] = [
     # round-8 remainder (19, age order preserved):
@@ -231,6 +231,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "multimodal_bmp_resize_stats",
     "ts_hurst_rs",
     "stats_dunn_posthoc",
+    "orders_abc_xyz_matrix",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

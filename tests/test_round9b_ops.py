@@ -877,3 +877,35 @@ def test_dunn_posthoc_matches_pandas(spark):
             assert r.n_a == na and r.n_b == nb
             assert abs(r.z_dunn - z) < 1e-4, (r, z)
             assert r.rejected_bonf_95 == int(abs(r.z_dunn) > 2.807)
+
+
+def test_abc_xyz_matrix_consistent_with_parents(spark):
+    """Matrix marginals == the registered parent classifiers' own
+    outputs: XYZ-marginal part counts match orders_xyz_classification,
+    ABC-marginal revenue matches abc_pareto_classification, and the
+    revenue shares sum to 1."""
+    rows = QUERIES["orders_abc_xyz_matrix"](spark, SF_DIR).collect()
+    assert rows
+    xyz_rows = QUERIES["orders_xyz_classification"](spark, SF_DIR).collect()
+    abc_rows = QUERIES["abc_pareto_classification"](spark, SF_DIR).collect()
+    from collections import Counter
+
+    xyz_marginal = Counter()
+    abc_marginal_n = Counter()
+    abc_marginal_rev = Counter()
+    share_total = 0.0
+    for r in rows:
+        xyz_marginal[r.xyz_class] += r.n_parts
+        abc_marginal_n[r.abc_class] += r.n_parts
+        abc_marginal_rev[r.abc_class] += r.cell_revenue
+        share_total += r.revenue_share
+    expect_xyz = Counter(x.xyz_class for x in xyz_rows)
+    assert xyz_marginal == expect_xyz
+    for a in abc_rows:
+        assert abc_marginal_n[a.abc_class] == a.n_parts, a
+        assert (
+            abs(abc_marginal_rev[a.abc_class] - a.class_revenue)
+            / a.class_revenue
+            < 1e-9
+        )
+    assert abs(share_total - 1.0) < 1e-5
