@@ -1281,6 +1281,15 @@ def stats_g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one pass); the <= langs x sources float terms use LN over exact
     integer ratios (the MI discipline) and sum inside the 6-dp round.
 
+    The Pearson statistic uses the identity chi2 = sum(O^2/E) - N
+    (round-9 ADVICE): structurally-absent lang x source cells each
+    contribute exactly E_ij to sum((O-E)^2/E), and sum_all(E) = N, so
+    folding over OBSERVED cells with O^2/E and subtracting N yields
+    the FULL-grid statistic — consistent with the (r-1)(c-1) dof
+    emitted — without materializing empty cells.  (G's empty cells
+    contribute 0 by the 0*ln(0) convention, so g_stat needs no such
+    correction.)
+
     Scale: one data-sized groupBy to the contingency table; everything
     after runs on vocabulary-bounded cells."""
     d = load_table(spark, "documents", sf_dir)
@@ -1299,7 +1308,7 @@ def stats_g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o",
         "n",
         (F.col("o") * F.log(F.col("o") / e)).alias("g_term"),
-        (((F.col("o") - e) * (F.col("o") - e)) / e).alias("x2_term"),
+        ((F.col("o") * F.col("o")) / e).alias("x2_term"),
     )
     sizes = cells.agg(
         F.countDistinct("lang").alias("r"),
@@ -1317,7 +1326,9 @@ def stats_g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dof"),
         F.round(F.lit(2.0) * F.col("g_half"), 6).alias("g_stat"),
-        F.round(F.col("x2"), 6).alias("chi2_stat"),
+        F.round(F.col("x2") - F.col("n").cast("double"), 6).alias(
+            "chi2_stat"
+        ),
     )
 
 
@@ -1335,8 +1346,7 @@ ORACLE_SQL["stats_g_test_independence"] = """
     terms AS (
         SELECT o, n,
                o * LN(o / ((ri * cj) / n)) AS g_term,
-               ((o - (ri * cj) / n) * (o - (ri * cj) / n))
-                   / ((ri * cj) / n) AS x2_term
+               (o * o) / ((ri * cj) / n) AS x2_term
         FROM t),
     dims AS (
         SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
@@ -1350,7 +1360,7 @@ ORACLE_SQL["stats_g_test_independence"] = """
            dims.c AS c_sources,
            (dims.r - 1) * (dims.c - 1) AS dof,
            ROUND(2.0 * g_half, 6) AS g_stat,
-           ROUND(x2, 6) AS chi2_stat
+           ROUND(x2 - CAST(n AS DOUBLE), 6) AS chi2_stat
     FROM agg CROSS JOIN dims
 """
 

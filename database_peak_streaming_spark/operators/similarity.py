@@ -2146,8 +2146,15 @@ ORACLE_SQL["sim_knn_loo_classify"] = f"""
 """
 
 
-#: MMR re-ranking: trade-off weight, candidate pool, selected count
+#: MMR re-ranking: trade-off weight, candidate pool, selected count.
+#: The (1-lambda) multiplier is a SHARED literal (round-9 ADVICE): the
+#: computed ``1.0 - 0.7`` double is 0.30000000000000004 — one ulp above
+#: the parsed literal 0.3 — and MMR scores on 6-dp grids can land
+#: exactly on 1e-7 round half-boundaries, so both engines must use the
+#: SAME double verbatim (the repo's shared-literal convention for
+#: critical values).
 MMR_LAMBDA = 0.7
+MMR_ONE_MINUS_LAMBDA = 0.3
 MMR_POOL = 20
 MMR_K = 5
 
@@ -2217,7 +2224,7 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     cand = topk.select("vec_id", "simq")
-    lam, one_m = F.lit(MMR_LAMBDA), F.lit(1.0 - MMR_LAMBDA)
+    lam, one_m = F.lit(MMR_LAMBDA), F.lit(MMR_ONE_MINUS_LAMBDA)
     selected = (
         cand.orderBy(F.desc("simq"), "vec_id")
         .limit(1)
@@ -2265,7 +2272,7 @@ QUERIES["rag_mmr_rerank"] = rag_mmr_rerank
 def _mmr_sql() -> str:
     """Mirror of rag_mmr_rerank: the same five greedy steps as chained
     CTEs over the same rounded similarities."""
-    lam, om = MMR_LAMBDA, round(1.0 - MMR_LAMBDA, 6)
+    lam, om = MMR_LAMBDA, MMR_ONE_MINUS_LAMBDA
     steps = []
     steps.append(
         f"""s1 AS (

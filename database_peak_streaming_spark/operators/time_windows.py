@@ -2894,7 +2894,7 @@ def _periodogram_sql() -> str:
     )
     pf_cols = ",\n               ".join(
         f"ROUND((n * (c{P} * c{P} + s{P} * s{P}))"
-        f" / (q - (s * 1.0 / n) * s), 6) AS pf{P}"
+        f" / NULLIF(q - (s * 1.0 / n) * s, 0.0), 6) AS pf{P}"
         for P in PERIODOGRAM_PERIODS
     )
     unpivot = "\n            UNION ALL\n            ".join(
@@ -3922,10 +3922,35 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rs = (
         (F.col("mx") - F.col("mn")).cast("double") / bD
     ) / F.nullif(s_std, F.lit(0.0))
+    # Per-(type, size) mean R/S via a FIXED-ORDER fold (round-9
+    # ADVICE): an unordered F.avg over doubles is partition-order-
+    # dependent in Spark while DuckDB's AVG folds sequentially, so both
+    # engines fold the g-ordered block list left-to-right (the
+    # periodogram F.aggregate / LIST_REDUCE convention).  NULL R/S
+    # (zero-std blocks) is excluded on both sides, matching AVG's
+    # null-skipping semantics.
+    rsv = blocks.select("event_type", "b", "g", rs.alias("rs")).filter(
+        F.col("rs").isNotNull()
+    )
     mrs = (
-        blocks.select("event_type", "b", rs.alias("rs"))
-        .groupBy("event_type", "b")
-        .agg(F.round(F.avg("rs"), 6).alias("mrs"))
+        rsv.groupBy("event_type", "b")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("g").alias("g"), F.col("rs").alias("rs"))
+                )
+            ).alias("sv"),
+            F.count(F.lit(1)).alias("nb"),
+        )
+        .select(
+            "event_type",
+            "b",
+            F.round(
+                F.aggregate("sv", F.lit(0.0), lambda a, e: a + e["rs"])
+                / F.col("nb"),
+                6,
+            ).alias("mrs"),
+        )
     )
     wide = mrs.groupBy("event_type").agg(
         *[
@@ -4015,7 +4040,7 @@ def _hurst_sql() -> str:
                CAST(MAX(q) AS BIGINT) AS q
         FROM staged GROUP BY 1, 2, 3),
     rsv AS (
-        SELECT event_type, b,
+        SELECT event_type, b, g,
                (CAST(mx - mn AS DOUBLE) / b)
                    / NULLIF(SQRT(q / CAST(b AS DOUBLE)
                                  - (s / CAST(b AS DOUBLE))
@@ -4023,8 +4048,10 @@ def _hurst_sql() -> str:
                    AS rs
         FROM blocks),
     mrs AS (
-        SELECT event_type, b, ROUND(AVG(rs), 6) AS mrs
-        FROM rsv GROUP BY 1, 2),
+        SELECT event_type, b,
+               ROUND(LIST_REDUCE(LIST(rs ORDER BY g), (a, x) -> a + x)
+                     / COUNT(*), 6) AS mrs
+        FROM rsv WHERE rs IS NOT NULL GROUP BY 1, 2),
     wide AS (
         SELECT event_type,
                {m_cols}

@@ -87,80 +87,15 @@ _MODULES = [
 #: (round 2 rotated in the multimodal binary-payload kernel and the S4
 #: binary peaks codec in place of two of the five scalar packs).
 _PRIORITY = [
-    # Round-9 rotation (round-8 VERDICT "Next round" #1).  The round-8
-    # pool held 69 never-driver-checked names — more than one 50-slot
-    # window — so this window takes the FIRST 50 in insertion (= age)
-    # order, exactly the math registry.py documented last round:
-    # oldest-first, no re-check slots until the pool fits again.  After
-    # this window the union of driver-hash-checked queries is 318/337;
-    # the remaining 19 names stay pinned in ROTATION_POOL_NEXT_ROUND
-    # (plus any round-9 additions) for the round-10 window.
-    "join_interval_grid_mixed",
-    "stats_cramers_v",
-    "events_powerlaw_alpha",
-    "ts_holt_linear",
-    "orders_xyz_classification",
-    "sample_kfold_assign",
-    "embed_matryoshka_recall",
-    "rag_rrf_fusion",
-    "udf_arrow_group_stats",
-    "intervals_merge_spans",
-    "text_bpe_pair_counts",
-    "sql_identifier_clause",
-    "sql_distribute_cluster_by",
-    "embeddings_bitext_margin",
-    "model_calibration_bins",
-    "ann_recall_audit",
-    "ts_holt_winters_additive",
-    "json_corrupt_handling",
-    "sketch_approx_top_k",
-    "agg_listagg_sorted",
-    "stats_anova_f",
-    "stats_mann_whitney",
-    "ml_linreg_normal_eq",
-    "feature_target_encode_oof",
-    "feature_woe_iv",
-    "model_conformal_interval",
-    "graph_degree_assortativity",
-    "eval_ndcg_bm25",
-    "agg_percentile_cont_disc",
-    "sql_correlated_scalar",
-    "orders_promo_uplift_did",
-    "ab_test_cuped",
-    "causal_stratified_ate",
-    "ts_croston_intermittent",
-    "partition_overwrite_dynamic",
-    "agg_grouping_id_rollup",
-    "map_build_zip_funcs",
-    "ps_api_groupby_stats",
-    "udf_arrow_optimized_scalar",
-    "stats_spearman_corr",
-    "eval_roc_auc",
-    "ts_changepoint_binseg",
-    "ml_logreg_irls_step",
-    "text_trigram_backoff_lm",
-    "ann_pq_adc",
-    "stats_kendall_tau_vocab",
-    "corpus_temperature_mixture",
-    "graph_label_propagation",
-    "eval_pr_auc",
-    "feature_quantile_normalize",
-]
-
-#: The round-10 rotation pool.  The round-9 window drained the OLDEST
-#: 50 of the 69-name round-8 pool (oldest-first, the math the round-8
-#: comment prescribed); the 19 names below are the round-8 remainder,
-#: and queries ADDED during round 9 append after them (each is
-#: local-gated by tests/test_differential.py's full DuckDB oracle until
-#: a future window picks it up).  tests/test_registry.py pins that the
-#: never-driver-checked overflow is EXACTLY this list, so any new query
-#: must either enter the window or be added here.
-#:
-#: Round-10 window math (same oldest-first rule): the pool now holds
-#: 19 + 50 = 69 names — again more than one 50-slot window — so the
-#: round-10 _PRIORITY takes the FIRST 50 below and the remaining 19
-#: (+ any round-10 additions) roll to round 11.
-ROTATION_POOL_NEXT_ROUND: list[str] = [
+    # Round-10 rotation (round-9 VERDICT "Next round" #1).  The round-9
+    # pool held 69 never-driver-checked names — again more than one
+    # 50-slot window — so this window takes the FIRST 50 in insertion
+    # (= age) order: the 19-name round-8 remainder, then the oldest 31
+    # of the round-9 additions.  After this window the union of
+    # driver-hash-checked queries is 368/387; the remaining 19 round-9
+    # names stay pinned in ROTATION_POOL_NEXT_ROUND (plus any round-10
+    # additions, capped below the window size per round-9 ask #8) for
+    # the round-11 window.
     # round-8 remainder (19, age order preserved):
     "events_longest_streak",
     "intervals_active_count_daily",
@@ -181,7 +116,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "ab_tost_equivalence",
     "sample_neyman_allocation",
     "stats_skew_kurtosis",
-    # round-9 additions:
+    # oldest 31 round-9 additions (age order preserved):
     "multimodal_bmp_decode_stats",
     "window_rolling_distinct_users",
     "text_heaps_law_fit",
@@ -213,6 +148,23 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "model_lift_gains_deciles",
     "graph_hits_hub_authority",
     "text_good_turing_smoothing",
+]
+
+#: The round-11 rotation pool.  The round-10 window drained the OLDEST
+#: 50 of the 69-name round-9 pool (oldest-first, the math the round-9
+#: comment prescribed); the 19 names below are the round-9 remainder,
+#: and queries ADDED during round 10 append after them (each is
+#: local-gated by tests/test_differential.py's full DuckDB oracle until
+#: a future window picks it up).  tests/test_registry.py pins that the
+#: never-driver-checked overflow is EXACTLY this list, so any new query
+#: must either enter the window or be added here.
+#:
+#: Round-11 window math: 19 remainder + round-10 additions (capped at
+#: ≤31 per round-9 VERDICT ask #8, so the pool fits one window for the
+#: first time since round 7) — the round-11 _PRIORITY takes the whole
+#: pool plus re-check slots if any remain.
+ROTATION_POOL_NEXT_ROUND: list[str] = [
+    # round-9 remainder (19, age order preserved):
     "stats_cochran_armitage_trend",
     "stats_hodges_lehmann_daily",
     "ts_cross_correlation",

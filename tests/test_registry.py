@@ -41,7 +41,7 @@ def _driver_checked_union() -> set[str]:
     """Every query name the round driver has hash/rows-checked, from the
     committed per-round artifacts."""
     union: set[str] = set()
-    for f in sorted(_ROOT.glob("CORRECTNESS_r0*.json")):
+    for f in sorted(_ROOT.glob("CORRECTNESS_r*.json")):
         union |= set(json.load(open(f)).keys())
     return union
 

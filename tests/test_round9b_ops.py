@@ -479,9 +479,13 @@ def test_g_test_matches_python(spark):
     g = 2.0 * sum(
         o * math.log(o / (ri[a] * cj[b] / n)) for (a, b), o in cells.items()
     )
+    # FULL-grid Pearson statistic (round-10: chi2 = sum(O^2/E) - N
+    # identity) — structurally-absent cells contribute E_ij each.
     x2 = sum(
-        (o - ri[a] * cj[b] / n) ** 2 / (ri[a] * cj[b] / n)
-        for (a, b), o in cells.items()
+        (cells.get((a, b), 0) - ri[a] * cj[b] / n) ** 2
+        / (ri[a] * cj[b] / n)
+        for a in ri
+        for b in cj
     )
     assert r.n_docs == n
     assert r.dof == (len(ri) - 1) * (len(cj) - 1)
