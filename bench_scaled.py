@@ -168,16 +168,63 @@ STRAGGLER_SET = [
     # round-9: new headliner gets the full tier treatment (VERDICT #8)
     "ts_croston_intermittent",
     # round-9 additions carried to the deep tier.
-    # geo_grid_radius_join is deliberately EXCLUDED from deep (the
-    # semdedup precedent): copy-scaling multiplies point DENSITY inside
-    # the FIXED bounding box, so within-radius pair volume grows
-    # QUADRATICALLY (30x data = ~900x pairs ~ 180M distance verifies on
-    # BOTH engines) — not the production shape, where a growing corpus
-    # grows AREA at ~constant density and cell occupancy stays bounded.
-    # The 10x tier (100x pairs) already shows the trend with real work.
+    # geo_grid_radius_join's FIXED-box form remains excluded from deep
+    # (the semdedup precedent): copy-scaling multiplies point DENSITY
+    # inside the fixed bounding box, so within-radius pair volume grows
+    # QUADRATICALLY — not the production shape.  Round 10 adds the
+    # AREA-SCALED variant instead (VERDICT r9 ask #7): each copy's
+    # points land in their own longitude stripe, density stays
+    # constant, pair volume grows linearly — see EXTRA_DEEP below.
     "ml_gbdt_histogram_split",
     "dedup_threshold_sweep",
 ]
+
+#: Oracle queries that must run OUTSIDE the shared DuckDB process at a
+#: given tier, with an optional setup statement.  ts_croston's flat
+#: LIST_REDUCE fold allocates per-thread state that exceeds the box at
+#: the 30x tier with the default 32 threads (measured: OOM at >=8
+#: threads, threads=2 right at the cliff — one success at 43.6 s, one
+#: OOM on the warm run — threads=1 stable at 35.5 s); the subprocess
+#: also protects the other oracles from allocator poisoning if it
+#: still OOMs.
+ORACLE_ISOLATE = {
+    "deep": {"ts_croston_intermittent": "SET threads=1"},
+    "scaled": {"ts_croston_intermittent": None},
+}
+
+
+def _geo_area_offset() -> int:
+    """The per-copy c_custkey offset the scaled builds used (domain
+    offset = max base custkey + 1), recovered from the BASE fixture so
+    the area-scaled geo variant stripes exactly along copy boundaries."""
+    import duckdb
+
+    return (
+        duckdb.sql(
+            f"SELECT MAX(c_custkey) + 1 FROM '{BASE}/customer.parquet'"
+        ).fetchone()[0]
+    )
+
+
+def _extra_queries(phase: str) -> dict:
+    """Bench-only (query fn, oracle sql) pairs a tier carries beyond
+    the registry names — currently the area-scaled geo join on the
+    deep tier (constant density, linear pair volume; its differential
+    check lives in tests/test_round10_ops.py)."""
+    if phase != "deep":
+        return {}
+    from database_peak_streaming_spark.operators.geo import (
+        geo_area_scaled_oracle_sql,
+        geo_area_scaled_query,
+    )
+
+    off = _geo_area_offset()
+    return {
+        "geo_grid_radius_join_area": (
+            geo_area_scaled_query(off),
+            geo_area_scaled_oracle_sql(off),
+        )
+    }
 
 
 def build_scaled(spark, out_dir: Path = OUT, copies: int = COPIES) -> None:
@@ -232,30 +279,86 @@ def _planning_ms(df) -> float:
         return 0.0
 
 
+def _resolve_query(name: str, phase: str):
+    from database_peak_streaming_spark.registry import QUERIES
+
+    if name in QUERIES:
+        return QUERIES[name]
+    return _extra_queries(phase)[name][0]
+
+
+def _time_one_spark(spark, sf_dir: str, fn) -> tuple[float, float]:
+    fn(spark, sf_dir).count()  # warm (footers, codegen)
+    best = float("inf")
+    best_exec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.toPandas()
+        wall = time.perf_counter() - t0
+        if wall < best:
+            best = wall
+            best_exec = max(wall - _planning_ms(df) / 1000.0, 0.0)
+    return best, best_exec
+
+
 def time_set_spark(spark, sf_dir: str, query_set: list[str]) -> tuple[dict, dict]:
     from database_peak_streaming_spark.registry import QUERIES
 
     spark_t: dict[str, float] = {}
     spark_exec: dict[str, float] = {}
     for name in query_set:
-        fn = QUERIES[name]
-        fn(spark, sf_dir).count()  # warm (footers, codegen)
-        best = float("inf")
-        best_exec = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.toPandas()
-            wall = time.perf_counter() - t0
-            if wall < best:
-                best = wall
-                best_exec = max(wall - _planning_ms(df) / 1000.0, 0.0)
+        best, best_exec = _time_one_spark(spark, sf_dir, QUERIES[name])
         spark_t[name] = round(best, 3)
         spark_exec[name] = round(best_exec, 3)
     return spark_t, spark_exec
 
 
-def time_set_duck(sf_dir: str, query_set: list[str]) -> dict:
+def time_set_spark_isolated(
+    phase: str, sf_dir: str, query_set: list[str]
+) -> tuple[dict, dict]:
+    """One fresh Spark PROCESS per query (round-9 VERDICT ask #2): the
+    deep tier's committed numbers must equal what a solo fresh-session
+    run of the same query measures — sequential in-suite runs inherit
+    JVM aging (broadcast blocks, checkpoint RDDs, GC pressure) from the
+    heavy queries before them, which is how r8/r9 committed deep
+    entries drifted 2-10x above their own attribution notes'
+    solo-measured walls (q18 2.71 s committed vs ~1.7 s solo; agg_hll
+    3.16 s vs 0.34 s).  ~10 s of process startup per query buys
+    committed evidence that matches claims."""
+    import subprocess
+
+    spark_t: dict[str, float] = {}
+    spark_exec: dict[str, float] = {}
+    for name in query_set:
+        r = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--one",
+                phase,
+                sf_dir,
+                name,
+            ],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"isolated spark run failed for {name}:\n{r.stderr[-1000:]}"
+            )
+        d = json.loads(r.stdout.strip().splitlines()[-1])
+        spark_t[name] = d["wall"]
+        spark_exec[name] = d["exec"]
+    return spark_t, spark_exec
+
+
+def time_set_duck(
+    sf_dir: str,
+    query_set: list[str],
+    phase: str = "",
+) -> dict:
     """DuckDB oracle phase — run AFTER the tier's Spark session is
     STOPPED: with a live multi-GB JVM beside it, DuckDB's default
     ~80%-of-RAM budget overcommits the box and large-tier oracles die
@@ -266,9 +369,20 @@ def time_set_duck(sf_dir: str, query_set: list[str]) -> dict:
     from database_peak_streaming_spark.registry import ORACLE_SQL
 
     duck_t: dict[str, float | None] = {}
+    extras = _extra_queries(phase)
+    isolate = ORACLE_ISOLATE.get(phase, {})
     con = oracle_connection(sf_dir)
     poisoned = False
     for name in query_set:
+        if name in isolate:
+            # pre-declared OOM hazard at this tier: own subprocess,
+            # optionally with a bounded-threads setup (see
+            # ORACLE_ISOLATE) — never allowed to poison the shared
+            # connection's allocator
+            duck_t[name] = _duck_single_subprocess(
+                sf_dir, name, setup=isolate[name], phase=phase
+            )
+            continue
         if poisoned:
             # A prior OOM exhausts the PROCESS-level allocator beyond
             # recovery — close()+gc+reconnect still fails to allocate
@@ -276,9 +390,9 @@ def time_set_duck(sf_dir: str, query_set: list[str]) -> dict:
             # into trivially-light queries and then into view creation
             # itself).  Every remaining oracle query gets its own
             # subprocess: full isolation, same warm+min-of-2 protocol.
-            duck_t[name] = _duck_single_subprocess(sf_dir, name)
+            duck_t[name] = _duck_single_subprocess(sf_dir, name, phase=phase)
             continue
-        sql = ORACLE_SQL[name]
+        sql = ORACLE_SQL[name] if name in ORACLE_SQL else extras[name][1]
         try:
             con.sql(sql).fetchall()  # warm (page cache, catalogs) — same
             best = float("inf")      # protocol as the Spark side
@@ -307,19 +421,27 @@ def time_set_duck(sf_dir: str, query_set: list[str]) -> dict:
     return duck_t
 
 
-def _duck_single_subprocess(sf_dir: str, name: str) -> float | None:
+def _duck_single_subprocess(
+    sf_dir: str, name: str, setup: str | None = None, phase: str = ""
+) -> float | None:
     """Time ONE oracle query in a fresh python subprocess (used after a
-    same-process OOM poisons the allocator).  Returns the min-of-2 wall
-    or None if the query is itself infeasible."""
+    same-process OOM poisons the allocator, and pre-emptively for
+    ORACLE_ISOLATE entries, optionally with a setup statement like a
+    bounded thread count).  Returns the min-of-2 wall or None if the
+    query is itself infeasible."""
     import subprocess
 
+    setup_line = f"con.sql({setup!r})\n" if setup else ""
     code = (
         "import sys, time, json\n"
         f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
         "from database_peak_streaming_spark.harness.diff import oracle_connection\n"
         "from database_peak_streaming_spark.registry import ORACLE_SQL\n"
+        "from bench_scaled import _extra_queries\n"
         f"con = oracle_connection({sf_dir!r})\n"
-        f"sql = ORACLE_SQL[{name!r}]\n"
+        + setup_line
+        + f"sql = ORACLE_SQL[{name!r}] if {name!r} in ORACLE_SQL "
+        f"else _extra_queries({phase!r})[{name!r}][1]\n"
         "con.sql(sql).fetchall()\n"
         "best = float('inf')\n"
         "for _ in range(2):\n"
@@ -406,10 +528,16 @@ def run_phase(phase: str) -> dict:
         "scaled": (str(OUT), QUERY_SET),
         "deep": (str(OUT2), STRAGGLER_SET),
     }[phase]
-    spark = _fresh(f"dps-bench-scaled-{phase}")
-    spark_t, spark_exec = time_set_spark(spark, sf_dir, query_set)
-    spark.stop()
-    duck_t = time_set_duck(sf_dir, query_set)
+    query_set = query_set + sorted(_extra_queries(phase))
+    if phase == "deep":
+        # per-query process isolation (VERDICT r9 ask #2): committed
+        # deep numbers = solo fresh-session numbers by construction
+        spark_t, spark_exec = time_set_spark_isolated(phase, sf_dir, query_set)
+    else:
+        spark = _fresh(f"dps-bench-scaled-{phase}")
+        spark_t, spark_exec = time_set_spark(spark, sf_dir, query_set)
+        spark.stop()
+    duck_t = time_set_duck(sf_dir, query_set, phase=phase)
     return combine_timings(spark_t, spark_exec, duck_t, query_set)
 
 
@@ -438,6 +566,14 @@ def _phase_in_subprocess(phase: str) -> dict:
 
 
 def main() -> None:
+    if len(sys.argv) >= 5 and sys.argv[1] == "--one":
+        # time ONE query in THIS (fresh) process: --one <phase> <sf_dir> <name>
+        phase, sf_dir, name = sys.argv[2], sys.argv[3], sys.argv[4]
+        spark = _fresh(f"dps-bench-one-{name}")
+        wall, ex = _time_one_spark(spark, sf_dir, _resolve_query(name, phase))
+        spark.stop()
+        print(json.dumps({"wall": round(wall, 3), "exec": round(ex, 3)}))
+        return
     if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
         result = run_phase(sys.argv[2])
         if sys.argv[2] != "build":

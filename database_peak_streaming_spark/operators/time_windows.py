@@ -1895,29 +1895,42 @@ ORACLE_SQL["ts_croston_intermittent"] = f"""
                    AS dn,
                CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS q
         FROM lineitem GROUP BY 1, 2),
+    -- The [z, p] pair recursion decomposes into TWO INDEPENDENT flat
+    -- scalar folds (z only reads acc[1]/x[1], p only acc[2]/x[2]) —
+    -- the round-9 nested list-of-pairs form exhausted DuckDB's memory
+    -- budget at the 10x tier (VERDICT r9 ask #6); flat double lists
+    -- fold in bounded state.  Gaps come from a LAG window (an indexed
+    -- LIST_TRANSFORM(generate_series...) rebuild measured 2x slower
+    -- at the 10x tier and OOM'd at 30x even single-fold).  Step
+    -- parity with the Spark F.aggregate: z seeds y_1 and folds
+    -- y_2..y_n (LIST_REDUCE seeds from the first element); p seeds
+    -- gap_1 AND folds gap_1 again first (the pair fold's step i=2
+    -- applies x=[y_2, gap_1] onto the seed [y_1, gap_1]), hence the
+    -- explicit [gs[1]] prepend.
+    pts AS (
+        SELECT l_partkey, dn, q,
+               CAST(dn - LAG(dn) OVER (PARTITION BY l_partkey
+                                       ORDER BY dn) AS DOUBLE) AS gap
+        FROM demand),
     series AS (
         SELECT l_partkey,
-               LIST(CAST(dn AS DOUBLE) ORDER BY dn) AS ds,
-               LIST(CAST(q AS DOUBLE) ORDER BY dn) AS ys
-        FROM demand GROUP BY l_partkey),
-    eligible AS (SELECT * FROM series WHERE LEN(ds) >= 5),
+               LIST(CAST(q AS DOUBLE) ORDER BY dn) AS ys,
+               LIST(gap ORDER BY dn) FILTER (WHERE gap IS NOT NULL) AS gs
+        FROM pts GROUP BY l_partkey),
+    eligible AS (SELECT * FROM series WHERE LEN(ys) >= 5),
     folded AS (
-        SELECT l_partkey, LEN(ds) AS n,
-               LIST_REDUCE(
-                   [[ys[1], ds[2] - ds[1]]]
-                       || LIST_TRANSFORM(
-                              generate_series(2, LEN(ds)),
-                              i -> [ys[i], ds[i] - ds[i - 1]]),
-                   (acc, x) -> [
-                       {CROSTON_A} * x[1] + {CROSTON_CA} * acc[1],
-                       {CROSTON_A} * x[2] + {CROSTON_CA} * acc[2]]) AS zp
+        SELECT l_partkey, LEN(ys) AS n,
+               LIST_REDUCE(ys,
+                   (acc, x) -> {CROSTON_A} * x + {CROSTON_CA} * acc) AS z,
+               LIST_REDUCE([gs[1]] || gs,
+                   (acc, x) -> {CROSTON_A} * x + {CROSTON_CA} * acc) AS p
         FROM eligible)
     SELECT l_partkey AS partkey,
            CAST(n AS BIGINT) AS n_demand_days,
-           ROUND(zp[1], 6) AS demand_size_ema,
-           ROUND(zp[2], 6) AS interval_ema,
-           ROUND(zp[1] / zp[2], 6) AS croston_rate,
-           ROUND((1.0 - {CROSTON_A} / 2.0) * zp[1] / zp[2], 6) AS sba_rate
+           ROUND(z, 6) AS demand_size_ema,
+           ROUND(p, 6) AS interval_ema,
+           ROUND(z / p, 6) AS croston_rate,
+           ROUND((1.0 - {CROSTON_A} / 2.0) * z / p, 6) AS sba_rate
     FROM folded ORDER BY partkey
 """
 
