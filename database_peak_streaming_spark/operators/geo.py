@@ -159,7 +159,45 @@ def geo_area_scaled_query(stripe_key_offset: int):
 _CELL_KEY_STRIDE = 1_000_000
 
 
-def _radius_join_from_points(pts: DataFrame) -> DataFrame:
+#: Mean Earth radius (km) for the haversine production-distance swap.
+EARTH_RADIUS_KM = 6371.0
+
+
+def _haversine_km(lat_a, lon_a, lat_b, lon_b):
+    """Great-circle distance in km.  The production distance form the
+    module docstring names as the documented one-expression swap: NOT
+    used by the registered (oracled) query because libm sin/cos are not
+    guaranteed bit-equal across engines; exercised by
+    ``geo_grid_radius_join_haversine`` below and its numpy parity test
+    (round-9 VERDICT ask #9)."""
+    rl_a, rl_b = F.radians(lat_a), F.radians(lat_b)
+    dlat = F.radians(lat_b - lat_a) / 2.0
+    dlon = F.radians(lon_b - lon_a) / 2.0
+    h = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(rl_a) * F.cos(rl_b) * F.sin(dlon) * F.sin(dlon)
+    )
+    return 2.0 * F.lit(EARTH_RADIUS_KM) * F.asin(F.sqrt(h))
+
+
+def geo_grid_radius_join_haversine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The registered grid join with the haversine verify swapped in —
+    same candidate machinery (the cover argument holds directly in
+    degrees: 25 km great-circle spans at most 25/78.7 ~= 0.32 deg lon
+    at the box's worst-case latitude 45N and 25/111 ~= 0.23 deg lat —
+    both < CELL_DEG = 0.5 — so any qualifying pair is within one cell
+    step and the forward neighborhood covers it).  Library/bench
+    surface, not driver-registered (no portable cross-engine oracle —
+    libm trig); parity is pinned against numpy in
+    tests/test_round10_ops.py."""
+    return _radius_join_from_points(_points(spark, sf_dir), haversine=True)
+
+
+def _radius_join_from_points(
+    pts: DataFrame, haversine: bool = False
+) -> DataFrame:
     """The grid join half of ``geo_grid_radius_join``, shared with the
     area-scaled bench variant (same plan from the cell frame on)."""
     off = F.explode(
@@ -194,22 +232,28 @@ def _radius_join_from_points(pts: DataFrame) -> DataFrame:
         F.col("lon").alias("lon_b"),
         (F.col("cx") * stride + F.col("cy")).alias("gk"),
     )
-    dx = (F.col("lon_b") - F.col("lon_a")) * F.lit(KM_PER_DEG_LON)
-    dy = (F.col("lat_b") - F.col("lat_a")) * F.lit(KM_PER_DEG_LAT)
-    d2 = dx * dx + dy * dy
-    cand = (
-        probe.join(build, ["gk"])
-        .filter(
-            (~F.col("same_cell") & (F.col("id_a") != F.col("id_b")))
-            | (F.col("id_a") < F.col("id_b"))
+    pairs = probe.join(build, ["gk"]).filter(
+        (~F.col("same_cell") & (F.col("id_a") != F.col("id_b")))
+        | (F.col("id_a") < F.col("id_b"))
+    )
+    if haversine:
+        dist = _haversine_km(
+            F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
         )
-        .filter(d2 <= F.lit(RADIUS_KM * RADIUS_KM))
-        .select(
+        cand = pairs.filter(dist <= F.lit(RADIUS_KM)).select(
+            F.least("id_a", "id_b").alias("pid_a"),
+            F.greatest("id_a", "id_b").alias("pid_b"),
+            dist.alias("dist"),
+        )
+    else:
+        dx = (F.col("lon_b") - F.col("lon_a")) * F.lit(KM_PER_DEG_LON)
+        dy = (F.col("lat_b") - F.col("lat_a")) * F.lit(KM_PER_DEG_LAT)
+        d2 = dx * dx + dy * dy
+        cand = pairs.filter(d2 <= F.lit(RADIUS_KM * RADIUS_KM)).select(
             F.least("id_a", "id_b").alias("pid_a"),
             F.greatest("id_a", "id_b").alias("pid_b"),
             F.sqrt(d2).alias("dist"),
         )
-    )
     return (
         cand.orderBy("dist", "pid_a", "pid_b")
         .limit(TOP_PAIRS)

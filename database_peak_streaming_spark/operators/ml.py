@@ -797,3 +797,148 @@ ORACLE_SQL["ml_gbdt_histogram_split"] = """
     FROM best WHERE rn = 1
     ORDER BY feature
 """
+
+
+#: Pinned 2-component 1-D GMM initialization for the EM step: means in
+#: dollars at the order-total distribution's rough thirds, one shared
+#: sigma, equal weights.  Literals shared verbatim with the oracle.
+GMM_MU1, GMM_MU2 = 100000.0, 350000.0
+GMM_SIGMA = 80000.0
+GMM_W1, GMM_W2 = 0.5, 0.5
+#: responsibility quantization grid (micro-units) — E-step outputs are
+#: rounded onto it so every M-step sum is an exact integer
+GMM_R_SCALE = 1_000_000
+
+
+def ml_em_gmm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE exact EM iteration of a two-component 1-D Gaussian mixture
+    over order totals, from pinned initial parameters — the
+    soft-assignment sibling of ``ml_kmeans_lloyd_step`` (hard argmin ->
+    posterior responsibilities) and the last member of the
+    one-distributed-pass trainer-step family (IRLS, Lloyd, GBDT split,
+    power iteration): a full EM fit is this operator iterated, one
+    corpus pass per step — the 100 TB shape.
+
+    E-step: r_i = w1 phi(x_i; mu1, s) / (w1 phi1 + w2 phi2), computed
+    as one fixed float expression and ROUNDED to the micro-unit grid
+    (the Lloyd quantization discipline) so the M-step's weighted sums
+    (sum r, sum r x, sum r x^2 — x in exact cents) are exact
+    DECIMAL(38,0) integers on both engines regardless of partitioning.
+    M-step closed forms assemble from those exact moments: w_k' =
+    sum r / n, mu_k' = sum r x / sum r, sigma_k'^2 = sum r x^2 / sum r
+    - mu_k'^2.
+
+    Scale: one scan computes responsibilities map-side; one 2 x 3-cell
+    aggregation; no shuffle wider than the component count."""
+    o = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    xd = cents.cast("double") / F.lit(100.0)
+    s2 = F.lit(2.0) * F.lit(GMM_SIGMA) * F.lit(GMM_SIGMA)
+    p1 = F.lit(GMM_W1) * F.exp(
+        -((xd - F.lit(GMM_MU1)) * (xd - F.lit(GMM_MU1))) / s2
+    )
+    p2 = F.lit(GMM_W2) * F.exp(
+        -((xd - F.lit(GMM_MU2)) * (xd - F.lit(GMM_MU2))) / s2
+    )
+    r1 = F.round(p1 / (p1 + p2), 6)
+    base = o.select(
+        cents.alias("x"),
+        F.round(r1 * F.lit(GMM_R_SCALE), 0).cast("long").alias("r1u"),
+    ).select(
+        "x",
+        "r1u",
+        (F.lit(GMM_R_SCALE) - F.col("r1u")).alias("r2u"),
+    )
+    dec = "decimal(38,0)"
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r1u").cast(dec)).alias("sr1"),
+        F.sum((F.col("r1u") * F.col("x")).cast(dec)).alias("srx1"),
+        F.sum(
+            F.col("r1u").cast(dec) * (F.col("x") * F.col("x")).cast(dec)
+        ).alias("srxx1"),
+        F.sum(F.col("r2u").cast(dec)).alias("sr2"),
+        F.sum((F.col("r2u") * F.col("x")).cast(dec)).alias("srx2"),
+        F.sum(
+            F.col("r2u").cast(dec) * (F.col("x") * F.col("x")).cast(dec)
+        ).alias("srxx2"),
+    )
+    rows = []
+    for k, srk, srxk, srxxk, mu0 in (
+        (1, "sr1", "srx1", "srxx1", GMM_MU1),
+        (2, "sr2", "srx2", "srxx2", GMM_MU2),
+    ):
+        sr = F.col(srk).cast("double")
+        srx = F.col(srxk).cast("double")
+        srxx = F.col(srxxk).cast("double")
+        n_eff = sr / F.lit(float(GMM_R_SCALE))
+        mu = srx / sr / F.lit(100.0)
+        var = srxx / sr / F.lit(10000.0) - mu * mu
+        rows.append(
+            agg.select(
+                F.lit(k).cast("long").alias("component"),
+                F.col("n").cast("long").alias("n_rows"),
+                F.round(n_eff, 6).alias("n_effective"),
+                F.round(n_eff / F.col("n"), 6).alias("weight_new"),
+                F.round(mu, 6).alias("mu_new"),
+                F.round(F.sqrt(var), 6).alias("sigma_new"),
+                F.round(mu - F.lit(mu0), 6).alias("mu_shift"),
+            )
+        )
+    return rows[0].unionAll(rows[1]).orderBy("component")
+
+
+QUERIES["ml_em_gmm_step"] = ml_em_gmm_step
+ORACLE_SQL["ml_em_gmm_step"] = f"""
+    WITH base0 AS (
+        SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS x
+        FROM orders),
+    resp AS (
+        SELECT x,
+               CAST(ROUND({GMM_R_SCALE} * ROUND(
+                   ({GMM_W1} * EXP(-((x / 100.0 - {GMM_MU1})
+                                     * (x / 100.0 - {GMM_MU1}))
+                                   / (2.0 * {GMM_SIGMA} * {GMM_SIGMA})))
+                   / (({GMM_W1} * EXP(-((x / 100.0 - {GMM_MU1})
+                                        * (x / 100.0 - {GMM_MU1}))
+                                      / (2.0 * {GMM_SIGMA} * {GMM_SIGMA})))
+                      + ({GMM_W2} * EXP(-((x / 100.0 - {GMM_MU2})
+                                          * (x / 100.0 - {GMM_MU2}))
+                                        / (2.0 * {GMM_SIGMA}
+                                           * {GMM_SIGMA})))), 6), 0)
+                    AS BIGINT) AS r1u
+        FROM base0),
+    base AS (
+        SELECT x, r1u, {GMM_R_SCALE} - r1u AS r2u FROM resp),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(r1u AS DECIMAL(38,0))) AS sr1,
+               SUM(CAST(r1u * x AS DECIMAL(38,0))) AS srx1,
+               SUM(CAST(r1u AS DECIMAL(38,0))
+                   * CAST(x * x AS DECIMAL(38,0))) AS srxx1,
+               SUM(CAST(r2u AS DECIMAL(38,0))) AS sr2,
+               SUM(CAST(r2u * x AS DECIMAL(38,0))) AS srx2,
+               SUM(CAST(r2u AS DECIMAL(38,0))
+                   * CAST(x * x AS DECIMAL(38,0))) AS srxx2
+        FROM base),
+    u AS (
+        SELECT 1 AS component, n,
+               CAST(sr1 AS DOUBLE) AS sr, CAST(srx1 AS DOUBLE) AS srx,
+               CAST(srxx1 AS DOUBLE) AS srxx, {GMM_MU1} AS mu0
+        FROM agg
+        UNION ALL
+        SELECT 2, n, CAST(sr2 AS DOUBLE), CAST(srx2 AS DOUBLE),
+               CAST(srxx2 AS DOUBLE), {GMM_MU2}
+        FROM agg)
+    SELECT CAST(component AS BIGINT) AS component,
+           n AS n_rows,
+           ROUND(sr / {GMM_R_SCALE}.0, 6) AS n_effective,
+           ROUND(sr / {GMM_R_SCALE}.0 / n, 6) AS weight_new,
+           ROUND(srx / sr / 100.0, 6) AS mu_new,
+           ROUND(SQRT(srxx / sr / 10000.0
+                      - (srx / sr / 100.0) * (srx / sr / 100.0)), 6)
+               AS sigma_new,
+           ROUND(srx / sr / 100.0 - mu0, 6) AS mu_shift
+    FROM u
+    ORDER BY component
+"""

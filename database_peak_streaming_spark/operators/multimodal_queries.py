@@ -333,15 +333,136 @@ def multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return items.mapInPandas(_decode_stats, schema=_BMP_SCHEMA)
 
 
+
+#: PPM geometry mirrors the BMP query's 16-px width; the 4-bin red-
+#: channel histogram uses 64-value buckets.
+PPM_WIDTH = 16
+PPM_BINS = 4
+
+
+_PPM_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("r_bin0", T.LongType()),
+        T.StructField("r_bin1", T.LongType()),
+        T.StructField("r_bin2", T.LongType()),
+        T.StructField("r_bin3", T.LongType()),
+        T.StructField("sum_rgb", T.LongType()),
+    ]
+)
+
+
+def multimodal_ppm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL P6 (binary PPM) decode through the SECOND pure-numpy codec:
+    each document's bytes become the RGB pixels of a P6 file (header +
+    raw top-down RGB — built inline, readable by any image tool), and
+    ``real_codec`` dispatches to ``decode_ppm`` (header parse with
+    whitespace/comment handling + reshape).  The emitted red-channel
+    4-bin histogram and total RGB sum are recomputed by the oracle
+    directly from the source text's char codes, so a header-length or
+    channel-order bug in the decoder is a hash mismatch — the PPM twin
+    of ``multimodal_bmp_decode_stats``'s pixel-level contract (which
+    covered only the BMP half of the real codec until now).
+
+    Scale shape: identical — one mapInPandas stage, fixed-width stat
+    rows out, no shuffle before the fetch."""
+    from database_peak_streaming_spark.functions.multimodal import real_codec
+
+    import numpy as np
+
+    def _ppm_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                raw = bytes(payload)
+                h = max(1, math.ceil(len(raw) / (PPM_WIDTH * 3)))
+                px = np.zeros(h * PPM_WIDTH * 3, dtype=np.uint8)
+                px[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+                ppm = b"P6\n%d %d\n255\n" % (PPM_WIDTH, h) + px.tobytes()
+                dec = real_codec(ppm)  # dispatches to decode_ppm
+                r = dec.reshape(-1, 3)[:, 0]
+                bins = np.bincount(r >> 6, minlength=PPM_BINS)
+                out.append(
+                    (
+                        item_id,
+                        int(dec.shape[0] * dec.shape[1]),
+                        int(bins[0]),
+                        int(bins[1]),
+                        int(bins[2]),
+                        int(bins[3]),
+                        int(dec.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id", "n_px",
+                    "r_bin0", "r_bin1", "r_bin2", "r_bin3", "sum_rgb",
+                ],
+            )
+
+    d = load_table(spark, "documents", sf_dir)
+    items = d.select(
+        F.col("doc_id").alias("item_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return items.mapInPandas(_ppm_stats, schema=_PPM_SCHEMA)
+
+
 QUERIES = {
     "multimodal_payload_fingerprint": multimodal_payload_fingerprint,
     "multimodal_meta_filter_stats": multimodal_meta_filter_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_audio_window_energy": multimodal_audio_window_energy,
     "multimodal_bmp_decode_stats": multimodal_bmp_decode_stats,
+    "multimodal_ppm_histogram": multimodal_ppm_histogram,
 }
 
 ORACLE_SQL = {
+    "multimodal_ppm_histogram": f"""
+        WITH s AS (
+            SELECT doc_id AS item_id, text,
+                   CAST(LENGTH(text) AS BIGINT) AS l,
+                   {PPM_WIDTH} * GREATEST(1, CAST(CEIL(LENGTH(text)
+                       / {PPM_WIDTH * 3}.0) AS BIGINT)) AS n_px
+            FROM documents),
+        rpix AS (
+            SELECT item_id,
+                   CASE WHEN 3 * k < l
+                        THEN ORD(SUBSTRING(text, CAST(3 * k + 1 AS INT), 1))
+                        ELSE 0 END AS r
+            FROM (SELECT item_id, text, l,
+                         UNNEST(RANGE(0, n_px)) AS k
+                  FROM s)),
+        hist AS (
+            SELECT item_id,
+                   CAST(SUM(CASE WHEN r // 64 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS r_bin0,
+                   CAST(SUM(CASE WHEN r // 64 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS r_bin1,
+                   CAST(SUM(CASE WHEN r // 64 = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS r_bin2,
+                   CAST(SUM(CASE WHEN r // 64 = 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS r_bin3
+            FROM rpix GROUP BY 1),
+        sums AS (
+            SELECT doc_id AS item_id,
+                   CAST(COALESCE(SUM(ORD(c)), 0) AS BIGINT) AS sum_rgb
+            FROM documents
+            LEFT JOIN (SELECT doc_id AS did,
+                              UNNEST(STRING_SPLIT(text, '')) AS c
+                       FROM documents) u
+              ON u.did = documents.doc_id
+            GROUP BY 1)
+        SELECT s.item_id, s.n_px,
+               h.r_bin0, h.r_bin1, h.r_bin2, h.r_bin3,
+               m.sum_rgb
+        FROM s
+        JOIN hist h ON h.item_id = s.item_id
+        JOIN sums m ON m.item_id = s.item_id
+        ORDER BY s.item_id
+    """,
     "multimodal_frame_sample": f"""
         WITH s AS (
             SELECT doc_id AS item_id, text,

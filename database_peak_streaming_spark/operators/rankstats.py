@@ -1834,3 +1834,232 @@ ORACLE_SQL["stats_dunn_posthoc"] = f"""
     FROM pairs
     ORDER BY type_a, type_b
 """
+
+
+#: chi-square(1) 95th percentile — McNemar rejection bar
+MCNEMAR_CHI2_95_DF1 = 3.8415
+
+
+def stats_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes per event type: each
+    user is their own control — did they fire the type in the first
+    half of the observation window vs the second (the before/after
+    split at the global midpoint timestamp)?  Only the DISCORDANT
+    cells carry information: b = active-before-only, c =
+    active-after-only, chi2 = (b - c)^2 / (b + c) against
+    chi-square(1).  The within-subject drift test the unpaired drift
+    shelf (KS/PSI/chi2 by period) cannot answer, because it conditions
+    on the same user appearing in both periods' risk set.
+
+    Determinism: the half boundary is the exact integer-microsecond
+    midpoint of (min ts, max ts); b and c are exact BIGINT user
+    counts; one float division at the end.
+
+    Scale: one (user, type, half) presence aggregation — data-sized,
+    map-side combinable — then type-bounded cells."""
+    ev = load_table(spark, "events", sf_dir)
+    bounds = ev.agg(
+        (
+            (
+                F.unix_micros(F.min("ts").cast("timestamp"))
+                + F.unix_micros(F.max("ts").cast("timestamp"))
+            )
+            / F.lit(2)
+        )
+        .cast("long")
+        .alias("mid_us")
+    )
+    pres = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            "event_type",
+            (F.unix_micros(F.col("ts").cast("timestamp")) < F.col("mid_us"))
+            .cast("int")
+            .alias("h1"),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max("h1").alias("before"),
+            F.max(F.lit(1) - F.col("h1")).alias("after"),
+        )
+    )
+    cells = pres.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            ((F.col("before") == 1) & (F.col("after") == 0)).cast("long")
+        ).alias("b"),
+        F.sum(
+            ((F.col("before") == 0) & (F.col("after") == 1)).cast("long")
+        ).alias("c"),
+    )
+    diff = (F.col("b") - F.col("c")).cast("double")
+    chi2 = F.round(
+        diff * diff
+        / F.nullif((F.col("b") + F.col("c")).cast("double"), F.lit(0.0)),
+        6,
+    )
+    return cells.select(
+        "event_type",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("b").cast("long").alias("before_only"),
+        F.col("c").cast("long").alias("after_only"),
+        chi2.alias("chi2_mcnemar"),
+        (chi2 > F.lit(MCNEMAR_CHI2_95_DF1)).cast("long").alias(
+            "rejected_95"
+        ),
+    ).orderBy("event_type")
+
+
+QUERIES["stats_mcnemar_paired"] = stats_mcnemar_paired
+ORACLE_SQL["stats_mcnemar_paired"] = f"""
+    WITH bounds AS (
+        SELECT CAST((EPOCH_US(MIN(ts)) + EPOCH_US(MAX(ts))) / 2
+                    AS BIGINT) AS mid_us
+        FROM events),
+    pres AS (
+        SELECT user_id, event_type,
+               MAX(CASE WHEN EPOCH_US(ts) < mid_us THEN 1 ELSE 0 END)
+                   AS before,
+               MAX(CASE WHEN EPOCH_US(ts) < mid_us THEN 0 ELSE 1 END)
+                   AS after
+        FROM events CROSS JOIN bounds
+        GROUP BY user_id, event_type),
+    cells AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN before = 1 AND after = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN before = 0 AND after = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM pres GROUP BY event_type)
+    SELECT event_type,
+           n_users,
+           b AS before_only,
+           c AS after_only,
+           ROUND(CAST(b - c AS DOUBLE) * CAST(b - c AS DOUBLE)
+                 / NULLIF(CAST(b + c AS DOUBLE), 0.0), 6)
+               AS chi2_mcnemar,
+           CAST(ROUND(CAST(b - c AS DOUBLE) * CAST(b - c AS DOUBLE)
+                      / NULLIF(CAST(b + c AS DOUBLE), 0.0), 6)
+                > {MCNEMAR_CHI2_95_DF1} AS BIGINT) AS rejected_95
+    FROM cells
+    ORDER BY event_type
+"""
+
+
+def stats_mood_scale_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's two-sample SCALE test between the two lexicographically
+    first event types' value distributions: rank the pooled
+    cent-quantized values, score each sample-1 observation
+    (r - (N+1)/2)^2, and compare T = sum of scores to its null moments
+    E[T] = n1 (N^2 - 1) / 12, Var[T] = n1 n2 (N+1)(N^2-4)/180.  The
+    dispersion counterpart of the location shelf: Mann-Whitney asks
+    "did the center move?", Mood asks "did the SPREAD change?" —
+    Brown-Forsythe answers it parametrically, this is the rank answer.
+
+    Mid-ranks are exact half-integers, so each score is an exact
+    multiple of 0.25 and the sum is order-free at any volume below
+    2^53 quarter-units.  The null moments use the standard no-ties
+    closed forms (ties exist on the cent grid, so z is the usual
+    tie-approximate screen — same statistic both engines).
+
+    Scale: one global rank window (module-note single-sort bound with
+    the documented binned swap), one aggregation."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("m"),
+    )
+    two = (
+        ev.select("event_type")
+        .distinct()
+        .orderBy("event_type")
+        .limit(2)
+    )
+    sub = ev.join(F.broadcast(two), "event_type")
+    first = two.agg(F.min("event_type").alias("t1"))
+    ranked = sub.select(
+        "event_type",
+        _mid_rank([], "m").alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    scored = ranked.crossJoin(F.broadcast(first)).select(
+        "n",
+        (F.col("event_type") == F.col("t1")).cast("int").alias("is1"),
+        (
+            (F.col("r") - (F.col("n") + F.lit(1)) / F.lit(2.0))
+            * (F.col("r") - (F.col("n") + F.lit(1)) / F.lit(2.0))
+        ).alias("sc"),
+    )
+    agg = scored.groupBy("n").agg(
+        F.sum(F.when(F.col("is1") == 1, F.col("sc"))).alias("t_stat"),
+        F.sum("is1").alias("n1"),
+        F.sum(F.lit(1) - F.col("is1")).alias("n2"),
+    )
+    n = F.col("n").cast("double")
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    e_t = n1 * (n * n - F.lit(1.0)) / F.lit(12.0)
+    v_t = (
+        n1
+        * n2
+        * (n + F.lit(1.0))
+        * (n * n - F.lit(4.0))
+        / F.lit(180.0)
+    )
+    z = F.round((F.col("t_stat") - e_t) / F.sqrt(v_t), 6)
+    return agg.select(
+        F.col("n1").cast("long").alias("n_sample1"),
+        F.col("n2").cast("long").alias("n_sample2"),
+        F.round(F.col("t_stat"), 6).alias("t_stat"),
+        F.round(e_t, 6).alias("t_expected"),
+        z.alias("z_mood"),
+        (F.abs(z) > F.lit(CA_Z_95)).cast("long").alias("rejected_95"),
+    )
+
+
+QUERIES["stats_mood_scale_test"] = stats_mood_scale_test
+ORACLE_SQL["stats_mood_scale_test"] = f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS m
+        FROM events),
+    two AS (
+        SELECT DISTINCT event_type FROM ev
+        ORDER BY event_type LIMIT 2),
+    first AS (SELECT MIN(event_type) AS t1 FROM two),
+    sub AS (SELECT ev.* FROM ev JOIN two USING (event_type)),
+    ranked AS (
+        SELECT event_type,
+               RANK() OVER (ORDER BY m)
+                   + (COUNT(*) OVER (PARTITION BY m) - 1) / 2.0 AS r,
+               COUNT(*) OVER () AS n
+        FROM sub),
+    scored AS (
+        SELECT n,
+               CASE WHEN event_type = first.t1 THEN 1 ELSE 0 END AS is1,
+               (r - (n + 1) / 2.0) * (r - (n + 1) / 2.0) AS sc
+        FROM ranked CROSS JOIN first),
+    agg AS (
+        SELECT n,
+               SUM(CASE WHEN is1 = 1 THEN sc END) AS t_stat,
+               CAST(SUM(is1) AS BIGINT) AS n1,
+               CAST(SUM(1 - is1) AS BIGINT) AS n2
+        FROM scored GROUP BY n)
+    SELECT n1 AS n_sample1,
+           n2 AS n_sample2,
+           ROUND(t_stat, 6) AS t_stat,
+           ROUND(n1 * (CAST(n AS DOUBLE) * n - 1.0) / 12.0, 6)
+               AS t_expected,
+           ROUND((t_stat - n1 * (CAST(n AS DOUBLE) * n - 1.0) / 12.0)
+                 / SQRT(n1 * CAST(n2 AS DOUBLE) * (n + 1.0)
+                        * (CAST(n AS DOUBLE) * n - 4.0) / 180.0), 6)
+               AS z_mood,
+           CAST(ABS(ROUND((t_stat
+                           - n1 * (CAST(n AS DOUBLE) * n - 1.0) / 12.0)
+                          / SQRT(n1 * CAST(n2 AS DOUBLE) * (n + 1.0)
+                                 * (CAST(n AS DOUBLE) * n - 4.0)
+                                 / 180.0), 6))
+                > {CA_Z_95} AS BIGINT) AS rejected_95
+    FROM agg
+"""

@@ -2682,3 +2682,244 @@ ORACLE_SQL["text_burstiness_church_gale"] = f"""
     ORDER BY burstiness, term
     LIMIT {BURST_TOP_K}
 """
+
+
+#: DSIR selection size (top documents by importance weight)
+DSIR_TOP_K = 20
+
+
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, Data Selection
+    via Importance Resampling) for every document against a TARGET
+    distribution — here the lang='en' slice stands in for the
+    high-quality target corpus: w(d) = sum over d's token occurrences
+    of log(p_target(tok) / p_raw(tok)) under add-1-smoothed unigram
+    LMs, the importance-sampling log-ratio DSIR resamples by.  The
+    corpus-curation primitive between the hard gates
+    (``text_quality_score``) and the expensive perplexity filter
+    (``corpus_perplexity_gate``): it RANKS raw documents by target
+    likeness using only count tables.  Top-K by weight presented.
+
+    Algebra: w(d) = sum_w cnt_{d,w} (ln(ct_w + 1) - ln(cr_w + 1))
+    + n_tok(d) * K with K = ln(N_raw + V) - ln(N_target + V)
+    — counts exact BIGINTs (the MI/LN discipline), K a 1-row broadcast.
+    The per-doc sum folds the doc's (token, contrib) pairs in token
+    order (collect -> array_sort -> F.aggregate / LIST ORDER BY +
+    LIST_REDUCE), the module's fixed-order float convention.
+
+    Scale: tokens explode once; both count tables are vocabulary-
+    bounded; the probe join keys are tokens; per-doc folds are bounded
+    by document length; top-K is a TakeOrdered."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select(
+        "doc_id", "lang", F.explode(_tokens()).alias("tok")
+    )
+    per_doc = tok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    raw = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        tok.where(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tgt_tot = tgt.agg(F.sum("ct").alias("n_tgt"))
+    consts = raw.agg(
+        F.sum("cr").alias("n_raw"),
+        F.count(F.lit(1)).alias("v"),
+    ).crossJoin(
+        F.broadcast(tgt_tot)
+    ).select(
+        (
+            F.log((F.col("n_raw") + F.col("v")).cast("double"))
+            - F.log((F.col("n_tgt") + F.col("v")).cast("double"))
+        ).alias("k_norm")
+    )
+    contrib = (
+        per_doc.join(raw, "tok")
+        .join(tgt, "tok", "left")
+        .select(
+            "doc_id",
+            "tok",
+            "cnt",
+            (
+                F.col("cnt")
+                * (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast(
+                            "double"
+                        )
+                    )
+                    - F.log((F.col("cr") + F.lit(1)).cast("double"))
+                )
+            ).alias("c"),
+        )
+    )
+    folded = (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("tok").alias("tok"), F.col("c").alias("c"))
+                )
+            ).alias("sv"),
+            F.sum("cnt").alias("n_tok"),
+        )
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.round(
+                F.aggregate("sv", F.lit(0.0), lambda a, e: a + e["c"])
+                + F.col("n_tok").cast("double") * F.col("k_norm"),
+                6,
+            ).alias("dsir_weight"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wnd = W.orderBy(F.desc("dsir_weight"), "doc_id")
+    return (
+        folded.withColumn("rnk", F.row_number().over(wnd).cast("long"))
+        .where(F.col("rnk") <= DSIR_TOP_K)
+        .select("rnk", "doc_id", "n_tok", "dsir_weight")
+        .orderBy("rnk")
+    )
+
+
+QUERIES["corpus_dsir_importance"] = corpus_dsir_importance
+ORACLE_SQL["corpus_dsir_importance"] = f"""
+    WITH tok AS (
+        SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+        FROM documents),
+    per_doc AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY 1, 2),
+    raw AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cr
+        FROM tok GROUP BY 1),
+    tgt AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct
+        FROM tok WHERE lang = 'en' GROUP BY 1),
+    consts AS (
+        SELECT LN(CAST((SELECT SUM(cr) FROM raw)
+                       + (SELECT COUNT(*) FROM raw) AS DOUBLE))
+               - LN(CAST((SELECT SUM(ct) FROM tgt)
+                         + (SELECT COUNT(*) FROM raw) AS DOUBLE))
+                   AS k_norm),
+    contrib AS (
+        SELECT p.doc_id, p.tok, p.cnt,
+               p.cnt * (LN(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE))
+                        - LN(CAST(r.cr + 1 AS DOUBLE))) AS c
+        FROM per_doc p
+        JOIN raw r USING (tok)
+        LEFT JOIN tgt t USING (tok)),
+    folded AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_tok,
+               ROUND(LIST_REDUCE(LIST_PREPEND(0.0, LIST(c ORDER BY tok)),
+                                 (a, x) -> a + x)
+                     + SUM(cnt) * (SELECT k_norm FROM consts), 6)
+                   AS dsir_weight
+        FROM contrib GROUP BY doc_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY dsir_weight DESC, doc_id)
+                   AS rnk
+        FROM folded)
+    SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_tok, dsir_weight
+    FROM ranked WHERE rnk <= {DSIR_TOP_K}
+    ORDER BY rnk
+"""
+
+
+def text_self_bleu_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU-style bigram redundancy per source: for each document,
+    the fraction of its bigram OCCURRENCES whose bigram also appears in
+    at least one OTHER document (corpus-support precision — the
+    redundancy signal Self-BLEU thresholds when judging how templated /
+    self-similar a corpus slice is; 1.0 = every phrase reused
+    elsewhere, 0 = fully novel text).  A bigram with document frequency
+    1 exists ONLY in the document at hand, so "appears elsewhere" is
+    exactly df >= 2 — no per-pair comparison is ever needed.
+
+    Rolled up per source from EXACT integers (matched and total bigram
+    occurrences; one float division per source row), so no float-sum
+    ordering exists at all — the cheap complement to the fold-based
+    DSIR weight above.
+
+    Scale: one bigram explode, one vocabulary-bounded df table, one
+    probe join on the bigram key, source-bounded output."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = _tokens()
+    n = F.size(toks)
+    bi = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    occ = (
+        d.where(n >= 2)
+        .select("doc_id", "source", F.explode(bi).alias("bg"))
+        .groupBy("doc_id", "source", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    df_tab = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("df"))
+    per_source = (
+        occ.join(df_tab, "bg")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum("cnt").alias("total_occ"),
+            F.sum(F.when(F.col("df") >= 2, F.col("cnt")).otherwise(0)).alias(
+                "matched_occ"
+            ),
+        )
+    )
+    return per_source.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_occ").cast("long").alias("total_bigrams"),
+        F.col("matched_occ").cast("long").alias("matched_bigrams"),
+        F.round(
+            F.col("matched_occ").cast("double")
+            / F.nullif(F.col("total_occ").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("self_bleu_2"),
+    ).orderBy("source")
+
+
+QUERIES["text_self_bleu_bigram"] = text_self_bleu_bigram
+ORACLE_SQL["text_self_bleu_bigram"] = """
+    WITH t AS (
+        SELECT doc_id, source, STRING_SPLIT(text, ' ') AS toks
+        FROM documents),
+    occ AS (
+        SELECT doc_id, source, bg, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT doc_id, source,
+                   UNNEST(LIST_TRANSFORM(
+                       generate_series(1, LEN(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS bg
+            FROM t WHERE LEN(toks) >= 2)
+        GROUP BY 1, 2, 3),
+    df_tab AS (
+        SELECT bg, CAST(COUNT(*) AS BIGINT) AS df
+        FROM occ GROUP BY 1),
+    per_source AS (
+        SELECT source,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(SUM(cnt) AS BIGINT) AS total_occ,
+               CAST(SUM(CASE WHEN df >= 2 THEN cnt ELSE 0 END)
+                    AS BIGINT) AS matched_occ
+        FROM occ JOIN df_tab USING (bg)
+        GROUP BY source)
+    SELECT source,
+           n_docs,
+           total_occ AS total_bigrams,
+           matched_occ AS matched_bigrams,
+           ROUND(CAST(matched_occ AS DOUBLE)
+                 / NULLIF(CAST(total_occ AS DOUBLE), 0.0), 6)
+               AS self_bleu_2
+    FROM per_source
+    ORDER BY source
+"""

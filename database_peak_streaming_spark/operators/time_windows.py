@@ -2754,7 +2754,7 @@ PERIODOGRAM_PERIODS = (6, 8, 12, 24, 84, 168)
 _TWO_PI = 6.283185307179586
 
 
-def ts_periodogram_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _periodogram_pf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete-Fourier periodogram of the hourly event-count series
     per event type at six calendar periods (6 h .. weekly): the
     frequency-domain twin of ``ts_acf_hourly``'s lag-domain seasonality
@@ -2864,6 +2864,15 @@ def ts_periodogram_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
             for P in PERIODOGRAM_PERIODS
         ],
     )
+    return pf
+
+
+def ts_periodogram_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See the module docstring above ``_periodogram_pf`` (the pipeline
+    was factored so ``ts_spectral_entropy`` reuses the identical pf
+    frame); this presents the long per-(type, period) form with the
+    dominant-period flag."""
+    pf = _periodogram_pf(spark, sf_dir)
     stack_args = ", ".join(f"{P}, pf{P}" for P in PERIODOGRAM_PERIODS)
     long = pf.select(
         "event_type",
@@ -4079,3 +4088,453 @@ def _hurst_sql() -> str:
 
 
 ORACLE_SQL["ts_hurst_rs"] = _hurst_sql()
+
+
+#: ln(len(PERIODOGRAM_PERIODS)) — spectral-entropy normalizer, one
+#: shared literal (math.log(6), pinned so both engines fold the same
+#: double)
+_LN_N_PERIODS = 1.791759469228055
+
+
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized SPECTRAL ENTROPY per event type over the registered
+    periodogram's six calendar lines: renormalize the per-period power
+    fractions to weights w_P, then H = -sum w ln w / ln(6) in [0, 1] —
+    the one-number seasonality score (0 = all mass on one line, a pure
+    metronome; 1 = flat spectrum, no usable period) that turns
+    ``ts_periodogram_dft``'s six-row profile into a rankable gate, the
+    same way entropy summarizes a histogram.
+
+    Shares ``_periodogram_pf`` verbatim, so the 6-dp-rounded power
+    fractions are the identical doubles in both engines; the entropy
+    assembles in ONE fixed-order six-term chain (ascending period — no
+    aggregate, no order ambiguity), with 0 ln 0 = 0 by CASE and a NULL
+    passthrough for zero-variance series (the pf NULLs).
+
+    Scale: inherits the periodogram's shape — one data-sized hourly
+    groupBy, calendar-bounded folds."""
+    pf = _periodogram_pf(spark, sf_dir)
+    tot = None
+    for P in PERIODOGRAM_PERIODS:
+        tot = F.col(f"pf{P}") if tot is None else tot + F.col(f"pf{P}")
+    w = {P: F.col(f"pf{P}") / F.nullif(tot, F.lit(0.0))
+         for P in PERIODOGRAM_PERIODS}
+    ent = None
+    for P in PERIODOGRAM_PERIODS:
+        term = F.when(w[P] > 0, w[P] * F.log(w[P])).otherwise(F.lit(0.0))
+        ent = term if ent is None else ent + term
+    h = F.when(
+        tot.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.round(-ent / F.lit(_LN_N_PERIODS), 6))
+    dom = F.greatest(*[F.col(f"pf{P}") for P in PERIODOGRAM_PERIODS])
+    return pf.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        h.alias("spectral_entropy"),
+        F.round(dom / F.nullif(tot, F.lit(0.0)), 6).alias(
+            "dominant_frac"
+        ),
+    ).orderBy("event_type")
+
+
+QUERIES["ts_spectral_entropy"] = ts_spectral_entropy
+
+
+def _spectral_entropy_sql() -> str:
+    """Mirror of ts_spectral_entropy over the SAME periodogram CTEs."""
+    fold_cols = ",\n               ".join(
+        f"ROUND(LIST_REDUCE(LIST_TRANSFORM(generate_series(1, LEN(xs)),"
+        f" i -> (xs[i] - s * 1.0 / n) * {trig}("
+        f"6.283185307179586 * ts_[i] / {P}.0)),"
+        f" (a, b) -> a + b) / n, 6) AS {pre}{P}"
+        for P in PERIODOGRAM_PERIODS
+        for trig, pre in (("COS", "c"), ("SIN", "s"))
+    )
+    pf_cols = ",\n               ".join(
+        f"ROUND((n * (c{P} * c{P} + s{P} * s{P}))"
+        f" / NULLIF(q - (s * 1.0 / n) * s, 0.0), 6) AS pf{P}"
+        for P in PERIODOGRAM_PERIODS
+    )
+    tot = None
+    for P in PERIODOGRAM_PERIODS:
+        tot = f"pf{P}" if tot is None else f"({tot} + pf{P})"
+    ent = None
+    for P in PERIODOGRAM_PERIODS:
+        w = f"(pf{P} / NULLIF({tot}, 0.0))"
+        term = f"CASE WHEN {w} > 0 THEN {w} * LN({w}) ELSE 0.0 END"
+        ent = term if ent is None else f"{ent} + {term}"
+    dom = "GREATEST(" + ", ".join(
+        f"pf{P}" for P in PERIODOGRAM_PERIODS
+    ) + ")"
+    return f"""
+        WITH hourly AS (
+            SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+        bnds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+        grid AS (
+            SELECT t.event_type, b.h0,
+                   UNNEST(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+            FROM (SELECT DISTINCT event_type FROM hourly) t
+            CROSS JOIN bnds b),
+        dense AS (
+            SELECT g.event_type,
+                   CAST(DATE_DIFF('hour', g.h0, g.h) AS BIGINT) AS t,
+                   COALESCE(hourly.x, 0) AS x
+            FROM grid g LEFT JOIN hourly
+              ON hourly.event_type = g.event_type AND hourly.h = g.h),
+        arr AS (
+            SELECT event_type,
+                   LIST(CAST(t AS DOUBLE) ORDER BY t) AS ts_,
+                   LIST(CAST(x AS DOUBLE) ORDER BY t) AS xs,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS q
+            FROM dense GROUP BY 1),
+        wide AS (
+            SELECT event_type, n, s, q,
+               {fold_cols}
+            FROM arr),
+        pf AS (
+            SELECT event_type, n, s, q,
+               {pf_cols}
+            FROM wide)
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_hours,
+               CASE WHEN {tot} IS NULL THEN NULL
+                    ELSE ROUND(-({ent}) / {_LN_N_PERIODS}, 6)
+               END AS spectral_entropy,
+               ROUND({dom} / NULLIF({tot}, 0.0), 6) AS dominant_frac
+        FROM pf
+        ORDER BY event_type
+    """
+
+
+ORACLE_SQL["ts_spectral_entropy"] = _spectral_entropy_sql()
+
+
+#: PACF lag span — consecutive lags 1..5 over the dense daily series
+_PACF_K = 5
+
+
+class _SqlExpr:
+    """Minimal SQL-string expression wrapper so the Durbin-Levinson
+    recursion below builds the Spark Column tree and the DuckDB SQL
+    text from ONE shared code path — structural parity by
+    construction (same operator grouping, same literal placement)."""
+
+    def __init__(self, s: str) -> None:
+        self.s = s
+
+    def __sub__(self, o: "_SqlExpr") -> "_SqlExpr":
+        return _SqlExpr(f"({self.s} - {o.s})")
+
+    def __mul__(self, o: "_SqlExpr") -> "_SqlExpr":
+        return _SqlExpr(f"({self.s} * {o.s})")
+
+
+def _durbin_levinson(rho, lit, nullif_div):
+    """Unrolled Durbin-Levinson recursion: rho[0..K-1] are the lag-1..K
+    autocorrelations (engine expressions); returns the K partial
+    autocorrelations phi_kk.  Works over pyspark Columns AND _SqlExpr
+    strings because it only uses -, *, the lit factory, and the guarded
+    division callback."""
+    phi_prev: list = []
+    out: list = []
+    for k in range(1, _PACF_K + 1):
+        if k == 1:
+            pkk = rho[0]
+        else:
+            num = rho[k - 1]
+            den = lit(1.0)
+            for j in range(1, k):
+                num = num - phi_prev[j - 1] * rho[k - 1 - j]
+                den = den - phi_prev[j - 1] * rho[j - 1]
+            pkk = nullif_div(num, den)
+        phi_prev = [
+            phi_prev[j - 1] - pkk * phi_prev[k - 1 - j] for j in range(1, k)
+        ] + [pkk]
+        out.append(pkk)
+    return out
+
+
+def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL autocorrelations at lags 1..5 of the dense daily
+    event-count series per type, via the Durbin-Levinson recursion
+    over the biased-estimator ACF — the AR-order diagnostic the plain
+    ACF (``ts_acf_hourly``) cannot give: ACF of an AR(1) decays
+    geometrically forever, PACF cuts off sharply after the true order,
+    which is what an auto-ARIMA order picker actually thresholds.
+
+    Determinism: the lag-k autocorrelations assemble from exact BIGINT
+    moments (the ts_acf_hourly discipline — n, s, q, and per-lag
+    p/a/b boundary sums), so each rho is one fixed float expression;
+    the D-L recursion is UNROLLED at build time by shared Python code
+    that emits the Spark Column tree and the oracle SQL text from the
+    same recursion (``_durbin_levinson``), so both engines evaluate
+    structurally identical expression trees — ulps only, inside the
+    6-dp round.  Degenerate denominators NULL through the guarded
+    division.
+
+    Scale: one data-sized (type, day) groupBy; the dense grid, lag
+    windows, and the recursion run on the calendar-bounded daily
+    frame (days x types rows, 5 lag columns)."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", F.to_date("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"),
+        )
+    )
+    dense = grid.join(daily, ["event_type", "d"], "left").fillna(
+        0, subset=["x"]
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    lags = range(1, _PACF_K + 1)
+    lagged = dense.select(
+        "event_type",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"l{k}") for k in lags],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    ]
+    for k in lags:
+        aggs += [
+            F.sum(F.col("x") * F.col(f"l{k}")).alias(f"p{k}"),
+            F.sum(F.when(F.col(f"l{k}").isNotNull(), F.col("x"))).alias(
+                f"a{k}"
+            ),
+            F.sum(f"l{k}").alias(f"b{k}"),
+        ]
+    st = lagged.groupBy("event_type").agg(*aggs)
+    mean = F.col("s") / F.col("n")
+    den0 = F.nullif((F.col("q") - mean * F.col("s")).cast("double"), F.lit(0.0))
+    rhos = st.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        *[
+            (
+                (
+                    F.col(f"p{k}")
+                    - mean * (F.col(f"a{k}") + F.col(f"b{k}"))
+                    + (F.col("n") - F.lit(k)) * mean * mean
+                )
+                / den0
+            ).alias(f"rho{k}")
+            for k in lags
+        ],
+    )
+    pacf = _durbin_levinson(
+        [F.col(f"rho{k}") for k in lags],
+        F.lit,
+        lambda num, den: num / F.nullif(den, F.lit(0.0)),
+    )
+    return rhos.select(
+        "event_type",
+        "n_days",
+        *[F.round(F.col(f"rho{k}"), 6).alias(f"acf_{k}") for k in lags],
+        *[
+            F.round(pacf[k - 1], 6).alias(f"pacf_{k}")
+            for k in lags
+        ],
+    ).orderBy("event_type")
+
+
+QUERIES["ts_pacf_durbin_levinson"] = ts_pacf_durbin_levinson
+
+
+def _pacf_sql() -> str:
+    lags = range(1, _PACF_K + 1)
+    lag_cols = ",\n               ".join(
+        f"LAG(x, {k}) OVER (PARTITION BY event_type ORDER BY d) AS l{k}"
+        for k in lags
+    )
+    mom_cols = ",\n               ".join(
+        f"CAST(SUM(x * l{k}) AS BIGINT) AS p{k},\n               "
+        f"CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN x END) AS BIGINT)"
+        f" AS a{k},\n               "
+        f"CAST(SUM(l{k}) AS BIGINT) AS b{k}"
+        for k in lags
+    )
+    rho_cols = ",\n               ".join(
+        f"((p{k} - (s * 1.0 / n) * (a{k} + b{k})"
+        f" + (n - {k}) * (s * 1.0 / n) * (s * 1.0 / n))"
+        f" / NULLIF(CAST(q - (s * 1.0 / n) * s AS DOUBLE), 0.0)) AS rho{k}"
+        for k in lags
+    )
+    pacf = _durbin_levinson(
+        [_SqlExpr(f"rho{k}") for k in lags],
+        lambda v: _SqlExpr(str(v)),
+        lambda num, den: _SqlExpr(f"({num.s} / NULLIF({den.s}, 0.0))"),
+    )
+    out_cols = ",\n           ".join(
+        [f"ROUND(rho{k}, 6) AS acf_{k}" for k in lags]
+        + [f"ROUND({pacf[k - 1].s}, 6) AS pacf_{k}" for k in lags]
+    )
+    return f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+        bnds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+        grid AS (
+            SELECT t.event_type,
+                   CAST(UNNEST(generate_series(CAST(b.d0 AS TIMESTAMP),
+                                               CAST(b.d1 AS TIMESTAMP),
+                                               INTERVAL 1 DAY)) AS DATE)
+                       AS d
+            FROM (SELECT DISTINCT event_type FROM daily) t
+            CROSS JOIN bnds b),
+        dense AS (
+            SELECT g.event_type, g.d, COALESCE(daily.x, 0) AS x
+            FROM grid g LEFT JOIN daily
+              ON daily.event_type = g.event_type AND daily.d = g.d),
+        lagged AS (
+            SELECT event_type, x,
+               {lag_cols}
+            FROM dense),
+        st AS (
+            SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS q,
+               {mom_cols}
+            FROM lagged GROUP BY 1),
+        rhos AS (
+            SELECT event_type, n AS n_days,
+               {rho_cols}
+            FROM st)
+        SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           {out_cols}
+        FROM rhos
+        ORDER BY event_type
+    """
+
+
+ORACLE_SQL["ts_pacf_durbin_levinson"] = _pacf_sql()
+
+
+#: Damped-trend smoothing (Gardner-McKenzie 1985): damping factor and
+#: the 7-step-ahead multiplier sum(phi^i, i=1..7) — ONE precomputed
+#: literal shared by both engines (the MMR shared-literal convention).
+HOLT_DAMP_PHI = 0.9
+HOLT_DAMP_SUM7 = 4.6953279000000006
+
+
+def ts_holt_damped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAMPED-trend exponential smoothing (Gardner & McKenzie 1985)
+    per event type — the variant that wins most forecasting
+    competitions over plain Holt (``ts_holt_linear``): the trend is
+    multiplied by phi < 1 at every step, so long-horizon forecasts
+    flatten toward level + phi/(1-phi) * trend instead of extrapolating
+    a straight line off a cliff.
+
+        l_t = a*y_t + (1-a)*(l_{t-1} + phi*b_{t-1})
+        b_t = g*(l_t - l_{t-1}) + (1-g)*phi*b_{t-1}
+        yhat_{t+7} = l_t + (phi + ... + phi^7) * b_t
+
+    Unlike plain Holt there is no seed collapse at t=2 (phi scales the
+    seeded trend), so the fold seeds (l_1, b_1) = (y_1, y_2 - y_1) and
+    folds y_2..y_n — the pair-accumulator discipline, one more step
+    than the linear twin, identical order both engines.  The 7-step
+    multiplier is a precomputed shared literal.
+
+    Scale: identical shape to ts_holt_linear — one (type, day)
+    shuffle, per-type folds over day-sized arrays."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("y")
+    )
+    arr = F.array_sort(F.collect_list(F.struct("day", "y")))
+    vals = F.transform(F.col("arr"), lambda s: s["y"])
+    a, ca = F.lit(HOLT_ALPHA), F.lit(HOLT_ONE_MINUS_ALPHA)
+    g, cg = F.lit(HOLT_BETA), F.lit(HOLT_ONE_MINUS_BETA)
+    ph = F.lit(HOLT_DAMP_PHI)
+
+    def _step(acc: Column, x: Column) -> Column:
+        l_prev = F.element_at(acc, 1)
+        b_prev = F.element_at(acc, 2)
+        l_new = a * x + ca * (l_prev + ph * b_prev)
+        return F.array(
+            l_new, g * (l_new - l_prev) + cg * (ph * b_prev)
+        )
+
+    seed = F.array(
+        F.element_at(vals, 1),
+        F.element_at(vals, 2) - F.element_at(vals, 1),
+    )
+    lb = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))), seed, _step
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(arr.alias("arr"))
+        .where(F.size(F.col("arr")) >= 3)
+        .select(
+            "event_type",
+            F.size("arr").cast("long").alias("n_days"),
+            F.round(F.element_at(lb, 1), 6).alias("level"),
+            F.round(F.element_at(lb, 2), 6).alias("trend"),
+            F.round(
+                F.element_at(lb, 1)
+                + F.lit(HOLT_DAMP_SUM7) * F.element_at(lb, 2),
+                6,
+            ).alias("forecast_7d_damped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["ts_holt_damped_trend"] = ts_holt_damped_trend
+ORACLE_SQL["ts_holt_damped_trend"] = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28, 6)))
+                          AS DOUBLE), 6) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    series AS (
+        SELECT event_type, LIST(y ORDER BY day) AS vals
+        FROM daily GROUP BY event_type),
+    folded AS (
+        SELECT event_type, LEN(vals) AS n_days,
+               LIST_REDUCE(
+                   [[vals[1], vals[2] - vals[1]]]
+                       || LIST_TRANSFORM(vals[2:], y -> [y, 0.0]),
+                   (acc, x) -> [
+                       {HOLT_ALPHA} * x[1]
+                           + {HOLT_ONE_MINUS_ALPHA}
+                             * (acc[1] + {HOLT_DAMP_PHI} * acc[2]),
+                       {HOLT_BETA} * (({HOLT_ALPHA} * x[1]
+                           + {HOLT_ONE_MINUS_ALPHA}
+                             * (acc[1] + {HOLT_DAMP_PHI} * acc[2]))
+                           - acc[1])
+                           + {HOLT_ONE_MINUS_BETA}
+                             * ({HOLT_DAMP_PHI} * acc[2])]) AS lb
+        FROM series WHERE LEN(vals) >= 3)
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           ROUND(lb[1], 6) AS level,
+           ROUND(lb[2], 6) AS trend,
+           ROUND(lb[1] + {HOLT_DAMP_SUM7} * lb[2], 6)
+               AS forecast_7d_damped
+    FROM folded ORDER BY event_type
+"""

@@ -184,6 +184,19 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "ts_hurst_rs",
     "stats_dunn_posthoc",
     "orders_abc_xyz_matrix",
+    # round-10 additions (10 — within the <=31 cap of round-9 ask #8,
+    # so the pool ends the round at 29 names, under one window for the
+    # first time since round 7):
+    "graph_adamic_adar_linkpred",
+    "stats_mcnemar_paired",
+    "stats_mood_scale_test",
+    "ts_spectral_entropy",
+    "ts_pacf_durbin_levinson",
+    "ts_holt_damped_trend",
+    "corpus_dsir_importance",
+    "text_self_bleu_bigram",
+    "multimodal_ppm_histogram",
+    "ml_em_gmm_step",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -468,6 +468,14 @@ def test_forced_broadcasts_are_bounded_cardinality():
         # count; both feed the vocab x class smoothing grid.  "n_rel"
         # is the MRR eval's 1-row corpus relevant-document count.
         "langs", "v", "n_rel",
+        # round 10: "bounds" is a 1-row global (min, max) aggregate
+        # (McNemar's midpoint split; the PACF daily grid, the hurst/
+        # periodogram convention); "two" is the Mood test's 2-row
+        # sample-pair frame (LIMIT 2 by construction) and "first" its
+        # 1-row lexicographic anchor; "consts" is DSIR's 1-row
+        # smoothing normalizer and "tgt_tot" its 1-row target token
+        # total — all .agg() or LIMIT-bounded, never corpus-sized.
+        "bounds", "two", "first", "consts", "tgt_tot",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     offenders = []
