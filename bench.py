@@ -109,6 +109,11 @@ HEADLINE = [
     "ml_gbdt_histogram_split",
     "dedup_threshold_sweep",
     "graph_clustering_coefficient",
+    # round-10 pack representatives (see R10_ADDITIONS)
+    "graph_adamic_adar_linkpred",
+    "corpus_dsir_importance",
+    "text_self_bleu_bigram",
+    "ts_pacf_durbin_levinson",
 ]
 
 #: Size-stable cross-round comparison set (round-5 VERDICT task 6): the
@@ -209,11 +214,31 @@ R9_ADDITIONS: list[str] = [
     "graph_clustering_coefficient",
 ]
 
+#: Names added to HEADLINE during round 10 — one representative per
+#: round-10 pack, chosen for real data-volume work: the wedge-
+#: enumerating Adamic-Adar link predictor, the DSIR importance ranking
+#: (token explode + two vocab joins + per-doc folds), the bigram-
+#: explode Self-BLEU rollup, and the dense-grid PACF (window lags +
+#: the unrolled D-L recursion).  The other round-10 additions are
+#: sub-second calendar/cell-bounded statistics that would only add
+#: floor noise (the periodogram precedent).
+R10_ADDITIONS: list[str] = [
+    "graph_adamic_adar_linkpred",
+    "corpus_dsir_importance",
+    "text_self_bleu_bigram",
+    "ts_pacf_durbin_levinson",
+]
+
 #: Round-8-comparable subset: the EXACT headline set BENCH_r08 ran,
 #: frozen so round 9+ reports a ratio directly comparable to round 8's
 #: committed number even if HEADLINE grows (round-8 VERDICT task 2
 #: asks for exactly this same-subset comparison).
-R8_COMPARABLE_SUBSET = [n for n in HEADLINE if n not in R9_ADDITIONS]
+R8_COMPARABLE_SUBSET = [
+    n for n in HEADLINE if n not in R9_ADDITIONS + R10_ADDITIONS
+]
+
+#: Round-9-comparable subset: the EXACT headline set BENCH_r09 ran.
+R9_COMPARABLE_SUBSET = [n for n in HEADLINE if n not in R10_ADDITIONS]
 
 
 def _planning_ms(df) -> float:
@@ -411,6 +436,14 @@ def main() -> None:
         out["r8_subset_oracle_total"] = round(r8_oracle, 4)
         out["ratio_vs_oracle_r8_subset"] = round(
             r8_spark / max(r8_oracle, 1e-9), 2
+        )
+        r9 = [n for n in R9_COMPARABLE_SUBSET if n in oracle_timings]
+        r9_spark = sum(timings[n] for n in r9)
+        r9_oracle = sum(oracle_timings[n] for n in r9)
+        out["r9_subset_total"] = round(r9_spark, 4)
+        out["r9_subset_oracle_total"] = round(r9_oracle, 4)
+        out["ratio_vs_oracle_r9_subset"] = round(
+            r9_spark / max(r9_oracle, 1e-9), 2
         )
         # Round-8 VERDICT task 2 (attribute the 1.24x -> 1.62x same-
         # subset drift), closed by quiet-box re-measure: the r7-subset

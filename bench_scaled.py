@@ -634,10 +634,14 @@ def main() -> None:
         # agg_hll_sketch_merge re-measured alone at 30x: 0.34 s
         # (~1.7x oracle), not the 2.59 s its in-suite slot shows — the
         # in-suite number prices the suite position, not the plan.
-        "hll_session_note": (
-            "agg_hll_sketch_merge alone at 30x: 0.34 s (~1.7x oracle);"
-            " its in-suite 2.59 s is session aging after curate/pagerank,"
-            " not plan work"
+        "isolation_note": (
+            "Round 10 (VERDICT r9 ask #2): the deep tier now runs ONE"
+            " FRESH Spark process per query (time_set_spark_isolated),"
+            " so every committed deep entry IS the solo fresh-session"
+            " wall — the r8/r9 pattern of in-suite numbers drifting"
+            " 2-10x above their notes' solo measurements (q18 2.71 s"
+            " committed vs ~1.7 s solo; agg_hll 3.16 s vs 0.34 s) is"
+            " structurally gone, not annotated away."
         ),
         # round-8 VERDICT #3 closure: q18's deep-tier gap decomposed on
         # a quiet box (load < 0.2).  The committed 5.62 s was box load:
@@ -651,18 +655,21 @@ def main() -> None:
         # a wash).  The ~0.77 s remainder is the broadcast-survivors
         # join through orders+customer plus the Arrow fetch.
         "croston_note": (
-            "ts_croston_intermittent (VERDICT r8 #8): Spark runs every"
-            " tier (see spark entries), but the DuckDB oracle's"
-            " per-part nested-list fold exhausts the 100 GiB memory"
-            " budget at the 10x tier (OutOfMemoryException) even in an"
-            " isolated process — recorded as oracle_infeasible and"
-            " excluded from ratio totals.  The Spark F.aggregate fold"
-            " handles the same volume in seconds: the sparse demand-"
-            "point shape scales on the engine, and the crossover"
-            " evidence here is one-sided by the ORACLE's limits."
+            "Round-10 oracle rewrite (VERDICT r9 ask #6): the [z, p]"
+            " pair recursion decomposes into TWO independent flat"
+            " scalar LIST_REDUCE folds with LAG-window gaps —"
+            " bit-identical steps (hash unchanged at sf0.01), and the"
+            " nested list-of-pairs form that OOM'd DuckDB at 10x is"
+            " gone.  10x now runs at default threads; at 30x DuckDB's"
+            " per-thread fold state still exceeds the box above 2"
+            " threads (measured: OOM at >=8, threads=2 at the cliff,"
+            " threads=1 stable ~35 s), so the deep entry runs the"
+            " oracle in an isolated subprocess at threads=1"
+            " (ORACLE_ISOLATE) — a DuckDB engine limit, recorded, not"
+            " hidden.  Both tiers now have two-sided ratio entries."
         ),
         "box_note": (
-            "Round-9 regeneration on a QUIET box (load < 0.2 at start;"
+            "Round-10 regeneration on a QUIET box (load < 0.2 at start;"
             " the round-8 file was produced on a ~30-50% slower box)."
             " Within-run ratios are the comparable quantity; cross-file"
             " wall-clock deltas are not."
@@ -701,11 +708,39 @@ def main() -> None:
         # is within ~2x of its bare-equivalent micro-benchmark, there
         # is no recompute left to remove.
         "trigram_note": (
-            "xxhash64 keys + single-pass combined count table landed:"
-            " 3.60 s -> 3.01 s at 30x (hash-identical).  Remainder is"
-            " per-stage floor (counts ~1.0 s, probe ~1.0 s, ntok/sort/"
-            "fetch ~0.5 s), not recompute — five probes share ONE"
-            " build-side exchange."
+            "Round-10 floor A/B (VERDICT r9 ask #5, the"
+            " interval_floor_note protocol): solo 30x fresh-session"
+            " min-of-3 full query 3.47 s; BARE stage equivalents in"
+            " the same session — counts build (same explode+groupBy,"
+            " zero scoring) 1.34 s, held trigram-position formation"
+            " 0.36 s, per-doc aggregate + ordered Arrow fetch of the"
+            " same output rows 0.90 s, ntok scan 0.17 s — sum 2.77 s"
+            " = 80% of the wall; the 0.7 s residual is the five"
+            " broadcast probes themselves.  Probed and REJECTED:"
+            " hash-chain n-gram keys (xxhash64-of-token-hashes instead"
+            " of concat strings) — counts stage 1.65 s vs 1.34 s,"
+            " per-element hash-call overhead exceeds the concat"
+            " savings.  The r8 CMS lever is NOT buildable for the"
+            " oracled query (sketched counts are approximate; the"
+            " differential hash requires exact counts) — it remains"
+            " the documented swap for unoracled extreme scale."
+        ),
+        "q5_note": (
+            "Round-10 decomposition (VERDICT r9 ask #3): solo 30x"
+            " fresh-session min-of-3 is 1.71 s vs DuckDB 0.49 s"
+            " (~3.5x; r9's committed 5.63x was in-suite aging — see"
+            " isolation_note).  Plan audit: ALL five joins broadcast"
+            " under AQE (zero fact-fact shuffles; the only exchange"
+            " is the 25-row two-phase merge).  Floor A/B in the same"
+            " session: bare lineitem-join-filtered-orders broadcast"
+            " probe 1.02 s, bare lineitem scan 0.18 s — the full"
+            " query adds three more broadcast probes + the partial"
+            " agg + fetch for ~0.7 s.  Probed and REJECTED: an early"
+            " ASIA-nation semi-join re-plan (2.44 s — the extra"
+            " stages cost more than the 1/5 dim reduction saves at"
+            " local volume).  The residual ratio is the JVM"
+            " broadcast-probe floor vs DuckDB's vectorized in-process"
+            " hash join."
         ),
         # round-8 VERDICT #5 closure: join_asof_purchase_click
         # re-planned — one conditional-projection scan (was filter+
@@ -730,10 +765,10 @@ def main() -> None:
             "candidate form): 0.63 s / 3.4 s at 1x/10x vs DuckDB"
             " 0.19 / 1.38 — ratio FALLS 3.3x -> 2.5x as candidate"
             " volume grows 100x, i.e. real verify work dominates the"
-            " per-query floor.  Deep tier deliberately excluded:"
-            " copy-scaling grows point density in the FIXED box, so"
-            " pair volume is quadratic-by-construction (the semdedup"
-            " precedent), not the production grow-the-area shape."
+            " per-query floor.  The FIXED-box form stays excluded from deep"
+            " (quadratic-by-construction pair volume); the deep tier"
+            " instead carries the area-scaled variant — see"
+            " geo_area_note."
         ),
         "gbdt_note": (
             "ml_gbdt_histogram_split Spark wall is FLAT across tiers"
@@ -757,12 +792,32 @@ def main() -> None:
             " the naive SQL's only mercy is DuckDB's hash join."
         ),
         "sweep_note": (
-            "dedup_threshold_sweep holds ~2.3-2.9x at every tier with"
-            " BOTH engines growing linearly — block sizes stay constant"
-            " under copy scaling (copies suffix the source block key),"
-            " so candidate volume is linear by design; the constant"
-            " ratio is the prefix-filter verify loop's per-candidate"
-            " cost difference, already inside 3x."
+            "Round-10 rewrite (VERDICT r9 ask #4): at the grid's 0.1"
+            " minimum the lossless prefix filter keeps ~90% of every"
+            " document, so the round-9 plan's prefix machinery was"
+            " overhead and token ARRAYS shipped through two joins for"
+            " the array_intersect verify.  The sweep now counts token"
+            " co-occurrences within (source, lang) blocks — the"
+            " per-pair match count IS |A intersect B|, no array ever"
+            " enters a shuffle — identical output (hash-checked),"
+            " sf0.1 wall 4.3 -> 1.8 s warm; see the tier entries for"
+            " the committed ratios.  Block sizes stay constant under"
+            " copy scaling (copies suffix the source block key), so"
+            " candidate volume stays linear by design."
+        ),
+        "geo_area_note": (
+            "geo_grid_radius_join_area (VERDICT r9 ask #7): the deep"
+            " tier carries the AREA-SCALED variant — each copy's"
+            " points land in their own LON_SPAN-wide longitude stripe"
+            " (stripe = custkey div the build's key offset), so"
+            " density is constant and within-radius pair volume grows"
+            " LINEARLY (the production grow-the-corpus shape; 57.3M"
+            " candidates -> 9.3M verified pairs at 30x).  Identity"
+            " with the registered query when stripes collapse, the"
+            " multi-stripe oracle, and the linear-volume property are"
+            " pinned by tests/test_round10_ops.py.  The packed"
+            " single-long cell key (operators/geo.py) cut the 30x"
+            " candidate join 1.9 -> 1.1 s for both geo forms."
         ),
         "interval_floor_note": (
             "Remaining 30x ratio (~5.8x vs a 0.32 s oracle) is the"
