@@ -681,16 +681,35 @@ def main() -> None:
             " dominates from 10x on (see scaled/deep ratio entries)."
         ),
         "q18_floor_note": (
-            "30x wall ~1.6-1.8 s (r8's committed 5.62 s was box load);"
-            " bare groupBy(l_orderkey).count() floor is 1.07 s ~= the"
-            " in-query HAVING aggregate (1.0 s; sum representation"
-            " A/B'd: micro-long 1.00, plain-double 0.99, cast-long"
-            " 1.04 - a wash), so the agg sits AT the 4.5M-group shuffle"
-            " floor; remainder ~0.7 s = survivor joins + fetch.  The"
-            " residual ratio vs DuckDB's ~0.25 s in-process int-group"
-            " agg is the shuffle-vs-pointer-swap floor gap"
-            " interval_floor_note documents; the VERDICT's suggested"
-            " aggregate-once re-plan IS the committed shape (since r8)."
+            "Committed deep entry 2.32 s — the note OWNS this number"
+            " (round-9 ask #2): it is the isolated fresh-process wall"
+            " of the committed window, and same-day re-probes gave"
+            " 2.08 / 2.39 s (the r8-era '~1.6-1.8 s' claim sat at the"
+            " fast edge of this host's observed ~1.7x CPU jitter — see"
+            " deep_rerun_note in BENCH_SCALED).  Decomposition still"
+            " holds: bare groupBy(l_orderkey).count() floor 1.07 s ~="
+            " the in-query HAVING aggregate (sum representation A/B'd:"
+            " micro-long 1.00, plain-double 0.99, cast-long 1.04 — a"
+            " wash); remainder ~1 s = survivor joins + fetch.  The"
+            " residual ratio vs DuckDB's in-process int-group agg is"
+            " the shuffle-vs-pointer-swap floor gap"
+            " interval_floor_note documents."
+        ),
+        "hll_floor_note": (
+            "agg_hll_sketch_merge committed deep entry 4.58 s (fresh"
+            " re-probes same day: 2.66-4.32 s — host jitter, see"
+            " deep_rerun_note); the r9 note's '0.34 s solo' claim does"
+            " NOT reproduce in any isolated fresh process and is"
+            " retracted.  Floor decomposition (fresh session, min-of-3"
+            " at 30x): the SKETCH path alone — hll_sketch_agg over the"
+            " raw 18M rows, no distinct — is 0.22 s; the (flag,"
+            " orderkey) DISTINCT that the contract's EXACT-count"
+            " columns require is the cost (bare distinct 1.4 s, plus"
+            " the global countDistinct consumer).  I.e. the sketches"
+            " are already at the scan floor; what is priced is the"
+            " exact-side verification both engines must do, where"
+            " DuckDB's in-process hash distinct (~0.2-0.75 s) beats a"
+            " local-mode shuffle — the standard floor gap."
         ),
         # round-8 VERDICT #4 closure: the trigram LM's documented
         # xxhash64 lever is implemented — and measured to be only part
@@ -726,10 +745,11 @@ def main() -> None:
             " the documented swap for unoracled extreme scale."
         ),
         "q5_note": (
-            "Round-10 decomposition (VERDICT r9 ask #3): solo 30x"
-            " fresh-session min-of-3 is 1.71 s vs DuckDB 0.49 s"
-            " (~3.5x; r9's committed 5.63x was in-suite aging — see"
-            " isolation_note).  Plan audit: ALL five joins broadcast"
+            "Round-10 decomposition (VERDICT r9 ask #3): committed deep"
+            " entry 2.44 s vs DuckDB 0.52 s (r9's committed 5.63x was"
+            " in-suite aging — see isolation_note; a same-day solo"
+            " probe measured 1.71-1.90 s, host jitter per"
+            " deep_rerun_note).  Plan audit: ALL five joins broadcast"
             " under AQE (zero fact-fact shuffles; the only exchange"
             " is the 25-row two-phase merge).  Floor A/B in the same"
             " session: bare lineitem-join-filtered-orders broadcast"
