@@ -109,8 +109,14 @@ HEADLINE = [
     "ml_gbdt_histogram_split",
     "dedup_threshold_sweep",
     "graph_clustering_coefficient",
-    # round-10 pack representatives (see R10_ADDITIONS)
-    "graph_adamic_adar_linkpred",
+    # round-10 pack representatives (see R10_ADDITIONS).
+    # graph_adamic_adar_linkpred is deliberately NOT headline (the
+    # graph_triangle_count / jaccard-linkpred precedent): its wedge
+    # volume sum C(deg(m), 2) is intrinsic to middle-based pair
+    # scoring — measured once at sf0.1: Spark 79.6 s vs DuckDB
+    # 234.4 s (Spark wins 2.9x, but 80 s of wall belongs in a
+    # corpus-build batch, not the per-round loop; sf0.01 differential
+    # + the brute-force test cover its correctness).
     "corpus_dsir_importance",
     "text_self_bleu_bigram",
     "ts_pacf_durbin_levinson",
@@ -214,16 +220,16 @@ R9_ADDITIONS: list[str] = [
     "graph_clustering_coefficient",
 ]
 
-#: Names added to HEADLINE during round 10 — one representative per
-#: round-10 pack, chosen for real data-volume work: the wedge-
-#: enumerating Adamic-Adar link predictor, the DSIR importance ranking
-#: (token explode + two vocab joins + per-doc folds), the bigram-
-#: explode Self-BLEU rollup, and the dense-grid PACF (window lags +
-#: the unrolled D-L recursion).  The other round-10 additions are
+#: Names added to HEADLINE during round 10 — representatives chosen
+#: for real data-volume work: the DSIR importance ranking (token
+#: explode + two vocab joins + per-doc folds), the bigram-explode
+#: Self-BLEU rollup, and the dense-grid PACF (window lags + the
+#: unrolled D-L recursion).  The other round-10 additions are
 #: sub-second calendar/cell-bounded statistics that would only add
-#: floor noise (the periodogram precedent).
+#: floor noise (the periodogram precedent), except the Adamic-Adar
+#: link predictor which is excluded for the opposite reason — see the
+#: HEADLINE comment.
 R10_ADDITIONS: list[str] = [
-    "graph_adamic_adar_linkpred",
     "corpus_dsir_importance",
     "text_self_bleu_bigram",
     "ts_pacf_durbin_levinson",
@@ -462,10 +468,16 @@ def main() -> None:
         # (r7: 0.072; r8's 0.198 and one transient 0.37 sample were
         # box load — re-measured min 0.035 s in an aged session).
         out["drift_note"] = (
-            "r7-subset Spark wall 54.75 s == r7's 54.8 s on equal-speed "
-            "boxes; ratio moves because the DuckDB denominator tracks "
-            "box CPU (44.1 -> 34.25 s) while Spark's local-mode "
-            "per-query floor does not. See bench.py comment (r8 task 2)."
+            "Same-subset walls move with HOST conditions, not code: "
+            "r7-subset Spark wall was 54.75 s in r9's window (== r7's "
+            "54.8 s) and 71.6 s in r10's window, with DuckDB's "
+            "denominator swinging the same direction (34.3 -> 53.2 s on "
+            "the same subset) — this VM shows up to ~1.7x CPU jitter "
+            "from host-neighbor contention that is invisible to local "
+            "ps (BENCH_SCALED deep_rerun_note measures it directly). "
+            "Within-run ratios are the comparable quantity; cross-file "
+            "wall deltas are not. See bench.py comment (r8 task 2) for "
+            "the original box-attribution analysis."
         )
         # Round-7 VERDICT task 3, closed by decomposition + fix: the
         # +50% dedup_semdedup_kmeans regression was a SERIAL pairs
