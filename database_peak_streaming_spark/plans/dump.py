@@ -289,6 +289,28 @@ PICKS = {
         "bin assignment is map-only, the rollup is 20 keys; the PAV "
         "minimax enumerates bins^3 tuples on broadcast-sized frames"
     ),
+    "dedup_threshold_sweep": (
+        "round-10 co-occurrence rewrite: tokens explode once, ONE "
+        "within-block equi-join on the token key counts |A intersect B| "
+        "directly — no array ever enters a shuffle; the 9-threshold fan "
+        "is a map-only explode on the verified pair set"
+    ),
+    "graph_adamic_adar_linkpred": (
+        "same wedge-enumeration spine as the Jaccard twin (equi-joins "
+        "on the middle key only); the 1/ln(deg) weights fold per pair "
+        "in mid-sorted order — nothing all-pairs, candidates gated by "
+        "cn >= 2 before the ranking window"
+    ),
+    "corpus_dsir_importance": (
+        "tokens explode once; raw and target unigram tables are "
+        "vocabulary-bounded; the probe join keys are tokens and the "
+        "per-doc fold is document-length-bounded; top-K is TakeOrdered"
+    ),
+    "ts_pacf_durbin_levinson": (
+        "one (type, day) groupBy is the only data-sized stage; lag "
+        "windows + the unrolled D-L recursion run on the calendar-"
+        "bounded daily frame — rho from exact BIGINT moments"
+    ),
 }
 
 
