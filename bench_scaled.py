@@ -837,7 +837,15 @@ def main() -> None:
             " multi-stripe oracle, and the linear-volume property are"
             " pinned by tests/test_round10_ops.py.  The packed"
             " single-long cell key (operators/geo.py) cut the 30x"
-            " candidate join 1.9 -> 1.1 s for both geo forms."
+            " candidate join 1.9 -> 1.1 s for both geo forms.  The"
+            " residual ratio is FLOOR, not candidate volume —"
+            " probed: a finer 0.3-deg grid (lossless, 25.6 km >="
+            " radius) cuts candidates ~2.8x yet moves Spark only"
+            " 1.29 -> 1.13 s while DuckDB drops 0.358 -> 0.239 s"
+            " (ratio 3.6 -> 4.7x, rejected); at this volume the"
+            " wall is the probe-explode + fixed-stage constant the"
+            " finding documents, and DuckDB walls on the same query"
+            " swing 0.24-0.64 s between windows (host jitter)."
         ),
         "interval_floor_note": (
             "Remaining 30x ratio (~5.8x vs a 0.32 s oracle) is the"
