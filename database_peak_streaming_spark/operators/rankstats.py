@@ -1914,7 +1914,10 @@ def stats_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["stats_mcnemar_paired"] = stats_mcnemar_paired
 ORACLE_SQL["stats_mcnemar_paired"] = f"""
     WITH bounds AS (
-        SELECT CAST((EPOCH_US(MIN(ts)) + EPOCH_US(MAX(ts))) / 2
+        -- // (floor division) matches Spark's cast("long") truncation
+        -- on the positive microsecond sum; a float / with CAST would
+        -- ROUND and flip the boundary when the sum is odd
+        SELECT CAST((EPOCH_US(MIN(ts)) + EPOCH_US(MAX(ts))) // 2
                     AS BIGINT) AS mid_us
         FROM events),
     pres AS (
