@@ -1852,22 +1852,20 @@ def stats_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the same user appearing in both periods' risk set.
 
     Determinism: the half boundary is the exact integer-microsecond
-    midpoint of (min ts, max ts); b and c are exact BIGINT user
-    counts; one float division at the end.
+    midpoint of (min ts, max ts), halved as a BIGINT shift (no double
+    round-trip — ``shiftright(sum, 1)`` on the positive sum IS the
+    oracle's ``// 2``); b and c are exact BIGINT user counts; one
+    float division at the end.
 
     Scale: one (user, type, half) presence aggregation — data-sized,
     map-side combinable — then type-bounded cells."""
     ev = load_table(spark, "events", sf_dir)
     bounds = ev.agg(
-        (
-            (
-                F.unix_micros(F.min("ts").cast("timestamp"))
-                + F.unix_micros(F.max("ts").cast("timestamp"))
-            )
-            / F.lit(2)
-        )
-        .cast("long")
-        .alias("mid_us")
+        F.shiftright(
+            F.unix_micros(F.min("ts").cast("timestamp"))
+            + F.unix_micros(F.max("ts").cast("timestamp")),
+            1,
+        ).alias("mid_us")
     )
     pres = (
         ev.crossJoin(F.broadcast(bounds))
@@ -1914,9 +1912,10 @@ def stats_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["stats_mcnemar_paired"] = stats_mcnemar_paired
 ORACLE_SQL["stats_mcnemar_paired"] = f"""
     WITH bounds AS (
-        -- // (floor division) matches Spark's cast("long") truncation
-        -- on the positive microsecond sum; a float / with CAST would
-        -- ROUND and flip the boundary when the sum is odd
+        -- // (floor division) matches Spark's shiftright(sum, 1) —
+        -- both are exact integer halving of the positive microsecond
+        -- sum; a float / with CAST would ROUND and flip the boundary
+        -- when the sum is odd
         SELECT CAST((EPOCH_US(MIN(ts)) + EPOCH_US(MAX(ts))) // 2
                     AS BIGINT) AS mid_us
         FROM events),
@@ -2010,7 +2009,15 @@ def stats_mood_scale_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (n * n - F.lit(4.0))
         / F.lit(180.0)
     )
-    z = F.round((F.col("t_stat") - e_t) / F.sqrt(v_t), 6)
+    # NULLIF on the null-variance denominator (degenerate fixture:
+    # one event type or n <= 2 makes v_t = 0) — DuckDB's IEEE float
+    # division would emit inf/NaN where Spark emits NULL; the guard
+    # makes both engines NULL, the module-wide discipline.
+    z = F.round(
+        (F.col("t_stat") - e_t)
+        / F.nullif(F.sqrt(v_t), F.lit(0.0)),
+        6,
+    )
     return agg.select(
         F.col("n1").cast("long").alias("n_sample1"),
         F.col("n2").cast("long").alias("n_sample2"),
@@ -2055,14 +2062,16 @@ ORACLE_SQL["stats_mood_scale_test"] = f"""
            ROUND(n1 * (CAST(n AS DOUBLE) * n - 1.0) / 12.0, 6)
                AS t_expected,
            ROUND((t_stat - n1 * (CAST(n AS DOUBLE) * n - 1.0) / 12.0)
-                 / SQRT(n1 * CAST(n2 AS DOUBLE) * (n + 1.0)
-                        * (CAST(n AS DOUBLE) * n - 4.0) / 180.0), 6)
+                 / NULLIF(SQRT(n1 * CAST(n2 AS DOUBLE) * (n + 1.0)
+                               * (CAST(n AS DOUBLE) * n - 4.0) / 180.0),
+                          0.0), 6)
                AS z_mood,
            CAST(ABS(ROUND((t_stat
                            - n1 * (CAST(n AS DOUBLE) * n - 1.0) / 12.0)
-                          / SQRT(n1 * CAST(n2 AS DOUBLE) * (n + 1.0)
-                                 * (CAST(n AS DOUBLE) * n - 4.0)
-                                 / 180.0), 6))
+                          / NULLIF(SQRT(n1 * CAST(n2 AS DOUBLE)
+                                        * (n + 1.0)
+                                        * (CAST(n AS DOUBLE) * n - 4.0)
+                                        / 180.0), 0.0), 6))
                 > {CA_Z_95} AS BIGINT) AS rejected_95
     FROM agg
 """

@@ -30,6 +30,17 @@ def _table(name: str) -> pd.DataFrame:
     return pq.read_table(f"{SF_DIR}/{name}.parquet").to_pandas()
 
 
+def _round_half_up(v, decimals: int = 0):
+    """Half-up (away-from-zero) rounding, the rule Spark F.round and
+    DuckDB ROUND share.  numpy/pandas ``.round`` is banker's half-even,
+    which diverges from BOTH engines on exact .5 boundaries — the
+    reference paths here must quantize the engines' way so a fixture
+    value landing on a half-cent / 1e-6 boundary can't flake the test."""
+    s = 10.0**decimals
+    a = np.asarray(v, dtype=np.float64)
+    return np.sign(a) * np.floor(np.abs(a) * s + 0.5) / s
+
+
 def test_geo_area_scaled_identity_at_base(spark):
     """With the stripe offset above max(c_custkey) every stripe index
     is 0 (the shift term is exactly +0.0), so the variant must equal
@@ -212,7 +223,7 @@ def test_mood_matches_numpy(spark):
     ev = _table("events")
     types = sorted(ev["event_type"].unique())[:2]
     sub = ev[ev["event_type"].isin(types)]
-    m = (sub["value"] * 100).round(0).astype(np.int64)
+    m = _round_half_up(sub["value"] * 100).astype(np.int64)
     ranks = pd.Series(m).rank(method="average").to_numpy()
     n = len(m)
     is1 = (sub["event_type"] == types[0]).to_numpy()
@@ -326,14 +337,14 @@ def test_gmm_step_matches_numpy(spark):
     rows = QUERIES["ml_em_gmm_step"](spark, SF_DIR).collect()
     assert len(rows) == 2
     o = _table("orders")
-    x = (o["o_totalprice"] * 100).round(0).astype(np.int64).to_numpy()
+    x = _round_half_up(o["o_totalprice"] * 100).astype(np.int64)
     xd = x / 100.0
     s2 = 2.0 * GMM_SIGMA**2
     p1 = 0.5 * np.exp(-((xd - GMM_MU1) ** 2) / s2)
     p2 = 0.5 * np.exp(-((xd - GMM_MU2) ** 2) / s2)
-    r1u = np.round(np.round(p1 / (p1 + p2), 6) * GMM_R_SCALE).astype(
-        np.int64
-    )
+    r1u = _round_half_up(
+        _round_half_up(p1 / (p1 + p2), 6) * GMM_R_SCALE
+    ).astype(np.int64)
     for r, ru in zip(rows, (r1u, GMM_R_SCALE - r1u)):
         sr = float(ru.sum())
         mu = float((ru * x).sum()) / sr / 100.0
@@ -385,9 +396,9 @@ def test_holt_damped_matches_python_loop(spark):
     for r in rows:
         sub = ev[ev["event_type"] == r.event_type]
         y = [
-            round(float(v), 6)
+            float(_round_half_up(v, 6))
             for _, v in sorted(
-                sub.groupby("day")["value"].sum().round(6).items()
+                sub.groupby("day")["value"].sum().items()
             )
         ]
         l, b = y[0], y[1] - y[0]
