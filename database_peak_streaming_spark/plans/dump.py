@@ -55,7 +55,19 @@ PICKS = {
     ),
     "agg_hll_sketch_merge": (
         "distinct pairs shuffle computed once (AQE ReusedExchange) and "
-        "shared by sketch, exact and union consumers; no expand"
+        "shared by sketch, exact and union consumers; no expand "
+        "(graded as an AUDIT since round 11 — the sketch operator's "
+        "own shape is agg_hll_sketch_only)"
+    ),
+    "agg_hll_sketch_only": (
+        "raw rows -> one map-side-combinable 3-key groupBy (HLL absorbs "
+        "duplicates; no pre-distinct, no Expand, no l_orderkey-keyed "
+        "aggregate anywhere) -> broadcast union/sum scalars"
+    ),
+    "graph_adamic_adar_hubcap": (
+        "deg <= 100 semi-join prunes adj BEFORE the wedge self-join — "
+        "hub wedges are never enumerated; kept middles keep true-degree "
+        "1/ln weights; top-k via row_number window"
     ),
     "chunk_documents_overlap": (
         "scan -> sequence-explode -> slice projection: map-only, the sole "
