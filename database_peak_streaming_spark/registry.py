@@ -87,84 +87,21 @@ _MODULES = [
 #: (round 2 rotated in the multimodal binary-payload kernel and the S4
 #: binary peaks codec in place of two of the five scalar packs).
 _PRIORITY = [
-    # Round-10 rotation (round-9 VERDICT "Next round" #1).  The round-9
-    # pool held 69 never-driver-checked names — again more than one
-    # 50-slot window — so this window takes the FIRST 50 in insertion
-    # (= age) order: the 19-name round-8 remainder, then the oldest 31
-    # of the round-9 additions.  After this window the union of
-    # driver-hash-checked queries is 368/387; the remaining 19 round-9
-    # names stay pinned in ROTATION_POOL_NEXT_ROUND (plus any round-10
-    # additions, capped below the window size per round-9 ask #8) for
-    # the round-11 window.
-    # round-8 remainder (19, age order preserved):
-    "events_longest_streak",
-    "intervals_active_count_daily",
-    "window_ohlc_bars",
-    "events_growth_accounting",
-    "graph_bfs_distance",
-    "stats_cohens_d",
-    "ab_srm_check",
-    "ml_kmeans_lloyd_step",
-    "sql_execute_immediate",
-    "stats_permutation_test",
-    "text_keyphrase_textrank",
-    "dedup_incremental_minhash",
-    "stats_fdr_bh_permutation",
-    "text_langid_kappa",
-    "revenue_pvm_decomposition",
-    "win_max_drawdown",
-    "ab_tost_equivalence",
-    "sample_neyman_allocation",
-    "stats_skew_kurtosis",
-    # oldest 31 round-9 additions (age order preserved):
-    "multimodal_bmp_decode_stats",
-    "window_rolling_distinct_users",
-    "text_heaps_law_fit",
-    "embeddings_dim_variance",
-    "stats_brown_forsythe",
-    "geo_grid_radius_join",
-    "ml_gbdt_histogram_split",
-    "stats_welch_ttest",
-    "events_sequence_regex",
-    "embeddings_mahalanobis_outliers",
-    "dedup_minhash_recall_audit",
-    "dedup_threshold_sweep",
-    "join_scd2_point_in_time",
-    "ml_naive_bayes_langid",
-    "corpus_perplexity_gate",
-    "resample_interpolate_linear",
-    "ts_sax_motifs",
-    "stats_power_mde",
-    "ts_stl_residual_outliers",
-    "ab_bandit_ucb",
-    "graph_modularity",
-    "eval_mrr_recall_bm25",
-    "ts_periodogram_dft",
-    "ts_ljung_box",
-    "graph_clustering_coefficient",
-    "sim_knn_loo_classify",
-    "model_isotonic_calibration",
-    "stats_friedman_test",
-    "model_lift_gains_deciles",
-    "graph_hits_hub_authority",
-    "text_good_turing_smoothing",
-]
-
-#: The round-11 rotation pool.  The round-10 window drained the OLDEST
-#: 50 of the 69-name round-9 pool (oldest-first, the math the round-9
-#: comment prescribed); the 19 names below are the round-9 remainder,
-#: and queries ADDED during round 10 append after them (each is
-#: local-gated by tests/test_differential.py's full DuckDB oracle until
-#: a future window picks it up).  tests/test_registry.py pins that the
-#: never-driver-checked overflow is EXACTLY this list, so any new query
-#: must either enter the window or be added here.
-#:
-#: Round-11 window math: 19 remainder + round-10 additions (capped at
-#: ≤31 per round-9 VERDICT ask #8, so the pool fits one window for the
-#: first time since round 7) — the round-11 _PRIORITY takes the whole
-#: pool plus re-check slots if any remain.
-ROTATION_POOL_NEXT_ROUND: list[str] = [
-    # round-9 remainder (19, age order preserved):
+    # Round-11 rotation (round-10 VERDICT "Next round" #1): the ENTIRE
+    # 29-name round-10 pool enters this window — the pool finally fits
+    # one 50-slot window, so after this round every registered query is
+    # driver-verified.  Rotation history lives in COVERAGE.md ("Driver
+    # rotation history"); only this window's math stays here.
+    #
+    # Window math: 3 twice-slipped names FRONT-LOADED (round-10 ask
+    # #5), then the remaining 26 pool names in age order, then the 2
+    # round-11 additions, then 19 oldest previously-green re-checks
+    # (CORRECTNESS_r01 key order) filling to 50.
+    # twice-slipped, front-loaded (3):
+    "multimodal_ppm_histogram",
+    "multimodal_bmp_resize_stats",
+    "rag_mmr_rerank",
+    # round-9 remainder (17 left, age order preserved):
     "stats_cochran_armitage_trend",
     "stats_hodges_lehmann_daily",
     "ts_cross_correlation",
@@ -177,16 +114,12 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "stats_mann_kendall_trend",
     "ts_adf_unit_root",
     "ts_kpss_stationarity",
-    "rag_mmr_rerank",
     "stats_kruskal_wallis",
     "ts_granger_lead",
-    "multimodal_bmp_resize_stats",
     "ts_hurst_rs",
     "stats_dunn_posthoc",
     "orders_abc_xyz_matrix",
-    # round-10 additions (10 — within the <=31 cap of round-9 ask #8,
-    # so the pool ends the round at 29 names, under one window for the
-    # first time since round 7):
+    # round-10 additions (9 left, age order preserved):
     "graph_adamic_adar_linkpred",
     "stats_mcnemar_paired",
     "stats_mood_scale_test",
@@ -195,9 +128,41 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "ts_holt_damped_trend",
     "corpus_dsir_importance",
     "text_self_bleu_bigram",
-    "multimodal_ppm_histogram",
     "ml_em_gmm_step",
+    # round-11 additions (2) — in the window, not the pool, so the
+    # registry stays fully driver-verified after this round:
+    "graph_adamic_adar_hubcap",
+    "agg_hll_sketch_only",
+    # oldest previously-green re-checks (19, CORRECTNESS_r01 order):
+    "scan_project_rename",
+    "filter_predicates",
+    "filter_scalar_subquery",
+    "catalog_list_tables",
+    "q1_pricing_summary",
+    "agg_corr_covar",
+    "agg_global_no_group",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_stats",
+    "agg_rollup",
+    "agg_cube",
+    "agg_collect_sorted",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
 ]
+
+#: The round-12 rotation pool: EMPTY — the round-11 window absorbed the
+#: whole round-10 pool plus both round-11 additions, so every
+#: registered query is either already driver-hash-verified or in the
+#: current window.  tests/test_registry.py pins that the
+#: never-driver-checked overflow is EXACTLY this list, so any query
+#: added in round 12+ must either enter that round's window or be
+#: appended here.
+ROTATION_POOL_NEXT_ROUND: list[str] = []
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
