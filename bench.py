@@ -120,6 +120,17 @@ HEADLINE = [
     "corpus_dsir_importance",
     "text_self_bleu_bigram",
     "ts_pacf_durbin_levinson",
+    # round-11 pack representative (see R11_ADDITIONS): the sketch-only
+    # HLL path split out of agg_hll_sketch_merge (round-10 VERDICT ask
+    # #2) — the merge query STAYS headline for subset continuity but is
+    # now graded as an AUDIT (its exact-distinct verification cost is
+    # intrinsic to auditing, not to the sketch operator); this entry is
+    # the operator's true scan-floor shape.  graph_adamic_adar_hubcap
+    # is deliberately NOT headline (the linkpred precedent): even
+    # capped, its sf0.1 wedge volume is 17.2M — scale evidence lives in
+    # the BENCH_SCALED deep tier, correctness in the sf0.01
+    # differential + the brute-force loss-bound test.
+    "agg_hll_sketch_only",
 ]
 
 #: Size-stable cross-round comparison set (round-5 VERDICT task 6): the
@@ -235,16 +246,38 @@ R10_ADDITIONS: list[str] = [
     "ts_pacf_durbin_levinson",
 ]
 
+#: Names added to HEADLINE during round 11 (see the HEADLINE comment).
+R11_ADDITIONS: list[str] = [
+    "agg_hll_sketch_only",
+]
+
 #: Round-8-comparable subset: the EXACT headline set BENCH_r08 ran,
 #: frozen so round 9+ reports a ratio directly comparable to round 8's
 #: committed number even if HEADLINE grows (round-8 VERDICT task 2
 #: asks for exactly this same-subset comparison).
 R8_COMPARABLE_SUBSET = [
-    n for n in HEADLINE if n not in R9_ADDITIONS + R10_ADDITIONS
+    n
+    for n in HEADLINE
+    if n not in R9_ADDITIONS + R10_ADDITIONS + R11_ADDITIONS
 ]
 
 #: Round-9-comparable subset: the EXACT headline set BENCH_r09 ran.
-R9_COMPARABLE_SUBSET = [n for n in HEADLINE if n not in R10_ADDITIONS]
+R9_COMPARABLE_SUBSET = [
+    n for n in HEADLINE if n not in R10_ADDITIONS + R11_ADDITIONS
+]
+
+#: Round-10-comparable subset: the EXACT headline set BENCH_r10 ran.
+R10_COMPARABLE_SUBSET = [n for n in HEADLINE if n not in R11_ADDITIONS]
+
+#: Quiet-box reference (round-10 VERDICT ask #4): the minimum
+#: START-OF-RUN overhead floor any committed BENCH_DETAIL has measured
+#: (round 7's 0.072 s; the 0.035 s figure in the r8 drift analysis was
+#: an aged-session re-probe, not a start-of-run number).  A measured
+#: floor beyond 2x this is a LOUD BOX — per-query walls will be
+#: jitter-bound, not code-bound — so the run annotates itself (or
+#: refuses outright with SPARK_GRAFT_REQUIRE_QUIET_BOX=1), the same
+#: protocol BENCH_SCALED's box_note established.
+HISTORICAL_FLOOR_MIN_SEC = 0.072
 
 
 def _planning_ms(df) -> float:
@@ -307,6 +340,48 @@ def main() -> None:
         load_table(spark, "region", sf_dir).select("r_name").toPandas()
         floor = min(floor, time.perf_counter() - t0)
     floor = round(floor, 4)
+
+    # Quiet-box protocol (round-10 VERDICT ask #4, mirroring
+    # BENCH_SCALED's box_note): record start-of-run load and gate on
+    # the measured floor vs its historical minimum.  The committed
+    # headline number is only code-comparable across rounds when the
+    # box is quiet; a loud box gets an explicit annotation (and the
+    # frozen-subset within-run ratios below are then the ONLY
+    # round-over-round quantities to read).
+    try:
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg = []
+    box_quiet = floor <= 2 * HISTORICAL_FLOOR_MIN_SEC
+    box_protocol = {
+        "loadavg_start": loadavg,
+        "overhead_floor_sec": floor,
+        "historical_floor_min_sec": HISTORICAL_FLOOR_MIN_SEC,
+        "quiet": box_quiet,
+    }
+    if not box_quiet:
+        box_protocol["box_note"] = (
+            f"LOUD BOX: measured per-query overhead floor {floor}s > 2x "
+            f"the historical start-of-run minimum "
+            f"{HISTORICAL_FLOOR_MIN_SEC}s - absolute walls in this file "
+            "are jitter-bound; compare only the within-run frozen-subset "
+            "ratios (ratio_vs_oracle_r*_subset) across rounds"
+        )
+        if os.environ.get("SPARK_GRAFT_REQUIRE_QUIET_BOX"):
+            print(
+                json.dumps(
+                    {
+                        "metric": "headline_suite_wall_clock",
+                        "value": None,
+                        "unit": "sec",
+                        "queries": {},
+                        "sf": sf,
+                        "refused": box_protocol["box_note"],
+                    },
+                    separators=(",", ":"),
+                )
+            )
+            sys.exit(3)
 
     timings: dict[str, float] = {}
     exec_timings: dict[str, float] = {}
@@ -392,6 +467,7 @@ def main() -> None:
         # retraction showed understates execution; deliberately not
         # reported.
         "protocol": "min-of-3, fresh plan per run, warmed JVM+workers",
+        "box_protocol": box_protocol,
     }
 
     if oracle_timings:
@@ -450,6 +526,14 @@ def main() -> None:
         out["r9_subset_oracle_total"] = round(r9_oracle, 4)
         out["ratio_vs_oracle_r9_subset"] = round(
             r9_spark / max(r9_oracle, 1e-9), 2
+        )
+        r10 = [n for n in R10_COMPARABLE_SUBSET if n in oracle_timings]
+        r10_spark = sum(timings[n] for n in r10)
+        r10_oracle = sum(oracle_timings[n] for n in r10)
+        out["r10_subset_total"] = round(r10_spark, 4)
+        out["r10_subset_oracle_total"] = round(r10_oracle, 4)
+        out["ratio_vs_oracle_r10_subset"] = round(
+            r10_spark / max(r10_oracle, 1e-9), 2
         )
         # Round-8 VERDICT task 2 (attribute the 1.24x -> 1.62x same-
         # subset drift), closed by quiet-box re-measure: the r7-subset
@@ -596,12 +680,16 @@ def main() -> None:
         "ratio_vs_oracle_r6_subset",
         "ratio_vs_oracle_r7_subset",
         "ratio_vs_oracle_r8_subset",
+        "ratio_vs_oracle_r9_subset",
+        "ratio_vs_oracle_r10_subset",
         "oracle_total",
         "overhead_floor_sec",
         "drift_note",
     ):
         if k in out:
             compact[k] = out[k]
+    if not out["box_protocol"]["quiet"]:
+        compact["box_note"] = out["box_protocol"]["box_note"]
     if isinstance(out.get("streaming"), dict) and "error" not in out["streaming"]:
         compact["streaming"] = {
             "windows_per_sec": out["streaming"]["windows_per_sec"],
