@@ -10,12 +10,13 @@ The pattern a 100 TB training-data pipeline needs (north-star mandated):
 * decode / resize / feature-extract run in ``mapInPandas`` batches.
 
 Codec status: self-contained formats decode for REAL — pure-numpy
-uncompressed-24-bit-BMP and binary-PPM decoders below, pixel-exact and
-oracle-checked (operators/multimodal_queries.py registers a decode
-query whose channel sums DuckDB recomputes from the source bytes).
-Compressed formats (JPEG/PNG/video) still require a media library the
-container does not ship; ``real_codec`` raises ``NotImplementedError``
-for those only, with the injection point documented.
+uncompressed-24-bit-BMP, binary-PPM and RIFF/WAVE-PCM decoders below,
+pixel/sample-exact and oracle-checked (operators/multimodal_queries.py
+registers decode queries whose channel/sample sums DuckDB recomputes
+from the source bytes).  Compressed formats (JPEG/PNG/video, MP3/AAC)
+still require a media library the container does not ship;
+``real_codec`` raises ``NotImplementedError`` for those only, with the
+injection point documented.
 """
 
 from __future__ import annotations
@@ -157,21 +158,75 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     )
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM parser -> (int16 sample array, sample_rate).  Walks
+    the chunk list for real (a WAV file may carry LIST/fact/cue chunks
+    between ``fmt `` and ``data``), validates PCM format tag 1 /
+    16-bit / mono, and reinterprets the data chunk as little-endian
+    signed 16-bit samples.  The audio sibling of :func:`decode_bmp`:
+    the container format needs no compression library, so the sandbox
+    can decode it byte-exactly; compressed audio (MP3/AAC/Opus) stays
+    behind the ``real_codec`` injection hook."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt: tuple[int, int, int, int] | None = None
+    data: bytes | None = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            tag, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            fmt = (tag, channels, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    tag, channels, rate, bits = fmt
+    if tag != 1 or bits != 16 or channels != 1:
+        raise ValueError(
+            f"only mono 16-bit PCM supported (tag={tag}, ch={channels}, "
+            f"bits={bits})"
+        )
+    n = len(data) // 2
+    samples = np.frombuffer(data, dtype="<i2", count=n).copy()
+    return samples, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Inverse of :func:`decode_wav` — mono int16 samples -> canonical
+    44-byte-header RIFF/WAVE PCM bytes, the round-trip partner that
+    lets fixtures build real WAV payloads without an audio library."""
+    body = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s" "4sIHHIIHH" "4sI",
+        b"RIFF", 36 + len(body), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(body),
+    )
+    return hdr + body
+
+
 def real_codec(payload: bytes) -> np.ndarray:
     """Production decode hook.  Self-contained formats (uncompressed
-    24-bit BMP, binary PPM) decode here with the pure-numpy decoders
-    above — pixel-exact, no media library.  Compressed formats
-    (JPEG/PNG/video) still need PIL/libvips/ffmpeg, which this container
-    does not ship: inject via ``extract_features(codec=...)`` in a
-    deployment image."""
+    24-bit BMP, binary PPM, RIFF/WAVE PCM) decode here with the
+    pure-numpy decoders above — pixel/sample-exact, no media library.
+    Compressed formats (JPEG/PNG/video, MP3/AAC) still need
+    PIL/libvips/ffmpeg, which this container does not ship: inject via
+    ``extract_features(codec=...)`` in a deployment image."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)[0]
     raise NotImplementedError(
         "compressed media decode requires an image/audio library; inject "
         "via extract_features(codec=...) in a deployment image "
-        "(BMP and PPM decode natively)"
+        "(BMP, PPM and WAV decode natively)"
     )
 
 

@@ -704,3 +704,129 @@ ORACLE_SQL["multimodal_bmp_resize_stats"] = f"""
     FROM vals
     GROUP BY doc_id
 """
+
+
+#: WAV fixture geometry: mono 16-bit PCM at 8 kHz; the high byte of
+#: each sample runs through an affine byte transform so roughly half
+#: the decoded samples are NEGATIVE — the fixture text is ASCII
+#: (char codes <= 127), so without the transform the int16 sign path
+#: (the classic WAV-decode bug) would never be exercised.
+WAV_RATE = 8000
+WAV_HI_MUL = 37
+WAV_HI_ADD = 11
+
+_WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("min_s", T.IntegerType()),
+        T.StructField("max_s", T.IntegerType()),
+        T.StructField("n_neg", T.LongType()),
+        T.StructField("first_s", T.IntegerType()),
+    ]
+)
+
+
+def multimodal_wav_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the binary kernel path — the audio
+    sibling of ``multimodal_bmp_decode_stats`` (reference parity: the
+    instrument logger's binary payload handling, hyperion.py's framed
+    spectrum reads, generalized to media containers): each document's
+    byte pairs become little-endian signed 16-bit PCM samples (high
+    byte pushed through an affine transform so the sign path is
+    exercised — see ``WAV_HI_MUL``), ``encode_wav`` wraps them in a
+    real 44-byte-header RIFF/WAVE file another tool could play, and
+    ``decode_wav`` parses the chunk list back for real (magic, fmt
+    tag/width, data chunk walk).  Emitted per item: sample count,
+    parsed rate, energy (sum of squares), min/max/first sample and the
+    negative-sample count — each recomputed by the oracle DIRECTLY
+    from source char codes, so an endianness swap, a sign-extension
+    bug, or an off-by-one in the header walk is a hash mismatch, not a
+    silent corruption.
+
+    Scale shape: one mapInPandas stage, payload-free immediately after
+    (fixed-width stat rows out), no shuffle before the driver fetch —
+    scan -> decode -> stats, embarrassingly parallel at 100 TB."""
+    from database_peak_streaming_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    import numpy as np
+
+    def _decode_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n = len(raw) // 2
+                b = np.frombuffer(raw, dtype=np.uint8, count=2 * n)
+                lo = b[0::2].astype(np.int32)
+                hi = (b[1::2].astype(np.int32) * WAV_HI_MUL + WAV_HI_ADD) % 256
+                pcm = (lo | (hi << 8)).astype(np.uint16).view(np.int16)
+                dec, rate = decode_wav(encode_wav(pcm, WAV_RATE))
+                v = dec.astype(np.int64)
+                out.append(
+                    (
+                        item_id,
+                        int(v.size),
+                        int(rate),
+                        int((v * v).sum()) if v.size else 0,
+                        int(v.min()) if v.size else 0,
+                        int(v.max()) if v.size else 0,
+                        int((v < 0).sum()),
+                        int(v[0]) if v.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id", "n_samples", "sample_rate", "sum_sq",
+                    "min_s", "max_s", "n_neg", "first_s",
+                ],
+            )
+
+    d = load_table(spark, "documents", sf_dir)
+    items = d.select(
+        F.col("doc_id").alias("item_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return items.mapInPandas(_decode_stats, schema=_WAV_SCHEMA)
+
+
+QUERIES["multimodal_wav_pcm_decode"] = multimodal_wav_pcm_decode
+
+ORACLE_SQL["multimodal_wav_pcm_decode"] = f"""
+    WITH s AS (
+        SELECT doc_id AS item_id, text,
+               CAST(LENGTH(text) // 2 AS BIGINT) AS n
+        FROM documents),
+    samp AS (
+        SELECT item_id, k,
+               ORD(SUBSTRING(text, CAST(2 * k + 1 AS INT), 1))
+               + 256 * ((ORD(SUBSTRING(text, CAST(2 * k + 2 AS INT), 1))
+                         * {WAV_HI_MUL} + {WAV_HI_ADD}) % 256) AS su
+        FROM (SELECT item_id, text, UNNEST(RANGE(0, n)) AS k FROM s)),
+    sv AS (
+        SELECT item_id, k,
+               CASE WHEN su >= 32768 THEN su - 65536 ELSE su END AS v
+        FROM samp),
+    agg AS (
+        SELECT item_id AS aid,
+               SUM(v * v) AS ssq, MIN(v) AS mn, MAX(v) AS mx,
+               SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS nneg,
+               MAX(CASE WHEN k = 0 THEN v END) AS f
+        FROM sv GROUP BY 1)
+    SELECT s.item_id,
+           s.n AS n_samples,
+           {WAV_RATE} AS sample_rate,
+           CAST(COALESCE(a.ssq, 0) AS BIGINT) AS sum_sq,
+           CAST(COALESCE(a.mn, 0) AS INT) AS min_s,
+           CAST(COALESCE(a.mx, 0) AS INT) AS max_s,
+           CAST(COALESCE(a.nneg, 0) AS BIGINT) AS n_neg,
+           CAST(COALESCE(a.f, 0) AS INT) AS first_s
+    FROM s LEFT JOIN agg a ON a.aid = s.item_id
+    ORDER BY s.item_id
+"""

@@ -2075,3 +2075,138 @@ ORACLE_SQL["stats_mood_scale_test"] = f"""
                 > {CA_Z_95} AS BIGINT) AS rejected_95
     FROM agg
 """
+
+
+def stats_cliffs_delta_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta EFFECT-SIZE matrix over every event-type pair —
+    the magnitude companion the significance shelf is missing: Mann-
+    Whitney / Kruskal-Wallis / Dunn say WHETHER distributions differ,
+    Cliff's delta says HOW MUCH (delta = P(X > Y) - P(X < Y), the
+    rank-biserial correlation), which is what a data-quality dashboard
+    actually thresholds on at 100 TB where every test is "significant".
+    Also ships the common-language effect size CL = P(X > Y) + 0.5 *
+    P(X = Y) (Vargha-Delaney A), the tie-aware probability a random X
+    beats a random Y.
+
+    Computation is pairwise-free: per-type VALUE-VOCABULARY counts
+    (one data-sized groupBy) explode into the T-1 pairs each type
+    belongs to (a broadcast pair grid bounded by the event-type
+    cardinality), and per pair the Mann-Whitney midrank identity gives
+    U1 = R1 - n1(n1+1)/2 with delta = 2*U1/(n1*n2) - 1 — exact
+    half-grid arithmetic, never an (x, y) pair materialized.
+
+    Scale: one data-sized groupBy (type x value vocabulary), a
+    broadcast join against the tiny pair grid, one vocabulary-sized
+    window per pair, one fold — the stats_mann_whitney shape fanned
+    across all pairs at once."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("m"),
+    )
+    vocab = ev.groupBy("event_type", "m").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    members = pairs.select(
+        "type_a",
+        "type_b",
+        F.explode(F.array("type_a", "type_b")).alias("member"),
+    )
+    exploded = vocab.join(
+        F.broadcast(members), vocab.event_type == members.member
+    )
+    per_val = exploded.groupBy("type_a", "type_b", "m").agg(
+        F.sum("c").alias("t"),
+        F.sum(
+            F.when(F.col("event_type") == F.col("type_a"), F.col("c"))
+            .otherwise(0)
+        ).alias("t1"),
+    )
+    w = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_val.select(
+        "type_a",
+        "type_b",
+        "t",
+        "t1",
+        (
+            F.coalesce(F.sum("t").over(w), F.lit(0))
+            + (F.col("t") + 1) / F.lit(2.0)
+        ).alias("midrank"),
+    )
+    agg = ranked.groupBy("type_a", "type_b").agg(
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("long").alias("n2"),
+        F.sum(F.col("t1") * F.col("midrank")).alias("r1"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / F.lit(2.0)
+    denom = F.nullif(
+        (F.col("n1") * F.col("n2")).cast("double"), F.lit(0.0)
+    )
+    return agg.select(
+        "type_a",
+        "type_b",
+        "n1",
+        "n2",
+        F.round(F.lit(2.0) * u1 / denom - F.lit(1.0), 6).alias(
+            "cliffs_delta"
+        ),
+        F.round(u1 / denom, 6).alias("cl_effect"),
+    ).orderBy("type_a", "type_b")
+
+
+QUERIES["stats_cliffs_delta_matrix"] = stats_cliffs_delta_matrix
+ORACLE_SQL["stats_cliffs_delta_matrix"] = """
+    WITH ev AS (
+        SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS m
+        FROM events),
+    vocab AS (
+        SELECT event_type, m, COUNT(*) AS c
+        FROM ev GROUP BY event_type, m),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM types a JOIN types b ON a.event_type < b.event_type),
+    exploded AS (
+        SELECT p.type_a, p.type_b, v.event_type, v.m, v.c
+        FROM vocab v
+        JOIN pairs p
+          ON v.event_type = p.type_a OR v.event_type = p.type_b),
+    per_val AS (
+        SELECT type_a, type_b, m,
+               SUM(c) AS t,
+               SUM(CASE WHEN event_type = type_a THEN c ELSE 0 END) AS t1
+        FROM exploded GROUP BY type_a, type_b, m),
+    ranked AS (
+        SELECT type_a, type_b, t, t1,
+               COALESCE(SUM(t) OVER (PARTITION BY type_a, type_b
+                                     ORDER BY m
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), 0)
+                   + (t + 1) / 2.0 AS midrank
+        FROM per_val),
+    agg AS (
+        SELECT type_a, type_b,
+               CAST(SUM(t1) AS BIGINT) AS n1,
+               CAST(SUM(t - t1) AS BIGINT) AS n2,
+               SUM(t1 * midrank) AS r1
+        FROM ranked GROUP BY type_a, type_b)
+    SELECT type_a, type_b, n1, n2,
+           ROUND(2.0 * (r1 - n1 * (n1 + 1) / 2.0)
+                 / NULLIF(CAST(n1 * n2 AS DOUBLE), 0.0) - 1.0, 6)
+               AS cliffs_delta,
+           ROUND((r1 - n1 * (n1 + 1) / 2.0)
+                 / NULLIF(CAST(n1 * n2 AS DOUBLE), 0.0), 6) AS cl_effect
+    FROM agg
+    ORDER BY type_a, type_b
+"""

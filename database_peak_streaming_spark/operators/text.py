@@ -2923,3 +2923,113 @@ ORACLE_SQL["text_self_bleu_bigram"] = """
     FROM per_source
     ORDER BY source
 """
+
+
+#: MSTTR segment width (tokens per full segment).
+MSTTR_SEG = 25
+
+
+def text_msttr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Segmental Type-Token Ratio (MSTTR; Johnson 1944) — the
+    length-robust lexical-diversity score curation pipelines use where
+    raw TTR would punish long documents (TTR falls with length by
+    Heaps' law — ``text_heaps_law_fit`` measures exactly that curve):
+    cut each document's token stream into consecutive full
+    ``MSTTR_SEG``-token segments, take each segment's distinct-token
+    ratio, and average.  Ships beside raw TTR and the segment count so
+    a filter can gate on either.
+
+    Exactness: the segment average is computed as
+    SUM(distinct counts) / (SEG * n_segments) — an exact integer sum
+    divided once in double — so no double-accumulation order exists to
+    differ between engines.  Trailing partial segments are EXCLUDED
+    (the standard MSTTR rule, and what makes the score length-robust);
+    short docs (< SEG tokens) report 0 segments and msttr 0.0.
+
+    Scale: one posexplode (tokens appear once, no arrays shuffle), a
+    (doc, segment)-keyed count-distinct, a doc-keyed rollup — all
+    map-side-combinable aggregations; the doc-level TTR rides the scan
+    projection with array expressions, payload-free after."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = _tokens()
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("ttr"),
+    )
+    seg = (
+        d.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+        .select(
+            "doc_id",
+            (F.col("pos") / F.lit(MSTTR_SEG)).cast("long").alias("seg"),
+            "token",
+        )
+        .groupBy("doc_id", "seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.countDistinct("token").alias("n_distinct"),
+        )
+        .where(F.col("n_tok") == MSTTR_SEG)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("n_distinct").alias("sum_distinct"),
+        )
+    )
+    return (
+        base.join(seg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "ttr",
+            F.coalesce(F.col("n_segments"), F.lit(0)).alias("n_segments"),
+            F.round(
+                F.coalesce(
+                    F.col("sum_distinct").cast("double")
+                    / (F.lit(MSTTR_SEG) * F.col("n_segments")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("msttr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["text_msttr_diversity"] = text_msttr_diversity
+ORACLE_SQL["text_msttr_diversity"] = f"""
+    WITH lsts AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS lst FROM documents),
+    base AS (
+        SELECT doc_id,
+               CAST(LEN(lst) AS BIGINT) AS n_tokens,
+               ROUND(CAST(LEN(LIST_DISTINCT(lst)) AS DOUBLE)
+                     / LEN(lst), 6) AS ttr
+        FROM lsts),
+    tok AS (
+        SELECT doc_id,
+               (k - 1) // {MSTTR_SEG} AS seg,
+               lst[CAST(k AS INT)] AS token
+        FROM (SELECT doc_id, lst,
+                     UNNEST(RANGE(1, LEN(lst) + 1)) AS k
+              FROM lsts)),
+    per_seg AS (
+        SELECT doc_id, seg,
+               COUNT(*) AS n_tok,
+               COUNT(DISTINCT token) AS n_distinct
+        FROM tok GROUP BY doc_id, seg),
+    per_doc AS (
+        SELECT doc_id AS did,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               SUM(n_distinct) AS sum_distinct
+        FROM per_seg WHERE n_tok = {MSTTR_SEG}
+        GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens, b.ttr,
+           COALESCE(p.n_segments, 0) AS n_segments,
+           ROUND(COALESCE(CAST(p.sum_distinct AS DOUBLE)
+                          / ({MSTTR_SEG} * p.n_segments), 0.0), 6) AS msttr
+    FROM base b LEFT JOIN per_doc p ON p.did = b.doc_id
+    ORDER BY b.doc_id
+"""

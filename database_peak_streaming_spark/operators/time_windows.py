@@ -4538,3 +4538,313 @@ ORACLE_SQL["ts_holt_damped_trend"] = f"""
                AS forecast_7d_damped
     FROM folded ORDER BY event_type
 """
+
+
+#: Theta-method smoothing constant (shared with the Holt family) and
+#: forecast horizon.  THETA = 2 is the classic Assimakopoulos &
+#: Nikolopoulos (2000) setting: the theta-2 line doubles local
+#: curvature, its SES captures short-run level, and the theta-0 line
+#: (the OLS trend) carries long-run drift; the forecast averages the
+#: two, which is also why the method reduces to SES-with-drift b/2.
+THETA_ALPHA = HOLT_ALPHA
+THETA_H = 7
+
+
+def ts_theta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 — the
+    M3-competition winner) per event type over the daily value series:
+    fit the OLS trend line (theta-0), build the theta-2 line
+    z_t = 2*y_t - (a + b*t), run SES over z, and forecast
+    0.5 * (a + b*(n+h)) + 0.5 * s_n at horizon h=7.  Completes the
+    forecasting shelf: naive-seasonal (MAE baseline), Holt linear,
+    damped, Holt-Winters, Croston — and now the drift-averaged method
+    that beat all of them on M3.
+
+    Exactness: daily y is decimal-summed then 6-rounded (Holt
+    discipline); the OLS moment sums run in EXACT BIGINT micro-units
+    (y * 1e6; bounded by n_days <= ~2.2k and |y| < 1e6, so
+    n * sty < 2^62), and slope/intercept are derived from those exact
+    integers through an identical double expression tree in both
+    engines — deterministic, order-free.  The SES fold walks the
+    day-sorted array with the same seed (s_1 = z_1) both engines.
+
+    Scale: one (type, day) pre-aggregation shuffle, one per-type
+    groupBy carrying exact integer moments plus the day-sized value
+    array, folds per type — the ts_holt_linear shape with integer-exact
+    regression moments riding the same aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("y")
+    )
+    ym = F.round(F.col("y") * 1e6, 0).cast("long")
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type",
+        "day",
+        "y",
+        ym.alias("ym"),
+        F.row_number().over(w).cast("long").alias("t"),
+    )
+    g = (
+        idx.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("t").alias("st"),
+            F.sum("ym").alias("sy"),
+            F.sum(F.col("t") * F.col("ym")).alias("sty"),
+            F.sum(F.col("t") * F.col("t")).alias("stt"),
+            F.array_sort(
+                F.collect_list(F.struct("day", "y"))
+            ).alias("arr"),
+        )
+        .where(F.col("n") >= 3)
+    )
+    nd = F.col("n").cast("double")
+    std = F.col("st").cast("double")
+    syd = F.col("sy").cast("double")
+    styd = F.col("sty").cast("double")
+    sttd = F.col("stt").cast("double")
+    slope = (
+        (nd * styd - std * syd)
+        / (nd * sttd - std * std)
+        / F.lit(1e6)
+    )
+    intercept = syd / F.lit(1e6) / nd - slope * (std / nd)
+    withline = g.select(
+        "event_type",
+        "n",
+        "arr",
+        slope.alias("b"),
+        intercept.alias("a"),
+    )
+    zarr = F.transform(
+        F.col("arr"),
+        lambda s, i: F.lit(2.0) * s["y"]
+        - (F.col("a") + F.col("b") * (i.cast("double") + F.lit(1.0))),
+    )
+    al, cal = F.lit(THETA_ALPHA), F.lit(1.0 - THETA_ALPHA)
+    ses = F.aggregate(
+        F.slice(
+            F.col("z"), 2, F.greatest(F.size(F.col("z")) - 1, F.lit(0))
+        ),
+        F.element_at(F.col("z"), 1),
+        lambda acc, x: al * x + cal * acc,
+    )
+    return (
+        withline.withColumn("z", zarr)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.round(F.col("b"), 6).alias("slope"),
+            F.round(F.col("a"), 6).alias("intercept"),
+            F.round(ses, 6).alias("ses_level"),
+            F.round(
+                F.lit(0.5)
+                * (
+                    F.col("a")
+                    + F.col("b")
+                    * (F.col("n").cast("double") + F.lit(float(THETA_H)))
+                )
+                + F.lit(0.5) * ses,
+                6,
+            ).alias("forecast_7d_theta"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["ts_theta_method"] = ts_theta_method
+ORACLE_SQL["ts_theta_method"] = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28, 6)))
+                          AS DOUBLE), 6) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    idx AS (
+        SELECT event_type, day, y,
+               CAST(ROUND(y * 1e6, 0) AS BIGINT) AS ym,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY day) AS BIGINT) AS t
+        FROM daily),
+    g AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(t) AS BIGINT) AS st,
+               CAST(SUM(ym) AS BIGINT) AS sy,
+               CAST(SUM(t * ym) AS BIGINT) AS sty,
+               CAST(SUM(t * t) AS BIGINT) AS stt,
+               LIST(y ORDER BY day) AS vals
+        FROM idx GROUP BY event_type
+        HAVING COUNT(*) >= 3),
+    line AS (
+        SELECT event_type, n, vals,
+               (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                  - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+               / 1e6 AS b
+        FROM g),
+    ab AS (
+        SELECT l.event_type, l.n, l.vals, l.b,
+               CAST(g.sy AS DOUBLE) / 1e6 / CAST(l.n AS DOUBLE)
+               - l.b * (CAST(g.st AS DOUBLE) / CAST(l.n AS DOUBLE)) AS a
+        FROM line l JOIN g ON g.event_type = l.event_type),
+    folded AS (
+        SELECT event_type, n, a, b,
+               LIST_REDUCE(
+                   LIST_TRANSFORM(RANGE(1, n + 1),
+                       t -> 2.0 * vals[CAST(t AS INT)]
+                            - (a + b * CAST(t AS DOUBLE))),
+                   (acc, x) -> {THETA_ALPHA} * x
+                               + {1.0 - THETA_ALPHA} * acc) AS s
+        FROM ab)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           ROUND(b, 6) AS slope,
+           ROUND(a, 6) AS intercept,
+           ROUND(s, 6) AS ses_level,
+           ROUND(0.5 * (a + b * (CAST(n AS DOUBLE) + {float(THETA_H)}))
+                 + 0.5 * s, 6) AS forecast_7d_theta
+    FROM folded ORDER BY event_type
+"""
+
+
+#: Pinball evaluation: trailing-window length and quantile levels.
+PINBALL_W = 7
+PINBALL_TAUS = (0.1, 0.5, 0.9)
+
+
+def forecast_pinball_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE-forecast evaluation with pinball (quantile) loss — the
+    scoring rule behind the M5-Uncertainty competition and every
+    quantile-regression service: per event type, forecast day t's
+    value at tau in {0.1, 0.5, 0.9} as the interpolated tau-quantile
+    of the trailing 7 FULL days (frame excludes t itself — no
+    leakage), then score L_tau(y, q) = max(tau*(y-q), (tau-1)*(y-q))
+    and report the mean loss plus empirical coverage P(y <= q) per
+    (type, tau) — the calibration readout (coverage should track tau
+    for a calibrated forecaster).  Completes the eval shelf: MAE
+    (`forecast_seasonal_naive_mae`) grades point forecasts; this
+    grades distributional ones.
+
+    Exactness: the trailing quantile interpolates over an
+    array_sort-ed 7-element frame list with h = (n-1)*tau — identical
+    closed form both engines; per-day losses are 6-rounded then
+    decimal-summed so the mean is order-free; coverage is an exact
+    integer ratio.
+
+    Scale: one (type, day) pre-aggregation, one per-type window pass
+    whose frame list is bounded at 7 elements, a 3-row broadcast tau
+    grid, one final groupBy — no data-sized arrays ever shuffle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("y")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-PINBALL_W, -1)
+    )
+    framed = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.array_sort(F.collect_list("y").over(w)).alias("hist"),
+    ).where(F.size("hist") == PINBALL_W)
+    taus = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in PINBALL_TAUS])
+        ).alias("tau")
+    )
+    j = framed.crossJoin(F.broadcast(taus))
+    h = (F.lit(float(PINBALL_W - 1))) * F.col("tau")
+    lo = F.floor(h).cast("int")
+    frac = h - lo.cast("double")
+    v_lo = F.element_at("hist", lo + 1)
+    v_hi = F.element_at(
+        "hist", F.least(lo + 2, F.lit(PINBALL_W)).cast("int")
+    )
+    q = v_lo + frac * (v_hi - v_lo)
+    diff = F.col("y") - q
+    loss = F.round(
+        F.greatest(
+            F.col("tau") * diff, (F.col("tau") - 1.0) * diff
+        ),
+        6,
+    )
+    scored = j.select(
+        "event_type",
+        "tau",
+        loss.cast("decimal(28,6)").alias("loss"),
+        (F.col("y") <= q).cast("long").alias("covered"),
+    )
+    return (
+        scored.groupBy("event_type", "tau")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.round(
+                (F.sum("loss") / F.count(F.lit(1))).cast("double"), 6
+            ).alias("mean_pinball"),
+            F.round(
+                F.sum("covered").cast("double") / F.count(F.lit(1)), 6
+            ).alias("coverage"),
+        )
+        .orderBy("event_type", "tau")
+    )
+
+
+QUERIES["forecast_pinball_quantile"] = forecast_pinball_quantile
+ORACLE_SQL["forecast_pinball_quantile"] = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28, 6)))
+                          AS DOUBLE), 6) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    framed AS (
+        SELECT event_type, day, y,
+               LIST_SORT(LIST(y) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {PINBALL_W} PRECEDING
+                            AND 1 PRECEDING)) AS hist
+        FROM daily),
+    full_frames AS (
+        SELECT * FROM framed WHERE LEN(hist) = {PINBALL_W}),
+    taus AS (SELECT UNNEST([{', '.join(str(t) for t in PINBALL_TAUS)}]) AS tau),
+    scored AS (
+        SELECT event_type, tau,
+               CAST(ROUND(
+                   GREATEST(tau * (y - q), (tau - 1.0) * (y - q)),
+                   6) AS DECIMAL(28, 6)) AS loss,
+               CASE WHEN y <= q THEN 1 ELSE 0 END AS covered
+        FROM (
+            SELECT f.event_type, f.y, t.tau,
+                   f.hist[CAST(FLOOR(({PINBALL_W - 1}.0) * t.tau) AS INT)
+                          + 1]
+                   + (({PINBALL_W - 1}.0) * t.tau
+                      - FLOOR(({PINBALL_W - 1}.0) * t.tau))
+                     * (f.hist[LEAST(
+                            CAST(FLOOR(({PINBALL_W - 1}.0) * t.tau) AS INT)
+                            + 2, {PINBALL_W})]
+                        - f.hist[CAST(FLOOR(({PINBALL_W - 1}.0) * t.tau)
+                                      AS INT) + 1]) AS q
+            FROM full_frames f CROSS JOIN taus t))
+    SELECT event_type, tau,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           ROUND(CAST(SUM(loss) / COUNT(*) AS DOUBLE), 6) AS mean_pinball,
+           ROUND(CAST(SUM(covered) AS DOUBLE) / COUNT(*), 6) AS coverage
+    FROM scored
+    GROUP BY event_type, tau
+    ORDER BY event_type, tau
+"""

@@ -155,14 +155,24 @@ _PRIORITY = [
     "q13_customer_order_distribution",
 ]
 
-#: The round-12 rotation pool: EMPTY — the round-11 window absorbed the
-#: whole round-10 pool plus both round-11 additions, so every
-#: registered query is either already driver-hash-verified or in the
-#: current window.  tests/test_registry.py pins that the
-#: never-driver-checked overflow is EXACTLY this list, so any query
-#: added in round 12+ must either enter that round's window or be
-#: appended here.
-ROTATION_POOL_NEXT_ROUND: list[str] = []
+#: The round-12 rotation pool: the round-11 window absorbed the whole
+#: round-10 pool plus the first two round-11 additions, so every query
+#: registered before round 11's second batch is either already
+#: driver-hash-verified or in the current window; only the round-11
+#: post-window additions below wait for round 12.
+#: tests/test_registry.py pins that the never-driver-checked overflow
+#: is EXACTLY this list, so any query added in round 12+ must either
+#: enter that round's window or be appended here.
+ROTATION_POOL_NEXT_ROUND: list[str] = [
+    # round-11 post-window additions (the 50-slot window was already
+    # fully committed to absorbing the round-10 pool): first driver
+    # check lands in the round-12 window.
+    "multimodal_wav_pcm_decode",
+    "ts_theta_method",
+    "text_msttr_diversity",
+    "forecast_pinball_quantile",
+    "stats_cliffs_delta_matrix",
+]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}

@@ -476,6 +476,12 @@ def test_forced_broadcasts_are_bounded_cardinality():
         # smoothing normalizer and "tgt_tot" its 1-row target token
         # total — all .agg() or LIMIT-bounded, never corpus-sized.
         "bounds", "two", "first", "consts", "tgt_tot",
+        # round 11: "taus" is the pinball eval's 3-row quantile-level
+        # grid (a literal array, fixed by PINBALL_TAUS); "members" is
+        # the Cliff's-delta pair grid exploded to memberships
+        # (T*(T-1) rows, bounded by event-type cardinality, never row
+        # count)
+        "taus", "members",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     offenders = []
