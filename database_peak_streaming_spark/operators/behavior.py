@@ -3205,3 +3205,109 @@ ORACLE_SQL["events_interarrival_gamma_mom"] = """
     FROM g
     ORDER BY event_type
 """
+
+
+#: path-deviation prefix length (events per user path signature)
+PATH_PREFIX = 10
+
+
+def events_path_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral PATH-DEVIATION distribution: encode each user's first
+    ``PATH_PREFIX`` events (by time, event_id tie-break) as a compact
+    action-initial string, find the corpus's MODAL path, and histogram
+    the Levenshtein edit distance from every user's path to it — the
+    funnel-deviation score product analytics uses to find users whose
+    journey diverges from the canonical one (the sequence-level cousin
+    of ``events_funnel_ordered``'s fixed-funnel check and
+    ``events_markov_transitions``' one-step view; distinct from
+    ``linkage_blocked_levenshtein``, which compares record PAIRS —
+    here every path compares to ONE broadcast anchor, so the work is
+    linear, never pairwise).
+
+    Ties: the modal path breaks count ties lexicographically; the
+    distance histogram is exact integer arithmetic end-to-end.
+
+    Scale: per-user path assembly is one groupBy whose arrays are
+    capped at PATH_PREFIX elements; the modal path is a 1-row
+    aggregate broadcast to a linear map; the histogram is a
+    distance-keyed groupBy bounded by PATH_PREFIX + 1 cells."""
+    ev = load_table(spark, "events", sf_dir)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                "ts", "event_id", F.substring("event_type", 1, 1).alias("ch")
+            )
+        )
+    )
+    paths = (
+        ev.groupBy("user_id")
+        .agg(arr.alias("arr"))
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform(
+                    F.slice("arr", 1, PATH_PREFIX), lambda s: s["ch"]
+                ),
+                "",
+            ).alias("path"),
+        )
+    )
+    modal = (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(1)
+        .select(F.col("path").alias("modal_path"))
+    )
+    scored = paths.crossJoin(F.broadcast(modal)).select(
+        "modal_path",
+        F.levenshtein("path", "modal_path").cast("long").alias(
+            "edit_distance"
+        ),
+    )
+    total = Window.partitionBy()
+    return (
+        scored.groupBy("modal_path", "edit_distance")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            "modal_path",
+            "edit_distance",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double")
+                / F.sum("n_users").over(total) * 100,
+                6,
+            ).alias("pct_users"),
+        )
+        .orderBy("edit_distance")
+    )
+
+
+QUERIES["events_path_edit_distance"] = events_path_edit_distance
+ORACLE_SQL["events_path_edit_distance"] = f"""
+    WITH paths AS (
+        SELECT user_id,
+               ARRAY_TO_STRING(
+                   (LIST(SUBSTRING(event_type, 1, 1)
+                         ORDER BY ts, event_id))[1:{PATH_PREFIX}],
+                   '') AS path
+        FROM events GROUP BY user_id),
+    modal AS (
+        SELECT path AS modal_path
+        FROM (SELECT path, COUNT(*) AS n FROM paths GROUP BY path)
+        ORDER BY n DESC, path LIMIT 1),
+    scored AS (
+        SELECT m.modal_path,
+               CAST(LEVENSHTEIN(p.path, m.modal_path) AS BIGINT)
+                   AS edit_distance
+        FROM paths p CROSS JOIN modal m),
+    hist AS (
+        SELECT modal_path, edit_distance,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM scored GROUP BY modal_path, edit_distance)
+    SELECT modal_path, edit_distance, n_users,
+           ROUND(CAST(n_users AS DOUBLE)
+                 / SUM(n_users) OVER () * 100, 6) AS pct_users
+    FROM hist
+    ORDER BY edit_distance
+"""

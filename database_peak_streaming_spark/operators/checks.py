@@ -552,3 +552,96 @@ ORACLE_SQL = {
         ["exact_keepers_subset", "summary_matches_keepers"]
     ),
 }
+
+
+#: k-anonymity audit thresholds: groups smaller than K_ANON_K put their
+#: rows "at risk"; the sensitive attribute is the account-balance
+#: thousand-band.
+K_ANON_K = 5
+
+
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity PRIVACY audit over the customer
+    quasi-identifier (nation, market segment) — the release-gate check
+    a training-data pipeline runs before shipping a table with
+    person-adjacent columns (the privacy sibling of
+    ``text_redact_scan``'s content-level sweep): per market segment,
+    report the k-anonymity level (the SMALLEST quasi-identifier
+    equivalence-class size — an attacker's best re-identification
+    odds are 1/k), how many rows sit in classes below ``K_ANON_K``,
+    and the l-diversity floor (minimum distinct sensitive values —
+    balance thousand-bands — per class; a class can be k-anonymous
+    yet leak its sensitive value when l = 1).
+
+    Everything is exact integer arithmetic — no float enters before
+    the single percentage division.
+
+    Scale: two map-side-combinable groupBys (QI classes, then
+    segment rollup); class count is bounded by the QI domain
+    (|nations| x |segments|), so the second stage is trivially small
+    at any row count."""
+    cu = load_table(spark, "customer", sf_dir)
+    classes = (
+        cu.select(
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+        )
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("band").alias("l_div"),
+        )
+    )
+    return (
+        classes.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("n_rows").cast("long").alias("k_level"),
+            F.sum(
+                F.when(F.col("n_rows") < K_ANON_K, F.col("n_rows"))
+                .otherwise(0)
+            ).cast("long").alias("rows_at_risk"),
+            F.min("l_div").cast("long").alias("l_floor"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_classes",
+            "n_rows",
+            "k_level",
+            "rows_at_risk",
+            F.round(
+                F.col("rows_at_risk").cast("double")
+                / F.col("n_rows") * 100,
+                6,
+            ).alias("pct_at_risk"),
+            "l_floor",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES["dq_k_anonymity"] = dq_k_anonymity
+ORACLE_SQL["dq_k_anonymity"] = f"""
+    WITH classes AS (
+        SELECT c_mktsegment, c_nationkey,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+                   AS l_div
+        FROM customer
+        GROUP BY c_mktsegment, c_nationkey)
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(MIN(n_rows) AS BIGINT) AS k_level,
+           CAST(SUM(CASE WHEN n_rows < {K_ANON_K} THEN n_rows
+                         ELSE 0 END) AS BIGINT) AS rows_at_risk,
+           ROUND(CAST(SUM(CASE WHEN n_rows < {K_ANON_K} THEN n_rows
+                              ELSE 0 END) AS DOUBLE)
+                 / SUM(n_rows) * 100, 6) AS pct_at_risk,
+           CAST(MIN(l_div) AS BIGINT) AS l_floor
+    FROM classes
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""

@@ -1461,3 +1461,249 @@ ORACLE_SQL["graph_hits_hub_authority"] = f"""
     FROM ranked WHERE rank <= {HITS_TOP_K}
     ORDER BY role, rank
 """
+
+#: k-truss peeling: the support threshold is ADAPTIVE — min_support =
+#: floor(TRUSS_MEAN_FRAC x mean round-1 edge support) — because a
+#: fixed small k peels NOTHING on a co-occurrence fixture (mean edge
+#: support is ~42 at sf0.001, ~11 at sf0.01: every edge clears k-2=2;
+#: the KCORE_MEAN_FRAC lesson, measured the same way).  At 0.75x mean
+#: the round-1 peel drops a real fraction and keeps a dense core at
+#: every fixture SF, and the threshold self-tunes with corpus growth.
+#: Two rounds are unrolled (fixed, oracle-expressible as plain SQL);
+#: the SAME round-1 threshold gates both rounds, as a production peel
+#: toward a chosen k would.
+TRUSS_ROUNDS = 2
+TRUSS_MEAN_FRAC = 0.75
+
+
+def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-TRUSS peeling on the part co-occurrence graph — the
+    EDGE-support community primitive between triangle counting (global
+    density) and k-core (node degrees): each round computes every
+    edge's triangle SUPPORT (how many triangles it closes among
+    surviving edges) and drops edges below the adaptive threshold
+    (see TRUSS_MEAN_FRAC); what survives is the dense-community
+    skeleton (Cohen 2008, "Trusses: cohesive subgraphs for social
+    network analysis").  Reported per round: the threshold, edge
+    counts in/surviving/dropped, and the surviving triangle count —
+    the convergence trace a production peel monitors.
+
+    Support enumeration reuses the degree-ordered orientation of
+    ``graph_triangle_count`` (out-degrees bounded O(sqrt m) — no hub
+    wedge explosion) but emits ALL THREE edges of each closed
+    triangle, so support is one (edge)-keyed count over 3x the
+    triangle volume — still linear in triangles, never all-pairs.
+    The oracle recounts with the naive id-ordered form per round
+    (support is orientation-invariant).
+
+    Scale: per round, three narrow shuffles (degrees, wedge join,
+    support count) on co-located edge keys; lineage cut between
+    rounds (the iterative-join discipline of pagerank/label-prop);
+    round count fixed so the plan and the oracle stay finite."""
+    from database_peak_streaming_spark.sources.batch import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _support(und: DataFrame) -> DataFrame:
+        """(u, v, support) for every edge of ``und`` (u < v), support =
+        triangles the edge closes within ``und``."""
+        deg = (
+            und.select(F.col("u").alias("node"))
+            .unionAll(und.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+        dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+        ranked = und.join(du, "u").join(dv, "v")
+        u_first = (F.col("deg_u") < F.col("deg_v")) | (
+            (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+        )
+        oriented = ranked.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias(
+                "dst_deg"
+            ),
+        )
+        e1 = oriented.select(
+            "src", F.col("dst").alias("b"), F.col("dst_deg").alias("deg_b")
+        )
+        e2 = oriented.select(
+            "src", F.col("dst").alias("c"), F.col("dst_deg").alias("deg_c")
+        )
+        wedges = (
+            e1.join(e2, "src")
+            .where(
+                (F.col("deg_b") < F.col("deg_c"))
+                | (
+                    (F.col("deg_b") == F.col("deg_c"))
+                    & (F.col("b") < F.col("c"))
+                )
+            )
+            .select(
+                "src",
+                F.least("b", "c").alias("u"),
+                F.greatest("b", "c").alias("v"),
+            )
+        )
+        closed = wedges.join(und, ["u", "v"])
+        tri_edges = (
+            closed.select(
+                F.least("src", "u").alias("eu"),
+                F.greatest("src", "u").alias("ev"),
+            )
+            .unionAll(
+                closed.select(
+                    F.least("src", "v").alias("eu"),
+                    F.greatest("src", "v").alias("ev"),
+                )
+            )
+            .unionAll(
+                closed.select(
+                    F.col("u").alias("eu"), F.col("v").alias("ev")
+                )
+            )
+        )
+        return tri_edges.groupBy("eu", "ev").agg(
+            F.count(F.lit(1)).alias("support")
+        )
+
+    summaries = []
+    current = edges
+    thr: DataFrame | None = None
+    for rnd in range(1, TRUSS_ROUNDS + 1):
+        sup = _support(current)
+        scored = current.join(
+            sup,
+            (F.col("u") == F.col("eu")) & (F.col("v") == F.col("ev")),
+            "left",
+        ).select(
+            "u", "v", F.coalesce("support", F.lit(0)).alias("support")
+        )
+        if thr is None:
+            # adaptive threshold from the ROUND-1 support distribution,
+            # a 1-row broadcast scalar (never driver-side)
+            thr = scored.agg(
+                F.floor(F.avg("support") * F.lit(TRUSS_MEAN_FRAC))
+                .cast("long")
+                .alias("min_sup")
+            ).localCheckpoint()
+        gated = scored.crossJoin(F.broadcast(thr))
+        surviving = (
+            gated.where(F.col("support") >= F.col("min_sup"))
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        summaries.append(
+            gated.groupBy("min_sup")
+            .agg(
+                F.lit(rnd).alias("round"),
+                F.count(F.lit(1)).cast("long").alias("n_edges"),
+                F.sum(
+                    (F.col("support") >= F.col("min_sup")).cast("long")
+                ).alias("n_surviving"),
+                F.sum(
+                    (F.col("support") < F.col("min_sup")).cast("long")
+                ).alias("n_dropped"),
+                # integer DIV, not double /: the sum is always a
+                # multiple of 3 (each triangle emits 3 edges), but the
+                # McNemar-midpoint ADVICE discipline says keep the
+                # floor-division exact by construction, not by range
+                F.expr("sum(support) div 3").cast("long").alias(
+                    "n_triangles"
+                ),
+            )
+            .select(
+                "round",
+                F.col("min_sup").cast("long").alias("min_support"),
+                "n_edges",
+                "n_surviving",
+                "n_dropped",
+                "n_triangles",
+            )
+        )
+        current = surviving
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("round")
+
+
+QUERIES["graph_ktruss_peel"] = graph_ktruss_peel
+
+
+def _truss_support_sql(src: str, rnd: int) -> str:
+    """Naive id-ordered support CTEs over edge CTE ``src`` — emitted
+    per unrolled round by the oracle below (the shared-generator
+    discipline of _durbin_levinson: one function writes the SQL both
+    rounds use, so the rounds cannot drift)."""
+    return f"""
+    tri{rnd} AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM {src} e1
+        JOIN {src} e2 ON e2.u = e1.v
+        JOIN {src} e3 ON e3.u = e1.u AND e3.v = e2.v),
+    tedges{rnd} AS (
+        SELECT a AS eu, b AS ev FROM tri{rnd}
+        UNION ALL SELECT a, c FROM tri{rnd}
+        UNION ALL SELECT b, c FROM tri{rnd}),
+    sup{rnd} AS (
+        SELECT eu, ev, COUNT(*) AS support
+        FROM tedges{rnd} GROUP BY eu, ev),
+    scored{rnd} AS (
+        SELECT e.u, e.v, COALESCE(s.support, 0) AS support
+        FROM {src} e
+        LEFT JOIN sup{rnd} s ON s.eu = e.u AND s.ev = e.v)"""
+
+
+def _truss_gate_sql(rnd: int) -> str:
+    """Survivor + summary CTEs for one round, gated on the shared
+    round-1 threshold CTE ``thr``."""
+    return f"""
+    surv{rnd} AS (
+        SELECT u, v FROM scored{rnd} CROSS JOIN thr
+        WHERE support >= min_sup),
+    summary{rnd} AS (
+        SELECT {rnd} AS round,
+               CAST(min_sup AS BIGINT) AS min_support,
+               CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(SUM(CASE WHEN support >= min_sup
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving,
+               CAST(SUM(CASE WHEN support < min_sup
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(SUM(support) // 3 AS BIGINT) AS n_triangles
+        FROM scored{rnd} CROSS JOIN thr
+        GROUP BY min_sup)"""
+
+
+ORACLE_SQL["graph_ktruss_peel"] = f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey),
+    {_truss_support_sql("und", 1)},
+    thr AS (
+        SELECT CAST(FLOOR(AVG(support) * {TRUSS_MEAN_FRAC}) AS BIGINT)
+            AS min_sup
+        FROM scored1),
+    {_truss_gate_sql(1)},
+    {_truss_support_sql("surv1", 2)},
+    {_truss_gate_sql(2)}
+    SELECT * FROM summary1
+    UNION ALL SELECT * FROM summary2
+    ORDER BY round
+"""

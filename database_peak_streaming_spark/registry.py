@@ -172,6 +172,9 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "text_msttr_diversity",
     "forecast_pinball_quantile",
     "stats_cliffs_delta_matrix",
+    "dq_k_anonymity",
+    "events_path_edit_distance",
+    "graph_ktruss_peel",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -482,6 +482,10 @@ def test_forced_broadcasts_are_bounded_cardinality():
         # (T*(T-1) rows, bounded by event-type cardinality, never row
         # count)
         "taus", "members",
+        # round 11: "modal" is the path-deviation anchor — a LIMIT 1
+        # frame by construction; "thr" is the k-truss adaptive
+        # threshold — a 1-row .agg() scalar
+        "modal", "thr",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     offenders = []

@@ -308,3 +308,128 @@ def test_cliffs_delta_query_is_pairwise_free(spark):
     df = stats_cliffs_delta_matrix(spark, SF_DIR)
     plan = E.formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+# --- k-anonymity -------------------------------------------------------
+
+
+def test_k_anonymity_matches_reference(spark):
+    from database_peak_streaming_spark.operators.checks import K_ANON_K
+
+    cu = pq.read_table(
+        f"{SF_DIR}/customer.parquet",
+        columns=["c_mktsegment", "c_nationkey", "c_acctbal"],
+    ).to_pandas()
+    cu["band"] = np.floor(cu["c_acctbal"] / 1000).astype(np.int64)
+    rows = {
+        r.c_mktsegment: r
+        for r in QUERIES["dq_k_anonymity"](spark, SF_DIR).collect()
+    }
+    for seg, g in cu.groupby("c_mktsegment"):
+        sizes = g.groupby("c_nationkey").size()
+        ldiv = g.groupby("c_nationkey")["band"].nunique()
+        r = rows[seg]
+        assert r.n_classes == len(sizes)
+        assert r.n_rows == len(g)
+        assert r.k_level == int(sizes.min())
+        at_risk = int(sizes[sizes < K_ANON_K].sum())
+        assert r.rows_at_risk == at_risk
+        assert abs(r.pct_at_risk - 100 * at_risk / len(g)) < 1e-6
+        assert r.l_floor == int(ldiv.min())
+
+
+# --- path edit distance ------------------------------------------------
+
+
+def test_path_edit_distance_matches_reference(spark):
+    from database_peak_streaming_spark.operators.behavior import PATH_PREFIX
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    ev = pq.read_table(
+        f"{SF_DIR}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    paths = (
+        ev.groupby("user_id")["event_type"]
+        .apply(lambda s: "".join(t[0] for t in s.head(PATH_PREFIX)))
+    )
+    counts = paths.value_counts()
+    top = counts.max()
+    modal = min(p for p, c in counts.items() if c == top)
+    import collections
+
+    hist = collections.Counter(lev(p, modal) for p in paths)
+    rows = QUERIES["events_path_edit_distance"](spark, SF_DIR).collect()
+    assert {r.modal_path for r in rows} == {modal}
+    got = {r.edit_distance: r.n_users for r in rows}
+    assert got == dict(hist)
+    total = sum(hist.values())
+    for r in rows:
+        assert abs(r.pct_users - 100 * hist[r.edit_distance] / total) < 1e-6
+
+
+# --- k-truss -----------------------------------------------------------
+
+
+def test_ktruss_matches_bruteforce(spark):
+    from database_peak_streaming_spark.operators.graph import (
+        TRUSS_MEAN_FRAC,
+        TRUSS_ROUNDS,
+    )
+
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas()
+    edges: set[tuple[int, int]] = set()
+    for _, parts in li.drop_duplicates().groupby("l_orderkey")["l_partkey"]:
+        ps = sorted(set(parts))
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                edges.add((u, v))
+
+    def support(es: set[tuple[int, int]]) -> dict[tuple[int, int], int]:
+        from collections import defaultdict
+
+        nbrs = defaultdict(set)
+        for u, v in es:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+        sup = {e: 0 for e in es}
+        for u, v in es:
+            for w in nbrs[u] & nbrs[v]:
+                sup[(u, v)] += 1
+        return sup
+
+    rows = QUERIES["graph_ktruss_peel"](spark, SF_DIR).collect()
+    assert len(rows) == TRUSS_ROUNDS
+    cur = edges
+    min_sup = None
+    for rnd, r in zip(range(1, TRUSS_ROUNDS + 1), rows):
+        sup = support(cur)
+        if min_sup is None:  # adaptive: from the round-1 distribution
+            min_sup = math.floor(
+                TRUSS_MEAN_FRAC * sum(sup.values()) / len(sup)
+            )
+        surv = {e for e, s in sup.items() if s >= min_sup}
+        assert r.round == rnd
+        assert r.min_support == min_sup
+        assert r.n_edges == len(cur)
+        assert r.n_surviving == len(surv)
+        assert r.n_dropped == len(cur) - len(surv)
+        assert r.n_triangles == sum(sup.values()) // 3
+        cur = surv
+    # the peel must actually drop something in round 1 AND keep a core,
+    # or the fixture makes the query vacuous
+    assert rows[0].n_dropped > 0
+    assert rows[-1].n_surviving > 0
