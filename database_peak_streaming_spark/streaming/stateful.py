@@ -948,3 +948,87 @@ def stateful_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: CEP sequence pattern (skip-till-next-match within a per-step gap)
+#: and the step timeout.  Calibrated on the fixture: 24 h steps yield a
+#: real match count at sf0.001 (19 completions over 15 users); tighter
+#: gaps leave the detector vacuous on a month-long 1k-event trace.
+CEP_PATTERN = ("click", "view", "purchase")
+CEP_GAP_US = 24 * 3600 * 1_000_000
+
+
+class PatternDetector(StatefulProcessor):
+    """CEP-style SEQUENCE-PATTERN detector on ``transformWithState`` —
+    the complex-event-processing primitive (Flink MATCH_RECOGNIZE /
+    CEP library territory) the stateful shelf was missing: per user,
+    detect ``CEP_PATTERN`` with skip-till-next-match semantics — an
+    event advances the machine iff it matches the EXPECTED next step;
+    non-matching events are skipped; a step arriving more than
+    ``CEP_GAP_US`` after the previous accepted step resets the machine
+    (then the resetting event itself may start a new match).  One
+    match row (user, start_ts, end_ts) is emitted per completion and
+    the machine restarts — non-overlapping greedy matches, the
+    deterministic contract a batch oracle can replay.
+
+    State: ONE (stage, first_us, last_us) triple per key in a
+    ``ValueState`` — bounded memory at any key cardinality regardless
+    of trace length (the reason CEP engines compile to automata
+    instead of buffering windows).  Correctness contract (tested):
+    with per-key event-time-ordered arrival, streamed matches equal a
+    single-pass batch walk of the same automaton.
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "cep", "stage int, first_us long, last_us long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        if self._state.exists():
+            stage, first_us, last_us = self._state.get()
+        else:
+            stage, first_us, last_us = 0, 0, 0
+        pdfs = list(rows)
+        pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us = (pdf["ts"].astype("int64") // 1000).tolist()
+        out_start, out_end = [], []
+        for t_us, etype in zip(us, pdf["event_type"]):
+            if stage > 0 and t_us - last_us > CEP_GAP_US:
+                stage = 0
+            if etype == CEP_PATTERN[stage]:
+                if stage == 0:
+                    first_us = t_us
+                stage += 1
+                last_us = t_us
+                if stage == len(CEP_PATTERN):
+                    out_start.append(first_us)
+                    out_end.append(t_us)
+                    stage = 0
+        self._state.update((int(stage), int(first_us), int(last_us)))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(out_start),
+                "start_ts": pd.to_datetime(out_start, unit="us"),
+                "end_ts": pd.to_datetime(out_end, unit="us"),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_pattern_tws(stream: DataFrame) -> DataFrame:
+    """``PatternDetector`` wired through ``transformWithStateInPandas``
+    (same runtime requirements as ``stateful_ema_tws``: vendored
+    protobuf + caller-set RocksDB provider)."""
+    proc = PatternDetector()
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=(
+            "user_id bigint, start_ts timestamp, end_ts timestamp"
+        ),
+        outputMode="append",
+        timeMode="none",
+    )

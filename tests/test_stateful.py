@@ -859,3 +859,154 @@ def test_tws_liststate_rolling_median_matches_batch(spark, tmpdir_):
     assert len(got) == len(want)
     mismatches = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
     assert not mismatches, list(mismatches.items())[:5]
+
+
+def _cep_batch_matches(pdf, pattern, gap_us):
+    """Single-pass batch walk of the CEP automaton (the contract the
+    streamed detector must equal under event-time-ordered replay)."""
+    out = []
+    for uid, g in pdf.sort_values(["user_id", "ts", "event_id"]).groupby(
+        "user_id"
+    ):
+        stage, first_us, last_us = 0, 0, 0
+        for t, etype in zip(g["ts"], g["event_type"]):
+            t_us = t.value // 1000
+            if stage > 0 and t_us - last_us > gap_us:
+                stage = 0
+            if etype == pattern[stage]:
+                if stage == 0:
+                    first_us = t_us
+                stage += 1
+                last_us = t_us
+                if stage == len(pattern):
+                    out.append((uid, first_us, t_us))
+                    stage = 0
+    return out
+
+
+def test_pattern_detector_kernel_unit():
+    """Automaton semantics, protocol-free: skip-till-next-match, the
+    gap reset, reset-event-restarts-match, and state carry across
+    batch boundaries (a match whose steps straddle two micro-batches
+    must still complete)."""
+    from database_peak_streaming_spark.streaming.stateful import (
+        CEP_GAP_US,
+        CEP_PATTERN,
+        PatternDetector,
+    )
+
+    class _StubState:
+        def __init__(self):
+            self.v = None
+        def exists(self):
+            return self.v is not None
+        def get(self):
+            return self.v
+        def update(self, t):
+            self.v = t
+
+    a, b, c = CEP_PATTERN
+    base = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [7] * len(rows),
+                "ts": [base + h * k for k, _ in rows],
+                "event_id": list(range(len(rows))),
+                "event_type": [t for _, t in rows],
+            }
+        )
+
+    proc = PatternDetector()
+    proc._state = _StubState()
+    # batch 1: a, noise, b  -> no match yet, state carries stage 2
+    out1 = next(proc.handleInputRows((7,), iter([batch([(0, a), (1, "x"), (2, b)])]), None))
+    assert len(out1) == 0 and proc._state.v[0] == 2
+    # batch 2: c completes the straddling match; then a fresh a->b->c
+    out2 = next(
+        proc.handleInputRows(
+            (7,),
+            iter([batch([(3, c), (4, a), (5, b), (6, c)])]),
+            None,
+        )
+    )
+    assert len(out2) == 2
+    assert out2["start_ts"].tolist()[0] == base
+    assert out2["end_ts"].tolist()[0] == base + 3 * h
+    # gap reset: a ... (gap exceeded) b never matches; the late a restarts
+    proc2 = PatternDetector()
+    proc2._state = _StubState()
+    far = base + pd.Timedelta(microseconds=CEP_GAP_US) + 2 * h
+    rows = pd.DataFrame(
+        {
+            "user_id": [7] * 4,
+            "ts": [base, far, far + h, far + 2 * h],
+            "event_id": [0, 1, 2, 3],
+            "event_type": [a, a, b, c],
+        }
+    )
+    out3 = next(proc2.handleInputRows((7,), iter([rows]), None))
+    assert len(out3) == 1 and out3["start_ts"].iloc[0] == far
+
+
+def test_tws_pattern_detector_matches_batch(spark, tmpdir_):
+    """Streamed CEP matches across a 3-chunk replay == the batch
+    automaton walk, including matches whose steps straddle micro-batch
+    boundaries."""
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.replay import (
+        cleanup_replay,
+        replay_dataframe,
+    )
+    from database_peak_streaming_spark.streaming.stateful import (
+        CEP_GAP_US,
+        CEP_PATTERN,
+        stateful_pattern_tws,
+    )
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    stream, replay_dir = replay_dataframe(spark, ev, n_chunks=3, order_col="ts")
+    got = []
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+
+        def sink(b, _):
+            for r in b.collect():
+                got.append(
+                    (
+                        r.user_id,
+                        r.start_ts.timestamp(),
+                        r.end_ts.timestamp(),
+                    )
+                )
+
+        q = (
+            stateful_pattern_tws(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", f"{tmpdir_}/ckpt_tws_cep")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(420)
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        cleanup_replay(replay_dir)
+
+    want = [
+        (uid, s / 1e6, e / 1e6)
+        for uid, s, e in _cep_batch_matches(
+            ev.toPandas(), CEP_PATTERN, CEP_GAP_US
+        )
+    ]
+    assert sorted(got) == sorted(want)
+    assert len(want) > 0  # fixture must exercise the detector
