@@ -3311,3 +3311,142 @@ ORACLE_SQL["events_path_edit_distance"] = f"""
     FROM hist
     ORDER BY edit_distance
 """
+
+
+def events_cep_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH twin of the streaming CEP detector
+    (streaming/stateful.py::PatternDetector): per user, run the same
+    skip-till-next-match automaton over the time-ordered event trace
+    (3-step pattern, 24 h per-step timeout, greedy non-overlapping
+    restarts) as ONE ordered fold whose accumulator is the automaton
+    state [stage, first, last, n, first_start, last_end] — exact
+    BIGINT microseconds end-to-end.  Registered with a full DuckDB
+    oracle, this closes the stream == batch == oracle triangle for the
+    CEP semantics: the streamed detector equals this walk
+    (tests/test_stateful.py), and this walk hash-matches the oracle.
+
+    Scale: one (user)-keyed groupBy carrying a per-user event array —
+    bounded by per-user trace length (the same bound every per-user
+    sessionize/fold query in the registry carries; the streaming twin
+    is the unbounded-trace form with O(1) state)."""
+    from database_peak_streaming_spark.streaming.stateful import (
+        CEP_GAP_US,
+        CEP_PATTERN,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    p = (
+        F.when(F.col("event_type") == CEP_PATTERN[0], F.lit(0))
+        .when(F.col("event_type") == CEP_PATTERN[1], F.lit(1))
+        .when(F.col("event_type") == CEP_PATTERN[2], F.lit(2))
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+    base = ev.select(
+        "user_id",
+        # events.ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (the
+        # joins.py:742 convention — container TZ is UTC, so the cast is
+        # identity on the wall clock, matching DuckDB's epoch_us)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        "event_id",
+        p.alias("p"),
+    )
+    g = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.array_sort(F.collect_list(F.struct("t", "event_id", "p"))).alias(
+            "arr"
+        ),
+    )
+    xs = F.transform(F.col("arr"), lambda s: F.array(s["t"], s["p"]))
+    gap = F.lit(CEP_GAP_US)
+    final_stage = F.lit(len(CEP_PATTERN) - 1)
+
+    def _step(acc, x):
+        stage0 = F.when(
+            (acc[0] > 0) & (x[0] - acc[2] > gap), F.lit(0)
+        ).otherwise(acc[0])
+        adv = x[1] == stage0
+        comp = adv & (stage0 == final_stage)
+        return F.array(
+            F.when(comp, F.lit(0))
+            .when(adv, stage0 + 1)
+            .otherwise(stage0),
+            F.when(adv & (stage0 == 0), x[0]).otherwise(acc[1]),
+            F.when(adv, x[0]).otherwise(acc[2]),
+            acc[3] + F.when(comp, F.lit(1)).otherwise(F.lit(0)),
+            F.when(comp & (acc[3] == 0), acc[1]).otherwise(acc[4]),
+            F.when(comp, x[0]).otherwise(acc[5]),
+        )
+
+    seed = F.array(*[F.lit(0).cast("long")] * 6)
+    st = F.aggregate(xs, seed, _step)
+    return g.select(
+        "user_id",
+        "n_events",
+        F.element_at(st, 4).alias("n_matches"),
+        F.when(
+            F.element_at(st, 4) > 0,
+            F.timestamp_micros(F.element_at(st, 5)).cast("timestamp_ntz"),
+        ).alias("first_start_ts"),
+        F.when(
+            F.element_at(st, 4) > 0,
+            F.timestamp_micros(F.element_at(st, 6)).cast("timestamp_ntz"),
+        ).alias("last_end_ts"),
+    ).orderBy("user_id")
+
+
+QUERIES["events_cep_pattern_matches"] = events_cep_pattern_matches
+
+
+def _cep_oracle_sql() -> str:
+    from database_peak_streaming_spark.streaming.stateful import (
+        CEP_GAP_US,
+        CEP_PATTERN,
+    )
+
+    s0 = (
+        f"(CASE WHEN acc[1] > 0 AND x[1] - acc[3] > {CEP_GAP_US} "
+        "THEN 0 ELSE acc[1] END)"
+    )
+    adv = f"(x[2] = {s0})"
+    comp = f"({adv} AND {s0} = {len(CEP_PATTERN) - 1})"
+    step = f"""[
+        CASE WHEN {comp} THEN 0
+             WHEN {adv} THEN {s0} + 1
+             ELSE {s0} END,
+        CASE WHEN {adv} AND {s0} = 0 THEN x[1] ELSE acc[2] END,
+        CASE WHEN {adv} THEN x[1] ELSE acc[3] END,
+        acc[4] + CASE WHEN {comp} THEN 1 ELSE 0 END,
+        CASE WHEN {comp} AND acc[4] = 0 THEN acc[2] ELSE acc[5] END,
+        CASE WHEN {comp} THEN x[1] ELSE acc[6] END]"""
+    return f"""
+    WITH ev2 AS (
+        SELECT user_id, epoch_us(ts) AS t, event_id,
+               CASE event_type
+                    WHEN '{CEP_PATTERN[0]}' THEN 0
+                    WHEN '{CEP_PATTERN[1]}' THEN 1
+                    WHEN '{CEP_PATTERN[2]}' THEN 2
+                    ELSE -1 END AS p
+        FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               LIST([t, CAST(p AS BIGINT)] ORDER BY t, event_id) AS arr
+        FROM ev2 GROUP BY user_id),
+    folded AS (
+        SELECT user_id, n_events,
+               LIST_REDUCE(
+                   [[CAST(0 AS BIGINT), 0, 0, 0, 0, 0]] || arr,
+                   (acc, x) -> {step}) AS st
+        FROM g)
+    SELECT user_id, n_events,
+           st[4] AS n_matches,
+           CASE WHEN st[4] > 0 THEN make_timestamp(st[5]) END
+               AS first_start_ts,
+           CASE WHEN st[4] > 0 THEN make_timestamp(st[6]) END
+               AS last_end_ts
+    FROM folded ORDER BY user_id
+"""
+
+
+ORACLE_SQL["events_cep_pattern_matches"] = _cep_oracle_sql()

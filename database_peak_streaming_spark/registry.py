@@ -175,6 +175,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "dq_k_anonymity",
     "events_path_edit_distance",
     "graph_ktruss_peel",
+    "events_cep_pattern_matches",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -1010,3 +1010,37 @@ def test_tws_pattern_detector_matches_batch(spark, tmpdir_):
     ]
     assert sorted(got) == sorted(want)
     assert len(want) > 0  # fixture must exercise the detector
+
+
+def test_cep_batch_query_matches_automaton(spark):
+    """The registered batch twin (events_cep_pattern_matches) equals
+    the reference automaton walk — closing the stream == batch ==
+    oracle triangle from the batch side."""
+    from collections import Counter
+
+    from database_peak_streaming_spark.registry import QUERIES
+    from database_peak_streaming_spark.sources.batch import load_table
+    from database_peak_streaming_spark.streaming.stateful import (
+        CEP_GAP_US,
+        CEP_PATTERN,
+    )
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    want = _cep_batch_matches(ev.toPandas(), CEP_PATTERN, CEP_GAP_US)
+    per_user = Counter(uid for uid, _, _ in want)
+    firsts = {}
+    lasts = {}
+    for uid, s, e in want:
+        firsts.setdefault(uid, s)  # matches emitted in time order
+        lasts[uid] = e
+    rows = QUERIES["events_cep_pattern_matches"](spark, SF_DIR).collect()
+    assert sum(r.n_matches for r in rows) == len(want) > 0
+    for r in rows:
+        assert r.n_matches == per_user.get(r.user_id, 0)
+        if r.n_matches:
+            assert r.first_start_ts.timestamp() * 1e6 == firsts[r.user_id]
+            assert r.last_end_ts.timestamp() * 1e6 == lasts[r.user_id]
+        else:
+            assert r.first_start_ts is None and r.last_end_ts is None
