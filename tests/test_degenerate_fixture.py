@@ -128,3 +128,27 @@ def test_round9_ops_survive_degenerate_fixture(spark, degenerate_dir, name):
     mismatch or a raise here before it can show up on a driver
     fixture."""
     _check(spark, degenerate_dir, name)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # round-11 document ops: the empty-text doc must decode to an
+        # empty PCM stream / a 1-token zero-segment MSTTR row in both
+        # engines
+        "multimodal_wav_pcm_decode",
+        "text_msttr_diversity",
+        # round-11 event ops on the single-arm (even-user) event log:
+        # shorter daily series (theta/pinball eligibility filters),
+        # fewer type pairs, sparser paths and CEP traces
+        "ts_theta_method",
+        "forecast_pinball_quantile",
+        "stats_cliffs_delta_matrix",
+        "events_path_edit_distance",
+        "events_cep_pattern_matches",
+    ],
+)
+def test_round11_ops_survive_degenerate_fixture(spark, degenerate_dir, name):
+    """Round-11 operators keep engine==oracle on the degenerate corpus
+    (empty-text document; user-parity-restricted events)."""
+    _check(spark, degenerate_dir, name)
