@@ -131,6 +131,14 @@ HEADLINE = [
     # the BENCH_SCALED deep tier, correctness in the sf0.01
     # differential + the brute-force loss-bound test.
     "agg_hll_sketch_only",
+    # round-11 second batch: graph_ktruss_peel is deliberately NOT
+    # headline (the adamic-adar / hubcap precedent — it enumerates the
+    # triangle set TWICE).  Measured once at sf0.1 on a quiet box:
+    # Spark 112.7 s vs DuckDB 231.0 s (Spark wins 0.49x) with
+    # identical per-round rows (1.196M edges, 1.88M triangles, peel
+    # 180,859 then 80,259 edges) — batch-build wall, not per-round
+    # loop material; correctness lives in the sf0.001/sf0.01
+    # differential + the brute-force support-set test.
 ]
 
 #: Size-stable cross-round comparison set (round-5 VERDICT task 6): the
