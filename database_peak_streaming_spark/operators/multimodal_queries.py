@@ -830,3 +830,118 @@ ORACLE_SQL["multimodal_wav_pcm_decode"] = f"""
     FROM s LEFT JOIN agg a ON a.aid = s.item_id
     ORDER BY s.item_id
 """
+
+
+#: decimation factor for the audio downsample (keep every Dth sample)
+WAV_DECIM = 4
+
+_WAV_DECIM_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_out", T.LongType()),
+        T.StructField("sum_sq_out", T.LongType()),
+        T.StructField("min_out", T.IntegerType()),
+        T.StructField("max_out", T.IntegerType()),
+        T.StructField("first_out", T.IntegerType()),
+    ]
+)
+
+
+def multimodal_wav_decimate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio DOWNSAMPLE through the real codec path — the resize verb
+    for audio, completing the per-format verb pairs (BMP: decode +
+    resize; WAV: decode + decimate): each document's bytes become a
+    real RIFF/WAVE file (``multimodal_wav_pcm_decode``'s encode), the
+    chunk-walking decoder recovers the int16 stream, and a stride-
+    ``WAV_DECIM`` DECIMATION keeps every 4th sample — the cheap
+    anti-aliasing-free downsample a fingerprinting/VAD pre-pass runs
+    (cf. the strided frame sample in ``multimodal_frame_sample``; the
+    reference's A4 strided downsample is the sensor-series form of the
+    same verb).  Emitted: input/output sample counts and the decimated
+    stream's energy/min/max/first — each recomputed by the oracle from
+    source char codes restricted to stride-aligned sample indices, so
+    an off-by-one in the stride phase is a hash mismatch.
+
+    Scale shape: identical to the decode pass — one mapInPandas
+    stage, fixed-width stat rows, zero shuffle before the fetch."""
+    from database_peak_streaming_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    import numpy as np
+
+    def _decimate_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n = len(raw) // 2
+                b = np.frombuffer(raw, dtype=np.uint8, count=2 * n)
+                lo = b[0::2].astype(np.int32)
+                hi = (b[1::2].astype(np.int32) * WAV_HI_MUL + WAV_HI_ADD) % 256
+                pcm = (lo | (hi << 8)).astype(np.uint16).view(np.int16)
+                dec, _rate = decode_wav(encode_wav(pcm, WAV_RATE))
+                small = dec[::WAV_DECIM].astype(np.int64)
+                out.append(
+                    (
+                        item_id,
+                        int(dec.size),
+                        int(small.size),
+                        int((small * small).sum()) if small.size else 0,
+                        int(small.min()) if small.size else 0,
+                        int(small.max()) if small.size else 0,
+                        int(small[0]) if small.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id", "n_samples", "n_out", "sum_sq_out",
+                    "min_out", "max_out", "first_out",
+                ],
+            )
+
+    d = load_table(spark, "documents", sf_dir)
+    items = d.select(
+        F.col("doc_id").alias("item_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return items.mapInPandas(_decimate_stats, schema=_WAV_DECIM_SCHEMA)
+
+
+QUERIES["multimodal_wav_decimate_stats"] = multimodal_wav_decimate_stats
+
+ORACLE_SQL["multimodal_wav_decimate_stats"] = f"""
+    WITH s AS (
+        SELECT doc_id AS item_id, text,
+               CAST(LENGTH(text) // 2 AS BIGINT) AS n
+        FROM documents),
+    samp AS (
+        SELECT item_id, k,
+               ORD(SUBSTRING(text, CAST(2 * k + 1 AS INT), 1))
+               + 256 * ((ORD(SUBSTRING(text, CAST(2 * k + 2 AS INT), 1))
+                         * {WAV_HI_MUL} + {WAV_HI_ADD}) % 256) AS su
+        FROM (SELECT item_id, text, UNNEST(RANGE(0, n)) AS k FROM s)
+        WHERE k % {WAV_DECIM} = 0),
+    sv AS (
+        SELECT item_id, k,
+               CASE WHEN su >= 32768 THEN su - 65536 ELSE su END AS v
+        FROM samp),
+    agg AS (
+        SELECT item_id AS aid,
+               CAST(COUNT(*) AS BIGINT) AS n_out,
+               SUM(v * v) AS ssq, MIN(v) AS mn, MAX(v) AS mx,
+               MAX(CASE WHEN k = 0 THEN v END) AS f
+        FROM sv GROUP BY 1)
+    SELECT s.item_id,
+           s.n AS n_samples,
+           COALESCE(a.n_out, 0) AS n_out,
+           CAST(COALESCE(a.ssq, 0) AS BIGINT) AS sum_sq_out,
+           CAST(COALESCE(a.mn, 0) AS INT) AS min_out,
+           CAST(COALESCE(a.mx, 0) AS INT) AS max_out,
+           CAST(COALESCE(a.f, 0) AS INT) AS first_out
+    FROM s LEFT JOIN agg a ON a.aid = s.item_id
+    ORDER BY s.item_id
+"""

@@ -176,6 +176,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "events_path_edit_distance",
     "graph_ktruss_peel",
     "events_cep_pattern_matches",
+    "multimodal_wav_decimate_stats",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -433,3 +433,36 @@ def test_ktruss_matches_bruteforce(spark):
     # or the fixture makes the query vacuous
     assert rows[0].n_dropped > 0
     assert rows[-1].n_surviving > 0
+
+
+def test_wav_decimate_matches_reference(spark):
+    from database_peak_streaming_spark.operators.multimodal_queries import (
+        WAV_DECIM,
+    )
+
+    rows = {
+        r.item_id: r
+        for r in QUERIES["multimodal_wav_decimate_stats"](
+            spark, SF_DIR
+        ).collect()
+    }
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        raw = text.encode("utf-8")
+        n = len(raw) // 2
+        vals = []
+        for k in range(0, n, WAV_DECIM):
+            lo = raw[2 * k]
+            hi = (raw[2 * k + 1] * WAV_HI_MUL + WAV_HI_ADD) % 256
+            s = lo + 256 * hi
+            vals.append(s - 65536 if s >= 32768 else s)
+        r = rows[doc_id]
+        assert r.n_samples == n
+        assert r.n_out == len(vals)
+        if vals:
+            assert r.sum_sq_out == sum(v * v for v in vals)
+            assert (r.min_out, r.max_out, r.first_out) == (
+                min(vals), max(vals), vals[0],
+            )
