@@ -4848,3 +4848,193 @@ ORACLE_SQL["forecast_pinball_quantile"] = f"""
     GROUP BY event_type, tau
     ORDER BY event_type, tau
 """
+
+
+#: subsequence search geometry: window length (days) and result size
+SUBSEQ_W = 7
+SUBSEQ_TOP_K = 10
+
+
+def ts_subsequence_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TIME-SERIES SUBSEQUENCE SIMILARITY SEARCH (the
+    UCR-suite primitive; cf. "Time Series Similarity Search for
+    Streaming Data in Distributed Systems", EDBT 2019 — the retrieved
+    corpus' motivating shape): take the lexicographically-first event
+    type's LAST full 7-day window as the query pattern, z-normalize
+    it, and rank EVERY 7-day sliding window of every type's daily
+    series by z-normalized Euclidean distance — the scale-and-offset
+    invariant "find me series segments shaped like this one" matcher
+    that motif/anomaly pipelines run where raw-value distance would
+    only find segments at the same level.  The query window itself
+    scores 0 and is excluded; flat (zero-variance) windows carry no
+    shape and are excluded via the NULLIF discipline.
+
+    Determinism: window statistics and the distance fold walk each
+    7-element frame list left-to-right identically in both engines
+    (F.aggregate == LIST_REDUCE), the distance is 6-rounded BEFORE the
+    ranking sort (the pagerank discipline), and ties break on
+    (type, start_day).
+
+    Scale: one (type, day) pre-aggregation, one per-type window pass
+    with 7-element frame lists, a 1-row broadcast z-normed query
+    pattern, and a TakeOrdered top-k — linear in windows, nothing
+    pairwise (a full all-subsequence self-join would be windows^2;
+    this is the one-query probe shape production search serves)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("y")
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(0, SUBSEQ_W - 1)
+    )
+    wins = daily.select(
+        "event_type",
+        F.col("day").alias("start_day"),
+        F.collect_list("y").over(w7).alias("xs"),
+    ).where(F.size("xs") == SUBSEQ_W)
+
+    nw = F.lit(float(SUBSEQ_W))
+
+    def _mean(arr):
+        return (
+            F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x) / nw
+        )
+
+    def _sd(arr, m):
+        return F.sqrt(
+            F.aggregate(
+                arr, F.lit(0.0), lambda acc, x: acc + (x - m) * (x - m)
+            )
+            / nw
+        )
+
+    type0 = wins.agg(F.min("event_type").alias("t0"))
+    qrow = (
+        wins.join(F.broadcast(type0), wins.event_type == F.col("t0"))
+        .orderBy(F.desc("start_day"))
+        .limit(1)
+        .select(
+            F.col("event_type").alias("q_type"),
+            F.col("start_day").alias("q_start"),
+            F.col("xs").alias("q_xs"),
+        )
+    )
+    qm = _mean(F.col("q_xs"))
+    qsd = F.nullif(_sd(F.col("q_xs"), qm), F.lit(0.0))
+    qnorm = qrow.select(
+        "q_type",
+        "q_start",
+        F.transform(F.col("q_xs"), lambda x: (x - qm) / qsd).alias("q"),
+    )
+    m = _mean(F.col("xs"))
+    sd = F.nullif(_sd(F.col("xs"), m), F.lit(0.0))
+    scored = (
+        wins.crossJoin(F.broadcast(qnorm))
+        .where(
+            ~(
+                (F.col("event_type") == F.col("q_type"))
+                & (F.col("start_day") == F.col("q_start"))
+            )
+        )
+        .select(
+            "event_type",
+            "start_day",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("xs"),
+                            F.col("q"),
+                            lambda x, q: ((x - m) / sd - q)
+                            * ((x - m) / sd - q),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ),
+                6,
+            ).alias("znorm_dist"),
+        )
+        .where(F.col("znorm_dist").isNotNull())
+    )
+    return scored.orderBy(
+        "znorm_dist", "event_type", "start_day"
+    ).limit(SUBSEQ_TOP_K)
+
+
+QUERIES["ts_subsequence_search_topk"] = ts_subsequence_search_topk
+ORACLE_SQL["ts_subsequence_search_topk"] = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28, 6)))
+                          AS DOUBLE), 6) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    wins AS (
+        SELECT event_type, day AS start_day,
+               LIST(y) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN CURRENT ROW
+                                      AND {SUBSEQ_W - 1} FOLLOWING) AS xs
+        FROM daily
+        QUALIFY LEN(xs) = {SUBSEQ_W}),
+    qrow AS (
+        SELECT event_type AS q_type, start_day AS q_start, xs AS q_xs
+        FROM wins
+        WHERE event_type = (SELECT MIN(event_type) FROM wins)
+        ORDER BY start_day DESC LIMIT 1),
+    qnorm AS (
+        SELECT q_type, q_start,
+               LIST_TRANSFORM(q_xs, x ->
+                   (x - LIST_REDUCE(q_xs, (a, b) -> a + b) / {SUBSEQ_W}.0)
+                   / NULLIF(SQRT(LIST_REDUCE(
+                         LIST_TRANSFORM(q_xs, v ->
+                             (v - LIST_REDUCE(q_xs, (a, b) -> a + b)
+                                  / {SUBSEQ_W}.0)
+                             * (v - LIST_REDUCE(q_xs, (a, b) -> a + b)
+                                    / {SUBSEQ_W}.0)),
+                         (a, b) -> a + b) / {SUBSEQ_W}.0), 0.0)) AS q
+        FROM qrow),
+    scored AS (
+        SELECT w.event_type, w.start_day,
+               ROUND(SQRT(LIST_REDUCE(
+                   LIST_TRANSFORM(generate_series(1, {SUBSEQ_W}), i ->
+                       ((w.xs[CAST(i AS INT)]
+                         - LIST_REDUCE(w.xs, (a, b) -> a + b)
+                           / {SUBSEQ_W}.0)
+                        / NULLIF(SQRT(LIST_REDUCE(
+                              LIST_TRANSFORM(w.xs, v ->
+                                  (v - LIST_REDUCE(w.xs, (a, b) -> a + b)
+                                       / {SUBSEQ_W}.0)
+                                  * (v - LIST_REDUCE(w.xs,
+                                         (a, b) -> a + b)
+                                         / {SUBSEQ_W}.0)),
+                              (a, b) -> a + b) / {SUBSEQ_W}.0), 0.0)
+                        - n.q[CAST(i AS INT)])
+                       * ((w.xs[CAST(i AS INT)]
+                           - LIST_REDUCE(w.xs, (a, b) -> a + b)
+                             / {SUBSEQ_W}.0)
+                          / NULLIF(SQRT(LIST_REDUCE(
+                                LIST_TRANSFORM(w.xs, v ->
+                                    (v - LIST_REDUCE(w.xs,
+                                         (a, b) -> a + b) / {SUBSEQ_W}.0)
+                                    * (v - LIST_REDUCE(w.xs,
+                                           (a, b) -> a + b)
+                                           / {SUBSEQ_W}.0)),
+                                (a, b) -> a + b) / {SUBSEQ_W}.0), 0.0)
+                          - n.q[CAST(i AS INT)])),
+                   (a, b) -> a + b)), 6) AS znorm_dist
+        FROM wins w CROSS JOIN qnorm n
+        WHERE NOT (w.event_type = n.q_type AND w.start_day = n.q_start))
+    SELECT event_type, start_day, znorm_dist
+    FROM scored
+    WHERE znorm_dist IS NOT NULL
+    ORDER BY znorm_dist, event_type, start_day
+    LIMIT {SUBSEQ_TOP_K}
+"""

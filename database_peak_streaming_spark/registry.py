@@ -177,6 +177,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "graph_ktruss_peel",
     "events_cep_pattern_matches",
     "multimodal_wav_decimate_stats",
+    "ts_subsequence_search_topk",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -484,8 +484,10 @@ def test_forced_broadcasts_are_bounded_cardinality():
         "taus", "members",
         # round 11: "modal" is the path-deviation anchor — a LIMIT 1
         # frame by construction; "thr" is the k-truss adaptive
-        # threshold — a 1-row .agg() scalar
-        "modal", "thr",
+        # threshold — a 1-row .agg() scalar; "type0" and "qnorm" are
+        # the subsequence search's 1-row anchor-type aggregate and
+        # LIMIT-1 z-normed query pattern
+        "modal", "thr", "type0", "qnorm",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     offenders = []

@@ -466,3 +466,46 @@ def test_wav_decimate_matches_reference(spark):
             assert (r.min_out, r.max_out, r.first_out) == (
                 min(vals), max(vals), vals[0],
             )
+
+
+def test_subsequence_search_matches_reference(spark):
+    from database_peak_streaming_spark.operators.time_windows import (
+        SUBSEQ_TOP_K,
+        SUBSEQ_W,
+    )
+
+    daily = _daily()
+    wins = []
+    for etype, grp in daily.groupby("event_type"):
+        g = grp.sort_values("day")
+        ys = g["y"].to_numpy(dtype=float)
+        days = g["day"].tolist()
+        for i in range(len(ys) - SUBSEQ_W + 1):
+            wins.append((etype, days[i], ys[i : i + SUBSEQ_W]))
+    q_type = min(w[0] for w in wins)
+    q = max((w for w in wins if w[0] == q_type), key=lambda w: w[1])
+
+    def znorm(xs):
+        m, sd = xs.mean(), xs.std()
+        return None if sd == 0 else (xs - m) / sd
+
+    qz = znorm(q[2])
+    scored = []
+    for etype, day, xs in wins:
+        if (etype, day) == (q[0], q[1]):
+            continue
+        z = znorm(xs)
+        if z is None:
+            continue
+        scored.append(
+            (round(float(np.sqrt(((z - qz) ** 2).sum())), 6), etype, day)
+        )
+    want = sorted(scored)[:SUBSEQ_TOP_K]
+    rows = QUERIES["ts_subsequence_search_topk"](spark, SF_DIR).collect()
+    assert len(rows) == len(want)
+    for r, (d, etype, day) in zip(rows, want):
+        assert (r.event_type, r.start_day) == (etype, day)
+        assert abs(r.znorm_dist - d) < 1e-6
+    # shape-invariance sanity: the best match beats the median match
+    dists = sorted(s[0] for s in scored)
+    assert want[0][0] <= dists[len(dists) // 2]
