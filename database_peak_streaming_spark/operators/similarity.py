@@ -2323,3 +2323,225 @@ def _mmr_sql() -> str:
 
 
 ORACLE_SQL["rag_mmr_rerank"] = _mmr_sql()
+
+
+#: k-means++ seeding: number of seeds, micro-unit grid, and the
+#: md5-derived uniforms — PURE functions of the literal round tag
+#: (md5("kmpp|r"), 52 bits), precomputed here in Python and embedded
+#: as the SAME double literal in both engines (the HOLT_DAMP_SUM7
+#: shared-literal discipline; no engine-side RNG anywhere).
+KMPP_K = 4
+KMPP_SCALE = 1_000_000
+
+
+def _kmpp_uniform(r: int) -> float:
+    import hashlib
+
+    h = hashlib.md5(f"kmpp|{r}".encode()).hexdigest()[:13]
+    return (int(h, 16) + 1.0) / (2.0**52 + 1.0)
+
+
+def ml_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC k-means++ seeding (Arthur & Vassilvitskii 2007)
+    over the embedding corpus — the initialization primitive the
+    cluster shelf was missing: `ml_kmeans_lloyd_step` iterates FROM
+    centroids, `dedup_semdedup_kmeans` and `ann_ivf_kmeans` consume
+    pinned ones; this operator PRODUCES them with the D^2-weighted
+    seeding that gives k-means its O(log k) approximation guarantee.
+    Round 1 picks uniformly; each later round computes every vector's
+    squared distance to its nearest chosen seed (exact BIGINT on the
+    micro-unit grid) and picks the first vector (in vec_id order)
+    whose cumulative D^2 weight crosses u_r x total — inverse-CDF
+    sampling with md5-derived uniforms, so the SAME seeds come out on
+    any engine, partitioning, or rerun, and the oracle replays the
+    draw exactly.
+
+    Emitted per round: the chosen vec_id, its D^2 weight at selection
+    (0 for the uniform first pick) and the round's total weight — the
+    trace a seeding audit wants (weights collapse toward 0 as seeds
+    cover the space).
+
+    Scale: each round is one narrow pass (distances to <= k broadcast
+    seeds, exact longs) plus a cumulative-sum selection.  The cumsum
+    runs in ONE vec_id-ordered window — the rank-stats module-note
+    single-sort bound; the documented 100 TB swap is the two-level
+    prefix sum (per-partition totals broadcast as offsets), which
+    changes no arithmetic.  k is a constant, so the unrolled plan and
+    the oracle stay finite."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * KMPP_SCALE, 0).cast(
+                "long"
+            ),
+        ).alias("q"),
+    )
+    w = Window.orderBy("vec_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    # round 1: uniform pick by row index
+    u1 = _kmpp_uniform(1)
+    tot1 = e.agg(F.count(F.lit(1)).alias("n_vec"))
+    pick1 = (
+        e.crossJoin(F.broadcast(tot1))
+        .select(
+            "vec_id",
+            "q",
+            "n_vec",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(
+            F.col("rn")
+            == F.floor(F.lit(u1) * F.col("n_vec")).cast("int") + 1
+        )
+        .limit(1)
+        .select("vec_id", "q", F.col("n_vec").cast("long").alias("totw"))
+        .localCheckpoint()
+    )
+
+    def _d2(qcol, ccol):
+        return F.aggregate(
+            F.zip_with(qcol, ccol, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    picks = [pick1]
+    summaries = [
+        pick1.select(
+            F.lit(1).alias("round"),
+            "vec_id",
+            F.lit(0).cast("long").alias("d2_at_pick"),
+            F.col("totw").alias("total_weight"),
+        )
+    ]
+    centers = pick1.select(F.col("q").alias("c_1"))
+    for r in range(2, KMPP_K + 1):
+        u_r = _kmpp_uniform(r)
+        scored = e.crossJoin(F.broadcast(centers)).select(
+            "vec_id",
+            "q",
+            (
+                _d2(F.col("q"), F.col("c_1"))
+                if r == 2
+                else F.least(
+                    *[
+                        _d2(F.col("q"), F.col(f"c_{j}"))
+                        for j in range(1, r)
+                    ]
+                )
+            ).alias("w_i"),
+        )
+        totr = scored.agg(F.sum("w_i").alias("totw"))
+        pick_r = (
+            scored.crossJoin(F.broadcast(totr))
+            .select(
+                "vec_id",
+                "q",
+                "w_i",
+                "totw",
+                F.sum("w_i").over(wcum).alias("cum"),
+            )
+            .where(
+                F.col("cum").cast("double")
+                >= F.lit(u_r) * F.col("totw").cast("double")
+            )
+            .orderBy("vec_id")
+            .limit(1)
+            .localCheckpoint()
+        )
+        picks.append(pick_r)
+        summaries.append(
+            pick_r.select(
+                F.lit(r).alias("round"),
+                "vec_id",
+                F.col("w_i").alias("d2_at_pick"),
+                F.col("totw").alias("total_weight"),
+            )
+        )
+        centers = centers.crossJoin(
+            F.broadcast(pick_r.select(F.col("q").alias(f"c_{r}")))
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("round")
+
+
+QUERIES["ml_kmeanspp_init"] = ml_kmeanspp_init
+
+
+def _kmpp_sql() -> str:
+    q = (
+        "LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)"
+        f" * {KMPP_SCALE}, 0) AS BIGINT))"
+    )
+
+    def d2(c_cte: str) -> str:
+        return (
+            "LIST_REDUCE(LIST_TRANSFORM(generate_series(1, 64), i -> "
+            f"(e.q[CAST(i AS INT)] - {c_cte}.c[CAST(i AS INT)])"
+            f" * (e.q[CAST(i AS INT)] - {c_cte}.c[CAST(i AS INT)])), "
+            "(a, b) -> a + b)"
+        )
+
+    parts = [
+        f"""
+    ev AS (
+        SELECT vec_id, {q} AS q FROM embeddings),
+    tot1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vec FROM ev),
+    idx1 AS (
+        SELECT vec_id, q,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM ev),
+    pick1 AS (
+        SELECT i.vec_id, i.q, t.n_vec AS totw
+        FROM idx1 i CROSS JOIN tot1 t
+        WHERE i.rn = CAST(FLOOR({_kmpp_uniform(1)!r} * t.n_vec) AS BIGINT)
+                     + 1
+        LIMIT 1),
+    c1 AS (SELECT q AS c FROM pick1)"""
+    ]
+    for r in range(2, KMPP_K + 1):
+        mins = ", ".join(d2(f"c{j}") for j in range(1, r))
+        least = f"LEAST({mins})" if r > 2 else mins
+        joins = " ".join(f"CROSS JOIN c{j}" for j in range(1, r))
+        parts.append(f"""
+    sc{r} AS (
+        SELECT e.vec_id, e.q, {least} AS w_i
+        FROM ev e {joins}),
+    tot{r} AS (SELECT CAST(SUM(w_i) AS BIGINT) AS totw FROM sc{r}),
+    cum{r} AS (
+        SELECT vec_id, q, w_i,
+               SUM(w_i) OVER (ORDER BY vec_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum
+        FROM sc{r}),
+    pick{r} AS (
+        SELECT s.vec_id, s.q, s.w_i, t.totw
+        FROM cum{r} s CROSS JOIN tot{r} t
+        WHERE CAST(s.cum AS DOUBLE)
+              >= {_kmpp_uniform(r)!r} * CAST(t.totw AS DOUBLE)
+        ORDER BY s.vec_id LIMIT 1),
+    c{r} AS (SELECT q AS c FROM pick{r})""")
+    unions = "\n    UNION ALL ".join(
+        [
+            "SELECT 1 AS round, vec_id, CAST(0 AS BIGINT) AS d2_at_pick,"
+            " totw AS total_weight FROM pick1"
+        ]
+        + [
+            f"SELECT {r}, vec_id, CAST(w_i AS BIGINT), totw FROM pick{r}"
+            for r in range(2, KMPP_K + 1)
+        ]
+    )
+    return (
+        "\n    WITH "
+        + ",".join(parts)
+        + f"\n    {unions}\n    ORDER BY round\n"
+    )
+
+
+ORACLE_SQL["ml_kmeanspp_init"] = _kmpp_sql()

@@ -178,6 +178,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "events_cep_pattern_matches",
     "multimodal_wav_decimate_stats",
     "ts_subsequence_search_topk",
+    "ml_kmeanspp_init",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

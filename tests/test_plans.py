@@ -488,6 +488,10 @@ def test_forced_broadcasts_are_bounded_cardinality():
         # the subsequence search's 1-row anchor-type aggregate and
         # LIMIT-1 z-normed query pattern
         "modal", "thr", "type0", "qnorm",
+        # round 11: k-means++ seeding — "tot1"/"totr" are 1-row count /
+        # total-weight aggregates, "centers" is the <= K-column seed
+        # array frame, "pick_r" a LIMIT-1 pick
+        "tot1", "totr", "centers", "pick_r",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     offenders = []

@@ -509,3 +509,56 @@ def test_subsequence_search_matches_reference(spark):
     # shape-invariance sanity: the best match beats the median match
     dists = sorted(s[0] for s in scored)
     assert want[0][0] <= dists[len(dists) // 2]
+
+
+def test_kmeanspp_init_matches_reference(spark):
+    import hashlib
+
+    from database_peak_streaming_spark.operators.similarity import (
+        KMPP_K,
+        KMPP_SCALE,
+        _kmpp_uniform,
+    )
+
+    # the uniforms really are the md5 pure function the docstring claims
+    h = hashlib.md5(b"kmpp|2").hexdigest()[:13]
+    assert _kmpp_uniform(2) == (int(h, 16) + 1.0) / (2.0**52 + 1.0)
+
+    emb = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas().sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    Q = np.stack(
+        [
+            np.round(np.asarray(v, dtype=np.float64) * KMPP_SCALE).astype(
+                np.int64
+            )
+            for v in emb["embedding"]
+        ]
+    )
+    n = len(ids)
+    picks = []
+    idx1 = int(np.floor(_kmpp_uniform(1) * n))
+    picks.append((1, int(ids[idx1]), 0, n))
+    chosen = [Q[idx1]]
+    for r in range(2, KMPP_K + 1):
+        w = np.min(
+            np.stack([((Q - c) ** 2).sum(axis=1) for c in chosen]), axis=0
+        )
+        tot = int(w.sum())
+        cum = np.cumsum(w)
+        target = _kmpp_uniform(r) * float(tot)
+        j = int(np.searchsorted(cum.astype(np.float64), target, side="left"))
+        # first index with cum >= target (float comparison as engines do)
+        while float(cum[j]) < target:
+            j += 1
+        picks.append((r, int(ids[j]), int(w[j]), tot))
+        chosen.append(Q[j])
+    rows = QUERIES["ml_kmeanspp_init"](spark, SF_DIR).collect()
+    got = [
+        (r.round, r.vec_id, r.d2_at_pick, r.total_weight) for r in rows
+    ]
+    assert got == picks
+    # seeding must actually spread: later rounds' total weight shrinks
+    tots = [p[3] for p in picks[1:]]
+    assert tots == sorted(tots, reverse=True)
