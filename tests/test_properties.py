@@ -364,3 +364,60 @@ def test_zorder_arithmetic_matches_bit_interleave(spark, pts):
     )
     for r in df.collect():
         assert r.z == morton(r.x, r.y), (r.x, r.y, r.z)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), max_size=512
+    ),
+    st.integers(min_value=1, max_value=192_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(samples, rate):
+    """encode_wav o decode_wav is the identity on any mono int16
+    stream at any sample rate — the hypothesis twin of the fixed-case
+    suite in tests/test_round11b_ops.py."""
+    import numpy as np
+
+    from database_peak_streaming_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    arr = np.array(samples, dtype=np.int16)
+    dec, got_rate = decode_wav(encode_wav(arr, rate))
+    assert got_rate == rate
+    assert np.array_equal(dec, arr)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=64,
+    ),
+    st.binary(min_size=0, max_size=32),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_decoder_survives_injected_chunk(samples, junk):
+    """The chunk walk must skip ANY well-formed unknown chunk between
+    fmt and data (with RIFF even-offset padding), not just the LIST
+    chunk the fixed test injects."""
+    import numpy as np
+
+    from database_peak_streaming_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    arr = np.array(samples, dtype=np.int16)
+    payload = encode_wav(arr, 8000)
+    head, body = payload[:36], payload[36:]
+    chunk = b"junk" + len(junk).to_bytes(4, "little") + junk
+    if len(junk) % 2:
+        chunk += b"\x00"  # RIFF pads odd chunks to even offsets
+    spliced = bytearray(head + chunk + body)
+    spliced[4:8] = (len(spliced) - 8).to_bytes(4, "little")
+    dec, rate = decode_wav(bytes(spliced))
+    assert rate == 8000
+    assert np.array_equal(dec, arr)
