@@ -5038,3 +5038,265 @@ ORACLE_SQL["ts_subsequence_search_topk"] = f"""
     ORDER BY znorm_dist, event_type, start_day
     LIMIT {SUBSEQ_TOP_K}
 """
+
+
+#: seasonal-stability geometry: full-week segments, the two intraday
+#: periods whose stability a seasonality monitor tracks.
+PSTAB_SEG_HOURS = 168
+PSTAB_PERIODS = (12, 24)
+
+
+def ts_periodogram_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch-style SEGMENT-AVERAGED periodogram — the stability check
+    the single full-series DFT (``ts_periodogram_dft``) cannot give:
+    cut each type's hourly series into consecutive FULL 168-hour
+    (weekly) segments, compute the variance-fraction spectral power at
+    the 12 h and 24 h lines per segment (identical fold arithmetic to
+    the registered periodogram), and report the across-segment mean,
+    spread and range per (type, period).  A large mean with a small
+    spread is a STABLE daily cycle; a large mean with a large spread
+    is a transient burst masquerading as seasonality — the distinction
+    an alerting pipeline needs before it trusts a seasonal baseline.
+    Segment length is a multiple of both periods, so global-t phase
+    cancels in C^2 + S^2 and segments are comparable.
+
+    Determinism: per-segment folds walk the same t-ordered arrays
+    left-to-right in both engines and the power fraction is 6-rounded
+    (the _periodogram_pf canon); the across-segment moments then run
+    on EXACT micro-unit integers (pf x 1e6 as BIGINT), so the
+    mean/spread are order-free by construction.  Zero-variance
+    segments yield NULL pf (NULLIF discipline) and are excluded, with
+    n_segments reporting what remained.
+
+    Scale: one data-sized aggregation (hourly counts); the dense grid,
+    the per-(type, segment) fold arrays and the stability rollup are
+    calendar-bounded — the ts_acf_hourly argument, segmented."""
+    hourly = (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    global_bounds = hourly.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(global_bounds))
+        .select(
+            "event_type",
+            "h0",
+            F.explode(
+                F.expr("sequence(h0, h1, interval 1 hour)")
+            ).alias("h"),
+        )
+    )
+    dense = (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .fillna(0, subset=["x"])
+        .select(
+            "event_type",
+            F.expr("timestampdiff(HOUR, h0, h)").cast("long").alias("t"),
+            "x",
+        )
+        .withColumn(
+            "seg", (F.col("t") / F.lit(PSTAB_SEG_HOURS)).cast("long")
+        )
+    )
+    per_seg = (
+        dense.groupBy("event_type", "seg")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("t").alias("t"), F.col("x").alias("x"))
+                )
+            ).alias("sv"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("q"),
+        )
+        .where(F.col("n") == PSTAB_SEG_HOURS)
+    )
+    mean = F.col("s") / F.col("n")
+
+    def _fold(trig, period):
+        return F.round(
+            F.aggregate(
+                "sv",
+                F.lit(0.0),
+                lambda acc, e: acc
+                + (e["x"].cast("double") - mean)
+                * trig(
+                    F.lit(_TWO_PI)
+                    * e["t"].cast("double")
+                    / F.lit(float(period))
+                ),
+            )
+            / F.col("n"),
+            6,
+        )
+
+    wide = per_seg.select(
+        "event_type",
+        "seg",
+        "n",
+        "s",
+        "q",
+        *[
+            c
+            for P in PSTAB_PERIODS
+            for c in (
+                _fold(F.cos, P).alias(f"c{P}"),
+                _fold(F.sin, P).alias(f"s{P}"),
+            )
+        ],
+    )
+    denom = F.nullif(
+        F.col("q").cast("double") - mean * F.col("s").cast("double"),
+        F.lit(0.0),
+    )
+    pfs = wide.select(
+        "event_type",
+        "seg",
+        *[
+            F.round(
+                F.col("n").cast("double")
+                * (
+                    F.col(f"c{P}") * F.col(f"c{P}")
+                    + F.col(f"s{P}") * F.col(f"s{P}")
+                )
+                / denom,
+                6,
+            ).alias(f"pf{P}")
+            for P in PSTAB_PERIODS
+        ],
+    )
+    stacked = pfs.select(
+        "event_type",
+        "seg",
+        F.expr(
+            f"stack({len(PSTAB_PERIODS)}, "
+            + ", ".join(f"{P}, pf{P}" for P in PSTAB_PERIODS)
+            + ") AS (period_hours, pf)"
+        ),
+    ).where(F.col("pf").isNotNull())
+    m = F.round(F.col("pf") * 1e6, 0).cast("long")
+    moments = stacked.select(
+        "event_type", "period_hours", m.alias("m")
+    ).groupBy("event_type", "period_hours").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("m") * F.col("m")).alias("sm2"),
+        F.min("m").alias("mn"),
+        F.max("m").alias("mx"),
+    )
+    k = F.col("n_segments").cast("double")
+    mean_m = F.col("sm").cast("double") / k
+    var_m = F.col("sm2").cast("double") / k - mean_m * mean_m
+    return moments.select(
+        "event_type",
+        F.col("period_hours").cast("long").alias("period_hours"),
+        "n_segments",
+        F.round(mean_m / F.lit(1e6), 6).alias("mean_pf"),
+        F.round(
+            F.sqrt(F.greatest(var_m, F.lit(0.0))) / F.lit(1e6), 6
+        ).alias("sd_pf"),
+        F.round(F.col("mn").cast("double") / F.lit(1e6), 6).alias(
+            "min_pf"
+        ),
+        F.round(F.col("mx").cast("double") / F.lit(1e6), 6).alias(
+            "max_pf"
+        ),
+    ).orderBy("event_type", "period_hours")
+
+
+QUERIES["ts_periodogram_stability"] = ts_periodogram_stability
+
+
+def _pstab_sql() -> str:
+    fold_cols = ",\n               ".join(
+        f"ROUND(LIST_REDUCE(LIST_TRANSFORM(generate_series(1, LEN(xs)),"
+        f" i -> (xs[i] - s * 1.0 / n) * {trig}("
+        f"6.283185307179586 * ts_[i] / {P}.0)),"
+        f" (a, b) -> a + b) / n, 6) AS {pre}{P}"
+        for P in PSTAB_PERIODS
+        for trig, pre in (("COS", "c"), ("SIN", "s"))
+    )
+    pf_cols = ",\n               ".join(
+        f"ROUND((n * (c{P} * c{P} + s{P} * s{P}))"
+        f" / NULLIF(q - (s * 1.0 / n) * s, 0.0), 6) AS pf{P}"
+        for P in PSTAB_PERIODS
+    )
+    unpivot = "\n            UNION ALL\n            ".join(
+        f"SELECT event_type, seg, {P} AS period_hours, pf{P} AS pf FROM pf"
+        for P in PSTAB_PERIODS
+    )
+    return f"""
+        WITH hourly AS (
+            SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+        bnds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+        grid AS (
+            SELECT t.event_type, b.h0,
+                   UNNEST(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+            FROM (SELECT DISTINCT event_type FROM hourly) t
+            CROSS JOIN bnds b),
+        dense AS (
+            SELECT g.event_type,
+                   CAST(DATE_DIFF('hour', g.h0, g.h) AS BIGINT) AS t,
+                   COALESCE(hourly.x, 0) AS x,
+                   CAST(DATE_DIFF('hour', g.h0, g.h) AS BIGINT)
+                       // {PSTAB_SEG_HOURS} AS seg
+            FROM grid g LEFT JOIN hourly
+              ON hourly.event_type = g.event_type AND hourly.h = g.h),
+        arr AS (
+            SELECT event_type, seg,
+                   LIST(x ORDER BY t) AS xs,
+                   LIST(t ORDER BY t) AS ts_,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS q
+            FROM dense GROUP BY event_type, seg
+            HAVING COUNT(*) = {PSTAB_SEG_HOURS}),
+        folded AS (
+            SELECT event_type, seg, n, s, q,
+               {fold_cols}
+            FROM arr),
+        pf AS (
+            SELECT event_type, seg, n, s, q,
+               {pf_cols}
+            FROM folded),
+        stacked AS (
+            {unpivot}),
+        mm AS (
+            SELECT event_type, period_hours,
+                   CAST(ROUND(pf * 1e6, 0) AS BIGINT) AS m
+            FROM stacked WHERE pf IS NOT NULL),
+        moments AS (
+            SELECT event_type, period_hours,
+                   CAST(COUNT(*) AS BIGINT) AS n_segments,
+                   CAST(SUM(m) AS BIGINT) AS sm,
+                   CAST(SUM(m * m) AS BIGINT) AS sm2,
+                   CAST(MIN(m) AS BIGINT) AS mn,
+                   CAST(MAX(m) AS BIGINT) AS mx
+            FROM mm GROUP BY event_type, period_hours)
+        SELECT event_type,
+               CAST(period_hours AS BIGINT) AS period_hours,
+               n_segments,
+               ROUND((CAST(sm AS DOUBLE) / n_segments) / 1e6, 6)
+                   AS mean_pf,
+               ROUND(SQRT(GREATEST(
+                   CAST(sm2 AS DOUBLE) / n_segments
+                   - (CAST(sm AS DOUBLE) / n_segments)
+                     * (CAST(sm AS DOUBLE) / n_segments), 0.0)) / 1e6, 6)
+                   AS sd_pf,
+               ROUND(CAST(mn AS DOUBLE) / 1e6, 6) AS min_pf,
+               ROUND(CAST(mx AS DOUBLE) / 1e6, 6) AS max_pf
+        FROM moments
+        ORDER BY event_type, period_hours
+"""
+
+
+ORACLE_SQL["ts_periodogram_stability"] = _pstab_sql()

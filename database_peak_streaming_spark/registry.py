@@ -179,6 +179,7 @@ ROTATION_POOL_NEXT_ROUND: list[str] = [
     "multimodal_wav_decimate_stats",
     "ts_subsequence_search_topk",
     "ml_kmeanspp_init",
+    "ts_periodogram_stability",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -562,3 +562,54 @@ def test_kmeanspp_init_matches_reference(spark):
     # seeding must actually spread: later rounds' total weight shrinks
     tots = [p[3] for p in picks[1:]]
     assert tots == sorted(tots, reverse=True)
+
+
+def test_periodogram_stability_matches_reference(spark):
+    from database_peak_streaming_spark.operators.time_windows import (
+        PSTAB_PERIODS,
+        PSTAB_SEG_HOURS,
+    )
+
+    ev = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["event_type", "ts"]
+    ).to_pandas()
+    ev["h"] = ev["ts"].dt.floor("h")
+    hourly = ev.groupby(["event_type", "h"]).size().rename("x").reset_index()
+    h0, h1 = hourly["h"].min(), hourly["h"].max()
+    span = pd.date_range(h0, h1, freq="h")
+    rows = {
+        (r.event_type, r.period_hours): r
+        for r in QUERIES["ts_periodogram_stability"](spark, SF_DIR).collect()
+    }
+    for etype in hourly["event_type"].unique():
+        g = hourly[hourly["event_type"] == etype].set_index("h")["x"]
+        x = g.reindex(span, fill_value=0).to_numpy(dtype=float)
+        t = np.arange(len(x), dtype=float)
+        nseg = len(x) // PSTAB_SEG_HOURS
+        for P in PSTAB_PERIODS:
+            ms = []
+            for si in range(nseg):
+                xs = x[si * PSTAB_SEG_HOURS : (si + 1) * PSTAB_SEG_HOURS]
+                tt = t[si * PSTAB_SEG_HOURS : (si + 1) * PSTAB_SEG_HOURS]
+                n = len(xs)
+                mu = xs.mean()
+                c = round(((xs - mu) * np.cos(2 * np.pi * tt / P)).sum() / n, 6)
+                s_ = round(((xs - mu) * np.sin(2 * np.pi * tt / P)).sum() / n, 6)
+                den = (xs * xs).sum() - mu * xs.sum()
+                if den == 0:
+                    continue
+                pf = round(n * (c * c + s_ * s_) / den, 6)
+                ms.append(int(round(pf * 1e6)))
+            if not ms:
+                assert (etype, P) not in rows
+                continue
+            r = rows[(etype, P)]
+            k = len(ms)
+            assert r.n_segments == k
+            assert abs(r.mean_pf - sum(ms) / k / 1e6) < 1e-6
+            var = sum(m * m for m in ms) / k - (sum(ms) / k) ** 2
+            assert abs(r.sd_pf - (max(var, 0.0) ** 0.5) / 1e6) < 1e-6
+            assert (r.min_pf, r.max_pf) == (min(ms) / 1e6, max(ms) / 1e6)
+    # the fixture must yield multiple full segments or the spread is
+    # degenerate and the stability claim untested
+    assert all(r.n_segments >= 2 for r in rows.values())
