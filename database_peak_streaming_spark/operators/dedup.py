@@ -115,7 +115,21 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled row is a (16-byte md5, doc_id) pair — documents themselves
     never shuffle.  Both aggregations key on uniform hashes, so no
     skew.  md5 (not xxhash64) so the oracle recomputes the exact same
-    spans — engine-portable by construction."""
+    spans — engine-portable by construction.
+
+    Plan shape (round 12): ONE explode+digest pass.  Spans first
+    collapse to (doc_id, h, cnt) — map-side combinable — then the
+    per-hash distinct-document count is a COUNT(*) window over ``h``
+    on those collapsed rows (one row per (doc, h), so count(*) ==
+    count distinct docs), and the per-doc rollup sums ``cnt``.  The
+    previous shape evaluated the explode+md5 subtree TWICE (once
+    under the df>=2 aggregate, once under the probe join) and paid a
+    join on ``h``; this is the same three narrow hash shuffles'
+    worth of data with half the digest work and no join.  Window
+    groups are per-span-hash (bounded by corpus-wide copies of one
+    span, uniform md5 key), so no skewed window partition exists."""
+    from pyspark.sql import Window
+
     d = load_table(spark, "documents", sf_dir)
     w = (
         d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
@@ -134,19 +148,18 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    dup = (
-        w.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-        .withColumn("is_dup", F.lit(1))
+    per_doc_hash = w.groupBy("doc_id", "h").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
     return (
-        w.join(dup, "h", "left")
+        per_doc_hash.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_spans"),
+            F.sum("cnt").alias("n_spans"),
+            F.sum(
+                F.when(F.col("nd") >= 2, F.col("cnt")).otherwise(F.lit(0))
+            ).alias("n_dup_spans"),
         )
         .withColumn(
             "dup_ratio", F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
@@ -279,7 +292,20 @@ def _connected_components(d: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         .persist()
     )
-    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # Only EDGE-INCIDENT nodes can ever change label (round 12, guide
+    # §2.3/§2.4): a node with no edges never receives an nb_min, so its
+    # least(cluster_id, ...) is its own id through every iteration.  The
+    # fixpoint loop therefore runs over the edge node set only — for a
+    # dedup graph that is the (small) duplicate population, not the
+    # corpus — and the untouched docs are attached with ONE final left
+    # join instead of riding every per-iteration join, checkpoint and
+    # convergence count.  Labels evolve identically on the restricted
+    # set, so the result is unchanged row for row.
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
     for _ in range(64):  # >= any dup-cluster diameter; fixpoint breaks out
         nb_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -311,7 +337,17 @@ def _connected_components(d: DataFrame, pairs: DataFrame) -> DataFrame:
     else:  # pragma: no cover - 64 iterations without fixpoint
         raise RuntimeError("connected components did not converge")
     edges.unpersist()
-    return labels.orderBy("doc_id")
+    # Re-attach the edge-free docs (cluster_id = own id by the argument
+    # above); one narrow equi-join against the converged label table.
+    return (
+        d.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def dedup_clusters_cc_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -870,12 +906,17 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, "embeddings", sf_dir)
+    # base feeds THREE consumers (both pair sides + the final anti-join
+    # probe); without the cut each re-runs the 8-centroid assignment and
+    # the norm — the scan-side kernels that dominate this query's
+    # per-row work (round 12, guide §2.4).  Narrow rows (id, 64 floats,
+    # 2 scalars), so the materialization is scan-sized, never pair-sized.
     base = e.select(
         "vec_id",
         "embedding",
         _norm(F.col("embedding")).alias("norm"),
         _kmeans_bucket(F.col("embedding")).alias("cluster"),
-    )
+    ).localCheckpoint()
     # The pairs stage is the hot path (O(sum cell^2) cosines) and the
     # smaller side broadcasts — so the probe side's parallelism is
     # whatever the SCAN gave it, NOT the shuffle width.  A one-file

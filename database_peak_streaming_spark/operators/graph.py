@@ -556,6 +556,13 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).alias("deg")
     ).localCheckpoint(eager=False)
+    # edges ⋈ deg is LOOP-INVARIANT (round 12, guide §2.4): joining it
+    # inside the loop re-ran the same |E|-row equi-join every iteration.
+    # Materialize (src, dst, deg) once; each iteration is then a single
+    # join with the current ranks + the dst groupBy.  The per-row
+    # arithmetic stays rank/deg (NOT a precomputed 1/deg weight — that
+    # would change the float rounding vs the oracle's SUM(rank/deg)).
+    edeg = edges.join(deg, "src").localCheckpoint(eager=False)
 
     n_df = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
     ranks = deg.select("src").withColumnRenamed("src", "node").crossJoin(
@@ -564,8 +571,7 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for _ in range(ITERATIONS):
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            edeg.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
         )
@@ -1272,13 +1278,20 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_first = (F.col("deg_u") < F.col("deg_v")) | (
         (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
     )
+    # Materialized ONCE (round 12): both wedge arms read this ~|E|-row
+    # table, and without the cut the whole und JOIN deg JOIN deg chain
+    # (3 SMJs, 6 exchanges at 2 longs + a degree each) is planned — and
+    # absent a runtime ReusedExchange hit, executed — twice (guide
+    # §2.4: remove shuffles outright; the before/after plans are in
+    # plans/r12/).  O(|E|) rows of three integer columns, so the
+    # materialization is cheap at any scale.
     oriented = ranked.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias(
             "dst_deg"
         ),
-    )
+    ).localCheckpoint()
     e1 = oriented.select(
         "src", F.col("dst").alias("b"), F.col("dst_deg").alias("deg_b")
     )
@@ -1297,7 +1310,13 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("b", "c").alias("v"),
         )
     )
-    closed = wedges.join(und, ["u", "v"]).select(
+    # Shuffled-hash, not sort-merge, for the closing join (guide §3.1):
+    # the streamed side is the O(sum deg^2) wedge set — orders of
+    # magnitude larger than the O(|E|) build side — and SMJ would SORT
+    # that stream; hashing the edge side skips the wedge sort at every
+    # scale (the asymmetry wedges >> edges is structural, not a fixture
+    # artifact).
+    closed = wedges.join(und.hint("shuffle_hash"), ["u", "v"]).select(
         F.explode(F.array("src", "u", "v")).alias("node")
     )
     tri = closed.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))

@@ -135,7 +135,11 @@ def decontaminate_test_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams above a document-frequency cap (they flag everything anyway).
     At scale the join key would be xxhash64(gram) (8-byte shuffle
     width); the oracle keeps the string form so DuckDB joins the same
-    values."""
+    values.  (Round 12 measured the hashed-gram + checkpointed-gram-
+    table variant at 1.25x WORSE wall and CPU at sf0.1 — the string
+    build is cheaper than the per-gram hash fold at fixture row widths
+    and the double-scan is cheaper than the materialization — so the
+    string form stays; see OPTIMIZATION_r12.md.)"""
     d = load_table(spark, "documents", sf_dir)
     toks = F.split(F.col("text"), " ")
     n = DECON_NGRAM
@@ -496,6 +500,25 @@ _POISSON_CDF = [
     0.9994058151824183,  # P(X <= 5); tail mass 5.9e-4 -> w = 6
 ]
 
+#: The same ladder as exact u32 thresholds: ``u = c / 2^32 < cdf_k``
+#: (c the raw 32-bit draw, an exact double) is equivalent to
+#: ``c < ceil(cdf_k * 2^32)`` because c is an integer and the product
+#: is never one (each cdf_k double keeps fraction bits below 2^-32).
+#: Comparing the long directly removes a per-row division + double
+#: compare from the 6M-row fan-out without moving a single weight.
+def _u32_thresholds(cdf: list[float]) -> list[int]:
+    from fractions import Fraction
+
+    out = []
+    for t in cdf:
+        exact = Fraction(t) * (1 << 32)
+        assert exact.denominator > 1, "threshold landed on an integer"
+        out.append(int(exact) + 1)  # ceil of a non-integer rational
+    return out
+
+
+_POISSON_CDF_U32 = _u32_thresholds(_POISSON_CDF)
+
 
 def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson bootstrap confidence interval for the mean order value —
@@ -522,13 +545,38 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     below the ladder thresholds' resolution and identical in both
     engines.  Together: 13.9 s -> ~3.5 s at sf0.1.
 
+    Round-12 per-task-work cuts (guide §1.2 step 2), both provably
+    bit-identical to the decimal/double form the oracle evaluates:
+
+    * weights compare the RAW 32-bit integer against precomputed
+      integer thresholds ``ceil(cdf_k * 2^32)`` instead of dividing
+      every row by 2^32 first — ``c / 2^32 < cdf_k  <=>  c <
+      ceil(cdf_k * 2^32)`` exactly (c integer, the product never an
+      integer), so 6M divisions + double compares become long
+      compares;
+    * replicate sums accumulate EXACT LONG CENTS instead of
+      decimal(28,6) (BigDecimal addition per row, off the codegen
+      fast path).  The fixture prices are 2-decimal-place values
+      (pinned by test), so cents are exact; ``sum(w*x_cents) <=
+      6 * 5e7 * n_rows`` stays under 2^53 through ~3e6 rows per
+      replicate, where cast-to-double is EXACT, and the final
+      ``(cents as double) / 100.0 / sw`` is the same correctly-
+      rounded double as ``(decimal as double) / sw``.  Beyond 2^53
+      cents per replicate a production run switches the sum back to
+      decimal; the crossover is noted, not silently wrong (the cast
+      itself stays correctly rounded — only double-vs-single
+      rounding of the /100 differs out there).
+
     Plan: one fan-out of REPS rows per order (map-side), one 40-key
     aggregation, a 40-row sort for the order statistics — the heavy
     part is embarrassingly parallel and the state is O(REPS)."""
     from pyspark.sql import Window
 
     o = load_table(spark, "orders", sf_dir).select(
-        "o_orderkey", F.col("o_totalprice").cast("decimal(28,6)").alias("x")
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(28,6)") * 100)
+        .cast("long")
+        .alias("xc"),
     )
     # two-level fan-out: the digest is a column of the 10-rows-per-order
     # intermediate, so each md5 is COMPUTED once and replicated by the
@@ -536,7 +584,7 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # digest expression on all 40 rows — measured 6.8 s vs 4.8 s)
     g = o.select(
         "o_orderkey",
-        "x",
+        "xc",
         F.explode(
             F.sequence(F.lit(0), F.lit(BOOT_REPS // 4 - 1))
         ).alias("rg"),
@@ -554,33 +602,35 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = (
         g.select(
             "o_orderkey",
-            "x",
+            "xc",
             "rg",
             "h",
             F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
         )
         .withColumn("rep", F.col("rg") * 4 + F.col("j"))
         .withColumn(
-            "u",
+            "c",
             F.conv(
                 F.substr(F.col("h"), F.col("j") * 8 + 1, F.lit(8)), 16, 10
-            ).cast("double")
-            / F.lit(4294967296.0),
+            ).cast("long"),
         )
     )
-    u = F.col("u")
+    c = F.col("c")
     w = F.lit(len(_POISSON_CDF))
     for k in range(len(_POISSON_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(_POISSON_CDF[k]), F.lit(k)).otherwise(w)
+        w = F.when(c < F.lit(_POISSON_CDF_U32[k]), F.lit(k)).otherwise(w)
     means = (
         r.withColumn("w", w.cast("long"))
         .groupBy("rep")
         .agg(
-            F.sum(F.col("w") * F.col("x")).alias("swx"),
+            F.sum(F.col("w") * F.col("xc")).alias("swxc"),
             F.sum("w").alias("sw"),
         )
         .select(
-            "rep", (F.col("swx").cast("double") / F.col("sw")).alias("m")
+            "rep",
+            (
+                F.col("swxc").cast("double") / F.lit(100.0) / F.col("sw")
+            ).alias("m"),
         )
     )
     ranked = means.withColumn(
@@ -598,7 +648,7 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = o.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(
-            F.sum("x").cast("double") / F.count(F.lit(1)), 6
+            F.sum("xc").cast("double") / F.lit(100.0) / F.count(F.lit(1)), 6
         ).alias("mean_full"),
     )
     return full.crossJoin(F.broadcast(ci)).select(

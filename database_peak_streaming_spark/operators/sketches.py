@@ -173,9 +173,34 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     filt = positions.agg(F.sort_array(F.collect_list("p")).alias("bits"))
+    # Densify ONCE on the 1-row build side: a BLOOM_M-slot boolean array
+    # makes each probe an O(1) element_at instead of an O(set bits)
+    # array_contains linear scan — at k=3 probes x |fact| rows the scan
+    # was ~k * m_set * |fact| comparisons (~2e9 at sf0.1), the dominant
+    # cost of the whole query (guide §1.2 step 2: per-task work).  The
+    # dense form is what a real Bloom filter broadcasts anyway (a
+    # bitmask, not a position list).
+    dense = filt.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(BLOOM_M - 1)),
+            lambda i: F.array_contains(F.col("bits"), i),
+        ).alias("dense")
+    )
 
-    li = load_table(spark, "lineitem", sf_dir).select("l_suppkey")
-    probed = li.crossJoin(F.broadcast(filt))
+    # Probe positions are a pure function of the JOIN KEY, so hash the
+    # DISTINCT key domain, not every fact row: the fact side collapses
+    # to (suppkey, row count) with one map-side-combinable groupBy, and
+    # the k digests run once per key instead of once per row (guide §8:
+    # decide on small rows, weight the decision back onto the volume —
+    # every reported count is a sum of per-key booleans x row counts,
+    # so the result is identical term by term).  At sf0.1 this is
+    # 1.8M md5 calls -> 3k.
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    probed = li.crossJoin(F.broadcast(dense))
     for i in range(BLOOM_K):
         probed = probed.withColumn(
             f"_p{i}",
@@ -186,7 +211,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     pass_cond = None
     for i in range(BLOOM_K):
-        c = F.array_contains("bits", F.col(f"_p{i}"))
+        c = F.element_at(F.col("dense"), F.col(f"_p{i}").cast("int") + 1)
         pass_cond = c if pass_cond is None else (pass_cond & c)
 
     # exact membership via broadcast left join (the join the filter guards)
@@ -195,12 +220,17 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         probed["l_suppkey"] == F.col("key"),
         "left",
     )
+    n = F.col("n_rows")
     return marked.agg(
-        F.count(F.lit(1)).alias("n_fact_rows"),
-        F.sum(F.when(F.col("exact"), 1).otherwise(0)).alias("n_exact"),
-        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_bloom_pass"),
+        F.sum(n).alias("n_fact_rows"),
+        F.sum(F.when(F.col("exact"), n).otherwise(0)).alias("n_exact"),
+        F.sum(F.when(F.col("bloom_pass"), n).otherwise(0)).alias(
+            "n_bloom_pass"
+        ),
         F.sum(
-            F.when(F.col("bloom_pass") & F.col("exact").isNull(), 1).otherwise(0)
+            F.when(F.col("bloom_pass") & F.col("exact").isNull(), n).otherwise(
+                0
+            )
         ).alias("n_false_pos"),
     ).select(
         "n_fact_rows",

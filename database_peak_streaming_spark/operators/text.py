@@ -2717,18 +2717,20 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = tok.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    raw = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        tok.where(F.col("lang") == "en")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # raw and target counts in ONE vocabulary aggregation (round 12):
+    # ct is cr restricted to lang='en', so a conditional sum in the same
+    # groupBy replaces the second aggregation AND the second probe join;
+    # ct = 0 where the old left join produced NULL, and the contrib
+    # expression already mapped NULL -> 0 through the coalesce, so the
+    # log argument (ct + 1) is unchanged value-for-value.
+    raw = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
     )
-    tgt_tot = tgt.agg(F.sum("ct").alias("n_tgt"))
     consts = raw.agg(
         F.sum("cr").alias("n_raw"),
         F.count(F.lit(1)).alias("v"),
-    ).crossJoin(
-        F.broadcast(tgt_tot)
+        F.sum("ct").alias("n_tgt"),
     ).select(
         (
             F.log((F.col("n_raw") + F.col("v")).cast("double"))
@@ -2737,7 +2739,6 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contrib = (
         per_doc.join(raw, "tok")
-        .join(tgt, "tok", "left")
         .select(
             "doc_id",
             "tok",
@@ -2745,11 +2746,7 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.col("cnt")
                 * (
-                    F.log(
-                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast(
-                            "double"
-                        )
-                    )
+                    F.log((F.col("ct") + F.lit(1)).cast("double"))
                     - F.log((F.col("cr") + F.lit(1)).cast("double"))
                 )
             ).alias("c"),
@@ -2862,18 +2859,34 @@ def text_self_bleu_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.explode(bi).alias("bg"))
         .groupBy("doc_id", "source", "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # occ feeds both the df table and the probe side; without the
+        # cut the bigram explode+shuffle runs twice (the two subtrees
+        # aggregate differently, so not even runtime stage reuse merges
+        # them).  ~|distinct (doc, bigram)| narrow rows, materialized
+        # once.
+        .localCheckpoint()
     )
     df_tab = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("df"))
-    per_source = (
+    # Per-doc rollup FIRST (doc_id determines source), then a plain
+    # count(*) per source: the previous single aggregate mixed
+    # count_distinct(doc_id) with plain sums, which Catalyst plans as a
+    # 2x Expand over every joined row — the per-doc pre-rollup shuffles
+    # the same (doc-sized) data once and the distinct disappears
+    # (guide §2.3: aggregate before you shuffle).
+    per_doc = (
         occ.join(df_tab, "bg")
-        .groupBy("source")
+        .groupBy("doc_id", "source")
         .agg(
-            F.count_distinct("doc_id").alias("n_docs"),
             F.sum("cnt").alias("total_occ"),
             F.sum(F.when(F.col("df") >= 2, F.col("cnt")).otherwise(0)).alias(
                 "matched_occ"
             ),
         )
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("total_occ").alias("total_occ"),
+        F.sum("matched_occ").alias("matched_occ"),
     )
     return per_source.select(
         "source",

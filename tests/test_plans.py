@@ -134,7 +134,7 @@ def test_pipeline_ops_plan_budgets(spark):
         "resample_gap_fill_locf": 2,     # hourly agg + axis join/sort
         "sample_weighted_ares": 0,       # TakeOrdered: no exchange at all
         "orc_roundtrip": 2,              # brand agg + sort
-        "dedup_substring_spans": 4,      # gram agg + dup join + doc agg + sort
+        "dedup_substring_spans": 4,      # gram agg + dup-count window + doc agg + sort
         # the static plan repeats the distinct-pairs subtree under each
         # of its three consumers (15 Exchange nodes pre-execution); AQE
         # dedupes them at runtime (ReusedExchange — asserted below), so
@@ -492,6 +492,12 @@ def test_forced_broadcasts_are_bounded_cardinality():
         # total-weight aggregates, "centers" is the <= K-column seed
         # array frame, "pick_r" a LIMIT-1 pick
         "tot1", "totr", "centers", "pick_r",
+        # round 12: "dense" is the Bloom prefilter's densified bitmask —
+        # a 1-row .agg() result holding a BLOOM_M-slot boolean array
+        # (fixed filter geometry, never row count); it replaces the
+        # already-allowlisted sparse "filt" position list on the probe
+        # side
+        "dense",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     offenders = []
