@@ -325,40 +325,58 @@ def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("observed") == 0).alias("passed"),
         )
 
-    parts = [
-        expect(
-            "events_pk_unique",
-            ev.agg(
-                (F.count(F.lit(1)) - F.count_distinct("event_id")).alias(
-                    "observed"
+    # All four events expectations share ONE scan+aggregate (they were
+    # four independent full scans of the fact table) and unpivot to rows
+    # afterwards; the final orderBy("expectation") makes union order
+    # irrelevant, so the observed counts — and the result — are
+    # unchanged (round 12, guide §2.4).
+    ev_agg = ev.agg(
+        (F.count(F.lit(1)) - F.count_distinct("event_id")).alias("_pk"),
+        F.sum(F.col("value").isNull().cast("long")).alias("_nn"),
+        F.sum(
+            (~F.col("event_type").isin(
+                "click", "error", "purchase", "signup", "view"
+            )).cast("long")
+        ).alias("_dom"),
+        F.sum(
+            (
+                (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2024-02-01").cast("timestamp"))
+            ).cast("long")
+        ).alias("_rng"),
+    )
+    ev_checks = (
+        ev_agg.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("events_pk_unique").alias("expectation"),
+                        F.col("_pk").cast("long").alias("observed"),
+                    ),
+                    F.struct(
+                        F.lit("events_value_nonnull").alias("expectation"),
+                        F.col("_nn").cast("long").alias("observed"),
+                    ),
+                    F.struct(
+                        F.lit("events_type_in_domain").alias("expectation"),
+                        F.col("_dom").cast("long").alias("observed"),
+                    ),
+                    F.struct(
+                        F.lit("events_ts_in_month").alias("expectation"),
+                        F.col("_rng").cast("long").alias("observed"),
+                    ),
                 )
-            ),
-        ),
-        expect(
-            "events_value_nonnull",
-            ev.agg(F.sum(F.col("value").isNull().cast("long")).alias("observed")),
-        ),
-        expect(
-            "events_type_in_domain",
-            ev.agg(
-                F.sum(
-                    (~F.col("event_type").isin(
-                        "click", "error", "purchase", "signup", "view"
-                    )).cast("long")
-                ).alias("observed")
-            ),
-        ),
-        expect(
-            "events_ts_in_month",
-            ev.agg(
-                F.sum(
-                    (
-                        (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
-                        | (F.col("ts") >= F.lit("2024-02-01").cast("timestamp"))
-                    ).cast("long")
-                ).alias("observed")
-            ),
-        ),
+            ).alias("e")
+        )
+        .select(
+            F.col("e.expectation").alias("expectation"),
+            F.col("e.observed").alias("observed"),
+            (F.col("e.observed") == 0).alias("passed"),
+        )
+    )
+
+    parts = [
+        ev_checks,
         expect(
             "orders_fk_customer",
             o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti").agg(

@@ -76,11 +76,17 @@ def _funnel_summary(spark: SparkSession, sf_dir: str, clusters: DataFrame) -> Da
     passed = d.filter(quality_score_col() > QUALITY_CUTOFF).select(
         "doc_id", "lang", "n_chars"
     )
-    w = Window.partitionBy("cluster_id")
+    # Same min_by keeper election as training_data_build: map-side
+    # partial aggregation instead of a full shuffle + per-partition sort
+    # of every quality-passing row (round 12, guide §2.3).
     keepers = (
         passed.join(clusters, "doc_id")
-        .withColumn("keep_id", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("keep_id"))
+        .groupBy("cluster_id")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("n_chars", "doc_id").alias("n_chars"),
+        )
     )
 
     split = F.when(
@@ -167,11 +173,20 @@ def training_data_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text"
     )
     canon = F.array_join(F.array_sort(F.array_distinct(_tokens())), " ")
-    w = Window.partitionBy("fp")
+    # Keeper election as min_by aggregation, not a min-over-window: the
+    # window form shuffled EVERY text-bearing row by fp and sorted each
+    # partition; min_by gets map-side partial aggregation (one candidate
+    # row per fp per mapper crosses the wire) and no sort.  doc_id is
+    # unique, so min_by is deterministic and picks exactly the row the
+    # window filter kept (round 12, guide §2.3 — shuffle fewer bytes).
     keepers = (
         gated.withColumn("fp", F.md5(canon))
-        .withColumn("keep_id", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("keep_id"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
         .select("doc_id", "lang", "text")
     )
     split = F.when(

@@ -227,6 +227,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying pair), but compare volume is driven by prefix-bucket
     occupancy, not block size squared."""
     d = load_table(spark, "documents", sf_dir)
+    # (Round 12 measured a localCheckpoint of t — it feeds the prefix
+    # filter and both verify sides — at 1.12x WORSE wall: token-array
+    # materialization costs more than the re-scans, the round-6
+    # text-checkpoint precedent repeating for arrays.  Left recomputed.)
     t = d.select("doc_id", "source", "lang", _distinct_tokens().alias("toks"))
     cand = _prefix_filter_candidates(t, JACCARD_THRESHOLD)
     # |A ∪ B| = |A| + |B| - |A ∩ B|: one array traversal per pair, no
@@ -701,6 +705,12 @@ def dedup_minhash_keepers_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     witness that the keeper rule itself — not the hash — drives the
     result."""
     d = load_table(spark, "documents", sf_dir)
+    # (Round 12 measured the _md5_banded_candidates-style vocabulary-
+    # hash rewrite of this stage at 1.86x WORSE wall / 1.47x CPU:
+    # unlike single TOKENS, 3-gram SHINGLES barely repeat across
+    # non-duplicate documents — reuse factor ~1 — so the distinct+join+
+    # groupBy shuffles bought no hash-work reduction.  The in-row HOF
+    # form stays; see OPTIMIZATION_r12.md.)
     sh = d.select("doc_id", _shingles().alias("sh"))
     sig_cols = [
         F.array_min(
@@ -808,17 +818,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bit-parallel vote/assemble as a SQL higher-order expression —
     # shiftleft/shiftright take column operands only in SQL form.
     # md5 is evaluated once per distinct token (outer transform), not
-    # once per (token, bit).
+    # once per (token, bit).  The 16 leading hex digits parse into TWO
+    # 32-bit longs (one conv each) instead of one conv+substring PER BIT
+    # (round 12, guide §1.2 step 2: 64 -> 2 string parses per token);
+    # hex digit d is bits [4*(7-d), 4*(7-d)+3] of its half, so bit
+    # b = (half >> (4*(7 - (b div 4) % 8) + b % 4)) & 1 — the identical
+    # bit the old per-digit conv extracted, now by integer shift.
     votes = F.expr(
         """
         aggregate(
-          transform(array_distinct(split(text, ' ')), tok -> md5(tok)),
+          transform(
+            transform(array_distinct(split(text, ' ')), tok -> md5(tok)),
+            h -> named_struct(
+              'hi', CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT),
+              'lo', CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT))),
           array_repeat(CAST(0 AS BIGINT), 64),
           (acc, h) -> zip_with(
             acc,
             transform(sequence(0, 63),
-                      b -> CAST(shiftright(CAST(conv(substring(h, CAST(b div 4 AS INT) + 1, 1), 16, 10) AS INT),
-                                           CAST(b % 4 AS INT)) & 1 AS BIGINT) * 2 - 1),
+                      b -> (shiftright(IF(b < 32, h.hi, h.lo),
+                                       CAST(4 * (7 - (b div 4) % 8) + b % 4 AS INT)) & 1) * 2 - 1),
             (a, v) -> a + v))
         """
     )
@@ -1670,16 +1689,19 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     swept = pairs.withColumn(
         "tt", F.explode(F.sequence(F.lit(1), F.lit(9)))
     ).filter(F.col("jac") >= F.col("tt") / F.lit(10.0))
-    n_pairs = swept.groupBy("tt").agg(F.count(F.lit(1)).alias("n_pairs"))
-    n_docs = (
-        swept.select(
-            "tt", F.explode(F.array("doc_a", "doc_b")).alias("d")
-        )
-        .groupBy("tt")
-        .agg(F.count_distinct("d").alias("n_docs"))
-    )
+    # ONE aggregation pass: the pair set previously fed two groupBys
+    # (pair count + distinct-doc count) whose plans each re-ran the
+    # token self-join, then joined on tt.  Exploding both endpoints
+    # makes n_pairs = rows div 2 EXACTLY (each pair emits two rows) so
+    # both measures fall out of a single groupBy and the join + second
+    # self-join execution disappear (round 12, guide §2.4).
     return (
-        n_pairs.join(n_docs, "tt")
+        swept.select("tt", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .groupBy("tt")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+            F.count_distinct("d").alias("n_docs"),
+        )
         .select(
             F.col("tt").cast("long").alias("threshold_tenths"),
             "n_pairs",

@@ -285,21 +285,31 @@ def sketch_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_peak_streaming_spark.sources.batch import load_table
 
     def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # WEIGHTED Misra-Gries: each Arrow batch collapses to
+        # (token, count) via C-speed value_counts, and the fold ingests
+        # weighted arrivals — the per-token Python loop (the round-12
+        # measured hot spot, guide §4.2) becomes a per-DISTINCT-token
+        # loop.  The superset guarantee is untouched: every overflow
+        # subtracts mass m from k+1 counters, so total subtracted mass
+        # <= N_p/(k+1) < N_p/k, and any locally-heavy token still
+        # survives.  Pass 2 recounts candidates EXACTLY, so the declared
+        # result never depends on which superset pass 1 emits.
         counters: dict[str, int] = {}
         for pdf in batches:
-            for token in pdf["token"]:
+            for token, c in pdf["token"].value_counts().items():
                 if token in counters:
-                    counters[token] += 1
-                elif len(counters) < MG_K:
-                    counters[token] = 1
-                else:  # decrement-all step (lazy: drop zeros)
-                    dead = []
-                    for t in counters:
-                        counters[t] -= 1
-                        if counters[t] == 0:
-                            dead.append(t)
-                    for t in dead:
-                        del counters[t]
+                    counters[token] += int(c)
+                else:
+                    counters[token] = int(c)
+                    if len(counters) > MG_K:
+                        m = min(counters.values())
+                        dead = []
+                        for t in counters:
+                            counters[t] -= m
+                            if counters[t] <= 0:
+                                dead.append(t)
+                        for t in dead:
+                            del counters[t]
         yield pd.DataFrame({"token": list(counters.keys())})
 
     docs = load_table(spark, "documents", sf_dir)
@@ -307,7 +317,11 @@ def sketch_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = (
         tok.mapInPandas(_mg, schema="token string").distinct()
     )
-    n_df = tok.agg(F.count(F.lit(1)).alias("_n"))
+    # total token count WITHOUT a third explode of the corpus: the
+    # exploded row count equals the sum of per-doc split sizes
+    n_df = docs.select(
+        F.size(F.split("text", " ")).cast("long").alias("_sz")
+    ).agg(F.sum("_sz").alias("_n"))
     return (
         tok.join(F.broadcast(candidates), "token", "left_semi")
         .groupBy("token")

@@ -433,6 +433,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency table is vocabulary-sized, so the join is a plain shuffle
     join that AQE broadcasts when the vocab is small)."""
     d = load_table(spark, "documents", sf_dir)
+    # (Round 12 measured a localCheckpoint of the RAW exploded token
+    # table — it feeds the frequency build and the probe join — at
+    # 1.11x wall / 2.27x CPU WORSE: materializing corpus-token-sized
+    # rows costs more than re-running scan+explode.  Only AGGREGATED
+    # narrow tables win the checkpoint trade (the tfidf (doc,term,tf)
+    # precedent).  Left recomputed.)
     toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
     total = freq.agg(F.sum("tf").alias("total"))
@@ -863,6 +869,11 @@ def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(_tokens()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # tf feeds the df aggregation AND the probe join under different
+        # keys — materialize the narrow (doc, term, tf) table once
+        # instead of re-running the scan+explode+groupBy per consumer
+        # (round 12, guide §2.4)
+        .localCheckpoint()
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
     scored = (
@@ -2313,6 +2324,12 @@ def corpus_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx-percentile cutoff with exact ranking only inside the
     boundary bucket (the WOE/NTILE note in operators/ml.py)."""
     d = load_table(spark, "documents", sf_dir)
+    # (Round 12 measured a localCheckpoint of the RAW exploded token
+    # table — it feeds the frequency build and the probe join — at
+    # 1.11x wall / 2.27x CPU WORSE: materializing corpus-token-sized
+    # rows costs more than re-running scan+explode.  Only AGGREGATED
+    # narrow tables win the checkpoint trade (the tfidf (doc,term,tf)
+    # precedent).  Left recomputed.)
     toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
     total = freq.agg(F.sum("tf").alias("total"))

@@ -1184,13 +1184,26 @@ def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
     One (part, day) groupBy is the only data-sized stage; the fold
     runs per part over demand-day-sized arrays."""
     li = load_table(spark, "lineitem", sf_dir)
-    demand = li.groupBy(
-        "l_partkey",
-        F.datediff(
-            F.col("l_shipdate").cast("date"),
-            F.lit("1970-01-01").cast("date"),
-        ).alias("dn"),
-    ).agg(F.round(F.sum("l_quantity"), 0).cast("long").alias("q"))
+    # ONE shuffle serves both aggregations: hash-partitioning on
+    # l_partkey alone satisfies the (l_partkey, dn) clustering of the
+    # daily rollup AND the per-part collect, so the explicit repartition
+    # replaces the chain's two exchanges (the (part, day) shuffle, then
+    # the part shuffle) with one — lineitem's ~1 row per (part, day)
+    # means the forfeited map-side combine reduced nothing anyway
+    # (round 12, guide §2.4).
+    demand = (
+        li.select(
+            "l_partkey",
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("dn"),
+            "l_quantity",
+        )
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "dn")
+        .agg(F.round(F.sum("l_quantity"), 0).cast("long").alias("q"))
+    )
     arr = F.array_sort(F.collect_list(F.struct("dn", "q")))
     per = (
         demand.groupBy("l_partkey")
@@ -4286,6 +4299,12 @@ def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.to_date("ts").alias("d"))
         .groupBy("event_type", "d")
         .agg(F.count(F.lit(1)).alias("x"))
+        # THREE consumers (bounds agg, type grid, dense left join) each
+        # replanned — and, with different downstream keys, re-executed —
+        # the events scan + (type, day) groupBy, the only data-sized
+        # stage of this query.  One cut materializes the tiny
+        # types × days frame instead (round 12, guide §2.4).
+        .localCheckpoint()
     )
     bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     grid = (

@@ -193,12 +193,20 @@ def win_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sec")
         .rangeBetween(-3599, Window.currentRow)
     )
+    # Quantize ONCE per row (the identical decimal(28,6) HALF_UP cast as
+    # before, so the 6dp grid is unchanged) and run the RANGE frame on
+    # exact LONG micro-units: the sliding frame pays a primitive add per
+    # row instead of a JVM BigDecimal add (round 12, guide §2.3 narrower
+    # types; the bootstrap_ci_mean cents precedent).  sum(micros)/1e6 as
+    # double equals the decimal sum cast double while |sum| < 2^53
+    # micros (fixture sums ~1e8; both are a single correct rounding of
+    # m x 1e-6).
+    micros = (F.col("value").cast("decimal(28,6)") * 1_000_000).cast("long")
     rolled = e.select(
         "user_id",
-        F.sum(F.col("value").cast("decimal(28,6)"))
-        .over(w)
-        .cast("double")
-        .alias("trailing_1h"),
+        (F.sum(micros).over(w).cast("double") / F.lit(1_000_000.0)).alias(
+            "trailing_1h"
+        ),
     )
     return (
         rolled.groupBy("user_id")
