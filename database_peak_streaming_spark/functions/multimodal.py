@@ -176,7 +176,17 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
+        # a lying chunk size would silently truncate the sample stream
+        # (or leak struct.error from the fmt parse below) — fail the
+        # documented ValueError contract instead (r11 ADVICE)
+        if len(body) != size:
+            raise ValueError(
+                f"chunk {cid!r} claims {size} bytes, payload has only "
+                f"{len(body)}"
+            )
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"fmt chunk too short ({size} bytes)")
             tag, channels, rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
             fmt = (tag, channels, rate, bits)

@@ -153,6 +153,12 @@ def decontaminate_test_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.when(
         F.substring(_md5_of("doc_id"), 1, 1).isin("0", "1"), F.lit("test")
     ).otherwise(F.lit("train"))
+    # (Round 12 also probed a gram-keyed repartition to share one
+    # exchange between the two sides — the PLAN shows why it can't help:
+    # the split predicate pushes below the explode, so each side builds
+    # grams for a DISJOINT half of the corpus already.  There is no
+    # duplicated subtree to deduplicate; the repartition only added
+    # exchanges.  Left as the plain filtered join.)
     e = d.select(
         "doc_id",
         split.alias("split"),

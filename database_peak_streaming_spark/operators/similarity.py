@@ -2481,8 +2481,11 @@ def _kmpp_sql() -> str:
     )
 
     def d2(c_cte: str) -> str:
+        # bound derived from the actual vector length (not a bare 64) so
+        # the oracle cannot silently desync from the Spark side's
+        # zip_with if the fixture dimension ever changes (r11 ADVICE)
         return (
-            "LIST_REDUCE(LIST_TRANSFORM(generate_series(1, 64), i -> "
+            "LIST_REDUCE(LIST_TRANSFORM(generate_series(1, LEN(e.q)), i -> "
             f"(e.q[CAST(i AS INT)] - {c_cte}.c[CAST(i AS INT)])"
             f" * (e.q[CAST(i AS INT)] - {c_cte}.c[CAST(i AS INT)])), "
             "(a, b) -> a + b)"

@@ -992,7 +992,10 @@ class PatternDetector(StatefulProcessor):
         pdfs = list(rows)
         pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
         pdf = pdf.sort_values(["ts", "event_id"])
-        us = (pdf["ts"].astype("int64") // 1000).tolist()
+        # normalize to ns explicitly before the //1000: a us-resolution
+        # datetime column would otherwise yield MILLIseconds and shift
+        # every gap comparison 1000x (r11 ADVICE)
+        us = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000).tolist()
         out_start, out_end = [], []
         for t_us, etype in zip(us, pdf["event_type"]):
             if stage > 0 and t_us - last_us > CEP_GAP_US:
