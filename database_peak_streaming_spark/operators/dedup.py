@@ -311,28 +311,37 @@ def _connected_components(d: DataFrame, pairs: DataFrame) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
     )
     for _ in range(64):  # >= any dup-cluster diameter; fixpoint breaks out
-        nb_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nb_min"))
+        # ONE join + ONE groupBy per iteration (round 12, guide §2.4):
+        # neighbor candidates (from the edge join) and each node's own
+        # label (a self row, ``own`` non-null only there) union into a
+        # single min-aggregation.  min(cand) == least(old, min neighbor)
+        # and max(own) == old label (exactly one self row per node), so
+        # the update AND the convergence flag come out of one exchange —
+        # the former shape paid a second join (labels ⋈ nb_min) every
+        # iteration to stitch them back together.
+        contrib = edges.join(labels, edges.dst == labels.doc_id).select(
+            F.col("src").alias("doc_id"),
+            F.col("cluster_id").alias("cand"),
+            F.lit(None).cast("long").alias("own"),
         )
         new_labels = (
-            labels.join(nb_min, labels.doc_id == nb_min.src, "left")
-            .select(
+            labels.select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce("nb_min", F.col("cluster_id")),
-                ).alias("cluster_id"),
-                # convergence flag computed IN the update, so detecting the
-                # fixpoint is a filter-count over the checkpoint we already
-                # materialized — not a join back against the old labels
-                # (which would re-shuffle both sides every iteration).
-                (F.coalesce("nb_min", F.col("cluster_id")) < F.col("cluster_id"))
-                .cast("int")
-                .alias("improved"),
+                F.col("cluster_id").alias("cand"),
+                F.col("cluster_id").alias("own"),
             )
-            .localCheckpoint(eager=True)  # materialize + cut lineage
+            .unionAll(contrib)
+            .groupBy("doc_id")
+            .agg(
+                F.min("cand").alias("cluster_id"),
+                (F.min("cand") < F.max("own")).cast("int").alias("improved"),
+            )
+            # Lazy checkpoint: the convergence count below is the job
+            # that materializes it (blocks cache on first compute), so
+            # each iteration runs ONE job, not checkpoint + count.
+            # Lineage still truncates — without the cut an evicted
+            # block recomputes through every prior iteration.
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("improved") == 1).count()
         labels = new_labels.drop("improved")

@@ -186,12 +186,31 @@ def cosine_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_probe_topk(e: DataFrame, bucket: Column, k: int = 3) -> DataFrame:
+def _bucket_probe_topk(
+    e: DataFrame, bucket: Column, k: int = 3, checkpoint: bool = False
+) -> DataFrame:
     """The IVF probe join every bucketed ANN variant shares: assign each
     vector a ``bucket``, broadcast the query set, equi-join on bucket
     equality (each query scans only its own cell), rank by cosine.  The
     quantizer is the only thing that varies — argmax dim, RP-LSH sign
-    bits, or trained k-means centroids."""
+    bits, or trained k-means centroids.
+
+    ``checkpoint=True`` localCheckpoints the assigned base (round 12,
+    guide §2.4/§4.4 analogue): ``bucket`` is the probe join's equi-key,
+    so Catalyst infers ``isnotnull(bucket)`` and pushes the WHOLE
+    quantizer expression below the scan's repartition — for the k-means
+    variant that re-evaluated all 8 zip_with dot products per row a
+    second time, single-threaded in the one-row-group scan stage, and
+    copied the 8x64 literal matrix into five plan nodes (planning
+    cost).  After the cut, assignment runs exactly once post-fan-out,
+    the inferred filter tests a materialized column, and the query side
+    reads the checkpoint instead of re-scanning parquet.  Rows are
+    narrow (id, DIM floats, bucket, norm) — corpus-scan-sized, never
+    pair-sized.  Paired A/B at sf0.1: 0.79x wall / 0.78x CPU for the
+    k-means quantizer, but 1.04x/1.33x for argmax and 0.95x/1.27x for
+    RP-LSH — the cheap quantizers lose (materialization costs more
+    than their duplicated expression), so the cut is opt-in and only
+    the trained-centroid variant takes it."""
     from pyspark.sql import Window
 
     base = e.select(
@@ -200,6 +219,8 @@ def _bucket_probe_topk(e: DataFrame, bucket: Column, k: int = 3) -> DataFrame:
         bucket.alias("bucket"),
         _norm(F.col("embedding")).alias("norm"),
     )
+    if checkpoint:
+        base = base.localCheckpoint()
     queries = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
@@ -506,7 +527,9 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket equi-join — so swapping quantizers changes recall, not the
     plan."""
     e = load_table(spark, "embeddings", sf_dir)
-    return _bucket_probe_topk(e, _kmeans_bucket(F.col("embedding")))
+    return _bucket_probe_topk(
+        e, _kmeans_bucket(F.col("embedding")), checkpoint=True
+    )
 
 
 #: Product-quantization geometry: 64-dim vectors cut into PQ_M

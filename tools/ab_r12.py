@@ -28,8 +28,9 @@ PKG = "database_peak_streaming_spark"
 
 
 def load_old(rel: str):
+    ref = os.environ.get("AB_REF", "HEAD")
     src = subprocess.run(
-        ["git", "-C", REPO, "show", f"HEAD:{PKG}/{rel}"],
+        ["git", "-C", REPO, "show", f"{ref}:{PKG}/{rel}"],
         check=True,
         capture_output=True,
         text=True,
