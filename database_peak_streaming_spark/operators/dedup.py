@@ -194,11 +194,20 @@ def _prefix_filter_candidates(t: DataFrame, threshold: float) -> DataFrame:
     df_freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
+    # Materialized ONCE (round 12, guide §2.4): BOTH sides of the
+    # candidate self-join below read ``pref``, so without the cut the
+    # whole explode -> df join -> per-doc rank chain (the pair stage's
+    # data-sized work) is executed twice.  Rows are narrow post-filter
+    # strings/ids (doc_id, source, lang, sz, tok), prefix-bounded per
+    # doc — the "cut after the first reduction, never on raw exploded
+    # payloads" rule (tfidf precedent; the raw token-table checkpoints
+    # measured worse and were reverted).
     pref = (
         tok.join(df_freq, "tok")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= plen)
         .select("doc_id", "source", "lang", "sz", "tok")
+        .localCheckpoint()
     )
     # Length filter (also lossless): jaccard >= t forces t*|B| <= |A| —
     # a free conjunct on the already-carried sizes.

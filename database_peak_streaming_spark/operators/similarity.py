@@ -338,6 +338,10 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = None
     for name, bucket in variants:
+        # No checkpoint here even for the k-means variant (round 12,
+        # measured): the audit's wall is dominated by the brute-force
+        # arm, so the cut that wins 0.79x in ann_ivf_kmeans measured
+        # exactly neutral in this composition (0.999x wall, 1.006x CPU).
         ann = _bucket_probe_topk(e, bucket)
         row = (
             ann.join(bf, ["q_id", "vec_id"])
