@@ -602,15 +602,47 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     xs = e.select(
         "vec_id", F.explode(ms).alias("m"), "embedding"
     ).select("vec_id", "m", _sub("embedding").alias("x"))
-    w_code = Window.partitionBy("vec_id", "m").orderBy("d2", "j")
+    # Encode argmin IN-ROW (round 12, guide §2.4 — remove shuffles
+    # outright): the old row_number window evaluated the N x M x K
+    # fan-out (K=64 rows per (vector, subspace)) and then had to sort
+    # it per group (WindowGroupLimit still sorts map-side; a
+    # min(struct) aggregation plans as SortAggregate and sorts too).
+    # Instead the codebook collapses to M rows of K-entry arrays
+    # (sorted by j), broadcast at 4 rows, and each vector's code is
+    # array_min over struct(d2, j) — lexicographic struct comparison
+    # IS the window's ORDER BY d2, j rank-1 row (ties take the lower
+    # j), and _dist2 is the identical fold, so the chosen code is
+    # bit-for-bit the same.  The encode stage becomes map-only: no
+    # exchange, no sort, no K-way row fan-out.
+    cb_arr = cb.groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct("j", "c"))).alias("cents")
+    )
+    # Per-row distances land in ONE materialized array column (no
+    # struct allocs); the winner is the FIRST index reaching the
+    # minimum — cents is sorted by j, so first occurrence == lowest j
+    # on exact ties, the window's tie-break.  d2 is a sum of squares
+    # (never NaN/-0.0), so array_position's equality test against
+    # array_min is exact.
     codes = (
-        xs.join(F.broadcast(cb), "m")
+        xs.join(F.broadcast(cb_arr), "m")
         .select(
-            "vec_id", "m", "j", _dist2(F.col("x"), F.col("c")).alias("d2")
+            "vec_id",
+            "m",
+            "cents",
+            F.transform(
+                F.col("cents"), lambda ent: _dist2(F.col("x"), ent["c"])
+            ).alias("ds"),
         )
-        .withColumn("rk", F.row_number().over(w_code))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "m", F.col("j").alias("code"))
+        .select(
+            "vec_id",
+            "m",
+            F.element_at(
+                F.col("cents"),
+                F.array_position(F.col("ds"), F.array_min(F.col("ds"))).cast(
+                    "int"
+                ),
+            )["j"].alias("code"),
+        )
     )
     lut = (
         e.where(F.col("vec_id") < N_QUERIES)
