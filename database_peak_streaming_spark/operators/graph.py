@@ -144,7 +144,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
-    ranked = und.join(du, "u").join(dv, "v")
+    # Shuffled-hash for both orientation joins (round 12, guide §3.1 —
+    # the closing-join precedent): SMJ would sort the |E|-row und stream
+    # against each |V|-row degree table; hashing the degree side leaves
+    # the edge stream unsorted (|E| >= |V| structurally).
+    ranked = und.join(du.hint("shuffle_hash"), "u").join(
+        dv.hint("shuffle_hash"), "v"
+    )
     # total order on nodes: (degree, id); orient small -> large
     u_first = (F.col("deg_u") < F.col("deg_v")) | (
         (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
@@ -570,8 +576,20 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
 
     for _ in range(ITERATIONS):
+        # Shuffled-hash, not sort-merge, for the power-step join (round
+        # 12, guide §3.1 — the graph_clustering_coefficient closing-join
+        # precedent): SMJ re-SORTED the |E|-row edeg stream every
+        # iteration; hashing the |V|-row ranks side leaves the big side
+        # unsorted at every scale (|E| >= |V| structurally — every node
+        # has degree >= 1).  (A repartition("src") of edeg before its
+        # checkpoint was probed too: the checkpoint does not carry the
+        # partitioning into the plan, so it only added an exchange —
+        # dropped.)
         contrib = (
-            edeg.join(ranks.withColumnRenamed("node", "src"), "src")
+            edeg.join(
+                ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+                "src",
+            )
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
         )
@@ -1274,7 +1292,13 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
-    ranked = und.join(du, "u").join(dv, "v")
+    # Shuffled-hash for both orientation joins (round 12, guide §3.1 —
+    # the closing-join precedent): SMJ would sort the |E|-row und stream
+    # against each |V|-row degree table; hashing the degree side leaves
+    # the edge stream unsorted (|E| >= |V| structurally).
+    ranked = und.join(du.hint("shuffle_hash"), "u").join(
+        dv.hint("shuffle_hash"), "v"
+    )
     u_first = (F.col("deg_u") < F.col("deg_v")) | (
         (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
     )
@@ -1545,7 +1569,10 @@ def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
         dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
-        ranked = und.join(du, "u").join(dv, "v")
+        # Shuffled-hash orientation joins (see graph_triangle_count).
+        ranked = und.join(du.hint("shuffle_hash"), "u").join(
+            dv.hint("shuffle_hash"), "v"
+        )
         u_first = (F.col("deg_u") < F.col("deg_v")) | (
             (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
         )

@@ -498,6 +498,11 @@ def test_forced_broadcasts_are_bounded_cardinality():
         # already-allowlisted sparse "filt" position list on the probe
         # side
         "dense",
+        # round 12: "cb_arr" is the PQ codebook rolled up to PQ_M rows
+        # of PQ_K-entry arrays (4 rows x 64 entries, fixed by the
+        # quantizer geometry exactly like the already-allowlisted
+        # per-row "cb" form it replaces on the encode path)
+        "cb_arr",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     offenders = []
