@@ -1604,7 +1604,11 @@ def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.greatest("b", "c").alias("v"),
             )
         )
-        closed = wedges.join(und, ["u", "v"])
+        # Shuffled-hash for the closing join (round 12 — the
+        # graph_clustering_coefficient precedent): the streamed side is
+        # the O(sum deg^2) wedge set, orders of magnitude larger than
+        # the O(|E|) build side; SMJ would sort the wedge stream.
+        closed = wedges.join(und.hint("shuffle_hash"), ["u", "v"])
         tri_edges = (
             closed.select(
                 F.least("src", "u").alias("eu"),
@@ -1631,12 +1635,21 @@ def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr: DataFrame | None = None
     for rnd in range(1, TRUSS_ROUNDS + 1):
         sup = _support(current)
-        scored = current.join(
-            sup,
-            (F.col("u") == F.col("eu")) & (F.col("v") == F.col("ev")),
-            "left",
-        ).select(
-            "u", "v", F.coalesce("support", F.lit(0)).alias("support")
+        # Materialized ONCE per round (round 12, guide §2.4): ``gated``
+        # below feeds BOTH the surviving-edge set and the round summary,
+        # so without the cut the whole _support triangle enumeration —
+        # the query's dominant work — executed TWICE per round.  Rows
+        # are narrow (u, v, support) at |E| cardinality.
+        scored = (
+            current.join(
+                sup,
+                (F.col("u") == F.col("eu")) & (F.col("v") == F.col("ev")),
+                "left",
+            )
+            .select(
+                "u", "v", F.coalesce("support", F.lit(0)).alias("support")
+            )
+            .localCheckpoint()
         )
         if thr is None:
             # adaptive threshold from the ROUND-1 support distribution,
