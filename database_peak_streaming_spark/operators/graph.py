@@ -451,11 +451,15 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    # Materialized ONCE (round 12 — the k-truss ``thr`` twin): every
+    # round's broadcast re-derived this 1-row scalar, and broadcast
+    # exchanges are not reused ACROSS the per-round count() jobs, so
+    # the full |E|-sized deg0 aggregation re-ran every peel round.
     threshold = deg0.agg(
         F.floor(F.sum("deg") * F.lit(KCORE_MEAN_FRAC) / F.count(F.lit(1))).alias(
             "k"
         )
-    )
+    ).localCheckpoint()
     # Early exit when a round removes no edge: peeling is monotone, so
     # a no-change round makes every later round an identity — the
     # result is EXACTLY the full KCORE_ROUNDS unroll the oracle runs,
