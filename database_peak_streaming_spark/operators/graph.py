@@ -1060,7 +1060,11 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select(F.col("src").alias("node"))
     )
-    reached = source.select("node", F.lit(0).alias("dist"))
+    # Materialized ONCE (round 12 — the k-core threshold twin): the
+    # 1-row source sits under every hop's eager checkpoint job via the
+    # accumulated ``reached`` union, and its degree aggregation + global
+    # argmax window re-ran per hop (exchange reuse never crosses jobs).
+    reached = source.select("node", F.lit(0).alias("dist")).localCheckpoint()
     frontier = reached
     for k in range(1, BFS_HOPS + 1):
         nxt = (
