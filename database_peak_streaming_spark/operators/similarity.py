@@ -2480,6 +2480,12 @@ def ml_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = pick1.select(F.col("q").alias("c_1"))
     for r in range(2, KMPP_K + 1):
         u_r = _kmpp_uniform(r)
+        # Materialized ONCE per round (round 12, guide §2.4): the
+        # round's pick job consumed ``scored`` twice — under the totr
+        # broadcast AND under the cumsum window — with no shared
+        # exchange between them, so the corpus x (r-1) distance-kernel
+        # pass ran twice per round.  Rows are the same narrow
+        # (vec_id, q, w_i) payload the global window shuffles anyway.
         scored = e.crossJoin(F.broadcast(centers)).select(
             "vec_id",
             "q",
@@ -2493,7 +2499,7 @@ def ml_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ]
                 )
             ).alias("w_i"),
-        )
+        ).localCheckpoint()
         totr = scored.agg(F.sum("w_i").alias("totw"))
         pick_r = (
             scored.crossJoin(F.broadcast(totr))
