@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_peak_streaming_spark.sources.batch import load_table
+from database_peak_streaming_spark.sources.batch import fanout_barrier, load_table
 
 MINHASH_PERMS = 20
 # 4 bands x 5 rows -> s-curve threshold (1/4)^(1/5) ~ 0.76.  r=5 (vs the
@@ -537,7 +537,23 @@ def _md5_banded_candidates(d: DataFrame) -> DataFrame:
     then min-aggregate per doc.  Token frequency follows a power law,
     so |vocabulary| << |token occurrences| and the hash work drops by
     the corpus's token reuse factor; the join is hash-partitioned on
-    the token (AQE broadcasts while the vocabulary is small)."""
+    the token (AQE broadcasts while the vocabulary is small).
+
+    Execution shape (round 12, measured at sf0.1): the pair enumeration
+    is compute-QUADRATIC in bucket occupancy while its INPUT is tiny
+    (|docs| x bands rows of (long, int, hash)) — ~500 KB in, 20M pair
+    probes out on the dup-heavy fixture — so AQE's byte-based partition
+    coalescing collapsed the upstream exchange to ONE partition and the
+    enumeration + distinct ran single-threaded (69 s of the 141 s
+    wall).  An explicit partition count on the join key is the escape
+    hatch for compute-heavy/byte-light exchanges (guide §2.5): buckets
+    spread across the full core count while one bucket still lands on
+    one task.  The distinct pair set is then localCheckpoint-ed: both
+    callers consume it through plans that would otherwise re-run the
+    whole enumeration (the audit aggregates it twice; the verify's
+    nested broadcast joins re-built it once per build side — the
+    second 69 s), and the materialized rows are narrow (two longs) and
+    bounded by band-bucket occupancy, not corpus size."""
     tok = d.select("doc_id", F.explode(_distinct_tokens()).alias("tok"))
     vocab = tok.select("tok").distinct().select(
         "tok",
@@ -559,6 +575,15 @@ def _md5_banded_candidates(d: DataFrame) -> DataFrame:
         ]
     )
     banded = sigs.select("doc_id", F.posexplode(bands).alias("band", "band_hash"))
+    # Compute-bound stages want one task per core even when the shuffle
+    # width is tuned lower for byte-bound work; both knobs scale with
+    # the deployment (shuffle.partitions via env, defaultParallelism
+    # with the master's core count), so nothing here pins local[32].
+    n_part = max(
+        int(d.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        d.sparkSession.sparkContext.defaultParallelism,
+    )
+    banded = banded.repartition(n_part, "band", "band_hash")
     cand = (
         banded.alias("x")
         .join(
@@ -569,6 +594,12 @@ def _md5_banded_candidates(d: DataFrame) -> DataFrame:
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
+        # Keep the verify stage parallel too: the distinct's post-shuffle
+        # side is byte-light but each surviving pair pays an exact-Jaccard
+        # array intersection downstream.  Keyed (not round-robin) so no
+        # sort-before-repartition pass and a deterministic layout.
+        .repartition(n_part, "doc_a", "doc_b")
+        .localCheckpoint()
     )
     return cand
 
@@ -1033,7 +1064,13 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair work is two array HOFs over ~doc-length gram lists,
     row-local and JVM-side.  At 100 TB the block key upgrades to
     MinHash bands (dedup.py's banded family) with the same verifier."""
-    d = load_table(spark, "documents", sf_dir)
+    # fanout_barrier: the gram construction below is the query's heavy
+    # per-row kernel, and Catalyst pushes it below the scan fan-out
+    # exchange — profiled at sf0.1 running 7.6 s single-task on the
+    # one-row-group fixture scan (round 12; see sources/batch.py).
+    d = fanout_barrier(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
     toks = F.split(F.col("text"), " ")
     grams = F.when(
         F.size(toks) >= SPAN_N,
@@ -1073,6 +1110,13 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             F.greatest("containment_ab", "containment_ba") >= CONT_THRESHOLD
         )
+        # Materialized before the global sort (round 12, guide §2.4):
+        # the block join carries gram ARRAYS on both sides and pays an
+        # array_intersect per pair, and the range exchange's boundary
+        # sampling re-executed that whole chain (profiled: the join
+        # stage ran three times — sort sample, broadcast build, final).
+        # Surviving pairs are five narrow columns.
+        .localCheckpoint()
         .orderBy("doc_a", "doc_b")
     )
 
@@ -1507,11 +1551,23 @@ def _global_prefix_candidates(t: DataFrame, threshold: float) -> DataFrame:
     df_freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
+    # Same compute-quadratic / byte-light hazard as the banded join in
+    # ``_md5_banded_candidates`` (round 12, guide §2.5): the prefix
+    # table is well under AQE's advisory partition size, so without an
+    # explicit partition count the whole bucket-pair enumeration (and
+    # the per-pair exact verify the caller stacks on top) collapses to
+    # one task.  Pin the join-key partitioning to the configured
+    # shuffle width; one token bucket still lands on one task.
+    n_part = max(
+        int(t.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        t.sparkSession.sparkContext.defaultParallelism,
+    )
     pref = (
         tok.join(df_freq, "tok")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= plen)
         .select("doc_id", "sz", "tok")
+        .repartition(n_part, "tok")
     )
     return (
         pref.alias("pa")
@@ -1524,6 +1580,9 @@ def _global_prefix_candidates(t: DataFrame, threshold: float) -> DataFrame:
         )
         .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
         .distinct()
+        # Keep the caller's per-pair exact verify parallel (keyed: no
+        # sort-before-repartition, deterministic layout).
+        .repartition(n_part, "doc_a", "doc_b")
     )
 
 
@@ -1556,12 +1615,18 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = inter.cast("double") / (
         F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
     )
+    # Materialized once (round 12, guide §2.4): ``truth`` feeds BOTH the
+    # n_truth count and the hits join — without the cut the whole
+    # prefix-filter enumeration + per-pair exact verify (the audit's
+    # dominant work) executed twice, single-threaded each time (93 s
+    # x 2 of the 106 s wall at sf0.1).  Rows are two longs.
     truth = (
         _global_prefix_candidates(t, LSH_VERIFY_THRESHOLD)
         .join(t.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
         .join(t.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
         .filter(jac >= F.lit(LSH_VERIFY_THRESHOLD))
         .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
     cand = _md5_banded_candidates(d)
     n1 = truth.agg(F.count(F.lit(1)).alias("n_truth"))

@@ -111,6 +111,25 @@ def _maybe_fanout(spark: SparkSession, name: str, df: DataFrame) -> DataFrame:
     return df
 
 
+def fanout_barrier(df: DataFrame) -> DataFrame:
+    """Pin heavy in-row projections ABOVE the scan fan-out (round 12).
+
+    Catalyst pushes deterministic projections below a repartition, so a
+    per-row kernel (gram construction, tokenization HOFs) placed after
+    ``_maybe_fanout``'s exchange can land back on the one-row-group scan
+    task and run single-threaded anyway.  Under the same env gate as the
+    fan-out, cut lineage so the projection stays above the exchange; the
+    materialized rows are the PRE-kernel narrow columns the caller
+    selected.  Default OFF like the fan-out itself: at production
+    row-group counts scan parallelism is free and neither the exchange
+    nor the cut should exist (a corpus-sized text checkpoint would be
+    exactly wrong at 100 TB).
+    """
+    if os.environ.get("SPARK_GRAFT_SCAN_FANOUT") == "1":
+        return df.localCheckpoint()
+    return df
+
+
 def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every fixture table as a temp view (the session catalog).
 
