@@ -256,7 +256,7 @@ def check_curate_corpus_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFr
     """
     from database_peak_streaming_spark.operators.curation import (
         QUALITY_CUTOFF,
-        curate_corpus_pipeline_lsh,
+        _funnel_summary,
         quality_score_col,
     )
     from pyspark.sql import Window
@@ -274,12 +274,18 @@ def check_curate_corpus_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFr
         )
 
     exact_k = keepers(dedup_clusters_cc(spark, sf_dir))
-    lsh_k = keepers(dedup_clusters_cc_lsh(spark, sf_dir))
+    # ONE clustering run shared by the keeper recomputation and the
+    # funnel summary (round 12, guide §2.4): ``curate_corpus_pipeline_lsh``
+    # is exactly ``_funnel_summary`` over ``dedup_clusters_cc_lsh``, and
+    # calling it separately re-ran the whole LSH pipeline + CC fixpoint
+    # (per-round ACTIONS — never deduplicated across jobs) a second time.
+    lsh_clusters = dedup_clusters_cc_lsh(spark, sf_dir)
+    lsh_k = keepers(lsh_clusters)
     subset = exact_k.join(lsh_k, "doc_id", "left_anti").agg(
         (F.count(F.lit(1)) == 0).alias("ok")
     )
     summary_total = (
-        curate_corpus_pipeline_lsh(spark, sf_dir)
+        _funnel_summary(spark, sf_dir, lsh_clusters)
         .agg(F.sum("n_docs").alias("n_summary"))
         .crossJoin(lsh_k.agg(F.count(F.lit(1)).alias("n_keep")))
         .select((F.col("n_summary") == F.col("n_keep")).alias("ok"))

@@ -248,10 +248,21 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     w1 = adj.select("mid", F.col("nbr").alias("x"))
     w2 = adj.select("mid", F.col("nbr").alias("y"))
+    # Same explicit pair-keyed repartition as the Adamic-Adar twin
+    # (round 12, guide §2.5): ~101M distinct pairs from ~148M wedges at
+    # sf0.1 means map-side combining reduces almost nothing, and the
+    # configured shuffle width capped the dominant aggregation's
+    # parallelism; the groupBy reuses this exchange (same keys).
+    n_part = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism,
+    )
     cn = (
         w1.join(w2, "mid")
         .where(F.col("x") < F.col("y"))
-        .groupBy(F.col("x").alias("u"), F.col("y").alias("v"))
+        .select(F.col("x").alias("u"), F.col("y").alias("v"))
+        .repartition(n_part, "u", "v")
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("cn"))
         .where(F.col("cn") >= LINKPRED_MIN_CN)
         .join(und, ["u", "v"], "left_anti")
@@ -368,6 +379,32 @@ def _adamic_adar(
         )
     w1 = adj.select("mid", F.col("nbr").alias("x"))
     w2 = adj.select("mid", F.col("nbr").alias("y"))
+    # The per-(u,v) weight fold must replay in mid order (float addition
+    # is not associative; the oracle LIST_REDUCEs a mid-sorted list), so
+    # every wedge's (mid, deg) rides the groupBy shuffle into a
+    # collect_list.  Round 12 (guide §2.3 — narrower types): pack the
+    # pair into ONE long, ``mid * 2^32 + deg`` — sorting the packed
+    # longs IS the mid sort (deg is constant per mid), and the fold
+    # recovers deg with a mask and recomputes w = 1/ln(deg) from the
+    # same exact integer, so every partial sum is bit-identical to the
+    # struct form's.  vs struct<mid,w>: ~3x fewer shuffled bytes for
+    # the wedge-volume exchange (the query's dominant stage: 1.88 GB ->
+    # ~0.6 GB at sf0.1) and no per-wedge struct alloc.  Bounds: deg <
+    # 2^32 always (it counts neighbors); mid < 2^31 holds for the part
+    # keyspace here — a deployment with wider ids would widen the pack
+    # to (mid, deg) structs again or renumber ids first.
+    packed = (F.col("mid") * F.lit(4294967296)) + F.col("deg")
+    # Explicit pair-keyed repartition at the core/shuffle width (round
+    # 12, guide §2.5): the wedge aggregation is the query's dominant
+    # stage and collect_list gets no map-side reduction (avg wedges per
+    # pair ~1.5 at sf0.1), so the partial/final split buys nothing
+    # while the configured shuffle width caps its parallelism.  The
+    # groupBy below reuses this exchange (same keys), so the plan still
+    # shuffles the wedge stream exactly once.
+    n_part = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism,
+    )
     wedges = (
         w1.join(w2, "mid")
         .where(F.col("x") < F.col("y"))
@@ -375,19 +412,18 @@ def _adamic_adar(
         .select(
             F.col("x").alias("u"),
             F.col("y").alias("v"),
-            "mid",
-            (F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("w"),
+            packed.alias("mw"),
         )
+        .repartition(n_part, "u", "v")
+    )
+    el_w = lambda e: F.lit(1.0) / F.log(  # noqa: E731 — w from packed deg
+        e.bitwiseAND(F.lit(4294967295)).cast("double")
     )
     cn = (
         wedges.groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).alias("cn"),
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col("mid").alias("mid"), F.col("w").alias("w"))
-                )
-            ).alias("sv"),
+            F.array_sort(F.collect_list("mw")).alias("sv"),
         )
         .where(F.col("cn") >= LINKPRED_MIN_CN)
         .join(und, ["u", "v"], "left_anti")
@@ -396,7 +432,7 @@ def _adamic_adar(
             "v",
             F.col("cn").cast("long").alias("cn"),
             F.round(
-                F.aggregate("sv", F.lit(0.0), lambda acc, e: acc + e["w"]),
+                F.aggregate("sv", F.lit(0.0), lambda acc, e: acc + el_w(e)),
                 6,
             ).alias("aa_score"),
         )

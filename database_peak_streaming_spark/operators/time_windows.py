@@ -765,6 +765,19 @@ def win_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "ts", "value")
         .where(F.col("value").isNotNull())
     )
+    # Compute-heavy / byte-light window (round 12, guide §2.5): each row
+    # pays two 50-element array sorts + a transform, but rows are four
+    # narrow columns, so AQE's byte-based coalescing ran the whole
+    # window on TWO tasks (2.3 MB shuffle in, 39 s + 35 s single-stage
+    # walls at sf0.1).  Pin the window's own partition key at the
+    # core/shuffle width — the Window exec reuses this exchange (same
+    # key), so no extra shuffle appears; both knobs scale with the
+    # deployment.
+    n_part = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism,
+    )
+    ev = ev.repartition(n_part, "user_id")
     from pyspark.sql import Window as W
 
     w = (
@@ -816,6 +829,12 @@ def win_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mad", 6).alias("mad"),
             "robust_z",
         )
+        # Materialized before the global sort (round 12, guide §2.4):
+        # the range exchange's boundary-sampling job re-executes an
+        # unmaterialized child, so the whole window chain ran TWICE.
+        # Flagged outliers are a tiny table; the cut runs the chain
+        # once and the sort reads the checkpoint.
+        .localCheckpoint()
         .orderBy("user_id", "event_id")
     )
 

@@ -210,6 +210,12 @@ def udf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge,
             "event_id long, user_id long, ts timestamp, last_click_ts timestamp",
         )
+        # Materialized before the global sort (round 12, guide §2.4):
+        # the range exchange's boundary sampling re-executes an
+        # unmaterialized child, and here the child is the whole
+        # cogrouped Python pass — it ran twice.  Rows are four narrow
+        # columns (purchase count volume).
+        .localCheckpoint()
         .orderBy("event_id")
     )
 

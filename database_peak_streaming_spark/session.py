@@ -40,6 +40,13 @@ def get_spark(app_name: str = "database-peak-streaming-spark") -> SparkSession:
     shuffle = os.environ.get(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(_DEFAULT_SHUFFLE_PARTITIONS)
     )
+    # (Round 12 probed raising
+    # spark.sql.adaptive.coalescePartitions.initialPartitionNum to 64
+    # session-wide so GB-scale exchanges fan out past a low shuffle
+    # width: the full headline bench regressed 63.3 -> 71.6 s — median
+    # per-query 1.12x — because the floor-bound tail pays for the extra
+    # pre-coalesce tasks.  Compute-heavy/byte-light exchanges instead
+    # get targeted explicit repartitions at their sites.)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
