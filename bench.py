@@ -721,6 +721,15 @@ def main() -> None:
         }
         compact["queries_truncated_see_detail"] = True
         line = json.dumps(compact, separators=(",", ":"))
+    # Durability (round-13, VERDICT r12 ask #6): the driver json-parses
+    # the LAST LINE of a bounded stdout capture; r11's line was lost to
+    # truncation upstream (BENCH_r11 parsed:null), nulling a whole
+    # round's speedup comparison.  Persist the exact same compact dict
+    # to a fixed file so a mangled stdout capture can never erase the
+    # round-over-round numbers again.  Pure extra sink — the stdout
+    # contract and the timing methodology are unchanged.
+    with open(os.path.join(here, "BENCH_LINE.json"), "w") as f:
+        f.write(line + "\n")
     print(line)
 
 

@@ -576,13 +576,11 @@ def _md5_banded_candidates(d: DataFrame) -> DataFrame:
     )
     banded = sigs.select("doc_id", F.posexplode(bands).alias("band", "band_hash"))
     # Compute-bound stages want one task per core even when the shuffle
-    # width is tuned lower for byte-bound work; both knobs scale with
-    # the deployment (shuffle.partitions via env, defaultParallelism
-    # with the master's core count), so nothing here pins local[32].
-    n_part = max(
-        int(d.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-        d.sparkSession.sparkContext.defaultParallelism,
-    )
+    # width is tuned lower for byte-bound work (shared policy:
+    # sources/batch.compute_width — nothing here pins local[32]).
+    from database_peak_streaming_spark.sources.batch import compute_width
+
+    n_part = compute_width(d.sparkSession)
     banded = banded.repartition(n_part, "band", "band_hash")
     cand = (
         banded.alias("x")
@@ -1558,10 +1556,9 @@ def _global_prefix_candidates(t: DataFrame, threshold: float) -> DataFrame:
     # the per-pair exact verify the caller stacks on top) collapses to
     # one task.  Pin the join-key partitioning to the configured
     # shuffle width; one token bucket still lands on one task.
-    n_part = max(
-        int(t.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-        t.sparkSession.sparkContext.defaultParallelism,
-    )
+    from database_peak_streaming_spark.sources.batch import compute_width
+
+    n_part = compute_width(t.sparkSession)
     pref = (
         tok.join(df_freq, "tok")
         .withColumn("rn", F.row_number().over(w))

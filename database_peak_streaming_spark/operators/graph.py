@@ -164,6 +164,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e1 = oriented.select("src", F.col("dst").alias("b"), F.col("dst_deg").alias("deg_b"))
     e2 = oriented.select("src", F.col("dst").alias("c"), F.col("dst_deg").alias("deg_c"))
+    # Pair-keyed repartition at the core/shuffle width before the
+    # closing join (round 13, guide §2.2 — the proven linkpred/adamic-
+    # adar treatment): the wedge stream is two longs per row, so AQE's
+    # byte-based coalescing collapsed the closing join — the query's
+    # dominant CPU stage — to the configured shuffle width regardless
+    # of cores.  Keyed (u, v) so the join reuses this exchange and no
+    # extra shuffle appears; shuffle_hash on the |E|-row edge side so
+    # the wedge stream is never sorted (SMJ would sort the big side).
+    from database_peak_streaming_spark.sources.batch import compute_width
+
+    n_part = compute_width(spark)
     wedges = (
         e1.join(e2, "src")
         .where(
@@ -173,8 +184,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v")
         )
+        .repartition(n_part, "u", "v")
     )
-    tri = wedges.join(und, ["u", "v"]).agg(
+    tri = wedges.join(und.hint("shuffle_hash"), ["u", "v"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
     stats = und.agg(F.count(F.lit(1)).alias("n_edges"))
@@ -253,10 +265,9 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     # sf0.1 means map-side combining reduces almost nothing, and the
     # configured shuffle width capped the dominant aggregation's
     # parallelism; the groupBy reuses this exchange (same keys).
-    n_part = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-        spark.sparkContext.defaultParallelism,
-    )
+    from database_peak_streaming_spark.sources.batch import compute_width
+
+    n_part = compute_width(spark)
     cn = (
         w1.join(w2, "mid")
         .where(F.col("x") < F.col("y"))
@@ -390,10 +401,24 @@ def _adamic_adar(
     # struct form's.  vs struct<mid,w>: ~3x fewer shuffled bytes for
     # the wedge-volume exchange (the query's dominant stage: 1.88 GB ->
     # ~0.6 GB at sf0.1) and no per-wedge struct alloc.  Bounds: deg <
-    # 2^32 always (it counts neighbors); mid < 2^31 holds for the part
-    # keyspace here — a deployment with wider ids would widen the pack
-    # to (mid, deg) structs again or renumber ids first.
+    # 2^32 always (it counts neighbors); mid < 2^31 is REQUIRED for the
+    # pack to preserve sort order (the sign bit flips above it) and is
+    # enforced at runtime below (round-13, ADVICE ask): the guard rides
+    # the |V|-sized degree projection — one integer compare per node,
+    # nothing wedge-volume — and fails the job loudly instead of
+    # silently corrupting aa_score.  A deployment with wider ids would
+    # widen the pack to (mid, deg) structs again or renumber ids first.
     packed = (F.col("mid") * F.lit(4294967296)) + F.col("deg")
+    mid_checked = F.when(
+        F.assert_true(
+            F.col("node") < F.lit(2147483648),
+            F.lit(
+                "adamic-adar packed-long fold requires node ids < 2^31; "
+                "widen the pack to struct<mid,deg> or renumber ids"
+            ),
+        ).isNull(),
+        F.col("node"),
+    ).alias("mid")
     # Explicit pair-keyed repartition at the core/shuffle width (round
     # 12, guide §2.5): the wedge aggregation is the query's dominant
     # stage and collect_list gets no map-side reduction (avg wedges per
@@ -401,14 +426,13 @@ def _adamic_adar(
     # while the configured shuffle width caps its parallelism.  The
     # groupBy below reuses this exchange (same keys), so the plan still
     # shuffles the wedge stream exactly once.
-    n_part = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-        spark.sparkContext.defaultParallelism,
-    )
+    from database_peak_streaming_spark.sources.batch import compute_width
+
+    n_part = compute_width(spark)
     wedges = (
         w1.join(w2, "mid")
         .where(F.col("x") < F.col("y"))
-        .join(deg.select(F.col("node").alias("mid"), "deg"), "mid")
+        .join(deg.select(mid_checked, "deg"), "mid")
         .select(
             F.col("x").alias("u"),
             F.col("y").alias("v"),

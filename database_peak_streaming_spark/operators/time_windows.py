@@ -773,10 +773,9 @@ def win_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # core/shuffle width — the Window exec reuses this exchange (same
     # key), so no extra shuffle appears; both knobs scale with the
     # deployment.
-    n_part = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-        spark.sparkContext.defaultParallelism,
-    )
+    from database_peak_streaming_spark.sources.batch import compute_width
+
+    n_part = compute_width(spark)
     ev = ev.repartition(n_part, "user_id")
     from pyspark.sql import Window as W
 

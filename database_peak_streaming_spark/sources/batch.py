@@ -130,6 +130,24 @@ def fanout_barrier(df: DataFrame) -> DataFrame:
     return df
 
 
+def compute_width(spark: SparkSession) -> int:
+    """Partition width for COMPUTE-BOUND keyed repartitions.
+
+    Compute-quadratic stages (pair joins, wedge aggregations) want one
+    task per core even when the configured shuffle width is tuned lower
+    for byte-bound work — AQE's byte-based coalescing would otherwise
+    collapse a small-bytes/huge-CPU exchange to a handful of tasks.
+    Both inputs scale with the deployment (``spark.sql.shuffle.partitions``
+    via env/conf, ``defaultParallelism`` with the master's core count),
+    so nothing here pins local mode.  Shared policy for every call site
+    (round-13, ADVICE ask: one definition instead of five copies).
+    """
+    return max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism,
+    )
+
+
 def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every fixture table as a temp view (the session catalog).
 
